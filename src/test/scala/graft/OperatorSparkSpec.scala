@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.{GreedyBatcher, TarCodec}
+
+/** Spark-side operator tests: tokenizer, wide projection, envelope,
+  * tar codec, greedy batcher. One shared local session. */
+class OperatorSparkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, shufflePartitions = 4)
+
+  test("tokenizer: N docs, whitespace fragments dropped, tags re-appended (U1/P1)") {
+    import spark.implicits._
+    val tag = "</NS1:message>"
+    val content = s"<a>1$tag\n  \n<a>2$tag   \n"
+    val df = Seq(content, "", "   \n ").toDF("content")
+    val out = Tokenizer.tokenize(df, col("content"), tag).as[String].collect().sorted
+    assert(out.length == 2)
+    assert(out.forall(_.endsWith("\n" + tag)))
+    assert(out.head.startsWith("<a>1"))
+  }
+
+  test("wide projection: dynamic key union with null fill (U6/V1)") {
+    import spark.implicits._
+    val df = Seq(Map("a" -> "1"), Map("b" -> "2", "a" -> "3")).toDF("fields")
+    val wide = WideColumns.widen(df, "fields")
+    assert(wide.columns.toSeq == Seq("a", "b"))
+    val rows = wide.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("1", null), ("3", "2")))
+  }
+
+  test("snake_case matches inflection.underscore behavior (P5/E5)") {
+    assert(WideColumns.underscore("RMSTotalDB") == "rms_total_db")
+    assert(WideColumns.underscore("readingTimestampUTC") == "reading_timestamp_utc")
+    assert(WideColumns.underscore("speed_UoM") == "speed_uo_m")
+    assert(WideColumns.underscore("vehicleIdentifier") == "vehicle_identifier")
+    assert(WideColumns.underscore("already_snake") == "already_snake")
+  }
+
+  test("envelope: wrap → parse roundtrip preserves payload and constants (E1/E2)") {
+    import spark.implicits._
+    val df = Seq(("<xml attr=\"x\"/>\nline2", "ACOUSTIC")).toDF("payload", "ptype")
+    val wrapped = Envelope.wrap(df, col("payload"), col("ptype"))
+    val parsed = Envelope.parse(wrapped, col("envelope"))
+      .select("payload", "tenant_id", "partition_id").as[(String, String, String)].head()
+    assert(parsed == (("<xml attr=\"x\"/>\nline2", "bhp", "ACOUSTIC")))
+  }
+
+  test("tar codec: archive → members roundtrip incl. utf-8 (S4/E4)") {
+    val entries = Seq("a.xml" -> "héllo <x/>", "dir/b.xml" -> "wörld")
+      .map { case (n, s) => (n, s.getBytes("UTF-8")) }
+    val back = TarCodec.members(TarCodec.archive(entries.iterator)).toSeq
+    assert(back.map(_._1) == Seq("a.xml", "dir/b.xml"))
+    assert(back.map(e => new String(e._2, "UTF-8")) == Seq("héllo <x/>", "wörld"))
+  }
+
+  test("greedy batcher: reference packing semantics (S2)") {
+    // cap 10: [4,5] flush at 4+5+2>=10 → [4,5],[2,3],[9? ...]
+    assert(GreedyBatcher.assign(Seq(4, 5, 2, 3, 9), 10) == Seq(0, 0, 1, 1, 2))
+    // >= threshold: exact fit starts a new batch
+    assert(GreedyBatcher.assign(Seq(5, 5), 10) == Seq(0, 1))
+    // oversized singleton at the start, accumulator untouched
+    assert(GreedyBatcher.assign(Seq(12, 1, 2), 10) == Seq(0, 1, 1))
+    // oversized after a flush opens its own batch via the next trigger
+    assert(GreedyBatcher.assign(Seq(3, 12, 1), 10) == Seq(0, 1, 2))
+    // all oversized → all singletons
+    assert(GreedyBatcher.assign(Seq(20, 30, 40), 10) == Seq(0, 1, 2))
+  }
+
+  test("lambda transform: required attrs enforced, extras kept in map form (P3)") {
+    val ok = LambdaTransform.parseXml(
+      """<NS1:message xmlns:NS1="http://uptake.com/bhp/1/sensors"><NS1:messagePayload>
+        |<NS1:vehicleIdentifier>V1</NS1:vehicleIdentifier>
+        |<NS1:componentIdentifier>C1</NS1:componentIdentifier>
+        |<NS1:positionInTrain>3</NS1:positionInTrain>
+        |<NS1:typeOfReading>ACOUSTIC</NS1:typeOfReading>
+        |<NS1:readingTimestampUTC>T</NS1:readingTimestampUTC>
+        |<NS1:readingLocation>L</NS1:readingLocation>
+        |<NS1:sourceSystem>S</NS1:sourceSystem>
+        |<NS1:readingCollection>
+        |<NS1:reading><NS1:attributeName>NotDeclared</NS1:attributeName><NS1:attributeValue>42</NS1:attributeValue></NS1:reading>
+        |</NS1:readingCollection>
+        |</NS1:messagePayload></NS1:message>""".stripMargin)
+    assert(ok("vehicleIdentifier") == "V1")
+    assert(ok("RMSTotalDB") == null) // null-seeded
+    assert(ok("NotDeclared") == "42") // extra key lands in the record
+    assertThrows[graft.xml.XmlShapeException] {
+      LambdaTransform.parseXml(
+        """<NS1:message xmlns:NS1="http://uptake.com/bhp/1/sensors"><NS1:messagePayload>
+          |<NS1:vehicleIdentifier>V1</NS1:vehicleIdentifier>
+          |</NS1:messagePayload></NS1:message>""".stripMargin)
+    }
+  }
+}
