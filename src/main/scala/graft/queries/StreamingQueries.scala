@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+import graft.streaming.{InMemoryRecordProducer, KinesisSink, Replay}
+
+/** Oracle-checked exercises of the streaming surface (SURVEY §2.9).
+  * Replay pacing runs with timeScale = 0 here (correctness, not
+  * wall-clock); the pacing math itself is pinned by ReplaySpec. */
+object StreamingQueries {
+
+  /** s01 — T1/T2/T3/T4 + K3: replay the events table (timestamp-grouped,
+    * ascending) into the in-memory keyed sink, then read the sink back.
+    * One replay per event_type mirrors the reference's
+    * one-producer-per-reading-type model (main.py:51). */
+  def s01ReplaySink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"), col("props"),
+      unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
+    val types = ev.select(col("event_type")).distinct().as[String].collect().sorted
+    val producer = new InMemoryRecordProducer(nShards = 4)
+    types.foreach { t =>
+      Replay.replay(ev.filter(col("event_type") === t), col("ts_ms"), "props",
+        partitionKey = t, stream = "graft-stream", producer = producer, timeScale = 0.0)
+    }
+    val got = producer.records.map { case (_, key, _, data) =>
+      (key, new String(data, "UTF-8"))
+    }
+    spark.createDataset(got).toDF("partition_id", "payload")
+      .groupBy(col("partition_id"))
+      .agg(count(lit(1)).as("n"), min(col("payload")).as("min_payload"),
+        max(col("payload")).as("max_payload"))
+      .orderBy(col("partition_id"))
+  }
+
+  /** s02 — Structured Streaming: file-source stream over the events
+    * parquet → event-time tumbling window aggregate with watermark →
+    * memory sink (complete mode), drained synchronously with
+    * Trigger.AvailableNow. Same answer as the batch q20 shape. */
+  def s02StreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file stream source wants a directory: stage the single-file
+    // table into a per-sf temp dir once
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_s02_${math.abs(dir.hashCode)}")
+    if (!java.nio.file.Files.exists(staged.resolve("events.parquet"))) {
+      java.nio.file.Files.createDirectories(staged)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
+        staged.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"s02_out_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("w.start").cast("timestamp_ntz").as("hour"), col("event_type"), col("n"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_replay_sink"  -> s01ReplaySink _,
+    "s02_stream_window" -> s02StreamWindow _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s01_replay_sink" ->
+      """SELECT event_type AS partition_id,
+        |  COUNT(*) AS n, MIN(props) AS min_payload, MAX(props) AS max_payload
+        |FROM events GROUP BY event_type ORDER BY partition_id""".stripMargin,
+    "s02_stream_window" ->
+      """SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,106 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming._
+
+/** SURVEY §5.5 — streaming specs: pacing gaps, first-batch-immediate,
+  * per-record error side-output, at-most-once, batch-cap splitting,
+  * and the ForeachWriter against an in-proc stub via MemoryStream. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, shufflePartitions = 4)
+
+  test("replay pacing: first batch immediate, gaps scaled, out-of-order clamped (T1)") {
+    import spark.implicits._
+    // timestamps in millis with gaps 0 / 500 / 2000
+    val df = Seq(
+      (1000L, "a1"), (1000L, "a2"), (1500L, "b"), (3500L, "c")
+    ).toDF("ts_ms", "payload")
+    val sleeps = ArrayBuffer.empty[Long]
+    val producer = new InMemoryRecordProducer()
+    val stats = Replay.replay(df, col("ts_ms"), "payload", "ACOUSTIC", "s",
+      producer, timeScale = 1.0, sleeper = sleeps.append)
+    assert(stats.batches == 3)
+    assert(stats.records == 4)
+    assert(sleeps.toSeq == Seq(500L, 2000L)) // nothing before the first batch
+    assert(producer.records.map(_._2).forall(_ == "ACOUSTIC"))
+  }
+
+  test("replay: batches grouped by timestamp, produced in ascending order (T2)") {
+    import spark.implicits._
+    val df = Seq((300L, "late"), (100L, "early"), (200L, "mid")).toDF("ts_ms", "p")
+    val producer = new InMemoryRecordProducer()
+    Replay.replay(df, col("ts_ms"), "p", "k", "s", producer, timeScale = 0.0)
+    assert(producer.records.map(r => new String(r._4, "UTF-8")) == Seq("early", "mid", "late"))
+  }
+
+  test("replay: producer exception swallowed — at-most-once (T4)") {
+    import spark.implicits._
+    val df = Seq((100L, "x"), (200L, "y")).toDF("ts_ms", "p")
+    val throwing = new RecordProducer {
+      def putRecords(s: String, r: Seq[ProducedRecord]) =
+        throw new RuntimeException("service down")
+    }
+    val stats = Replay.replay(df, col("ts_ms"), "p", "k", "s", throwing, timeScale = 0.0)
+    assert(stats.batches == 2 && stats.records == 0) // kept going, nothing delivered
+  }
+
+  test("sink: per-record failures surface as side-output, successes stored (K3/T4)") {
+    import spark.implicits._
+    val df = Seq(("k1", "ok1"), ("k1", "bad1"), ("k2", "ok2"))
+      .toDF("partitionKey", "payload")
+      .withColumn("data", col("payload").cast("binary")).drop("payload")
+    // task closures are serialized even in local mode — observe through a
+    // JVM-shared singleton, as a per-executor client pool would be
+    val failed = KinesisSink.produce(df.coalesce(1), "s", () => SharedStub.failing).collect()
+    assert(failed.length == 1)
+    assert(new String(failed.head.getAs[Array[Byte]]("data"), "UTF-8") == "bad1")
+    assert(failed.head.getAs[String]("errorCode") == "ProvisionedThroughputExceededException")
+    assert(SharedStub.failing.records.map(r => new String(r._4, "UTF-8")).sorted == Seq("ok1", "ok2"))
+  }
+
+  test("sink: batches split at the service cap (K3)") {
+    import spark.implicits._
+    val df = (1 to 35).map(i => ("k", s"p$i")).toDF("partitionKey", "payload")
+      .withColumn("data", col("payload").cast("binary")).drop("payload")
+    KinesisSink.produce(df.coalesce(1), "s", () => SharedStub.counting).collect()
+    assert(SharedStub.countingCalls.get() == 4) // 10+10+10+5
+  }
+
+  test("ForeachWriter drains a streaming query into the keyed sink (K3 streaming-native)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    mem.addData(("ACOUSTIC", "x1"), ("IMPACT", "x2"), ("ACOUSTIC", "x3"))
+    val writer = new KinesisSink.Writer(() => SharedStub.producer, "s")
+    val q = mem.toDS()
+      .map { case (k, p) => (k, p.getBytes("UTF-8")) }
+      .writeStream.foreach(writer).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = SharedStub.producer.records.map(r => (r._2, new String(r._4, "UTF-8"))).sorted
+    assert(got == Seq(("ACOUSTIC", "x1"), ("ACOUSTIC", "x3"), ("IMPACT", "x2")))
+  }
+}
+
+/** Tasks/writers run in executor threads (same JVM in local mode) with
+  * serialized closures; shared objects let tests observe what they
+  * produced. */
+object SharedStub {
+  val producer = new InMemoryRecordProducer()
+  val failing = new InMemoryRecordProducer(
+    failWhen = r => new String(r.data, "UTF-8").contains("bad"))
+  val countingCalls = new java.util.concurrent.atomic.AtomicLong(0)
+  val counting: RecordProducer = new RecordProducer {
+    override def maxBatchRecords: Int = 10
+    def putRecords(s: String, r: Seq[ProducedRecord]): Seq[PutResult] = {
+      countingCalls.incrementAndGet()
+      require(r.size <= 10)
+      r.map(_ => PutResult("1", "shardId-0", null, null))
+    }
+  }
+}
