@@ -1,0 +1,144 @@
+package graft.expressions
+
+import java.util.{LinkedHashSet => JLinkedHashSet}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native shingle hashing for MinHash dedup (SURVEY §7.6): the distinct
+  * polynomial hashes of all n-word shingles of a text, WITHOUT
+  * materializing the shingle strings.
+  *
+  * Equivalent by construction to
+  * `array_distinct(transform(wordShingles(text, n), polyHash))` — the
+  * hash of "w1 w2 … wn" is folded directly over the word bytes with a
+  * single space (code 32) between words, so multi-space source text
+  * still hashes like the normalized join. Windows run over positions
+  * 1..len−n (kept in lockstep with the SQL oracle's range(1, len−n+1)).
+  *
+  * At 100 TB this is the difference between a narrow scan-speed stage
+  * and an allocation-bound one: the HOF formulation builds ~50 shingle
+  * strings per doc and re-evaluates them per lambda element; this
+  * expression is one pass over the bytes.
+  */
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingleHashes.hashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.WordShingleHashes.hashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  private val P = PolyHash.P
+
+  private def isWs(c: Char): Boolean = // java regex \s
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def hashes(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    // word [start, end) offsets after \s+ tokenization of trimmed text
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !isWs(str.charAt(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val wc = starts.size()
+    // positions 1..wc-n ⇒ zero-based windows 0..wc-n-1 (matches oracle)
+    val nWindows = wc - n
+    if (nWindows <= 0) return new GenericArrayData(Array.empty[Long])
+    val seen = new JLinkedHashSet[java.lang.Long]()
+    var w = 0
+    while (w < nWindows) {
+      var h = 0L
+      var k = 0
+      while (k < n) {
+        var p = starts.get(w + k).intValue()
+        val e = ends.get(w + k).intValue()
+        while (p < e) {
+          val cp = str.codePointAt(p)
+          h = (h * 31 + cp) % P
+          p += Character.charCount(cp)
+        }
+        if (k < n - 1) h = (h * 31 + 32) % P // joining space
+        k += 1
+      }
+      seen.add(h)
+      w += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(WordShingleHashes(Bridge.expression(c), n))
+}
+
+/** Native MinHash signature: k permutations h_j(x) = ((2j+1)x + 7919j +
+  * 13) mod p folded to their minima over a long-array of element hashes
+  * — one tight loop instead of k interpreted array_min lambdas. Empty
+  * input → p sentinel per slot. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.signature(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.MinHashSig.signature($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  private val P = PolyHash.P
+
+  def signature(hashes: ArrayData, k: Int): ArrayData = {
+    val m = hashes.numElements()
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = 2L * j + 1
+      val b = 7919L * j + 13
+      var best = P
+      var i = 0
+      while (i < m) {
+        val v = (a * hashes.getLong(i) + b) % P
+        if (v < best) best = v
+        i += 1
+      }
+      sig(j) = best
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def apply(c: Column, k: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(c), k))
+}

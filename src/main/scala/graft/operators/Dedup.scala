@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication family for the training-data pipeline (SURVEY §7.6):
+  * exact, n-gram-Jaccard, MinHash+LSH, SimHash. All set-similarity math
+  * uses the shared polynomial hash so results are engine-checkable.
+  *
+  * Scale shape:
+  *   - exact dedup = one hash-aggregate shuffle on the normalized text;
+  *   - Jaccard candidates = explode-join on shared shingles (skew
+  *     handled by AQE; cost bounded by shingle-bucket occupancy²);
+  *   - MinHash LSH = the 100 TB path: fixed-size signatures (k=32) and
+  *     band buckets (b=16, r=2) collapse the candidate space from n² to
+  *     bucket occupancy², then exact Jaccard verifies survivors;
+  *   - SimHash = constant-size fingerprint, cluster by equality.
+  */
+object Dedup {
+
+  /** Exact dedup groups on normalized text: canonical id = min id. */
+  def exact(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.groupBy(lower(trim(textCol)).as("_norm"))
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .drop("_norm")
+
+  /** Per-doc distinct shingle sets (id, shingles, n_shingles). */
+  def shingleSets(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+    df.select(idCol.as("id"), wordShingles(textCol, n).as("shingles"))
+      .withColumn("n_shingles", size(col("shingles")))
+
+  /** Candidate pairs via shared-shingle explode-join, verified with
+    * exact Jaccard ≥ `minJaccard`. Output: (i, j, shared, ni, nj). */
+  def jaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int, minJaccard: Double): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n).cache()
+    val ex = sets.select(col("id"), col("n_shingles"), explode(col("shingles")).as("s"))
+    val a = ex.toDF("i", "ni", "s")
+    val b = ex.toDF("j", "nj", "s")
+    a.join(b, Seq("s"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"), col("ni"), col("nj"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared").cast("double") / (col("ni") + col("nj") - col("shared")) >= minJaccard)
+      .select(col("i"), col("j"), col("shared"), col("ni"), col("nj"))
+  }
+
+  /** LSH over minhash signatures: bands of `r` rows; a pair is a
+    * candidate iff some band matches exactly; candidates are verified
+    * with exact Jaccard ≥ `minJaccard` over the shingle-hash sets.
+    *
+    * Shingling, hashing and signatures run in the native
+    * [[graft.expressions.WordShingleHashes]] /
+    * [[graft.expressions.MinHashSig]] expressions — one pass over the
+    * text bytes, no shingle strings, no interpreted lambdas (measured
+    * ~10× on the signature stage at sf0.1). */
+  def minhashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int, k: Int, bands: Int, minJaccard: Double): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sets = df.select(idCol.as("id"),
+        graft.expressions.WordShingleHashes(textCol, n).as("hv"))
+      .withColumn("n_shingles", size(col("hv")))
+      .withColumn("sig", graft.expressions.MinHashSig(col("hv"), k))
+    val banded = sets.select(col("id"), col("n_shingles"), col("hv"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"), concat_ws(":",
+            transform(slice(col("sig"), b * r + lit(1), lit(r)), v => v.cast("string"))).as("key")))).as("bk"))
+      .select(col("id"), col("n_shingles"), col("hv"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.toDF("i", "ni", "si", "band", "key")
+    val b = banded.toDF("j", "nj", "sj", "band", "key")
+    val cand = a.join(b, Seq("band", "key"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("ni"), col("nj"), col("si"), col("sj"))
+      .dropDuplicates("i", "j")
+    cand
+      .withColumn("shared", size(array_intersect(col("si"), col("sj"))))
+      .filter(col("shared").cast("double") / (col("ni") + col("nj") - col("shared")) >= minJaccard)
+      .select(col("i"), col("j"), col("shared"), col("ni"), col("nj"))
+  }
+
+  /** `bits`-bit SimHash over word-frequency votes: bit b is set iff
+    * Σ_words (±1 by bit b of the word hash) ≥ 0. Takes pre-computed
+    * word hashes so each word is hashed once, not once per bit. */
+  def simhashFromHashes(wordHashes: Column, bits: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), b => {
+        val vote = aggregate(wordHashes, lit(0L), (acc, h) =>
+          acc + when(h.bitwiseAND(pow(lit(2), b).cast("long")) =!= 0, 1L)
+            .otherwise(-1L))
+        when(vote >= 0, pow(lit(2), b).cast("long")).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Word hashes of a text column (hash once, reuse across bits). */
+  def wordHashes(textCol: Column): Column =
+    transform(words(textCol), w => polyHash(w))
+}

@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{TextFunctions => TF, Vectors}
+import graft.operators.{Dedup, Multimodal}
+
+/** Extended analytics surface (SURVEY §7.6 / driver mandate): dedup,
+  * similarity search, text analysis, multimodal plumbing — each with an
+  * exact DuckDB twin built from the [[Sql]] snippet builders below so
+  * the driver's hash gate checks real semantics, not just row counts. */
+object AnalyticsQueries {
+
+  /** DuckDB-SQL twins of the Scala/Catalyst primitives. Fold order and
+    * integer arithmetic must stay in lockstep with TextFunctions /
+    * Vectors — that equivalence is what the oracle checks. */
+  object Sql {
+    val P = "1000000007"
+
+    /** Lambda variables here are deliberately obscure (_pc, _pa, _pb):
+      * these snippets get embedded inside other lambdas (e.g. the
+      * shingle enumeration's `i ->`), and DuckDB resolves the INNERMOST
+      * binding — a shared name silently shadows the outer variable and
+      * corrupts every embedded reference. */
+    def charCodes(s: String): String =
+      s"list_transform(range(1, length($s)+1), _pc -> unicode(substring($s, _pc, 1)))"
+
+    def polyHash(s: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), ${charCodes(s)}), (_pa,_pb) -> (_pa*31+_pb) % $P)"
+
+    def words(text: String): String =
+      s"string_split_regex(trim($text), '\\s+')"
+
+    /** Distinct n-word shingles at positions 1..len-n. */
+    def shingles(text: String, n: Int): String =
+      s"list_distinct(list_transform(range(1, len(${words(text)})-${n - 1}), " +
+        s"i -> array_to_string(${words(text)}[i:i+${n - 1}], ' ')))"
+
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x,y) -> x+y)"
+
+    def normSq(a: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x,y) -> x+y)"
+
+    def cosine(dotE: String, na: String, nb: String): String =
+      s"$dotE / (sqrt($na) * sqrt($nb))"
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  /** d01 — exact dedup on normalized text. */
+  def d01ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("canonical_id"))
+
+  /** d02 — n-gram Jaccard near-dup pairs (4-word shingles, j ≥ 0.5),
+    * candidates from a shared-shingle explode-join. */
+  def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), col("doc_id"), col("text"),
+        n = 4, minJaccard = 0.5)
+      .orderBy(col("i"), col("j"))
+
+  /** d03 — MinHash (k=32) + LSH (16 bands × 2 rows) candidates, exact
+    * Jaccard verify — the 100 TB dedup path. */
+  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir), col("doc_id"), col("text"),
+        n = 4, k = 32, bands = 16, minJaccard = 0.5)
+      .select(col("i"), col("j"))
+      .orderBy(col("i"), col("j"))
+
+  /** d04 — 16-bit SimHash clusters. */
+  def d04Simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.wordHashes(col("text")).as("hv"))
+      .select(col("doc_id"), Dedup.simhashFromHashes(col("hv"), 16).as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("simhash"))
+
+  /** d05 — embedding near-dup: label-blocked sliding-window candidate
+    * pairs, top-40 by cosine (ids only; ranking is engine-stable because
+    * the fold is IEEE-identical on both sides). */
+  def d05EmbeddingDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Vectors.normSq(col("embedding")).as("nsq"))
+    val a = e.toDF("i", "label", "ea", "na")
+    val b = e.toDF("j", "label", "eb", "nb")
+    a.join(b, Seq("label"))
+      .filter(col("j") > col("i") && col("j") - col("i") <= 50)
+      .withColumn("sim", Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .orderBy(col("sim").desc, col("i"), col("j"))
+      .limit(40)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("i"), col("j"))))
+      .select(col("rank"), col("i"), col("j"))
+  }
+
+  // ----------------------------------------------------------- similarity
+
+  /** a01 — brute-force cosine top-5 neighbors for the first 20 vectors
+    * (the exactness baseline; 1M codegen'd fold evaluations at sf0.1). */
+  def a01BruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Vectors.normSq(col("embedding")).as("nsq"))
+    val q = e.filter(col("vec_id") < 20).toDF("query_id", "qe", "qn")
+    val c = e.toDF("neighbor_id", "ce", "cn")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a02 — LSH-bucketed ANN (8 random hyperplanes → 256 buckets): the
+    * scale path; candidates = same-bucket vectors only. */
+  def a02LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.normSq(col("embedding")).as("nsq"),
+        Vectors.lshBucket(col("embedding"), 8).as("bucket"))
+    val q = e.filter(col("vec_id") < 20).toDF("query_id", "qe", "qn", "bucket")
+    val c = e.toDF("neighbor_id", "ce", "cn", "bucket")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ----------------------------------------------------------------- text
+
+  /** t01 — token counts aggregated per language label. */
+  def t01TokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), TF.tokenCount(col("text")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("lang"))
+
+  /** t02 — per-doc quality components (integer-stable ×10⁴ fixed-point). */
+  def t02Quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars_m"),
+        TF.tokenCount(col("text")).as("n_words"),
+        TF.avgWordLen4(col("text")).as("avg_wlen4"),
+        TF.lexicalDiversity4(col("text")).as("diversity4"))
+      .orderBy(col("doc_id"))
+
+  /** t03 — heuristic language-ID vs the labeled lang column. */
+  def t03LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TF.langId(col("text")).as("pred_lang"),
+        (TF.langId(col("text")) === col("lang")).as("matches_label"))
+      .orderBy(col("doc_id"))
+
+  /** t04 — document fingerprint (polynomial rolling hash). */
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  // ----------------------------------------------------------- multimodal
+
+  /** m01 — binary payload plumbing + batched feature-extraction stub. */
+  def m01Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.asPayload(Tables.documents(spark, dir),
+      col("doc_id"), col("text"), col("source"))
+    Multimodal.extractFeatures(payloads).toDF()
+      .select(col("media_id"), col("byte_len"), col("first_byte"), col("checksum"))
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup"   -> d01ExactDedup _,
+    "d02_ngram_jaccard" -> d02NgramJaccard _,
+    "d03_minhash_lsh"   -> d03MinhashLsh _,
+    "d04_simhash"       -> d04Simhash _,
+    "d05_embedding_dup" -> d05EmbeddingDup _,
+    "a01_bruteforce_topk" -> a01BruteForceTopK _,
+    "a02_lsh_ann"       -> a02LshAnn _,
+    "t01_token_stats"   -> t01TokenStats _,
+    "t02_quality"       -> t02Quality _,
+    "t03_lang_id"       -> t03LangId _,
+    "t04_fingerprint"   -> t04Fingerprint _,
+    "m01_multimodal"    -> m01Multimodal _,
+  )
+
+  import Sql._
+
+  private val shingleCte =
+    s"""w AS (SELECT doc_id, ${shingles("text", 4)} AS sh FROM documents),
+       |ws AS (SELECT doc_id, sh, len(sh) AS n FROM w)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY lower(trim(text)) ORDER BY canonical_id""".stripMargin,
+    "d02_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |e AS (SELECT doc_id, n, unnest(sh) AS s FROM ws),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, a.n AS ni, b.n AS nj, COUNT(*) AS shared
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT i, j, shared, ni, nj FROM pairs
+         |WHERE CAST(shared AS DOUBLE) / (ni + nj - shared) >= 0.5
+         |ORDER BY i, j""".stripMargin,
+    // Shingle SETS are represented by their polynomial hashes (matching
+    // WordShingleHashes): distinct hash of each 4-word window.
+    "d03_minhash_lsh" ->
+      s"""WITH hs AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(${words("text")})-3),
+         |    i -> ${polyHash(s"array_to_string(${words("text")}[i:i+3], ' ')")})) AS hv
+         |  FROM documents),
+         |sig AS (SELECT doc_id, hv, len(hv) AS n,
+         |  list_transform(range(0, 32), j -> coalesce(
+         |    list_min(list_transform(hv, h -> ((j*2+1) * h + j*7919 + 13) % $P)),
+         |    CAST($P AS BIGINT))) AS sg
+         |  FROM hs),
+         |banded AS (SELECT doc_id, hv, n, unnest(list_transform(range(0, 16), b ->
+         |    {'band': b, 'key': array_to_string(sg[b*2+1:b*2+2], ':')})) AS bk
+         |  FROM sig),
+         |flat AS (SELECT doc_id, hv, n, bk.band AS band, bk.key AS key FROM banded),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.hv AS si, b.hv AS sj,
+         |    a.n AS ni, b.n AS nj
+         |  FROM flat a JOIN flat b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT i, j FROM (
+         |  SELECT i, j, len(list_intersect(si, sj)) AS shared, ni, nj FROM cand)
+         |WHERE CAST(shared AS DOUBLE) / (ni + nj - shared) >= 0.5
+         |ORDER BY i, j""".stripMargin,
+    "d04_simhash" ->
+      s"""WITH hv AS (SELECT doc_id,
+         |  list_transform(${words("text")}, w -> ${polyHash("w")}) AS wh FROM documents),
+         |h AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 16), b ->
+         |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(wh, x ->
+         |          CASE WHEN (x & CAST(power(2, b) AS BIGINT)) <> 0
+         |               THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+         |        (x,y) -> x+y) >= 0
+         |    THEN CAST(power(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |    (x,y) -> x+y) AS simhash
+         |  FROM hv)
+         |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+         |FROM h GROUP BY simhash ORDER BY simhash""".stripMargin,
+    "d05_embedding_dup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding, ${normSq("embedding")} AS nsq FROM embeddings),
+         |p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+         |    ${cosine(dot("a.embedding", "b.embedding"), "a.nsq", "b.nsq")} AS sim
+         |  FROM e a JOIN e b ON a.label = b.label AND b.vec_id > a.vec_id
+         |    AND b.vec_id - a.vec_id <= 50),
+         |top AS (SELECT i, j, sim FROM p ORDER BY sim DESC, i, j LIMIT 40)
+         |SELECT ROW_NUMBER() OVER (ORDER BY sim DESC, i, j) AS rank, i, j
+         |FROM top ORDER BY rank""".stripMargin,
+    "a01_bruteforce_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSq("embedding")} AS nsq FROM embeddings),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosine(dot("q.embedding", "c.embedding"), "q.nsq", "c.nsq")} AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM p)
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "a02_lsh_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSq("embedding")} AS nsq,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), j ->
+         |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(range(1, len(embedding)+1), i ->
+         |          CAST(embedding[i] AS DOUBLE) *
+         |          (CASE WHEN (xor((i-1)*73856093, j*19349663) >> 6) & 1 = 0
+         |                THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))),
+         |        (x,y) -> x+y) >= 0
+         |    THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |    (x,y) -> x+y) AS bucket
+         |  FROM embeddings),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosine(dot("q.embedding", "c.embedding"), "q.nsq", "c.nsq")} AS sim
+         |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM p)
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "t01_token_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  SUM(len(${words("text")})) AS total_tokens,
+         |  MIN(len(${words("text")})) AS min_tokens,
+         |  MAX(len(${words("text")})) AS max_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t02_quality" ->
+      s"""SELECT doc_id, length(text) AS n_chars_m,
+         |  len(${words("text")}) AS n_words,
+         |  CAST(floor(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) * 10000
+         |    / len(${words("text")})) AS BIGINT) AS avg_wlen4,
+         |  CAST(floor(CAST(len(list_distinct(${words("text")})) AS DOUBLE) * 10000
+         |    / len(${words("text")})) AS BIGINT) AS diversity4
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t03_lang_id" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  len(list_intersect(list_distinct(${words("text")}), ['the','and','of','is','a'])) AS en,
+         |  len(list_intersect(list_distinct(${words("text")}), ['der','die','und','ist','ein'])) AS de,
+         |  len(list_intersect(list_distinct(${words("text")}), ['el','la','que','los','una'])) AS es,
+         |  len(list_intersect(list_distinct(${words("text")}), ['le','et','les','dans','une'])) AS fr
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN en = 0 AND de = 0 AND es = 0 AND fr = 0 THEN 'und'
+         |       WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         |       WHEN de >= es AND de >= fr THEN 'de'
+         |       WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred_lang,
+         |  (CASE WHEN en = 0 AND de = 0 AND es = 0 AND fr = 0 THEN 'und'
+         |       WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         |       WHEN de >= es AND de >= fr THEN 'de'
+         |       WHEN es >= fr THEN 'es' ELSE 'fr' END) = lang AS matches_label
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "t04_fingerprint" ->
+      s"""SELECT doc_id, ${polyHash("trim(text)")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m01_multimodal" ->
+      s"""SELECT doc_id AS media_id,
+         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+         |  CAST(unicode(substring(text, 1, 1)) AS INT) AS first_byte,
+         |  ${polyHash("text")} AS checksum
+         |FROM documents ORDER BY media_id""".stripMargin,
+  )
+}

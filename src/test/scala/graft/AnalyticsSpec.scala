@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, Vectors}
+import graft.operators.{Dedup, Multimodal}
+
+/** Semantics tests for the extended analytics surface (SURVEY §7.6). */
+class AnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, shufflePartitions = 4)
+
+  test("polyHash: deterministic fold matching the reference formula") {
+    import spark.implicits._
+    val got = Seq("hello world").toDF("s").select(TF.polyHash(col("s"))).as[Long].head()
+    // independent scalar computation
+    val want = "hello world".foldLeft(0L)((h, c) => (h * 31 + c.toInt) % TF.HashP)
+    assert(got == want)
+  }
+
+  test("wordShingles: positions 1..len-n, distinct, short docs → empty") {
+    import spark.implicits._
+    val got = Seq("a b c d e f").toDF("t")
+      .select(TF.wordShingles(col("t"), 4)).as[Seq[String]].head()
+    assert(got == Seq("a b c d", "b c d e")) // len 6 → positions 1..2 (len-4)
+    val short = Seq("a b c d").toDF("t")
+      .select(TF.wordShingles(col("t"), 4)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("exact dedup: canonical id = min, copies counted, case/space normalized") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello  X"), (2L, "hello  x"), (3L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, col("doc_id"), col("text"))
+      .orderBy(col("canonical_id")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccard pairs: identical docs → j=1 pair; disjoint docs → none") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(df, col("doc_id"), col("text"), 4, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("minhash LSH finds what exact jaccard finds on near-dups") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val df = Seq((1L, base), (2L, near), (3L, "completely different words in every position here now ok fine"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(df, col("doc_id"), col("text"), 4, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(df, col("doc_id"), col("text"), 4, 32, 16, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)))
+    assert(lsh == exact)
+  }
+
+  test("cosine: orthogonal → 0, identical → 1") {
+    import spark.implicits._
+    val df = Seq((Seq(1f, 0f), Seq(0f, 1f), Seq(1f, 0f))).toDF("a", "b", "c")
+    val r = df.select(
+      Vectors.cosine(col("a"), col("b"), Vectors.normSq(col("a")), Vectors.normSq(col("b"))),
+      Vectors.cosine(col("a"), col("c"), Vectors.normSq(col("a")), Vectors.normSq(col("c"))))
+      .as[(Double, Double)].head()
+    assert(r._1 == 0.0 && r._2 == 1.0)
+  }
+
+  test("multimodal: batched stub features match byte-level expectation") {
+    import spark.implicits._
+    val df = Seq((7L, "abc")).toDF("doc_id", "text")
+    val payloads = Multimodal.asPayload(df, col("doc_id"), col("text"), lit("text"))
+    val f = Multimodal.extractFeatures(payloads).collect().head
+    assert(f.media_id == 7L && f.byte_len == 3 && f.first_byte == 'a'.toInt)
+    assert(f.checksum == "abc".foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L))
+  }
+
+  test("langId: marker-word heuristic with priority tie-break") {
+    import spark.implicits._
+    val got = Seq("the cat and the dog is here", "der hund ist ein tier und so",
+      "xyzzy plugh").toDF("t")
+      .select(TF.langId(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+}
