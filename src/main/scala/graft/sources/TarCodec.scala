@@ -44,12 +44,19 @@ object TarCodec {
 
   /** Extract every member of every archive: input Dataset of
     * (archivePath, archiveBytes) → (path, member, content) with UTF-8
-    * decode (E4). */
-  def extract(archives: Dataset[(String, Array[Byte])]): DataFrame = {
+    * decode (E4). Optional accumulators mirror the reference's global
+    * unpacked-archives / extracted-members tallies (A2,
+    * decompression.py:20-21,45,50-53) — Spark-native run counters
+    * instead of shared mutable ints. */
+  def extract(archives: Dataset[(String, Array[Byte])],
+      archivesAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+      membersAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = archives.sparkSession
     import spark.implicits._
     archives.flatMap { case (path, bytes) =>
+      archivesAcc.foreach(_.add(1L))
       members(bytes).map { case (name, data) =>
+        membersAcc.foreach(_.add(1L))
         (path, name, new String(data, StandardCharsets.UTF_8))
       }
     }.toDF("path", "member", "content")

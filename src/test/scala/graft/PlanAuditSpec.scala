@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.queries.{PipelineQueries, Relational}
+
+/** Scale-discipline audit: these tests pin the PHYSICAL PLAN shapes
+  * that make the engine viable at 100 TB — filter/column pushdown to
+  * the scan, broadcast joins for dimensions, top-k without a global
+  * sort, partition pruning. A regression here is a silent 100× at
+  * cluster scale even while results stay correct. */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, shufflePartitions = 4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: predicate AND column pruning reach the parquet scan") {
+    val p = planOf(Relational.q02FilterPushdown(spark, dir))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("l_shipdate"), "shipdate filter not pushed")
+    // projection pruning: the scan must not read unused columns
+    assert(!p.contains("l_orderkey"), "scan reads columns the query never uses")
+  }
+
+  test("q04: dimension joins are broadcast, not shuffled") {
+    val p = planOf(Relational.q04BroadcastJoin(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to sort-merge")
+  }
+
+  test("q05: top-k uses TakeOrderedAndProject, not a global sort") {
+    val p = planOf(Relational.q05SortLimit(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q01: aggregate is two-phase (map-side partial)") {
+    val p = planOf(Relational.q01AggSum(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final hash aggregate:\n$p")
+  }
+
+  test("p01: partition filters prune the Hive layout") {
+    // build the pruned read the query performs and inspect its scan
+    PipelineQueries.p01PartitionPrune(spark, dir).collect() // materialize staging
+    val staged = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_p01_${math.abs(dir.hashCode)}").toString
+    val pruned = spark.read.parquet(staged)
+      .filter(col("event_type") === "click" && col("day").cast("string") === "2024-01-01")
+    val p = planOf(pruned)
+    assert(p.contains("PartitionFilters: ["), s"no partition filters:\n$p")
+    assert(p.contains("event_type"), "partition filter on event_type missing")
+  }
+
+  test("whole-stage codegen covers the native hash expression") {
+    val df = Tables.documents(spark, dir)
+      .select(graft.expressions.PolyHash(col("text")).as("fp"))
+    val p = planOf(df)
+    assert(p.contains("graft_poly_hash") || p.contains("PolyHash") ||
+      df.queryExecution.executedPlan.exists(_.getClass.getSimpleName.startsWith("WholeStageCodegen")),
+      s"native expression not in codegen stage:\n$p")
+  }
+}
