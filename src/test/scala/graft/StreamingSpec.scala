@@ -71,6 +71,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(SharedStub.countingCalls.get() == 4) // 10+10+10+5
   }
 
+  test("stateful: mapGroupsWithState running counts survive across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val name = s"stateful_${System.nanoTime()}"
+    val q = Stateful.runningCounts(mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    mem.addData("a", "b", "a")
+    q.processAllAvailable()
+    mem.addData("a", "c")
+    q.processAllAvailable()
+    q.stop()
+    // last emission per key = running total across both batches
+    val got = spark.table(name).groupBy($"key").agg(max($"n").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("ForeachWriter drains a streaming query into the keyed sink (K3 streaming-native)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
