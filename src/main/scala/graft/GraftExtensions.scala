@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.{MinHashSig, PolyHash, WordShingleHashes}
+
+/** SQL surface for the engine's native expressions: registered through
+  * `SparkSessionExtensions` so `spark.sql("SELECT graft_poly_hash(s)")`
+  * works cluster-wide via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`, or
+  * `.withExtensions(new GraftExtensions)` in code.
+  *
+  * No custom optimizer rules or strategies are injected — SURVEY §4's
+  * conclusion stands: stock Catalyst covers the reference's plan space;
+  * the engine extends Spark only at the expression level.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[PolyHash].getName, null, name, usage, "")
+
+  private def arity(name: String, n: Int, exprs: Seq[Expression]): Unit =
+    require(exprs.length == n,
+      s"$name expects $n argument(s), got ${exprs.length}")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_poly_hash"),
+      info("graft_poly_hash", "graft_poly_hash(str) - polynomial code-point hash mod 1e9+7"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_poly_hash", 1, exprs)
+        PolyHash(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "graft_shingle_hashes(str, n) - distinct n-word shingle hashes"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_shingle_hashes", 2, exprs)
+        WordShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Int])
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "graft_minhash_sig(array<long>, k) - k-permutation MinHash signature"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_minhash_sig", 2, exprs)
+        MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Int])
+      }))
+  }
+}

@@ -30,18 +30,30 @@ object Dedup {
     df.select(idCol.as("id"), wordShingles(textCol, n).as("shingles"))
       .withColumn("n_shingles", size(col("shingles")))
 
-  /** Candidate pairs via shared-shingle explode-join, verified with
-    * exact Jaccard ≥ `minJaccard`. Output: (i, j, shared, ni, nj). */
+  /** Candidate pairs via a shared-shingle join, verified with exact
+    * Jaccard ≥ `minJaccard` over the string shingle sets. Output:
+    * (i, j, shared, ni, nj).
+    *
+    * Candidates join on the native 8-byte shingle HASH (not the ~30-byte
+    * shingle string): the shuffle moves longs, and a hash collision can
+    * only add a candidate, never a result — the verify step intersects
+    * the exact string sets, so output is identical to a string-keyed
+    * join. */
   def jaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
       n: Int, minJaccard: Double): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n).cache()
-    val ex = sets.select(col("id"), col("n_shingles"), explode(col("shingles")).as("s"))
-    val a = ex.toDF("i", "ni", "s")
-    val b = ex.toDF("j", "nj", "s")
-    a.join(b, Seq("s"))
+    val sets = df.select(idCol.as("id"),
+        wordShingles(textCol, n).as("shingles"),
+        graft.expressions.WordShingleHashes(textCol, n).as("hv"))
+      .withColumn("n_shingles", size(col("shingles")))
+      .cache()
+    val ex = sets.select(col("id"), explode(col("hv")).as("h"))
+    val cand = ex.toDF("i", "h").join(ex.toDF("j", "h"), Seq("h"))
       .filter(col("i") < col("j"))
-      .groupBy(col("i"), col("j"), col("ni"), col("nj"))
-      .agg(count(lit(1)).as("shared"))
+      .select(col("i"), col("j")).distinct()
+    cand
+      .join(sets.select(col("id").as("i"), col("shingles").as("si"), col("n_shingles").as("ni")), Seq("i"))
+      .join(sets.select(col("id").as("j"), col("shingles").as("sj"), col("n_shingles").as("nj")), Seq("j"))
+      .withColumn("shared", size(array_intersect(col("si"), col("sj"))))
       .filter(col("shared").cast("double") / (col("ni") + col("nj") - col("shared")) >= minJaccard)
       .select(col("i"), col("j"), col("shared"), col("ni"), col("nj"))
   }

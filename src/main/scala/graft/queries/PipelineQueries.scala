@@ -23,6 +23,9 @@ object PipelineQueries {
     val path = staging("p01", dir)
     val ev = Tables.events(spark, dir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      // co-locate rows with their target partition: one file per Hive
+      // dir instead of (shuffle partitions × dirs) small files
+      .repartition(col("event_type"), col("day"))
     Partitions.writePartitioned(ev, path, Seq("event_type", "day"))
     spark.read.parquet(path)
       .filter(col("event_type") === "click" &&
