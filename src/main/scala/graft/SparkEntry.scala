@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, PipelineQueries, Relational, StreamingQueries, XmlQueries}
+import graft.queries.{AdvancedQueries, AnalyticsQueries, PipelineQueries, Relational, StreamingQueries, XmlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ XmlQueries.queries ++ StreamingQueries.queries ++
-      AnalyticsQueries.queries ++ PipelineQueries.queries
+      AnalyticsQueries.queries ++ PipelineQueries.queries ++ AdvancedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ XmlQueries.oracleSql ++ StreamingQueries.oracleSql ++
-      AnalyticsQueries.oracleSql ++ PipelineQueries.oracleSql
+      AnalyticsQueries.oracleSql ++ PipelineQueries.oracleSql ++ AdvancedQueries.oracleSql
 }

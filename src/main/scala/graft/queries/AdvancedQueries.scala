@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.Skew
+
+/** Advanced relational surface: skew-salted joins, composed as-of
+  * joins, sketch-accuracy bounds, SQL-entry scalar subqueries, cube. */
+object AdvancedQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+
+  /** q22 — salted equi-join (skew mitigation): same result as the plain
+    * join, by construction; the oracle checks exactly that. */
+  def q22SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"))
+    Skew.saltedJoin(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), o,
+        key = "o_orderkey", discriminator = col("l_linenumber"), nSalts = 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("l_quantity"))), 2).cast("double").as("qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q23 — sketch bounds: approx_count_distinct must land within 10% of
+    * the exact distinct count (the oracle pins the boolean outcome, so
+    * a sketch regression fails the gate). */
+  def q23ApproxBounds(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .select(col("event_type"),
+        (abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.10)
+          .as("within_10pct"))
+      .orderBy(col("event_type"))
+
+  /** q24 — as-of join, composed from union + window (SURVEY §7.4
+    * preference (a): compose built-ins before custom operators): for
+    * each click event, the user's most recent error event at-or-before
+    * it (tuple-ordered by (ts, event_id) so ties are exact). */
+  def q24AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val tagged = ev.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"),
+      when(col("event_type") === "error", col("event_id")).as("err_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("last_err_id", last(col("err_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("last_err_id"))
+      .orderBy(col("click_id"))
+  }
+
+  /** q25 — scalar subquery through the SQL entry point (spark.sql over
+    * registered views — the engine's SQL front door). */
+  def q25ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_above_avg
+        |FROM orders_v
+        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) >
+        |  (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders_v)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** q26 — cube over return flag / line status. */
+  def q26Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_salted_join"     -> q22SaltedJoin _,
+    "q23_approx_bounds"   -> q23ApproxBounds _,
+    "q24_asof_join"       -> q24AsOfJoin _,
+    "q25_scalar_subquery" -> q25ScalarSubquery _,
+    "q26_cube"            -> q26Cube _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q22_salted_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q23_approx_bounds" ->
+      """SELECT event_type, TRUE AS within_10pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q24_asof_join" ->
+      """SELECT event_id AS click_id, user_id, last_err_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err_id
+        |  FROM events) t
+        |WHERE event_type = 'click' ORDER BY click_id""".stripMargin,
+    "q25_scalar_subquery" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_above_avg
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) >
+        |  (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q26_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+  )
+}
