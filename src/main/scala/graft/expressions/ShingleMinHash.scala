@@ -142,3 +142,52 @@ object MinHashSig {
   def apply(c: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), k))
 }
+
+/** Native SimHash: `bits`-bit fingerprint from element-hash votes.
+  * Bit b of the output is set iff Σ over input hashes of
+  * (±1 by bit ((x·(2b+1)) mod p) & 1) ≥ 0. Derives per-bit pseudo-
+  * random projections from one hash array — one tight loop instead of
+  * bits × interpreted lambda folds. `bits` must stay < 63 (sign bit).
+  */
+case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits > 0 && bits < 63, "bits must be in [1, 62]")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashBits.simhash(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.SimHashBits.simhash($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+object SimHashBits {
+  private val P = PolyHash.P
+
+  def simhash(hashes: ArrayData, bits: Int): Long = {
+    val m = hashes.numElements()
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      val mult = 2L * b + 1
+      var vote = 0L
+      var i = 0
+      while (i < m) {
+        val projected = (hashes.getLong(i) * mult) % P
+        vote += (if ((projected & 1L) != 0L) 1L else -1L)
+        i += 1
+      }
+      if (vote >= 0L) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def apply(c: Column, bits: Int): Column =
+    Bridge.column(SimHashBits(Bridge.expression(c), bits))
+}

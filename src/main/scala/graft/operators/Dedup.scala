@@ -109,4 +109,34 @@ object Dedup {
   /** Word hashes of a text column (hash once, reuse across bits). */
   def wordHashes(textCol: Column): Column =
     transform(words(textCol), w => polyHash(w))
+
+  /** SimHash near-dup pairs over shingle-hash fingerprints: `bits`-bit
+    * simhash (native [[graft.expressions.SimHashBits]]) split into
+    * `bands`; a pair is a candidate iff some band matches; survivors
+    * need Hamming distance ≤ `maxHamming`. The banding is SOUND for
+    * maxHamming < bands (≤ maxHamming differing bits can touch at most
+    * maxHamming bands, so at least one band matches exactly).
+    * Word-level simhash is useless on shared-vocabulary corpora — the
+    * votes here are over n-word shingle hashes, which discriminate. */
+  def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int, bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming < bands, "banding only guarantees recall for maxHamming < bands")
+    require(bits % bands == 0, "bits must divide into bands")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val sh = df.select(idCol.as("id"),
+      graft.expressions.SimHashBits(
+        graft.expressions.WordShingleHashes(textCol, n), bits).as("sh"))
+    val banded = sh.select(col("id"), col("sh"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .withColumn("bv", expr(s"shiftright(sh, b * $w) & $mask"))
+    val a = banded.toDF("i", "si", "b", "bv")
+    val c = banded.toDF("j", "sj", "b", "bv")
+    a.join(c, Seq("b", "bv"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("si"), col("sj")).dropDuplicates("i", "j")
+      .withColumn("hamming", bit_count(col("si").bitwiseXOR(col("sj"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming"))
+  }
 }

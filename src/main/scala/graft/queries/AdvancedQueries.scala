@@ -77,7 +77,24 @@ object AdvancedQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** q27 — window-frame variants: rows-frame running sum, lead, ntile
+    * over one supplier-partitioned ordering (single shuffle). */
+  def q27WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    // lead/ntile take the plain ordering spec (Spark rejects them over
+    // an explicit rows frame); the running sum gets the rows frame
+    li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(dec(col("l_quantity"))).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)), 2).cast("double").as("running_qty"),
+        lead(col("l_orderkey"), 1).over(w).as("next_orderkey"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_window_frames"   -> q27WindowFrames _,
     "q22_salted_join"     -> q22SaltedJoin _,
     "q23_approx_bounds"   -> q23ApproxBounds _,
     "q24_asof_join"       -> q24AsOfJoin _,
@@ -86,6 +103,15 @@ object AdvancedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q27_window_frames" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS running_qty,
+        |  LEAD(l_orderkey, 1) OVER w AS next_orderkey,
+        |  NTILE(4) OVER w AS quartile
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q22_salted_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty

@@ -81,6 +81,13 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .orderBy(col("simhash"))
 
+  /** d06 — SimHash near-dup pairs: 60-bit shingle-hash simhash, 6
+    * bands × 10 bits (sound for Hamming ≤ 3), exact Hamming verify. */
+  def d06SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), col("doc_id"), col("text"),
+        n = 4, bits = 60, bands = 6, maxHamming = 3)
+      .orderBy(col("i"), col("j"))
+
   /** d05 — embedding near-dup: label-blocked sliding-window candidate
     * pairs, top-40 by cosine (ids only; ranking is engine-stable because
     * the fold is IEEE-identical on both sides). */
@@ -226,6 +233,7 @@ object AnalyticsQueries {
     "d02_ngram_jaccard" -> d02NgramJaccard _,
     "d03_minhash_lsh"   -> d03MinhashLsh _,
     "d04_simhash"       -> d04Simhash _,
+    "d06_simhash_pairs" -> d06SimhashPairs _,
     "d05_embedding_dup" -> d05EmbeddingDup _,
     "a01_bruteforce_topk" -> a01BruteForceTopK _,
     "a02_lsh_ann"       -> a02LshAnn _,
@@ -295,6 +303,24 @@ object AnalyticsQueries {
          |  FROM hv)
          |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
          |FROM h GROUP BY simhash ORDER BY simhash""".stripMargin,
+    "d06_simhash_pairs" ->
+      s"""WITH hv AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(${words("text")})-3),
+         |    i -> ${polyHash(s"array_to_string(${words("text")}[i:i+3], ' ')")})) AS sh_h
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 60), b ->
+         |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(sh_h, x ->
+         |      CASE WHEN ((x * (b*2+1)) % $P & 1) <> 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+         |      (x,y) -> x+y) >= 0
+         |    THEN CAST(power(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |    (x,y) -> x+y) AS sh FROM hv),
+         |banded AS (SELECT doc_id, sh, unnest(range(0, 6)) AS b FROM h),
+         |fl AS (SELECT doc_id, sh, b, (sh >> CAST(b*10 AS BIGINT)) & 1023 AS bv FROM banded),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j, a.sh AS si, b2.sh AS sj
+         |  FROM fl a JOIN fl b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+         |SELECT i, j, bit_count(xor(si, sj)) AS hamming FROM cand
+         |WHERE bit_count(xor(si, sj)) <= 3 ORDER BY i, j""".stripMargin,
     "d05_embedding_dup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding, ${normSq("embedding")} AS nsq FROM embeddings),
          |p AS (SELECT a.vec_id AS i, b.vec_id AS j,

@@ -70,6 +70,29 @@ class OperatorSparkSpec extends AnyFunSuite {
     assert(GreedyBatcher.assign(Seq(20, 30, 40), 10) == Seq(0, 1, 2))
   }
 
+  test("typed Dataset[SignalReading] path from base64 records") {
+    import spark.implicits._
+    val xml =
+      """<NS1:message xmlns:NS1="http://uptake.com/bhp/1/sensors"><NS1:messagePayload>
+        |<NS1:vehicleIdentifier>V9</NS1:vehicleIdentifier>
+        |<NS1:componentIdentifier>C2</NS1:componentIdentifier>
+        |<NS1:positionInTrain>7</NS1:positionInTrain>
+        |<NS1:typeOfReading>IMPACT</NS1:typeOfReading>
+        |<NS1:readingTimestampUTC>T1</NS1:readingTimestampUTC>
+        |<NS1:readingLocation>L</NS1:readingLocation>
+        |<NS1:sourceSystem>S</NS1:sourceSystem>
+        |<NS1:readingCollection>
+        |<NS1:reading><NS1:attributeName>speed</NS1:attributeName><NS1:attributeValue>55</NS1:attributeValue><NS1:attributeUoM>km/h</NS1:attributeUoM></NS1:reading>
+        |</NS1:readingCollection></NS1:messagePayload></NS1:message>""".stripMargin
+    val records = Seq(xml).toDF("xml")
+      .select(base64(col("xml").cast("binary")).as("data"))
+    val typed = SignalReading.fromRecords(records, col("data")).collect().head
+    assert(typed.vehicleIdentifier == "V9")
+    assert(typed.typeOfReading == "IMPACT")
+    assert(typed.speed.contains("55") && typed.speed_UoM.contains("km/h"))
+    assert(typed.weight.isEmpty) // null-seeded reading → None
+  }
+
   test("lambda transform: required attrs enforced, extras kept in map form (P3)") {
     val ok = LambdaTransform.parseXml(
       """<NS1:message xmlns:NS1="http://uptake.com/bhp/1/sensors"><NS1:messagePayload>
