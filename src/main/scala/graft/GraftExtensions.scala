@@ -25,6 +25,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     require(exprs.length == n,
       s"$name expects $n argument(s), got ${exprs.length}")
 
+  /** A literal integer parameter (accepts INT/BIGINT literals; rejects
+    * non-foldable expressions with a named error, not an internal one). */
+  private def intParam(name: String, e: Expression): Int = {
+    require(e.foldable, s"$name expects a literal integer parameter")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name expects a literal integer parameter, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_poly_hash"),
@@ -38,14 +50,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_shingle_hashes", "graft_shingle_hashes(str, n) - distinct n-word shingle hashes"),
       (exprs: Seq[Expression]) => {
         arity("graft_shingle_hashes", 2, exprs)
-        WordShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Int])
+        WordShingleHashes(exprs.head, intParam("graft_shingle_hashes", exprs(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "graft_minhash_sig(array<long>, k) - k-permutation MinHash signature"),
       (exprs: Seq[Expression]) => {
         arity("graft_minhash_sig", 2, exprs)
-        MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Int])
+        MinHashSig(exprs.head, intParam("graft_minhash_sig", exprs(1)))
       }))
   }
 }

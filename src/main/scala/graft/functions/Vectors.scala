@@ -37,7 +37,7 @@ object Vectors {
   def lshBucket(v: Column, nPlanes: Int): Column = {
     val planeBits = transform(sequence(lit(0), lit(nPlanes - 1)), j => {
       val planeSum = aggregate(
-        zip_with(v, sequence(lit(0), lit(63)), (x, i) => {
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => {
           val w = when(shiftright((i * 73856093L).bitwiseXOR(j * 19349663L), 6)
               .bitwiseAND(1) === 0, lit(1.0d))
             .otherwise(lit(-1.0d))

@@ -41,11 +41,13 @@ object Dedup {
     * join. */
   def jaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
       n: Int, minJaccard: Double): DataFrame = {
+    // no cache: shingling/hashing is native scan-speed work, and a
+    // session-lifetime cached DataFrame would pin storage memory across
+    // every later query in the session
     val sets = df.select(idCol.as("id"),
         wordShingles(textCol, n).as("shingles"),
         graft.expressions.WordShingleHashes(textCol, n).as("hv"))
       .withColumn("n_shingles", size(col("shingles")))
-      .cache()
     val ex = sets.select(col("id"), explode(col("hv")).as("h"))
     val cand = ex.toDF("i", "h").join(ex.toDF("j", "h"), Seq("h"))
       .filter(col("i") < col("j"))
@@ -75,19 +77,21 @@ object Dedup {
         graft.expressions.WordShingleHashes(textCol, n).as("hv"))
       .withColumn("n_shingles", size(col("hv")))
       .withColumn("sig", graft.expressions.MinHashSig(col("hv"), k))
-    val banded = sets.select(col("id"), col("n_shingles"), col("hv"),
+    // band rows carry ONLY (id, band, key): the bucket shuffle and the
+    // candidate self-join move ids + short keys, never the shingle sets
+    val banded = sets.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"), concat_ws(":",
             transform(slice(col("sig"), b * r + lit(1), lit(r)), v => v.cast("string"))).as("key")))).as("bk"))
-      .select(col("id"), col("n_shingles"), col("hv"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.toDF("i", "ni", "si", "band", "key")
-    val b = banded.toDF("j", "nj", "sj", "band", "key")
-    val cand = a.join(b, Seq("band", "key"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.toDF("i", "band", "key")
+      .join(banded.toDF("j", "band", "key"), Seq("band", "key"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j"), col("ni"), col("nj"), col("si"), col("sj"))
-      .dropDuplicates("i", "j")
+      .select(col("i"), col("j")).distinct()
+    // shingle sets join back only for the (small) candidate set
     cand
+      .join(sets.select(col("id").as("i"), col("hv").as("si"), col("n_shingles").as("ni")), Seq("i"))
+      .join(sets.select(col("id").as("j"), col("hv").as("sj"), col("n_shingles").as("nj")), Seq("j"))
       .withColumn("shared", size(array_intersect(col("si"), col("sj"))))
       .filter(col("shared").cast("double") / (col("ni") + col("nj") - col("shared")) >= minJaccard)
       .select(col("i"), col("j"), col("shared"), col("ni"), col("nj"))

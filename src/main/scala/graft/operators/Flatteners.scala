@@ -146,7 +146,7 @@ object FlattenOps {
     val ds = df.mapPartitions { rows =>
       rows.flatMap { row =>
         val xml = row.getString(xmlIdx)
-        flattener.flatten(xml).map(m => (keyIdx.map(i => String.valueOf(row.get(i))), m))
+        flattener.flatten(xml).map(m => (keyIdx.map(i => Option(row.get(i)).map(String.valueOf).orNull), m))
       }
     }
     // re-expand pass-through keys as string columns
@@ -169,7 +169,7 @@ object FlattenOps {
     val ds = df.mapPartitions { rows =>
       rows.flatMap { row =>
         val xml = row.getString(xmlIdx)
-        val keys = keyIdx.map(i => String.valueOf(row.get(i)))
+        val keys = keyIdx.map(i => Option(row.get(i)).map(String.valueOf).orNull)
         try flattener.flatten(xml).map(m => (keys, m, null: String))
         catch {
           case e: Exception => Seq((keys, null: Map[String, String], s"${e.getClass.getSimpleName}: ${e.getMessage}"))

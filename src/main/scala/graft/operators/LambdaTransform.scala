@@ -81,7 +81,7 @@ object LambdaTransform {
       val xmlIdx = decoded.schema.fieldIndex("_xml")
       val ds = decoded.mapPartitions { rows =>
         rows.map { row =>
-          (keyIdx.map(i => String.valueOf(row.get(i))), parseXml(row.getString(xmlIdx)))
+          (keyIdx.map(i => Option(row.get(i)).map(String.valueOf).orNull), parseXml(row.getString(xmlIdx)))
         }
       }
       val out = ds.toDF("_keys", "fields")

@@ -22,25 +22,33 @@ object Multimodal {
       kindCol: Column): DataFrame =
     df.select(idCol.as("media_id"),
       contentCol.cast("binary").as("payload"),
-      struct(kindCol.as("kind"), length(contentCol).as("declared_len")).as("meta"))
+      // declared_len is the BYTE length of the payload (octet
+      // semantics) — a char count would understate multi-byte content
+      struct(kindCol.as("kind"),
+        length(contentCol.cast("binary")).as("declared_len")).as("meta"))
 
-  final case class MediaFeatures(media_id: Long, byte_len: Int, first_byte: Int,
+  final case class MediaFeatures(media_id: Long, byte_len: Int, first_cp: Int,
       checksum: Long)
 
   object FeatureExtractor {
     val P = 1000000007L
 
     /** Deterministic stand-in for a media decoder: byte length, first
-      * byte, and a polynomial checksum over bytes. A real image/audio
-      * extractor replaces this function only. */
+      * Unicode code point, and a polynomial checksum over code points
+      * (engine-stable vs the SQL oracle's unicode()/charwise fold even
+      * for non-ASCII payloads). A real image/audio extractor replaces
+      * this function only. */
     def decodeStub(id: Long, payload: Array[Byte]): MediaFeatures = {
+      val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
       var h = 0L
       var i = 0
-      while (i < payload.length) {
-        h = (h * 31 + (payload(i) & 0xff)) % P
-        i += 1
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31 + cp) % P
+        i += Character.charCount(cp)
       }
-      MediaFeatures(id, payload.length, if (payload.isEmpty) -1 else payload(0) & 0xff, h)
+      MediaFeatures(id, payload.length,
+        if (s.isEmpty) -1 else s.codePointAt(0), h)
     }
   }
 

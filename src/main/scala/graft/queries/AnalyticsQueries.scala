@@ -224,7 +224,7 @@ object AnalyticsQueries {
     val payloads = Multimodal.asPayload(Tables.documents(spark, dir),
       col("doc_id"), col("text"), col("source"))
     Multimodal.extractFeatures(payloads).toDF()
-      .select(col("media_id"), col("byte_len"), col("first_byte"), col("checksum"))
+      .select(col("media_id"), col("byte_len"), col("first_cp"), col("checksum"))
       .orderBy(col("media_id"))
   }
 
@@ -415,7 +415,7 @@ object AnalyticsQueries {
     "m01_multimodal" ->
       s"""SELECT doc_id AS media_id,
          |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
-         |  CAST(unicode(substring(text, 1, 1)) AS INT) AS first_byte,
+         |  CAST(unicode(substring(text, 1, 1)) AS INT) AS first_cp,
          |  ${polyHash("text")} AS checksum
          |FROM documents ORDER BY media_id""".stripMargin,
   )

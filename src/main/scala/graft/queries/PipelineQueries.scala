@@ -13,7 +13,9 @@ import graft.sources.Partitions
   * sessionization (the batch form of stateful stream processing). */
 object PipelineQueries {
 
-  private def staging(tag: String, dir: String): String =
+  /** Shared temp-staging convention (also used by PlanAuditSpec — keep
+    * in one place so the pruning pin can't drift from the writer). */
+  def staging(tag: String, dir: String): String =
     Paths.get(sys.props("java.io.tmpdir"), s"graft_${tag}_${math.abs(dir.hashCode)}").toString
 
   /** p01 — S1/K5: write events Hive-partitioned by (event_type, day),

@@ -49,7 +49,9 @@ object XmlQueries {
   def x01SignalRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val docs = ev.select(
-      col("event_type"), (col("event_id") % 500).as("grp"),
+      // DIV keeps docs-per-blob bounded (≤500) as data grows; a modulo
+      // would instead bound the blob COUNT and grow each blob linearly
+      col("event_type"), (col("event_id") / 500).cast("long").as("grp"),
       signalDoc(lit("")).as("doc"))
     val compacted = docs.groupBy(col("event_type"), col("grp"))
       .agg(concat_ws("\n", collect_list(col("doc"))).as("content"))

@@ -76,7 +76,7 @@ class AnalyticsSpec extends AnyFunSuite {
     val df = Seq((7L, "abc")).toDF("doc_id", "text")
     val payloads = Multimodal.asPayload(df, col("doc_id"), col("text"), lit("text"))
     val f = Multimodal.extractFeatures(payloads).collect().head
-    assert(f.media_id == 7L && f.byte_len == 3 && f.first_byte == 'a'.toInt)
+    assert(f.media_id == 7L && f.byte_len == 3 && f.first_cp == 'a'.toInt)
     assert(f.checksum == "abc".foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L))
   }
 

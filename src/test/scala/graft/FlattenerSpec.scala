@@ -136,6 +136,19 @@ class FlattenerSpec extends AnyFunSuite {
     assert(VehicleComponentFlattener.flatten(xml).head("owner") == "component-owner")
   }
 
+  test("malformed XML (broken syntax) throws; flattenSafe quarantines it") {
+    val broken = s"""<NS1:message $sigNs><NS1:messagePayload><unclosed</NS1:message>"""
+    assertThrows[Exception](SignalFlattener.flatten(broken))
+    // and through the Spark-safe path it becomes an error row, not a crash
+    val spark = GraftSession.local(cores = 2, shufflePartitions = 2)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.FlattenOps
+      .flattenSafe(Seq(broken).toDF("doc"), "doc", SignalFlattener, Nil)
+      .select(col("error")).as[String].collect()
+    assert(out.length == 1 && out.head != null)
+  }
+
   test("component: illegal attribute arity / unknown collections FAILFAST (E6)") {
     val threeChildren =
       s"""<NS1:vehicleComponent $vcNs><NS1:componentCollection>

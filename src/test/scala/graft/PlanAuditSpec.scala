@@ -46,8 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("p01: partition filters prune the Hive layout") {
     // build the pruned read the query performs and inspect its scan
     PipelineQueries.p01PartitionPrune(spark, dir).collect() // materialize staging
-    val staged = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_p01_${math.abs(dir.hashCode)}").toString
+    val staged = PipelineQueries.staging("p01", dir)
     val pruned = spark.read.parquet(staged)
       .filter(col("event_type") === "click" && col("day").cast("string") === "2024-01-01")
     val p = planOf(pruned)

@@ -71,6 +71,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(SharedStub.countingCalls.get() == 4) // 10+10+10+5
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark emits each key once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val name = s"sdedup_${System.nanoTime()}"
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val q = mem.toDS()
+      .map { case (id, v) => (id, v, new java.sql.Timestamp(base.getTime + id * 1000)) }
+      .toDF("id", "v", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    mem.addData((1L, "a"), (2L, "b"), (1L, "a-dup"))
+    q.processAllAvailable()
+    mem.addData((2L, "b-dup"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L)) // dups within the watermark dropped
+  }
+
   test("stateful: mapGroupsWithState running counts survive across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
