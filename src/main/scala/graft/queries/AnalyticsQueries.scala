@@ -211,6 +211,17 @@ object AnalyticsQueries {
         (TF.langId(col("text")) === col("lang")).as("matches_label"))
       .orderBy(col("doc_id"))
 
+  /** t05 — BPE-ish subword token counting: greedy fixed-width chunks
+    * via regexp (a deterministic stand-in for a byte-pair vocabulary;
+    * greedy `[a-z0-9]{1,4}` semantics agree between Java regex and
+    * RE2). Whitespace tokenization is t01's counter. */
+  def t05BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]{1,4}"), lit(0))).as("n_subtokens"),
+        TF.tokenCount(col("text")).as("n_words"))
+      .orderBy(col("doc_id"))
+
   /** t04 — document fingerprint (polynomial rolling hash). */
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -242,6 +253,7 @@ object AnalyticsQueries {
     "t02_quality"       -> t02Quality _,
     "t03_lang_id"       -> t03LangId _,
     "t04_fingerprint"   -> t04Fingerprint _,
+    "t05_bpe_tokens"    -> t05BpeTokens _,
     "m01_multimodal"    -> m01Multimodal _,
   )
 
@@ -411,6 +423,11 @@ object AnalyticsQueries {
          |FROM s ORDER BY doc_id""".stripMargin,
     "t04_fingerprint" ->
       s"""SELECT doc_id, ${polyHash("trim(text)")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t05_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS n_subtokens,
+         |  len(${words("text")}) AS n_words
          |FROM documents ORDER BY doc_id""".stripMargin,
     "m01_multimodal" ->
       s"""SELECT doc_id AS media_id,
