@@ -127,6 +127,15 @@ object VehicleComponentFlattener extends Flattener {
   }
 }
 
+object Flattener {
+  /** Reading-type dispatch (reference: file_flattener.py:156 —
+    * SignalFlattener for the four signal types, component flattener
+    * otherwise). */
+  def forReadingType(readingType: String): Flattener =
+    if (graft.sources.Partitions.Signals.contains(readingType)) SignalFlattener
+    else VehicleComponentFlattener
+}
+
 /** Spark-side wrappers: flatMap a Dataset of XML document strings into
   * the canonical long form — one MapType column per row. The map stays
   * the canonical representation until a sink-time wide projection

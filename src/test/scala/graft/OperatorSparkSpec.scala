@@ -70,6 +70,13 @@ class OperatorSparkSpec extends AnyFunSuite {
     assert(GreedyBatcher.assign(Seq(20, 30, 40), 10) == Seq(0, 1, 2))
   }
 
+  test("flattener dispatch by reading type (reference file_flattener.py:156)") {
+    assert(Flattener.forReadingType("ACOUSTIC") eq SignalFlattener)
+    assert(Flattener.forReadingType("VISUAL") eq SignalFlattener)
+    assert(Flattener.forReadingType("vehicleComponent") eq VehicleComponentFlattener)
+    assert(Flattener.forReadingType("anythingElse") eq VehicleComponentFlattener)
+  }
+
   test("typed Dataset[SignalReading] path from base64 records") {
     import spark.implicits._
     val xml =

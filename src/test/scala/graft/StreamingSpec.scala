@@ -71,6 +71,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(SharedStub.countingCalls.get() == 4) // 10+10+10+5
   }
 
+  test("stream-stream interval join: clicks enriched by errors within 5 minutes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long)] // (user, epochSec)
+    val errors = MemoryStream[(Long, Long)]
+    def withTs(df: org.apache.spark.sql.DataFrame, u: String, t: String) =
+      df.toDF(u, "sec").withColumn(t, timestamp_seconds(col("sec"))).drop("sec")
+    val c = withTs(clicks.toDF(), "c_user", "c_ts").withWatermark("c_ts", "10 minutes")
+    val e = withTs(errors.toDF(), "e_user", "e_ts").withWatermark("e_ts", "10 minutes")
+    val name = s"ssjoin_${System.nanoTime()}"
+    val q = c.join(e,
+        col("c_user") === col("e_user") &&
+        col("e_ts") >= col("c_ts") - expr("INTERVAL 5 MINUTES") &&
+        col("e_ts") <= col("c_ts"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    val t0 = 1700000000L
+    errors.addData((1L, t0), (2L, t0))
+    clicks.addData((1L, t0 + 60), (1L, t0 + 400), (3L, t0 + 60)) // 400s > 5 min → no match
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).select("c_user").as[Long].collect().toSeq
+    assert(got == Seq(1L)) // only the click 60s after user 1's error joins
+  }
+
+  test("windowed agg with watermark drops late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val name = s"late_${System.nanoTime()}"
+    val q = mem.toDF().toDF("k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    val t0 = 1700000000L
+    mem.addData(("a", t0), ("a", t0 + 30))
+    q.processAllAvailable()
+    mem.addData(("b", t0 + 600)) // advances watermark far past the first window
+    q.processAllAvailable()
+    mem.addData(("a", t0 + 10)) // late for the (already-closed) first window
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).select("k", "n").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 2L))) // late record NOT counted; closed window emitted once
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark emits each key once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
