@@ -44,8 +44,10 @@ case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression 
 object WordShingleHashes {
   private val P = PolyHash.P
 
-  private def isWs(c: Char): Boolean = // java regex \s
+  private[expressions] def isWhitespace(c: Char): Boolean = // java regex \s
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  private def isWs(c: Char): Boolean = isWhitespace(c)
 
   def hashes(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
@@ -190,4 +192,71 @@ object SimHashBits {
 
   def apply(c: Column, bits: Int): Column =
     Bridge.column(SimHashBits(Bridge.expression(c), bits))
+}
+
+/** Native shingle STRING builder — the exact string semantics of
+  * `array_distinct(transform(...))` over n-word windows (positions
+  * 1..len−n, single-space join, first-occurrence order) in one pass,
+  * for operators that must verify on the true shingle sets (d02's
+  * exact Jaccard) without paying interpreted HOF lambda costs.
+  */
+case class WordShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_strings"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingleStrings.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.WordShingleStrings.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleStrings =
+    copy(child = newChild)
+}
+
+object WordShingleStrings {
+
+  /** Tokenization is byte-for-byte the scanner used by
+    * [[WordShingleHashes]], so the string set is exactly the hash set's
+    * preimage (hash(shingles(s)) == hashes(s) for every input). */
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      while (i < len && WordShingleHashes.isWhitespace(str.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !WordShingleHashes.isWhitespace(str.charAt(i))) i += 1
+        words.add(str.substring(start, i))
+      }
+    }
+    val nWindows = words.size() - n
+    if (nWindows <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val seen = new JLinkedHashSet[String]()
+    var w = 0
+    while (w < nWindows) {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words.get(w + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      w += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(WordShingleStrings(Bridge.expression(c), n))
 }

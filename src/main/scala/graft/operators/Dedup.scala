@@ -25,9 +25,11 @@ object Dedup {
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
       .drop("_norm")
 
-  /** Per-doc distinct shingle sets (id, shingles, n_shingles). */
+  /** Per-doc distinct shingle sets (id, shingles, n_shingles) — native
+    * one-pass string shingling. */
   def shingleSets(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
-    df.select(idCol.as("id"), wordShingles(textCol, n).as("shingles"))
+    df.select(idCol.as("id"),
+        graft.expressions.WordShingleStrings(textCol, n).as("shingles"))
       .withColumn("n_shingles", size(col("shingles")))
 
   /** Candidate pairs via a shared-shingle join, verified with exact
@@ -45,7 +47,7 @@ object Dedup {
     // session-lifetime cached DataFrame would pin storage memory across
     // every later query in the session
     val sets = df.select(idCol.as("id"),
-        wordShingles(textCol, n).as("shingles"),
+        graft.expressions.WordShingleStrings(textCol, n).as("shingles"),
         graft.expressions.WordShingleHashes(textCol, n).as("hv"))
       .withColumn("n_shingles", size(col("shingles")))
     val ex = sets.select(col("id"), explode(col("hv")).as("h"))
