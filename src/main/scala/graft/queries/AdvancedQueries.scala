@@ -93,8 +93,40 @@ object AdvancedQueries {
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q28 — CTE through the SQL front door: top-quartile customers by
+    * order spend, labeled by nation. */
+  def q28Cte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v28")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v28")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_v28")
+    spark.sql(
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS total
+        |  FROM orders_v28 GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT o_custkey, total, NTILE(4) OVER (ORDER BY total DESC, o_custkey) AS quartile
+        |  FROM spend)
+        |SELECT n_name, COUNT(*) AS n_top_customers,
+        |  CAST(ROUND(SUM(total), 2) AS DOUBLE) AS top_spend
+        |FROM ranked JOIN customer_v28 ON o_custkey = c_custkey
+        |JOIN nation_v28 ON c_nationkey = n_nationkey
+        |WHERE quartile = 1
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
+  /** q29 — array aggregation: per-order sorted line numbers as a
+    * comparable string (array_to_string keeps the oracle hash-stable). */
+  def q29ArrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("lines"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_window_frames"   -> q27WindowFrames _,
+    "q28_cte"             -> q28Cte _,
+    "q29_array_agg"       -> q29ArrayAgg _,
     "q22_salted_join"     -> q22SaltedJoin _,
     "q23_approx_bounds"   -> q23ApproxBounds _,
     "q24_asof_join"       -> q24AsOfJoin _,
@@ -103,6 +135,24 @@ object AdvancedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q28_cte" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS total
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT o_custkey, total, NTILE(4) OVER (ORDER BY total DESC, o_custkey) AS quartile
+        |  FROM spend)
+        |SELECT n_name, COUNT(*) AS n_top_customers,
+        |  CAST(ROUND(SUM(total), 2) AS DOUBLE) AS top_spend
+        |FROM ranked JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE quartile = 1
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q29_array_agg" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q27_window_frames" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS running_qty,

@@ -73,9 +73,37 @@ object StreamingQueries {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** s03 — stateful running counts (mapGroupsWithState) drained over
+    * the events table as a two-batch stream; the final per-key state
+    * must equal the batch group-by counts. */
+  def s03StatefulCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val keys = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+      .as[(Long, String)].collect()
+    val mem = MemoryStream[String]
+    val name = s"s03_${System.nanoTime()}"
+    val q = graft.streaming.Stateful.runningCounts(mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    val (first, second) = keys.map(_._2).splitAt(keys.length / 2)
+    mem.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .groupBy(col("key").as("event_type"))
+      .agg(max(col("n")).as("n")) // latest emission per key = running total
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_replay_sink"  -> s01ReplaySink _,
     "s02_stream_window" -> s02StreamWindow _,
+    "s03_stateful_counts" -> s03StatefulCounts _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -86,5 +114,8 @@ object StreamingQueries {
     "s02_stream_window" ->
       """SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "s03_stateful_counts" ->
+      """SELECT event_type, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
