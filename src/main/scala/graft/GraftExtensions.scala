@@ -31,7 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     require(e.foldable, s"$name expects a literal integer parameter")
     e.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long =>
+        require(l == l.toInt, s"$name parameter $l out of Int range")
+        l.toInt
       case other => throw new IllegalArgumentException(
         s"$name expects a literal integer parameter, got $other")
     }
@@ -58,6 +60,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity("graft_minhash_sig", 2, exprs)
         MinHashSig(exprs.head, intParam("graft_minhash_sig", exprs(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_strings"),
+      info("graft_shingle_strings", "graft_shingle_strings(str, n) - distinct n-word shingle strings"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_shingle_strings", 2, exprs)
+        graft.expressions.WordShingleStrings(exprs.head,
+          intParam("graft_shingle_strings", exprs(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(array<long>, bits) - bits-wide SimHash fingerprint"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_simhash", 2, exprs)
+        graft.expressions.SimHashBits(exprs.head, intParam("graft_simhash", exprs(1)))
       }))
   }
 }

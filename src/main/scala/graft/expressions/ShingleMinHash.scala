@@ -47,23 +47,40 @@ object WordShingleHashes {
   private[expressions] def isWhitespace(c: Char): Boolean = // java regex \s
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  private def isWs(c: Char): Boolean = isWhitespace(c)
-
-  def hashes(s: UTF8String, n: Int): ArrayData = {
-    val str = s.toString
-    // word [start, end) offsets after \s+ tokenization of trimmed text
+  /** Word [start, end) offsets with the EXACT semantics shared by
+    * Spark's `split(trim(text), "\\s+")` and DuckDB's
+    * `string_split_regex(trim(text), '\\s+')` (verified empirically):
+    * trim strips SPACES only, and the regex split keeps an empty token
+    * at either end when the space-trimmed string starts/ends with
+    * non-space whitespace. An empty input yields one empty token. */
+  private[expressions] def tokenize(str: String): (java.util.ArrayList[Integer], java.util.ArrayList[Integer]) = {
     val starts = new java.util.ArrayList[Integer]()
     val ends = new java.util.ArrayList[Integer]()
-    var i = 0
-    val len = str.length
-    while (i < len) {
-      while (i < len && isWs(str.charAt(i))) i += 1
-      if (i < len) {
+    var b = 0
+    var e = str.length
+    while (b < e && str.charAt(b) == ' ') b += 1
+    while (e > b && str.charAt(e - 1) == ' ') e -= 1
+    if (b == e) { // empty after trim -> single empty token
+      starts.add(b); ends.add(b)
+      return (starts, ends)
+    }
+    if (isWhitespace(str.charAt(b))) { starts.add(b); ends.add(b) }
+    var i = b
+    while (i < e) {
+      while (i < e && isWhitespace(str.charAt(i))) i += 1
+      if (i < e) {
         starts.add(i)
-        while (i < len && !isWs(str.charAt(i))) i += 1
+        while (i < e && !isWhitespace(str.charAt(i))) i += 1
         ends.add(i)
       }
     }
+    if (isWhitespace(str.charAt(e - 1))) { starts.add(e); ends.add(e) }
+    (starts, ends)
+  }
+
+  def hashes(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val (starts, ends) = tokenize(str)
     val wc = starts.size()
     // positions 1..wc-n ⇒ zero-based windows 0..wc-n-1 (matches oracle)
     val nWindows = wc - n
@@ -224,16 +241,12 @@ object WordShingleStrings {
     * preimage (hash(shingles(s)) == hashes(s) for every input). */
   def shingles(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
+    val (starts, ends) = WordShingleHashes.tokenize(str)
     val words = new java.util.ArrayList[String]()
-    var i = 0
-    val len = str.length
-    while (i < len) {
-      while (i < len && WordShingleHashes.isWhitespace(str.charAt(i))) i += 1
-      if (i < len) {
-        val start = i
-        while (i < len && !WordShingleHashes.isWhitespace(str.charAt(i))) i += 1
-        words.add(str.substring(start, i))
-      }
+    var wi = 0
+    while (wi < starts.size()) {
+      words.add(str.substring(starts.get(wi).intValue(), ends.get(wi).intValue()))
+      wi += 1
     }
     val nWindows = words.size() - n
     if (nWindows <= 0) return new GenericArrayData(Array.empty[AnyRef])

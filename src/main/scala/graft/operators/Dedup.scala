@@ -130,9 +130,14 @@ object Dedup {
     require(bits % bands == 0, "bits must divide into bands")
     val w = bits / bands
     val mask = (1L << w) - 1
+    // docs with no shingles must not participate: an empty vote array
+    // yields the all-ones fingerprint, which would pair every short doc
+    // with every other at hamming 0
     val sh = df.select(idCol.as("id"),
-      graft.expressions.SimHashBits(
-        graft.expressions.WordShingleHashes(textCol, n), bits).as("sh"))
+        graft.expressions.WordShingleHashes(textCol, n).as("hv"))
+      .filter(size(col("hv")) > 0)
+      .select(col("id"),
+        graft.expressions.SimHashBits(col("hv"), bits).as("sh"))
     val banded = sh.select(col("id"), col("sh"),
         explode(sequence(lit(0), lit(bands - 1))).as("b"))
       .withColumn("bv", expr(s"shiftright(sh, b * $w) & $mask"))

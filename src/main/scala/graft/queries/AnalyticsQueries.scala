@@ -164,11 +164,15 @@ object AnalyticsQueries {
     // nearest centroid per vector (cosine, ties → lowest centroid id)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
+    // cache: the assignment stage (cross join + window) feeds BOTH
+    // sides of the cell join below and would otherwise execute twice;
+    // the cached cells are one row per corpus vector (bounded)
     val cells = e.join(broadcast(cent), lit(true))
       .withColumn("csim", Vectors.cosine(col("embedding"), col("cemb"), col("nsq"), col("cnsq")))
       .withColumn("crk", row_number().over(wAssign))
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("cid"), col("embedding"), col("nsq"))
+      .cache()
     val q = cells.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("cid"), col("embedding").as("qe"), col("nsq").as("qn"))
     val c = cells.select(col("vec_id").as("neighbor_id"), col("cid"),
@@ -326,7 +330,7 @@ object AnalyticsQueries {
          |      CASE WHEN ((x * (b*2+1)) % $P & 1) <> 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
          |      (x,y) -> x+y) >= 0
          |    THEN CAST(power(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-         |    (x,y) -> x+y) AS sh FROM hv),
+         |    (x,y) -> x+y) AS sh FROM hv WHERE len(sh_h) > 0),
          |banded AS (SELECT doc_id, sh, unnest(range(0, 6)) AS b FROM h),
          |fl AS (SELECT doc_id, sh, b, (sh >> CAST(b*10 AS BIGINT)) & 1023 AS bv FROM banded),
          |cand AS (SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j, a.sh AS si, b2.sh AS sj

@@ -80,19 +80,22 @@ object StreamingQueries {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val keys = Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"))
-      .orderBy(col("event_id"))
-      .as[(Long, String)].collect()
+    // MemoryStream is a driver-fed demonstration source (real
+    // deployments read files/queues); feed it via toLocalIterator in
+    // bounded chunks so this query never collects the table at once
+    val it = Tables.events(spark, dir)
+      .select(col("event_type")).as[String].toLocalIterator()
     val mem = MemoryStream[String]
     val name = s"s03_${System.nanoTime()}"
     val q = graft.streaming.Stateful.runningCounts(mem.toDS())
       .writeStream.outputMode("update").format("memory").queryName(name).start()
-    val (first, second) = keys.map(_._2).splitAt(keys.length / 2)
-    mem.addData(first.toIndexedSeq: _*)
-    q.processAllAvailable()
-    mem.addData(second.toIndexedSeq: _*)
-    q.processAllAvailable()
+    val chunk = new scala.collection.mutable.ArrayBuffer[String](5000)
+    while (it.hasNext) {
+      chunk.clear()
+      while (it.hasNext && chunk.size < 5000) chunk += it.next()
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
     q.stop()
     spark.table(name)
       .groupBy(col("key").as("event_type"))
