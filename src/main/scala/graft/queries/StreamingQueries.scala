@@ -83,19 +83,27 @@ object StreamingQueries {
     // MemoryStream is a driver-fed demonstration source (real
     // deployments read files/queues); feed it via toLocalIterator in
     // bounded chunks so this query never collects the table at once
+    val total = Tables.events(spark, dir).count()
     val it = Tables.events(spark, dir)
       .select(col("event_type")).as[String].toLocalIterator()
     val mem = MemoryStream[String]
     val name = s"s03_${System.nanoTime()}"
     val q = graft.streaming.Stateful.runningCounts(mem.toDS())
       .writeStream.outputMode("update").format("memory").queryName(name).start()
+    // feed in bounded chunks; process twice (mid + end) so the state
+    // provably crosses a micro-batch boundary without paying a full
+    // streaming cycle per chunk
+    var fed = 0L
+    var processedMid = false
     val chunk = new scala.collection.mutable.ArrayBuffer[String](5000)
     while (it.hasNext) {
       chunk.clear()
       while (it.hasNext && chunk.size < 5000) chunk += it.next()
       mem.addData(chunk.toSeq: _*)
-      q.processAllAvailable()
+      fed += chunk.size
+      if (!processedMid && fed >= total / 2) { q.processAllAvailable(); processedMid = true }
     }
+    q.processAllAvailable()
     q.stop()
     spark.table(name)
       .groupBy(col("key").as("event_type"))

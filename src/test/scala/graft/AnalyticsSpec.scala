@@ -29,6 +29,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("shingle tokenization keeps boundary empty tokens (oracle trim+split parity)") {
+    import spark.implicits._
+    // space-only trim; leading tab → leading empty token → shingle with leading space
+    val got = Seq("\tfoo bar baz qux quux").toDF("t")
+      .select(graft.expressions.WordShingleStrings(col("t"), 4)).as[Seq[String]].head()
+    assert(got.toSet == Set(" foo bar baz", "foo bar baz qux"))
+    // preimage contract holds on the same input
+    val (hs, hOfS) = Seq("\tfoo bar baz qux quux").toDF("t")
+      .select(graft.expressions.WordShingleHashes(col("t"), 4),
+        transform(graft.expressions.WordShingleStrings(col("t"), 4), x => TF.polyHash(x)))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(hs == hOfS)
+  }
+
+  test("simhashPairs ignores shingle-less docs (no all-ones fingerprint pairs)") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "one two three four"),
+      (3L, "a b c d e f g h i j"), (4L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, col("doc_id"), col("text"), 4, 60, 6, 3)
+      .select("i", "j").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((3L, 4L))) // the two short docs must NOT pair
+  }
+
   test("exact dedup: canonical id = min, copies counted, case/space normalized") {
     import spark.implicits._
     val df = Seq((1L, "Hello  X"), (2L, "hello  x"), (3L, "other")).toDF("doc_id", "text")
