@@ -99,6 +99,38 @@ object Dedup {
       .select(col("i"), col("j"), col("shared"), col("ni"), col("nj"))
   }
 
+  /** Connected components over a near-dup pair set by iterative
+    * min-label propagation: every node's label converges to the
+    * smallest doc id in its component (the canonical id real dedup
+    * pipelines keep). O(diameter) join rounds; lineage is truncated
+    * per round with localCheckpoint so plans stay constant-size — the
+    * standard Spark shape for iterative graph algorithms at scale.
+    * Input: (i, j) pairs; output: (doc_id, cluster_id) for every doc
+    * appearing in a pair. */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_lbl"))
+      val merged = labels.join(prop, labels("id") === prop("dst"), "left")
+        .select(labels("id"),
+          least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl"))).as("new_lbl"),
+          labels("lbl").as("old_lbl"))
+        .localCheckpoint()
+      changed = merged.filter(col("new_lbl") =!= col("old_lbl")).count()
+      labels = merged.select(col("id"), col("new_lbl").as("lbl")).localCheckpoint()
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** `bits`-bit SimHash over word-frequency votes: bit b is set iff
     * Σ_words (±1 by bit b of the word hash) ≥ 0. Takes pre-computed
     * word hashes so each word is hashed once, not once per bit. */

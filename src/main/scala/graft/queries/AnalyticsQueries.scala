@@ -81,6 +81,14 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .orderBy(col("simhash"))
 
+  /** d07 — duplicate clusters: connected components over the d02
+    * near-dup pairs; cluster id = smallest member (canonical doc). */
+  def d07DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(Tables.documents(spark, dir),
+      col("doc_id"), col("text"), n = 4, minJaccard = 0.5).select(col("i"), col("j"))
+    Dedup.dupClusters(pairs).orderBy(col("doc_id"))
+  }
+
   /** d06 — SimHash near-dup pairs: 60-bit shingle-hash simhash, 6
     * bands × 10 bits (sound for Hamming ≤ 3), exact Hamming verify. */
   def d06SimhashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -249,6 +257,7 @@ object AnalyticsQueries {
     "d03_minhash_lsh"   -> d03MinhashLsh _,
     "d04_simhash"       -> d04Simhash _,
     "d06_simhash_pairs" -> d06SimhashPairs _,
+    "d07_dup_clusters"  -> d07DupClusters _,
     "d05_embedding_dup" -> d05EmbeddingDup _,
     "a01_bruteforce_topk" -> a01BruteForceTopK _,
     "a02_lsh_ann"       -> a02LshAnn _,
@@ -281,6 +290,25 @@ object AnalyticsQueries {
          |SELECT i, j, shared, ni, nj FROM pairs
          |WHERE CAST(shared AS DOUBLE) / (ni + nj - shared) >= 0.5
          |ORDER BY i, j""".stripMargin,
+    // Transitive closure over the d02 pair set via recursive CTE; the
+    // UNION (not UNION ALL) dedups reach rows so the recursion
+    // terminates; MIN(reaching node) per doc = component minimum.
+    "d07_dup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |ex AS (SELECT doc_id, n, unnest(sh) AS s FROM ws),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, a.n AS ni, b.n AS nj, COUNT(*) AS shared
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.5),
+         |e AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // Shingle SETS are represented by their polynomial hashes (matching
     // WordShingleHashes): distinct hash of each 4-word window.
     "d03_minhash_lsh" ->
