@@ -424,7 +424,7 @@ object AnalyticsQueries {
          |ORDER BY query_id, rank""".stripMargin,
     "t01_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
-         |  SUM(len(${words("text")})) AS total_tokens,
+         |  CAST(SUM(len(${words("text")})) AS BIGINT) AS total_tokens,
          |  MIN(len(${words("text")})) AS min_tokens,
          |  MAX(len(${words("text")})) AS max_tokens
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

@@ -56,15 +56,23 @@ object PipelineQueries {
 
   /** q21 — sessionization (30-min gap) via window functions: the batch
     * twin of flatMapGroupsWithState sessionization. */
-  def q21Sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def q21Sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(spark, dir))
+
+  /** Core sessionization over any (user_id, ts, event_id) frame —
+    * split out so the sub-second gap boundary is unit-testable. */
+  def sessionize(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // Gap math in MICROSECONDS on both sides (oracle: epoch_us). The
+    // earlier unix_timestamp form floored to whole seconds, so a true gap
+    // in (1800 s, 1801 s) could split sessions differently than the
+    // fractional-epoch oracle — compare at full precision instead.
     val flagged = ev
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull, 0)
-          .when(unix_timestamp(col("ts").cast("timestamp")) -
-            unix_timestamp(col("prev_ts").cast("timestamp")) > 1800, 1)
+          .when(unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -98,18 +106,18 @@ object PipelineQueries {
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 0
-        |         WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1
         |         ELSE 0 END AS new_session
         |  FROM events),
         |sess AS (
         |  SELECT user_id,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged),
         |counts AS (
         |  SELECT user_id, session_id, COUNT(*) AS n_events
         |  FROM sess GROUP BY 1, 2)
-        |SELECT user_id, MAX(session_id) + 1 AS n_sessions,
+        |SELECT user_id, CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
         |  MAX(n_events) AS max_session_events
         |FROM counts GROUP BY user_id ORDER BY user_id""".stripMargin,
   )

@@ -341,26 +341,31 @@ object XmlQueries {
         |  'km/h' AS speed_uo_m
         |FROM events ORDER BY 1, 2, 3, 4""".stripMargin,
     // State machine per reference aws_utils.py:27-45 with state after each
-    // row = (batch_id, acc); acc = 0 marks an oversized singleton, so the
-    // next row's target batch is batch_id + 1 when acc = 0.
+    // row = (batch_id, acc, closed); `closed` explicitly marks an
+    // oversized-singleton batch (next row must open batch_id + 1). An
+    // explicit flag rather than the acc = 0 sentinel, so legitimate
+    // zero-size items (n_chars = 0) don't get misclassified as closed.
     "x10_greedy_batch" ->
       """WITH RECURSIVE d AS (
         |  SELECT n_chars, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM documents
         |), packed AS (
         |  SELECT rn, n_chars, CAST(0 AS BIGINT) AS batch_id,
-        |    CASE WHEN n_chars >= 5000 THEN 0 ELSE n_chars END AS acc
+        |    CAST(n_chars AS BIGINT) AS acc,
+        |    n_chars >= 5000 AS closed
         |  FROM d WHERE rn = 1
         |  UNION ALL
         |  SELECT d.rn, d.n_chars,
-        |    CASE WHEN p.acc = 0 THEN p.batch_id + 1
-        |         WHEN p.acc + d.n_chars >= 5000 THEN p.batch_id + 1
+        |    CASE WHEN p.closed OR p.acc + d.n_chars >= 5000 THEN p.batch_id + 1
         |         ELSE p.batch_id END AS batch_id,
-        |    CASE WHEN p.acc = 0 THEN (CASE WHEN d.n_chars >= 5000 THEN 0 ELSE d.n_chars END)
-        |         WHEN p.acc + d.n_chars >= 5000 THEN d.n_chars
-        |         ELSE p.acc + d.n_chars END AS acc
+        |    CASE WHEN p.closed OR p.acc + d.n_chars >= 5000 THEN CAST(d.n_chars AS BIGINT)
+        |         ELSE p.acc + d.n_chars END AS acc,
+        |    CASE WHEN p.closed THEN d.n_chars >= 5000
+        |         WHEN p.acc + d.n_chars >= 5000 THEN d.n_chars >= 5000
+        |         ELSE FALSE END AS closed
         |  FROM d JOIN packed p ON d.rn = p.rn + 1
         |)
-        |SELECT batch_id, COUNT(*) AS n_docs, SUM(n_chars) AS batch_chars
+        |SELECT batch_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS batch_chars
         |FROM packed GROUP BY batch_id ORDER BY batch_id""".stripMargin,
   )
 }

@@ -124,4 +124,22 @@ class OperatorSparkSpec extends AnyFunSuite {
           |</NS1:messagePayload></NS1:message>""".stripMargin)
     }
   }
+
+  test("sessionize splits on a sub-second 1800.5s gap but not on exactly 1800.0s") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // Micro-precision gap math: 1800.5 s > 30 min must open a new
+    // session; exactly 1800.0 s must not (threshold is strict >). The
+    // old seconds-floor math saw both gaps as 1800 s and merged them.
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00.25")
+    def plus(sec: Double) = new Timestamp(t0.getTime + (sec * 1000).toLong)
+    val ev = Seq(
+      ("u_split", t0, 1L), ("u_split", plus(1800.5), 2L),
+      ("u_merge", t0, 3L), ("u_merge", plus(1800.0), 4L),
+    ).toDF("user_id", "ts", "event_id")
+    val out = graft.queries.PipelineQueries.sessionize(ev)
+      .select("user_id", "n_sessions").as[(String, Long)].collect().toMap
+    assert(out("u_split") == 2L)
+    assert(out("u_merge") == 1L)
+  }
 }

@@ -50,6 +50,17 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns want={list(want.columns)} got={list(got.columns)}")
             n_fail += 1
             continue
+        # Mirror the driver's hash sensitivity: pandas dtype KIND
+        # mismatches (e.g. DuckDB HUGEINT -> float64 'f' vs Spark int64
+        # 'i') hash-fail even when every value compares equal. Width
+        # differences within a kind (int32 vs int64) hash-matched in r1,
+        # so only flag cross-kind.
+        dt_bad = [(c, str(want[c].dtype), str(got[c].dtype)) for c in want.columns
+                  if want[c].dtype.kind != got[c].dtype.kind]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch {dt_bad}")
+            n_fail += 1
+            continue
         if len(want) != len(got):
             print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
             n_fail += 1
