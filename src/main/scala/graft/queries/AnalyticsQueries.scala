@@ -154,40 +154,53 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** a03 — IVF-style ANN: a deterministic coarse quantizer (every
-    * 100th vector is a centroid) partitions the corpus into cells;
-    * queries search only their own cell. This is the inverted-file
-    * scale path: candidate count drops from |corpus| to one cell's
-    * occupancy, and the cell assignment is a broadcast join.
+  /** Multi-probe width for a03: each query searches its 4 nearest
+    * cells instead of only its own. Keep in sync with the oracle SQL. */
+  val IvfProbes = 4
+
+  /** a03 — IVF-flat ANN, the inverted-file scale path:
     *
-    * Measured recall@3 vs the exact a01 baseline is ~0.37 on this
-    * testdata — the embeddings are unclustered, so single-probe IVF has
-    * no structure to exploit; on real clustered corpora multi-probe IVF
-    * recovers recall. The oracle pins the mechanism exactly either way. */
+    *   - **coarse quantizer**: k = min(⌈√n⌉, 64) centroids, sampled
+    *     deterministically as the k lowest vec_ids (ids carry no order
+    *     information in this corpus, so first-k is a uniform sample).
+    *     Trained k-means centroids are deliberately NOT used: grouped
+    *     float averaging has engine-dependent summation order, which
+    *     would break the bitwise cross-engine parity that makes the
+    *     ranking oracle exact — and a sampled quantizer is the standard
+    *     IVF-flat bootstrap anyway. k is CONSTANT in corpus size
+    *     (capped), so assignment compute is O(n·k), not O(n²/100).
+    *   - **index build**: nearest-centroid assignment via ONE
+    *     map-side-combined shuffle — the n·k candidate pairs are
+    *     generated narrowly under a broadcast nested-loop join and
+    *     collapse to one row per vector by partial `max_by` before the
+    *     exchange, so shuffle volume is n rows, not n·k.
+    *   - **search**: each query probes its top-`IvfProbes` cells
+    *     (multi-probe recovers the recall single-probe IVF loses on
+    *     weakly-clustered data) and the probe list is BROADCAST onto
+    *     the index — the corpus never shuffles at query time. */
   def a03IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), Vectors.normSq(col("embedding")).as("nsq"))
-    val cent = e.filter(col("vec_id") % 100 === 0)
+    val k = math.min(math.ceil(math.sqrt(e.count().toDouble)).toLong, 64L)
+    val cent = e.orderBy(col("vec_id")).limit(k.toInt)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nsq").as("cnsq"))
-    // nearest centroid per vector (cosine, ties → lowest centroid id)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    // cache: the assignment stage (cross join + window) feeds BOTH
-    // sides of the cell join below and would otherwise execute twice;
-    // the cached cells are one row per corpus vector (bounded)
-    val cells = e.join(broadcast(cent), lit(true))
+    val pairs = e.join(broadcast(cent), lit(true))
       .withColumn("csim", Vectors.cosine(col("embedding"), col("cemb"), col("nsq"), col("cnsq")))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("cid"), col("embedding"), col("nsq"))
-      .cache()
-    val q = cells.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("cid"), col("embedding").as("qe"), col("nsq").as("qn"))
-    val c = cells.select(col("vec_id").as("neighbor_id"), col("cid"),
-      col("embedding").as("ce"), col("nsq").as("cn"))
+    // inverted file: nearest centroid per vector (ties → lowest cid);
+    // max_by over (csim, -cid) == argmax csim with lowest-cid tiebreak
+    val cells = pairs.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("tie"))).as("cid"),
+        first(col("embedding")).as("ce"), first(col("nsq")).as("cn"))
+      .select(col("vec_id").as("neighbor_id"), col("cid"), col("ce"), col("cn"))
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val probes = pairs.filter(col("vec_id") < 20)
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("cid"),
+        col("embedding").as("qe"), col("nsq").as("qn"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    q.join(c, Seq("cid"))
+    broadcast(probes).join(cells, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(wTop))
@@ -406,17 +419,23 @@ object AnalyticsQueries {
          |ORDER BY query_id, rank""".stripMargin,
     "a03_ivf_ann" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${normSq("embedding")} AS nsq FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, embedding AS cemb, nsq AS cnsq FROM e WHERE vec_id % 100 = 0),
-         |assign AS (SELECT vec_id, cid,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
-         |      ${cosine(dot("e.embedding", "cent.cemb"), "e.nsq", "cent.cnsq")} DESC, cid) AS crk
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb, nsq AS cnsq
+         |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+         |  WHERE rn <= LEAST(CAST(CEIL(SQRT((SELECT COUNT(*) FROM e))) AS BIGINT), 64)),
+         |pairs AS (SELECT e.vec_id, cent.cid, e.embedding, e.nsq,
+         |    ${cosine(dot("e.embedding", "cent.cemb"), "e.nsq", "cent.cnsq")} AS csim
          |  FROM e CROSS JOIN cent),
-         |cells AS (SELECT a.vec_id, a.cid, e.embedding, e.nsq
-         |  FROM assign a JOIN e ON a.vec_id = e.vec_id WHERE a.crk = 1),
-         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ${cosine(dot("q.embedding", "c.embedding"), "q.nsq", "c.nsq")} AS sim
-         |  FROM cells q JOIN cells c ON q.cid = c.cid
-         |    AND q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |cells AS (SELECT vec_id AS neighbor_id, cid, embedding, nsq
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crk
+         |        FROM pairs)
+         |  WHERE crk = 1),
+         |probes AS (SELECT vec_id AS query_id, cid, embedding AS qe, nsq AS qn
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crk
+         |        FROM pairs WHERE vec_id < 20)
+         |  WHERE crk <= 4),
+         |p AS (SELECT q.query_id, c.neighbor_id,
+         |    ${cosine(dot("q.qe", "c.embedding"), "q.qn", "c.nsq")} AS sim
+         |  FROM probes q JOIN cells c ON q.cid = c.cid AND q.query_id <> c.neighbor_id),
          |r AS (SELECT query_id, neighbor_id,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
          |  FROM p)

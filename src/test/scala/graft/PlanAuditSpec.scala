@@ -54,6 +54,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("event_type"), "partition filter on event_type missing")
   }
 
+  test("a03: IVF search broadcasts probes; index never sort-merges") {
+    val p = planOf(graft.queries.AnalyticsQueries.a03IvfAnn(spark, dir))
+    // probe list (queries × IvfProbes rows) must broadcast onto the
+    // cell-partitioned index — the corpus must not shuffle at search time
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"IVF search fell back to sort-merge:\n$p")
+    // nearest-centroid assignment collapses n·k pairs map-side; max_by
+    // with a struct ordering buffer plans as SortAggregate, and
+    // partial+final means the exchange moves n rows, not n·k
+    assert("(Sort|Hash|ObjectHash)Aggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final max_by aggregate:\n$p")
+  }
+
   test("whole-stage codegen covers the native hash expression") {
     val df = Tables.documents(spark, dir)
       .select(graft.expressions.PolyHash(col("text")).as("fp"))
