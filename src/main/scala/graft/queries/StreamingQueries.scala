@@ -48,15 +48,15 @@ object StreamingQueries {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // the file stream source wants a directory: stage the single-file
-    // table into a per-sf temp dir once
+    // table into a per-sf temp dir. Copy unconditionally — a staged
+    // file from an earlier run must not be served stale if the source
+    // table changed under the same path.
     val staged = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_s02_${math.abs(dir.hashCode)}")
-    if (!java.nio.file.Files.exists(staged.resolve("events.parquet"))) {
-      java.nio.file.Files.createDirectories(staged)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
-        staged.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
+      staged.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val stream = spark.readStream.schema(schema).parquet(staged.toString)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     val agg = stream
@@ -111,10 +111,35 @@ object StreamingQueries {
       .orderBy(col("event_type"))
   }
 
+  /** s04 — T1/T2 through the REAL streaming source: replay events via
+    * `graft-replay` (a rate-limited MicroBatchStream with
+    * checkpointable offsets — see ReplaySource), aggregate per
+    * partition key, drain with Trigger.AvailableNow. Same semantic
+    * contract as s01's driver loop, now restart-safe. */
+  def s04ReplaySource(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.format("graft-replay")
+      .option("path", s"$dir/events.parquet")
+      .option("tsMillisExpr", "ts DIV 1000000") // nanos → replay millis
+      .option("keyExpr", "event_type")
+      .option("payloadExpr", "props")
+      .load()
+    val agg = stream.groupBy(col("partition_key").as("partition_id"))
+      .agg(count(lit(1)).as("n"), min(col("payload")).as("min_payload"),
+        max(col("payload")).as("max_payload"))
+    val name = s"s04_out_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("partition_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_replay_sink"  -> s01ReplaySink _,
     "s02_stream_window" -> s02StreamWindow _,
     "s03_stateful_counts" -> s03StatefulCounts _,
+    "s04_replay_source" -> s04ReplaySource _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -128,5 +153,9 @@ object StreamingQueries {
     "s03_stateful_counts" ->
       """SELECT event_type, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s04_replay_source" ->
+      """SELECT event_type AS partition_id,
+        |  COUNT(*) AS n, MIN(props) AS min_payload, MAX(props) AS max_payload
+        |FROM events GROUP BY event_type ORDER BY partition_id""".stripMargin,
   )
 }

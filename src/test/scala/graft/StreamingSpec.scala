@@ -171,6 +171,85 @@ class StreamingSpec extends AnyFunSuite {
     val got = SharedStub.producer.records.map(r => (r._2, new String(r._4, "UTF-8"))).sorted
     assert(got == Seq(("ACOUSTIC", "x1"), ("ACOUSTIC", "x3"), ("IMPACT", "x2")))
   }
+
+  private def replayOptions(path: String, extra: (String, String)*) = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("path", path)
+    m.put("tsMillisExpr", "ts")
+    m.put("keyExpr", "key")
+    m.put("payloadExpr", "payload")
+    extra.foreach { case (k, v) => m.put(k, v) }
+    new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)
+  }
+
+  test("replay source: latestOffset admits groups by scaled event-time gaps (T1)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_pace").toString
+    // groups at 1000/1500/3500 ms → due offsets 0/500/2500 at timeScale 1
+    Seq((1000L, "k", "a"), (1500L, "k", "b"), (3500L, "k", "c"))
+      .toDF("ts", "key", "payload").write.mode("overwrite").parquet(dir)
+    var now = 10_000L
+    val s = new ReplayMicroBatchStream(
+      replayOptions(dir, "timeScale" -> "1.0"), clock = () => now)
+    def latest(from: Int) =
+      s.latestOffset(ReplayOffset(from), s.getDefaultReadLimit)
+        .asInstanceOf[ReplayOffset].groupIdx
+    assert(latest(0) == 1, "first group must be admitted immediately")
+    now = 10_400L
+    assert(latest(0) == 1, "second group not due before its 500ms gap")
+    now = 10_600L
+    assert(latest(0) == 2)
+    now = 12_600L
+    assert(latest(0) == 3, "all groups due after the cumulative 2500ms")
+
+    // restart: a fresh stream re-anchors its wall clock to the restored
+    // offset, so the remaining schedule keeps its pacing shape
+    val s2 = new ReplayMicroBatchStream(
+      replayOptions(dir, "timeScale" -> "1.0"), clock = () => now)
+    now = 50_000L
+    val resumed = s2.latestOffset(ReplayOffset(2), s2.getDefaultReadLimit)
+      .asInstanceOf[ReplayOffset].groupIdx
+    assert(resumed == 2, "group 3 must wait its 2000ms gap after restart")
+    now = 52_000L
+    assert(s2.latestOffset(ReplayOffset(2), s2.getDefaultReadLimit)
+      .asInstanceOf[ReplayOffset].groupIdx == 3)
+
+    // admission cap bounds a backlog drain
+    val s3 = new ReplayMicroBatchStream(
+      replayOptions(dir, "maxGroupsPerTrigger" -> "1"), clock = () => now)
+    assert(s3.latestOffset(ReplayOffset(0), s3.getDefaultReadLimit)
+      .asInstanceOf[ReplayOffset].groupIdx == 1)
+  }
+
+  test("replay source: checkpointed restart resumes with no loss and no re-emission") {
+    import spark.implicits._
+    val dataDir = java.nio.file.Files.createTempDirectory("graft_rs_data").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rs_ckpt").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-replay")
+        .option("path", dataDir).option("tsMillisExpr", "ts")
+        .option("keyExpr", "key").option("payloadExpr", "payload")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreach(SharedStub.replayCollector)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    (0 until 10).map(i => (i * 100L, "k", f"p$i%02d")).toDF("ts", "key", "payload")
+      .write.mode("append").parquet(dataDir)
+    run()
+    val afterA = SharedStub.replayed.toArray.map(_.toString).toVector
+    assert(afterA.sorted == (0 until 10).map(i => f"p$i%02d").toVector, s"run A got $afterA")
+    // a later recording lands in the same directory; the restarted
+    // query must emit ONLY the new groups
+    (10 until 20).map(i => (i * 100L, "k", f"p$i%02d")).toDF("ts", "key", "payload")
+      .write.mode("append").parquet(dataDir)
+    run()
+    val afterB = SharedStub.replayed.toArray.map(_.toString).toVector
+    assert(afterB.sorted == (0 until 20).map(i => f"p$i%02d").toVector,
+      s"restart must add exactly the new groups, got $afterB")
+  }
 }
 
 /** Tasks/writers run in executor threads (same JVM in local mode) with
@@ -178,6 +257,14 @@ class StreamingSpec extends AnyFunSuite {
   * produced. */
 object SharedStub {
   val producer = new InMemoryRecordProducer()
+  val replayed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val replayCollector: org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] =
+    new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+      def open(partitionId: Long, epochId: Long): Boolean = true
+      def process(r: org.apache.spark.sql.Row): Unit =
+        replayed.add(r.getAs[String]("payload"))
+      def close(errorOrNull: Throwable): Unit = ()
+    }
   val failing = new InMemoryRecordProducer(
     failWhen = r => new String(r.data, "UTF-8").contains("bad"))
   val countingCalls = new java.util.concurrent.atomic.AtomicLong(0)
