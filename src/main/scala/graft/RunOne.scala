@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: run one named query and print its wall time.
+  * Usage: runMain graft.RunOne <queryName> [sfDir] [explain]. */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("warm")) { // absorb JVM/codegen warm-up like Bench does
+      try SparkEntry.entry(spark).count()
+      catch { case _: Throwable => () }
+    }
+    val fn = SparkEntry.queries(name)
+    // time the whole query fn + count — some queries (streaming drains)
+    // do their work eagerly inside the builder
+    val t0 = System.nanoTime()
+    val df = fn(spark, sfDir)
+    if (args.length > 2 && args(2) == "explain") df.explain("formatted")
+    val n = df.count()
+    println(f"[runone] $name rows=$n took ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

@@ -117,10 +117,15 @@ object StreamingQueries {
     * partition key, drain with Trigger.AvailableNow. Same semantic
     * contract as s01's driver loop, now restart-safe. */
   def s04ReplaySource(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream.format("graft-replay")
       .option("path", s"$dir/events.parquet")
+      .option("nanosAsLong", "true") // scoped to the source's staging read
       .option("tsMillisExpr", "ts DIV 1000000") // nanos → replay millis
+      // drain cap: bound batches by DATA size, not group count — 100k
+      // single-row groups at sf0.1 in 10k-group batches would pay 10
+      // micro-batch fixed costs (~1.5s each) for no added coverage;
+      // bounded-batch admission itself is pinned by StreamingSpec
+      .option("maxGroupsPerTrigger", "1000000")
       .option("keyExpr", "event_type")
       .option("payloadExpr", "props")
       .load()

@@ -1,6 +1,16 @@
 package graft.streaming
 
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
 import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -8,7 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -26,24 +36,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * driver-loop form stays for exact reference parity (its pacing math
   * is pinned by ReplaySpec).
   *
-  * Offset model: index into the sorted distinct-timestamp schedule
-  * (`groupIdx` = number of groups fully emitted). The schedule itself
-  * (one long per distinct timestamp) is driver-resident metadata, same
-  * scale as a file-source listing. Each micro-batch admits only groups
-  * whose cumulative scaled gap has elapsed on the wall clock
-  * (`timeScale` option; 0 = as fast as possible), capped at
-  * `maxGroupsPerTrigger` so a cold start with a deep backlog drains in
-  * bounded batches instead of one giant one. Group rows are staged per
-  * micro-batch — peak driver memory is one trigger's groups, mirroring
-  * the reference producer's one-batch-in-flight design.
+  * Execution model (designed for a real cluster, verified on local):
+  *   1. At stream start the projected table `(ts_ms, partition_key,
+  *      payload)` is STAGED once, distributed, to a scratch parquet
+  *      snapshot range-partitioned and sorted by `ts_ms`. No row ever
+  *      passes through the driver; the stage is one distributed pass
+  *      over data the stream will read anyway.
+  *   2. The driver keeps only the SCHEDULE — one `(ts, rowCount)` pair
+  *      per distinct timestamp plus per-file ts min/max from parquet
+  *      footers. Metadata-scale, same as a file-source listing.
+  *   3. Offsets are the last-emitted `ts_ms` (NOT a positional index):
+  *      a restart resumes at the first distinct timestamp strictly
+  *      greater than the committed one, so appending strictly-later
+  *      recordings to the table between runs replays exactly the new
+  *      groups. Rows backfilled at-or-before a committed timestamp are
+  *      not replayed (documented contract, like a file source's
+  *      processed-file log).
+  *   4. Each trigger admits the timestamp range `(lastTs, hiTs]` due
+  *      under the pacing clock, packs the admitted groups into at most
+  *      ~2×cores `InputPartition`s carrying `(files, tsLo, tsHi)`, and
+  *      the `PartitionReader`s scan the staged parquet EXECUTOR-side
+  *      with a range predicate (row groups outside the range are
+  *      skipped via footer statistics). Task count is bounded by the
+  *      core count, not the group count.
   *
   * Options:
   *   - `path`            parquet file/dir to replay (required)
   *   - `tsMillisExpr`    SQL expr → epoch-millis group key (required)
-  *   - `keyExpr`         SQL expr → partition key    (default: path tail)
+  *   - `keyExpr`         SQL expr → partition key    (default: 'replay')
   *   - `payloadExpr`     SQL expr → payload string   (required)
   *   - `timeScale`       gap multiplier, 0 = no pacing (default 0)
   *   - `maxGroupsPerTrigger` admission cap (default 10000)
+  *   - `nanosAsLong`     read TIMESTAMP(NANOS) columns as BIGINT during
+  *                       staging (scoped: the session conf is restored)
   */
 class ReplaySource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-replay"
@@ -75,23 +100,107 @@ class ReplayTable(options: CaseInsensitiveStringMap) extends Table with Supports
     }
 }
 
-/** Serializable offset: number of timestamp groups fully emitted. */
-case class ReplayOffset(groupIdx: Int) extends Offset {
-  override def json: String = s"""{"groupIdx":$groupIdx}"""
+/** Serializable offset: the last fully-emitted group timestamp.
+  * `Long.MinValue` = nothing emitted. Timestamp-valued (not an index)
+  * so a checkpointed restart stays correct when strictly-later data
+  * was appended to the table between runs. */
+case class ReplayOffset(lastTs: Long) extends Offset {
+  override def json: String = s"""{"lastTs":$lastTs}"""
 }
 
 object ReplayOffset {
-  private val Re = """\{"groupIdx":(\d+)\}""".r
+  val Start: ReplayOffset = ReplayOffset(Long.MinValue)
+  private val Re = """\{"lastTs":(-?\d+)\}""".r
   def fromJson(s: String): ReplayOffset = s match {
-    case Re(n) => ReplayOffset(n.toInt)
+    case Re(n) => ReplayOffset(n.toLong)
     case _     => throw new IllegalArgumentException(s"bad replay offset: $s")
   }
 }
 
-/** One timestamp group per partition — preserves the reference's
-  * group-at-a-time emission unit and parallelizes a trigger across its
-  * admitted groups. */
-case class ReplayInputPartition(rows: Array[(Long, String, String)]) extends InputPartition
+/** A pack of admitted timestamp groups: scan `files` for rows with
+  * `tsLoExclusive < ts_ms <= tsHiInclusive`. Carries only paths and
+  * bounds — rows are read executor-side. */
+case class ReplayInputPartition(
+    files: Array[String], tsLoExclusive: Long, tsHiInclusive: Long)
+  extends InputPartition
+
+/** Hadoop `Configuration` is not `java.io.Serializable`; standard
+  * writable-backed wrapper so executors resolve the staged files with
+  * the session's filesystem settings. */
+class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  @throws[IOException]
+  private def writeObject(out: ObjectOutputStream): Unit = value.write(out)
+  @throws[IOException]
+  private def readObject(in: ObjectInputStream): Unit = {
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+class ReplayReaderFactory(conf: SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ReplayInputPartition]
+    new ReplayPartitionReader(p, conf.value)
+  }
+}
+
+/** Scans each staged file with a `ts_ms` range predicate. The filter
+  * is pushed to parquet-mr, which drops whole row groups via footer
+  * statistics and filters records inside surviving groups; bounds are
+  * re-checked here anyway (defense, not correctness-critical). */
+class ReplayPartitionReader(p: ReplayInputPartition, conf: Configuration)
+  extends PartitionReader[InternalRow] {
+
+  private val predicate = FilterApi.and(
+    FilterApi.gt(FilterApi.longColumn("ts_ms"), java.lang.Long.valueOf(p.tsLoExclusive)),
+    FilterApi.ltEq(FilterApi.longColumn("ts_ms"), java.lang.Long.valueOf(p.tsHiInclusive)))
+
+  private var fileIdx = -1
+  private var reader: ParquetReader[Group] = _
+  private var current: Group = _
+
+  private def nextReader(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    fileIdx += 1
+    if (fileIdx >= p.files.length) return false
+    reader = ParquetReader
+      .builder(new GroupReadSupport(), new HPath(p.files(fileIdx)))
+      .withConf(conf)
+      .withFilter(FilterCompat.get(predicate))
+      .build()
+    true
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (reader == null && !nextReader()) return false
+      var g = reader.read()
+      while (g != null) {
+        val ts = g.getLong("ts_ms", 0)
+        if (ts > p.tsLoExclusive && ts <= p.tsHiInclusive) {
+          current = g
+          return true
+        }
+        g = reader.read()
+      }
+      reader.close(); reader = null
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = {
+    val schema = current.getType
+    def str(field: String): UTF8String = {
+      val i = schema.getFieldIndex(field)
+      if (current.getFieldRepetitionCount(i) == 0) null
+      else UTF8String.fromBytes(current.getBinary(i, 0).getBytes)
+    }
+    new GenericInternalRow(Array[Any](
+      current.getLong("ts_ms", 0), str("partition_key"), str("payload")))
+  }
+
+  override def close(): Unit = if (reader != null) { reader.close(); reader = null }
+}
 
 class ReplayMicroBatchStream(
     options: CaseInsensitiveStringMap,
@@ -109,30 +218,103 @@ class ReplayMicroBatchStream(
   private val timeScale = Option(options.get("timeScale")).map(_.toDouble).getOrElse(0.0)
   private val maxGroupsPerTrigger =
     Option(options.get("maxGroupsPerTrigger")).map(_.toInt).getOrElse(10000)
+  private val nanosAsLong =
+    Option(options.get("nanosAsLong")).exists(_.toBoolean)
 
   private def spark = SparkSession.active
 
-  private def projected =
-    spark.read.parquet(path).selectExpr(
-      s"CAST(($tsMillisExpr) AS BIGINT) AS ts_ms",
-      s"CAST(($keyExpr) AS STRING) AS partition_key",
-      s"CAST(($payloadExpr) AS STRING) AS payload")
+  /** Driver-resident stream state: scratch-snapshot file list with
+    * per-file ts bounds, and the schedule — sorted distinct group
+    * timestamps with each group's cumulative due-time (the reference's
+    * sleep sum: first group immediate, then max(0, gap)·timeScale —
+    * main.py:39-44) and cumulative row count (for ReadMaxRows).
+    * Everything here is one entry per group/file: metadata-scale. */
+  private case class Staged(
+      dir: java.nio.file.Path,
+      files: Array[(String, Long, Long)], // (path, tsMin, tsMax)
+      ts: Array[Long], due: Array[Long], cumRows: Array[Long])
 
-  /** The replay schedule: sorted distinct group timestamps, plus each
-    * group's cumulative due-time (the reference's sleep sum: first
-    * group immediate, then max(0, gap)·timeScale — main.py:39-44).
-    * Metadata-scale (one long per group), computed once per stream. */
-  private lazy val schedule: (Array[Long], Array[Long]) = {
+  @volatile private var stagedRef: Staged = null
+
+  private lazy val staged: Staged = {
     import org.apache.spark.sql.functions.col
-    val ts = projected.select(col("ts_ms")).distinct().orderBy(col("ts_ms"))
-      .collect().map(_.getLong(0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay_stage_")
+    // scope the NANOS-as-BIGINT legacy conf to the staging read; the
+    // snapshot itself is plain BIGINT so nothing later needs the conf
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(confKey)
+    if (nanosAsLong) spark.conf.set(confKey, "true")
+    try {
+      val projected = spark.read.parquet(path).selectExpr(
+        s"CAST(($tsMillisExpr) AS BIGINT) AS ts_ms",
+        s"CAST(($keyExpr) AS STRING) AS partition_key",
+        s"CAST(($payloadExpr) AS STRING) AS payload")
+      val nFiles = math.max(spark.sparkContext.defaultParallelism, 1)
+      // range-partition + sort so each file covers a tight contiguous
+      // ts range — triggers then touch only their slice of files and
+      // row-group stats prune inside each file
+      projected
+        .repartitionByRange(nFiles, col("ts_ms"))
+        .sortWithinPartitions("ts_ms")
+        .write.mode("overwrite").parquet(dir.toString)
+    } finally {
+      if (nanosAsLong) prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
+    val snapshot = spark.read.parquet(dir.toString)
+    val grouped = snapshot.groupBy(col("ts_ms")).count()
+      .orderBy(col("ts_ms")).collect() // one row per distinct ts: metadata
+    val ts = grouped.map(_.getLong(0))
+    val counts = grouped.map(_.getLong(1))
     val due = new Array[Long](ts.length)
-    var i = 1
+    val cum = new Array[Long](ts.length)
+    var i = 0
     while (i < ts.length) {
-      due(i) = due(i - 1) + math.max(0L, ((ts(i) - ts(i - 1)) * timeScale).toLong)
+      if (i > 0) due(i) = due(i - 1) + math.max(0L, ((ts(i) - ts(i - 1)) * timeScale).toLong)
+      cum(i) = (if (i > 0) cum(i - 1) else 0L) + counts(i)
       i += 1
     }
-    (ts, due)
+    val hconf = spark.sessionState.newHadoopConf()
+    val files = snapshot.inputFiles.map(f => footerTsBounds(f, hconf)).sortBy(_._2)
+    logInfo(s"graft-replay staged ${ts.length} groups (${if (cum.isEmpty) 0L else cum.last} rows) " +
+      s"into ${files.length} files at $dir")
+    stagedRef = Staged(dir, files, ts, due, cum)
+    stagedRef
+  }
+
+  /** ts_ms min/max from the parquet footer (metadata-only read). Files
+    * without stats fall back to (MinValue, MaxValue) = always scanned. */
+  private def footerTsBounds(file: String, conf: Configuration): (String, Long, Long) = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
+    try {
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      r.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala
+          .filter(_.getPath.toDotString == "ts_ms")
+          .foreach { cc =>
+            val st = cc.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              lo = math.min(lo, st.genericGetMin.asInstanceOf[java.lang.Long].longValue())
+              hi = math.max(hi, st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            }
+          }
+      }
+      if (lo > hi) (file, Long.MinValue, Long.MaxValue) else (file, lo, hi)
+    } finally r.close()
+  }
+
+  /** First schedule index with ts strictly greater than `lastTs`. */
+  private def idxAfter(ts: Array[Long], lastTs: Long): Int = {
+    var lo = 0
+    var hi = ts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ts(mid) <= lastTs) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   // wall-clock anchor for pacing; re-established after restart so a
@@ -144,7 +326,7 @@ class ReplayMicroBatchStream(
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def initialOffset(): Offset = ReplayOffset(0)
+  override def initialOffset(): Offset = ReplayOffset.Start
 
   override def deserializeOffset(json: String): Offset = ReplayOffset.fromJson(json)
 
@@ -152,60 +334,91 @@ class ReplayMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is used (SupportsAdmissionControl)")
 
+  /** Groups admitted by `limit` on top of the pacing/option caps.
+    * ReadMaxRows caps by cumulative row count (always admitting at
+    * least one group so the stream makes progress); min-rows/delay
+    * hints are ignored — admission is already event-time paced. */
+  private def applyReadLimit(limit: ReadLimit, from: Int, hi: Int, cum: Array[Long]): Int =
+    limit match {
+      case _: ReadAllAvailable => hi
+      case r: ReadMaxRows =>
+        val base = if (from > 0) cum(from - 1) else 0L
+        var h = from
+        while (h < hi && cum(h) - base <= r.maxRows()) h += 1
+        if (h == from && from < hi) from + 1 // one oversized group still progresses
+        else h
+      case c: CompositeReadLimit =>
+        c.getReadLimits.foldLeft(hi)((acc, l) => math.min(acc, applyReadLimit(l, from, hi, cum)))
+      case other =>
+        logWarning(s"graft-replay: unsupported ReadLimit $other ignored")
+        hi
+    }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val (ts, due) = schedule
-    val from = start.asInstanceOf[ReplayOffset].groupIdx
-    if (anchorWall < 0L) anchorWall = clock() - (if (from > 0) due(from - 1) else 0L)
+    val s = staged
+    val lastTs = start.asInstanceOf[ReplayOffset].lastTs
+    val from = idxAfter(s.ts, lastTs)
+    if (from >= s.ts.length) return start
+    if (anchorWall < 0L) anchorWall = clock() - (if (from > 0) s.due(from - 1) else 0L)
     val dueNow =
-      if (drainAll || timeScale <= 0.0) ts.length
+      if (drainAll || timeScale <= 0.0) s.ts.length
       else {
         val elapsed = clock() - anchorWall
         var hi = from
-        while (hi < ts.length && due(hi) <= elapsed) hi += 1
+        while (hi < s.ts.length && s.due(hi) <= elapsed) hi += 1
         hi
       }
-    ReplayOffset(math.min(dueNow, from + maxGroupsPerTrigger))
+    val capped = applyReadLimit(limit, from,
+      math.min(dueNow, from + maxGroupsPerTrigger), s.cumRows)
+    if (capped <= from) start else ReplayOffset(s.ts(capped - 1))
   }
 
-  override def reportLatestOffset(): Offset = ReplayOffset(schedule._1.length)
+  override def reportLatestOffset(): Offset =
+    if (staged.ts.isEmpty) ReplayOffset.Start else ReplayOffset(staged.ts.last)
 
+  /** Packs the admitted groups into at most ~2×cores partitions, each
+    * carrying only `(files, tsLo, tsHi)`. Rows are fetched
+    * executor-side from the staged snapshot — nothing data-scale
+    * crosses the driver, and task count is bounded by cores, not by
+    * the number of distinct timestamps. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (ts, _) = schedule
-    val from = start.asInstanceOf[ReplayOffset].groupIdx
-    val to = end.asInstanceOf[ReplayOffset].groupIdx
+    val s = staged
+    val startTs = start.asInstanceOf[ReplayOffset].lastTs
+    val endTs = end.asInstanceOf[ReplayOffset].lastTs
+    val from = idxAfter(s.ts, startTs)
+    val to = idxAfter(s.ts, endTs)
     if (to <= from) return Array.empty
-    import org.apache.spark.sql.functions.col
-    val lo = ts(from)
-    val hi = ts(to - 1)
-    // stage ONE trigger's groups driver-side (bounded by
-    // maxGroupsPerTrigger) — the replay unit is small by construction;
-    // the range filter is pushed to the parquet scan
-    val staged = projected
-      .filter(col("ts_ms") >= lo && col("ts_ms") <= hi)
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-      .groupBy(_._1)
-    ts.slice(from, to).map(t =>
-      ReplayInputPartition(staged.getOrElse(t, Array.empty)): InputPartition)
+    val nGroups = to - from
+    val maxParts = math.max(1, 2 * spark.sparkContext.defaultParallelism)
+    val nParts = math.min(maxParts, nGroups)
+    val per = (nGroups + nParts - 1) / nParts
+    (0 until nParts).iterator
+      .map(pi => (from + pi * per, math.min(from + (pi + 1) * per, to)))
+      .filter { case (gLo, gHi) => gLo < gHi } // ceil-split can leave empty tails
+      .map { case (gLo, gHi) =>
+        val lo = if (gLo == from) startTs else s.ts(gLo - 1)
+        val hi = s.ts(gHi - 1)
+        val files = s.files.collect { case (f, fLo, fHi) if fHi > lo && fLo <= hi => f }
+        ReplayInputPartition(files, lo, hi): InputPartition
+      }
+      .filter(_.asInstanceOf[ReplayInputPartition].files.nonEmpty).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new PartitionReader[InternalRow] {
-          private val rows = partition.asInstanceOf[ReplayInputPartition].rows
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.length }
-          override def get(): InternalRow = {
-            val (t, k, p) = rows(i)
-            new GenericInternalRow(Array[Any](t,
-              if (k == null) null else UTF8String.fromString(k),
-              if (p == null) null else UTF8String.fromString(p)))
-          }
-          override def close(): Unit = ()
-        }
-    }
+    new ReplayReaderFactory(new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
 
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+
+  override def stop(): Unit = {
+    // best-effort scratch cleanup; stagedRef stays null if staging
+    // never ran (referencing the lazy val here would trigger it)
+    val s = stagedRef
+    if (s != null) {
+      try {
+        import java.nio.file.Files
+        Files.walk(s.dir).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
 }

@@ -191,34 +191,75 @@ class StreamingSpec extends AnyFunSuite {
     var now = 10_000L
     val s = new ReplayMicroBatchStream(
       replayOptions(dir, "timeScale" -> "1.0"), clock = () => now)
-    def latest(from: Int) =
-      s.latestOffset(ReplayOffset(from), s.getDefaultReadLimit)
-        .asInstanceOf[ReplayOffset].groupIdx
-    assert(latest(0) == 1, "first group must be admitted immediately")
+    def latest(fromTs: Long) =
+      s.latestOffset(ReplayOffset(fromTs), s.getDefaultReadLimit)
+        .asInstanceOf[ReplayOffset].lastTs
+    val start = Long.MinValue
+    assert(latest(start) == 1000L, "first group must be admitted immediately")
     now = 10_400L
-    assert(latest(0) == 1, "second group not due before its 500ms gap")
+    assert(latest(start) == 1000L, "second group not due before its 500ms gap")
     now = 10_600L
-    assert(latest(0) == 2)
+    assert(latest(start) == 1500L)
     now = 12_600L
-    assert(latest(0) == 3, "all groups due after the cumulative 2500ms")
+    assert(latest(start) == 3500L, "all groups due after the cumulative 2500ms")
 
     // restart: a fresh stream re-anchors its wall clock to the restored
     // offset, so the remaining schedule keeps its pacing shape
     val s2 = new ReplayMicroBatchStream(
       replayOptions(dir, "timeScale" -> "1.0"), clock = () => now)
     now = 50_000L
-    val resumed = s2.latestOffset(ReplayOffset(2), s2.getDefaultReadLimit)
-      .asInstanceOf[ReplayOffset].groupIdx
-    assert(resumed == 2, "group 3 must wait its 2000ms gap after restart")
+    val resumed = s2.latestOffset(ReplayOffset(1500L), s2.getDefaultReadLimit)
+      .asInstanceOf[ReplayOffset].lastTs
+    assert(resumed == 1500L, "group 3 must wait its 2000ms gap after restart")
     now = 52_000L
-    assert(s2.latestOffset(ReplayOffset(2), s2.getDefaultReadLimit)
-      .asInstanceOf[ReplayOffset].groupIdx == 3)
+    assert(s2.latestOffset(ReplayOffset(1500L), s2.getDefaultReadLimit)
+      .asInstanceOf[ReplayOffset].lastTs == 3500L)
 
     // admission cap bounds a backlog drain
     val s3 = new ReplayMicroBatchStream(
       replayOptions(dir, "maxGroupsPerTrigger" -> "1"), clock = () => now)
-    assert(s3.latestOffset(ReplayOffset(0), s3.getDefaultReadLimit)
-      .asInstanceOf[ReplayOffset].groupIdx == 1)
+    assert(s3.latestOffset(ReplayOffset(start), s3.getDefaultReadLimit)
+      .asInstanceOf[ReplayOffset].lastTs == 1000L)
+
+    // ReadMaxRows caps admitted groups by cumulative row count
+    val s4 = new ReplayMicroBatchStream(replayOptions(dir), clock = () => now)
+    assert(s4.latestOffset(ReplayOffset(start),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(2))
+      .asInstanceOf[ReplayOffset].lastTs == 1500L,
+      "maxRows=2 admits the first two single-row groups")
+    s.stop(); s2.stop(); s3.stop(); s4.stop()
+  }
+
+  test("replay source: partitions carry file ranges, rows read executor-side") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_plan").toString
+    val n = 1000
+    (0 until n).map(i => (i.toLong, s"k${i % 3}", s"p$i"))
+      .toDF("ts", "key", "payload").write.mode("overwrite").parquet(dir)
+    val s = new ReplayMicroBatchStream(replayOptions(dir))
+    val end = s.latestOffset(ReplayOffset.Start, s.getDefaultReadLimit)
+    val parts = s.planInputPartitions(ReplayOffset.Start, end)
+    val maxParts = 2 * spark.sparkContext.defaultParallelism
+    assert(parts.length <= maxParts,
+      s"$n groups must pack into <= $maxParts partitions, got ${parts.length}")
+    // ranges must tile the admitted span: disjoint, covering, ordered
+    val rps = parts.map(_.asInstanceOf[ReplayInputPartition])
+    rps.sliding(2).foreach {
+      case Array(a, b) => assert(a.tsHiInclusive == b.tsLoExclusive)
+      case _           =>
+    }
+    // the readers themselves must return every row exactly once
+    val factory = s.createReaderFactory()
+    val seen = rps.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = ArrayBuffer.empty[String]
+      while (r.next()) buf += r.get().getUTF8String(2).toString
+      r.close()
+      buf
+    }
+    assert(seen.length == n)
+    assert(seen.toSet == (0 until n).map(i => s"p$i").toSet)
+    s.stop()
   }
 
   test("replay source: checkpointed restart resumes with no loss and no re-emission") {
