@@ -84,6 +84,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("dupClusters: long chains converge (no diameter-bound round cap)") {
+    import spark.implicits._
+    // a 200-edge chain has graph diameter 200 — naive min-label
+    // propagation needs 200 rounds; large/small-star must do it in
+    // O(log n) and must NOT silently return partial labels
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("i", "j")
+    val got = Dedup.dupClusters(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 201)
+    assert(got.values.forall(_ == 0L), "every chain member labels to the min id")
+  }
+
+  test("dupClusters: labels match brute-force components on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    // brute-force union-find oracle
+    val parent = scala.collection.mutable.Map((0L until 60L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val want = nodes.map { n =>
+      val comp = nodes.filter(m => find(m) == find(n))
+      n -> comp.min
+    }.toMap
+    val got = Dedup.dupClusters(edges.toDF("i", "j")).as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("cosine: orthogonal → 0, identical → 1") {
     import spark.implicits._
     val df = Seq((Seq(1f, 0f), Seq(0f, 1f), Seq(1f, 0f))).toDF("a", "b", "c")
