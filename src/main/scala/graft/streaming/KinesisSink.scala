@@ -50,18 +50,38 @@ object KinesisSink extends Logging {
       buf.clear()
     }
 
-    override def close(errorOrNull: Throwable): Unit = flush()
+    override def close(errorOrNull: Throwable): Unit =
+      if (errorOrNull == null) flush()
+      else {
+        // a failed epoch is retried by Spark from its checkpoint —
+        // emitting the partial buffer here would produce those records
+        // AGAIN on the retry, breaking at-most-once
+        logError(s"epoch failed (${errorOrNull.getMessage}); " +
+          s"discarding ${if (buf == null) 0 else buf.size} unflushed records (at-most-once)")
+        if (buf != null) buf.clear()
+      }
   }
 
   /** Batch/foreachBatch form: produce a DataFrame with `partitionKey`
     * and binary `data` columns; returns the per-record failures as a
     * side-output (partitionKey, data, errorCode, errorMessage).
     *
+    * `retries` is the at-least-once flip (SURVEY §7.5): 0 preserves the
+    * reference's at-most-once contract (failures surfaced, never
+    * resent — main.py:45-49); N > 0 resends ONLY the still-failing
+    * subset of each service batch up to N more times before surfacing
+    * the survivors (route those to a DLQ). Successes are never resent,
+    * so retrying cannot duplicate records within a task; a failed TASK
+    * replayed by Spark re-produces its partition — that is the
+    * at-least-once contract. A production producer would back off
+    * between attempts; the retry loop here is immediate and
+    * deterministic.
+    *
     * Each task produces its own partition's records (no driver
     * collect); the producer factory is invoked per task, matching a
     * per-executor client pool at cluster scale. */
   def produce(df: DataFrame, stream: String,
-      producerFactory: () => RecordProducer): DataFrame = {
+      producerFactory: () => RecordProducer, retries: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val keyIdx = df.schema.fieldIndex("partitionKey")
@@ -70,14 +90,26 @@ object KinesisSink extends Logging {
       val producer = producerFactory()
       val out = ArrayBuffer.empty[(String, Array[Byte], String, String)]
       rows.grouped(producer.maxBatchRecords).foreach { group =>
-        val records = group.map(r => ProducedRecord(r.getString(keyIdx), r.getAs[Array[Byte]](dataIdx)))
-        try {
-          producer.putRecords(stream, records).zip(records).foreach { case (res, rec) =>
-            if (res.failed) out += ((rec.partitionKey, rec.data, res.errorCode, res.errorMessage))
+        var pending: Seq[ProducedRecord] =
+          group.map(r => ProducedRecord(r.getString(keyIdx), r.getAs[Array[Byte]](dataIdx)))
+        var lastFailures: Seq[(ProducedRecord, String, String)] = Nil
+        var attempt = 0
+        while (pending.nonEmpty && attempt <= retries) {
+          val failed = ArrayBuffer.empty[(ProducedRecord, String, String)]
+          try {
+            producer.putRecords(stream, pending).zip(pending).foreach { case (res, rec) =>
+              if (res.failed) failed += ((rec, res.errorCode, res.errorMessage))
+            }
+          } catch {
+            case e: Exception =>
+              pending.foreach(rec => failed += ((rec, "BatchError", e.getMessage)))
           }
-        } catch {
-          case e: Exception =>
-            records.foreach(rec => out += ((rec.partitionKey, rec.data, "BatchError", e.getMessage)))
+          lastFailures = failed.toSeq
+          pending = lastFailures.map(_._1)
+          attempt += 1
+        }
+        lastFailures.foreach { case (rec, code, msg) =>
+          out += ((rec.partitionKey, rec.data, code, msg))
         }
       }
       out.iterator

@@ -63,6 +63,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(SharedStub.failing.records.map(r => new String(r._4, "UTF-8")).sorted == Seq("ok1", "ok2"))
   }
 
+  test("sink writer: failed epoch discards its partial buffer — no replay duplicates (K3/T4)") {
+    val p = new InMemoryRecordProducer()
+    val w = new KinesisSink.Writer(() => p, "s")
+    w.open(0, 0)
+    w.process(("k", "a".getBytes("UTF-8")))
+    // Spark retries a failed epoch from its checkpoint; flushing here
+    // would emit "a" now AND again on the retry
+    w.close(new RuntimeException("task died"))
+    assert(p.records.isEmpty, "partial buffer must not be emitted on error close")
+    w.open(0, 1) // the retried epoch
+    w.process(("k", "a".getBytes("UTF-8")))
+    w.close(null)
+    assert(p.records.map(r => new String(r._4, "UTF-8")) == Seq("a"),
+      "record emitted exactly once across the failed epoch and its retry")
+  }
+
+  test("at-least-once flip: transient per-record failures retried in-task, no loss (SURVEY §7.5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = mem.toDS()
+      .map { case (k, p) => (k, p.getBytes("UTF-8")) }
+      .toDF("partitionKey", "data")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val leftover = KinesisSink.produce(batch, "s", () => SharedStub.flaky, retries = 2).count()
+        SharedStub.flakyLeftover.addAndGet(leftover)
+        ()
+      }
+      .start()
+    mem.addData(("k1", "r1"), ("k1", "r2"), ("k2", "r3"))
+    q.processAllAvailable()
+    q.stop()
+    assert(SharedStub.flakyLeftover.get() == 0, "retries must clear all transient failures")
+    assert(SharedStub.flakyStored.toArray.map(_.toString).sorted.toSeq == Seq("r1", "r2", "r3"),
+      "every record delivered exactly once despite every first attempt failing")
+  }
+
   test("sink: batches split at the service cap (K3)") {
     import spark.implicits._
     val df = (1 to 35).map(i => ("k", s"p$i")).toDF("partitionKey", "payload")
@@ -306,6 +344,19 @@ object SharedStub {
         replayed.add(r.getAs[String]("payload"))
       def close(errorOrNull: Throwable): Unit = ()
     }
+  // every record's FIRST putRecords attempt fails, later ones succeed —
+  // models a throttled service for the at-least-once retry test
+  val flakyAttempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  val flakyStored = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val flakyLeftover = new java.util.concurrent.atomic.AtomicLong(0)
+  val flaky: RecordProducer = new RecordProducer {
+    def putRecords(s: String, recs: Seq[ProducedRecord]): Seq[PutResult] = recs.map { r =>
+      val key = new String(r.data, "UTF-8")
+      val n = flakyAttempts.merge(key, 1, (a, b) => a + b)
+      if (n == 1) PutResult(null, null, "ProvisionedThroughputExceededException", "first attempt throttled")
+      else { flakyStored.add(key); PutResult("1", "shardId-0", null, null) }
+    }
+  }
   val failing = new InMemoryRecordProducer(
     failWhen = r => new String(r.data, "UTF-8").contains("bad"))
   val countingCalls = new java.util.concurrent.atomic.AtomicLong(0)
