@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object Tokenizer {
 
-  private val edgeWs = "^\\s+|\\s+$" // python str.strip equivalent
+  // (?U) = UNICODE_CHARACTER_CLASS so \s covers U+00A0/U+2028-style
+  // whitespace like the reference's str.strip (file_flattener.py:53);
+  // Java \s alone is ASCII-only and would keep such fragments alive
+  private val edgeWs = "(?U)^\\s+|\\s+$"
 
   /** `contentCol` holds the compacted multi-doc string; result has the
     * pass-through `keep` columns plus one `xml` column per document. */

@@ -432,7 +432,7 @@ object AnalyticsQueries {
          |probes AS (SELECT vec_id AS query_id, cid, embedding AS qe, nsq AS qn
          |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crk
          |        FROM pairs WHERE vec_id < 20)
-         |  WHERE crk <= 4),
+         |  WHERE crk <= $IvfProbes),
          |p AS (SELECT q.query_id, c.neighbor_id,
          |    ${cosine(dot("q.qe", "c.embedding"), "q.qn", "c.nsq")} AS sim
          |  FROM probes q JOIN cells c ON q.cid = c.cid AND q.query_id <> c.neighbor_id),

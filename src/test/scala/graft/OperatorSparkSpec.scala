@@ -23,6 +23,18 @@ class OperatorSparkSpec extends AnyFunSuite {
     assert(out.head.startsWith("<a>1"))
   }
 
+  test("tokenizer: unicode-whitespace-only fragments dropped like str.strip (U1/P1)") {
+    import spark.implicits._
+    val tag = "</NS1:message>"
+    // U+00A0 nbsp + U+2028 line separator: Python str.strip removes
+    // both, ASCII \s would not — the fragment must be dropped
+    val content = s"<a>1$tag\u00a0\u2028 \u00a0<a>2$tag"
+    val out = Tokenizer.tokenize(Seq(content).toDF("content"), col("content"), tag)
+      .as[String].collect().sorted
+    assert(out.length == 2, s"unicode-whitespace fragment must not survive, got ${out.toSeq}")
+    assert(out.head.startsWith("<a>1") && out.last.startsWith("<a>2"))
+  }
+
   test("wide projection: dynamic key union with null fill (U6/V1)") {
     import spark.implicits._
     val df = Seq(Map("a" -> "1"), Map("b" -> "2", "a" -> "3")).toDF("fields")
