@@ -54,6 +54,85 @@ object PipelineQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** p03 — S5: whole-object in-memory reads via Spark's `binaryFile`
+    * source (the reference downloads each S3 object fully into memory —
+    * aws_utils.py:61-71). Stage one object per document task-side, read
+    * them back as (path, length, content) rows, and prove the bytes
+    * survived: per-object byte count + decoded prefix vs the table. */
+  def p03BinaryObjects(spark: SparkSession, dir: String): DataFrame = {
+    val path = staging("p03", dir)
+    val root = Paths.get(path)
+    // clean slate: stale objects from an earlier run must not be listed
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    // object staging runs in tasks (foreach), not a driver collect; on
+    // a cluster the target would be shared storage
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"))
+      .foreach { row =>
+        java.nio.file.Files.write(
+          Paths.get(path, f"doc_${row.getLong(0)}%05d.bin"),
+          row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ()
+      }
+    spark.read.format("binaryFile").load(path)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        substring(col("content").cast("string"), 1, 20).as("prefix"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** p04 — P6: the domain-validation predicate as a distributed
+    * classifier: rows are flagged in/out of the declared domain and
+    * counted (the quarantine shape), instead of failing the whole job
+    * the way the reference's driver-side validate_arg does
+    * (decompression.py:24-26). The driver-side guard itself is
+    * [[Partitions.validateArg]], pinned by its own unit test. */
+  def p04DomainGuard(spark: SparkSession, dir: String): DataFrame = {
+    val declared = Seq("click", "view", "purchase", "signup") // 'error' is out-of-domain
+    Tables.events(spark, dir)
+      .withColumn("valid",
+        Partitions.domainFlag(col("event_type"), declared).cast("int"))
+      .groupBy(col("event_type"), col("valid"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** p05 — A2: monotone run counters as Spark accumulators (the
+    * reference's global unpacked/extracted tallies,
+    * decompression.py:20-21,45,50-53). Documents are packed into one
+    * tar archive per 100-id block, extracted with counting
+    * accumulators, and the tallies are emitted as the result row —
+    * checked against the oracle's independent counts. Accumulator
+    * caveat at scale: task retries can over-count inside
+    * transformations; exact under the single action here. */
+  def p05RunCounters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.TarCodec
+    val archA = spark.sparkContext.longAccumulator("graft.archives.unpacked")
+    val memA = spark.sparkContext.longAccumulator("graft.members.extracted")
+    val archives = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 / 100)
+      .mapGroups { (block, rows) =>
+        val entries = rows.map { case (id, text) =>
+          (id.toString, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        (s"arch-$block", TarCodec.archive(entries))
+      }
+    val extracted = TarCodec.extract(archives, Some(archA), Some(memA))
+    // ONE action populates the counters and the data-derived checksum
+    val totalChars = extracted.agg(sum(length(col("content")))).as[Long].head()
+    spark.createDataset(Seq((archA.value.toLong, memA.value.toLong, totalChars)))
+      .toDF("n_archives", "n_members", "total_chars")
+  }
+
   /** q21 — sessionization (30-min gap) via window functions: the batch
     * twin of flatMapGroupsWithState sessionization. */
   def q21Sessionize(spark: SparkSession, dir: String): DataFrame =
@@ -87,6 +166,9 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_partition_prune" -> p01PartitionPrune _,
     "p02_csv_roundtrip"   -> p02CsvRoundtrip _,
+    "p03_binary_objects"  -> p03BinaryObjects _,
+    "p04_domain_guard"    -> p04DomainGuard _,
+    "p05_run_counters"    -> p05RunCounters _,
     "q21_sessionize"      -> q21Sessionize _,
   )
 
@@ -102,6 +184,20 @@ object PipelineQueries {
         |  CAST(p_size AS VARCHAR) AS p_size_str,
         |  CAST(p_retailprice AS VARCHAR) AS p_retailprice_str
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "p03_binary_objects" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  substr(text, 1, 20) AS prefix
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+    "p04_domain_guard" ->
+      """SELECT event_type,
+        |  CAST(event_type IN ('click', 'view', 'purchase', 'signup') AS INT) AS valid,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+    "p05_run_counters" ->
+      """SELECT CAST(COUNT(DISTINCT doc_id // 100) AS BIGINT) AS n_archives,
+        |  COUNT(*) AS n_members,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+        |FROM documents""".stripMargin,
     "q21_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

@@ -22,6 +22,13 @@ object Partitions {
   def validateArg(arg: String, valid: Seq[String]): Unit =
     require(valid.contains(arg), s"Invalid argument: $arg, must be one of $valid")
 
+  /** Distributed twin of [[validateArg]]: a codegen'd membership
+    * predicate for flagging/quarantining out-of-domain rows at scale —
+    * data problems shouldn't fail the whole job the way a bad CLI arg
+    * should. */
+  def domainFlag(c: Column, valid: Seq[String]): Column =
+    c.isin(valid: _*)
+
   /** Hive-style partitioned write; readers get partition pruning for
     * free when filtering on the partition columns. */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String],
