@@ -76,5 +76,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("graft_simhash", 2, exprs)
         graft.expressions.SimHashBits(exprs.head, intParam("graft_simhash", exprs(1)))
       }))
+    // the XML path (reference dispatch: file_flattener.py:156) — SQL
+    // users compose tokenize + flatten with explode, same operators the
+    // Scala API wraps
+    ext.injectFunction((
+      FunctionIdentifier("graft_tokenize"),
+      info("graft_tokenize", "graft_tokenize(content, endTag) - standalone re-terminated XML fragments"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_tokenize", 2, exprs)
+        graft.expressions.GraftTokenize(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_flatten"),
+      info("graft_flatten", "graft_flatten(xml, readingType) - flattened rows as array<map<string,string>>"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_flatten", 2, exprs)
+        graft.expressions.GraftFlatten(exprs.head, exprs(1))
+      }))
   }
 }

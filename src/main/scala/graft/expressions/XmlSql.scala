@@ -1,0 +1,75 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.operators.{Flattener, Tokenizer}
+
+/** SQL front door for the XML path (reference dispatch:
+  * file_flattener.py:156) — `spark.sql` users get the same tokenizer
+  * and flatteners the Scala API composes:
+  *
+  * {{{
+  * SELECT m['vehicleIdentifier']
+  * FROM raw
+  * LATERAL VIEW explode(graft_tokenize(content, '</NS1:message>')) t AS doc
+  * LATERAL VIEW explode(graft_flatten(doc, 'ACOUSTIC')) f AS m
+  * }}}
+  *
+  * Both are eval-mode (CodegenFallback) deliberately: the work is
+  * XML parsing — allocation-dominated, nothing codegen could inline —
+  * and the Scala API's hot path is the composed built-in pipeline
+  * (Tokenizer.tokenize) / flatMap (FlattenOps), which stays codegen'd.
+  */
+
+/** `graft_tokenize(content, endTag)` → ARRAY<STRING> of standalone,
+  * re-terminated XML fragments; whitespace-only fragments are dropped
+  * (U1/P1, reference file_flattener.py:47-55). Same core as
+  * [[graft.operators.Tokenizer.tokenizeString]]. */
+case class GraftTokenize(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokenize"
+
+  override protected def nullSafeEval(content: Any, endTag: Any): Any = {
+    val frags = Tokenizer.tokenizeString(
+      content.asInstanceOf[UTF8String].toString,
+      endTag.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(frags.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftTokenize =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_flatten(xml, readingType)` → ARRAY<MAP<STRING,STRING>>: one
+  * map per flattened row, dispatching per row on readingType exactly
+  * like the reference (signals → one row; vehicleComponent → one row
+  * per component node). Strict mode: a grammar violation fails the
+  * query (E6) — quarantine flows use the Scala-side flattenSafe. */
+case class GraftFlatten(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(MapType(StringType, StringType, valueContainsNull = true), containsNull = false)
+  override def prettyName: String = "graft_flatten"
+
+  override protected def nullSafeEval(xml: Any, readingType: Any): Any = {
+    val flattener = Flattener.forReadingType(readingType.asInstanceOf[UTF8String].toString)
+    val rows = flattener.flatten(xml.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(rows.map { m =>
+      val keys = new GenericArrayData(m.keysIterator.map(UTF8String.fromString).toArray[Any])
+      val values = new GenericArrayData(m.valuesIterator
+        .map(v => if (v == null) null else UTF8String.fromString(v)).toArray[Any])
+      new ArrayBasedMapData(keys, values): Any
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftFlatten =
+    copy(left = newLeft, right = newRight)
+}

@@ -18,6 +18,16 @@ object Tokenizer {
   // whitespace like the reference's str.strip (file_flattener.py:53);
   // Java \s alone is ASCII-only and would keep such fragments alive
   private val edgeWs = "(?U)^\\s+|\\s+$"
+  private val edgeWsPattern = Pattern.compile(edgeWs)
+
+  /** Pure core (one compacted multi-doc string → standalone fragments)
+    * shared by the DataFrame operator below and the SQL-registered
+    * [[graft.expressions.GraftTokenize]]. */
+  def tokenizeString(content: String, endTag: String): Seq[String] =
+    content.split(Pattern.quote(endTag), -1).toSeq
+      .map(f => edgeWsPattern.matcher(f).replaceAll(""))
+      .filter(_.nonEmpty)
+      .map(_ + "\n" + endTag)
 
   /** `contentCol` holds the compacted multi-doc string; result has the
     * pass-through `keep` columns plus one `xml` column per document. */

@@ -29,6 +29,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == want)
   }
 
+  test("XML path reachable from SQL: graft_tokenize + dispatching graft_flatten") {
+    import spark.implicits._
+    val tag = "</NS1:message>"
+    def doc(v: String) =
+      s"""<NS1:message xmlns:NS1="http://uptake.com/bhp/1/sensors"><NS1:messagePayload>""" +
+        s"<NS1:vehicleIdentifier>$v</NS1:vehicleIdentifier>" +
+        s"<NS1:readingCollection><NS1:reading><NS1:attributeName>speed</NS1:attributeName>" +
+        s"<NS1:attributeValue>55</NS1:attributeValue></NS1:reading></NS1:readingCollection>" +
+        s"</NS1:messagePayload>$tag"
+    // compacted multi-doc content with a whitespace-only fragment between
+    Seq(doc("V1") + "\n   \n" + doc("V2")).toDF("content")
+      .createOrReplaceTempView("raw_xml")
+    val got = spark.sql(
+      s"""SELECT m['vehicleIdentifier'] AS vid, m['speed'] AS speed
+         |FROM raw_xml
+         |LATERAL VIEW explode(graft_tokenize(content, '$tag')) t AS xml_doc
+         |LATERAL VIEW explode(graft_flatten(xml_doc, 'ACOUSTIC')) f AS m
+         |ORDER BY vid""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("V1", "55"), ("V2", "55")))
+    // SQL tokenize ≡ the DataFrame operator's built-in pipeline
+    val viaOp = graft.operators.Tokenizer.tokenize(
+      spark.table("raw_xml"), org.apache.spark.sql.functions.col("content"), tag)
+      .as[String].collect().sorted.toSeq
+    val viaSql = spark.sql(
+      s"SELECT xml_doc FROM raw_xml LATERAL VIEW explode(graft_tokenize(content, '$tag')) t AS xml_doc")
+      .as[String].collect().sorted.toSeq
+    assert(viaOp == viaSql)
+  }
+
   test("graft_shingle_hashes + graft_minhash_sig compose in SQL") {
     import spark.implicits._
     val sig = spark.sql(
