@@ -169,6 +169,37 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Embedding near-dup at scale: banded random-hyperplane LSH
+    * blocking. The vector is hashed once with bands×planesPerBand
+    * hyperplanes ([[graft.functions.Vectors.lshBucket]]); each band's
+    * slice of sign bits is a bucket key, and a pair is a candidate iff
+    * some band bucket matches (multi-band = recall, same shape as
+    * MinHash banding). Candidates are verified with exact cosine.
+    * No labels, no id windows — candidate cost is band-bucket
+    * occupancy², the same 100 TB shape as d03. Output: (i, j, sim)
+    * for every candidate pair. */
+  def embeddingLshPairs(df: DataFrame, idCol: Column, vecCol: Column,
+      bands: Int, planesPerBand: Int): DataFrame = {
+    require(bands * planesPerBand <= 62, "sign bits must fit a long")
+    import graft.functions.Vectors
+    val e = df.select(idCol.as("id"), vecCol.as("vec"))
+      .withColumn("nsq", Vectors.normSq(col("vec")))
+      .withColumn("allbits", Vectors.lshBucket(col("vec"), bands * planesPerBand))
+    val banded = e.select(col("id"), col("vec"), col("nsq"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"), col("allbits"))
+      .withColumn("bk", expr(
+        s"allbits div cast(power(2, b * $planesPerBand) as bigint) % ${1 << planesPerBand}"))
+      .drop("allbits")
+    val a = banded.toDF("i", "ea", "na", "b", "bk")
+    val c = banded.toDF("j", "eb", "nb", "b", "bk")
+    a.join(c, Seq("b", "bk"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("ea"), col("na"), col("eb"), col("nb"))
+      .dropDuplicates("i", "j")
+      .withColumn("sim", Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .select(col("i"), col("j"), col("sim"))
+  }
+
   /** `bits`-bit SimHash over word-frequency votes: bit b is set iff
     * Σ_words (±1 by bit b of the word hash) ≥ 0. Takes pre-computed
     * word hashes so each word is hashed once, not once per bit. */

@@ -48,6 +48,18 @@ object AnalyticsQueries {
 
     def cosine(dotE: String, na: String, nb: String): String =
       s"$dotE / (sqrt($na) * sqrt($nb))"
+
+    /** `n`-plane sign bits over the `embedding` column — the DuckDB
+      * twin of Vectors.lshBucket (outer lambda binds j, inner binds i;
+      * distinct names so DuckDB's innermost-binding rule is safe). */
+    def lshBits(n: Int): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $n), j -> " +
+        "CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * " +
+        "(CASE WHEN (xor((i-1)*73856093, j*19349663) >> 6) & 1 = 0 " +
+        "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))), " +
+        "(x,y) -> x+y) >= 0 " +
+        "THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), (x,y) -> x+y)"
   }
 
   // ---------------------------------------------------------------- dedup
@@ -110,6 +122,20 @@ object AnalyticsQueries {
       .withColumn("sim", Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb")))
       .orderBy(col("sim").desc, col("i"), col("j"))
       .limit(40)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("i"), col("j"))))
+      .select(col("rank"), col("i"), col("j"))
+  }
+
+  /** d08 — embedding near-dup, the scale path: banded hyperplane-LSH
+    * blocking (3 bands × 6 planes) with exact cosine verify — unlike
+    * d05's label-blocked window, this needs no labels and its
+    * candidate cost is band-bucket occupancy². Top-25 pairs by cosine
+    * (ids only; the fold is IEEE-identical cross-engine). */
+  def d08EmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.embeddingLshPairs(Tables.embeddings(spark, dir),
+      col("vec_id"), col("embedding"), bands = 3, planesPerBand = 6)
+    pairs.orderBy(col("sim").desc, col("i"), col("j")).limit(25)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("sim").desc, col("i"), col("j"))))
       .select(col("rank"), col("i"), col("j"))
@@ -272,6 +298,7 @@ object AnalyticsQueries {
     "d06_simhash_pairs" -> d06SimhashPairs _,
     "d07_dup_clusters"  -> d07DupClusters _,
     "d05_embedding_dup" -> d05EmbeddingDup _,
+    "d08_embedding_lsh" -> d08EmbeddingLsh _,
     "a01_bruteforce_topk" -> a01BruteForceTopK _,
     "a02_lsh_ann"       -> a02LshAnn _,
     "a03_ivf_ann"       -> a03IvfAnn _,
@@ -385,6 +412,19 @@ object AnalyticsQueries {
          |  FROM e a JOIN e b ON a.label = b.label AND b.vec_id > a.vec_id
          |    AND b.vec_id - a.vec_id <= 50),
          |top AS (SELECT i, j, sim FROM p ORDER BY sim DESC, i, j LIMIT 40)
+         |SELECT ROW_NUMBER() OVER (ORDER BY sim DESC, i, j) AS rank, i, j
+         |FROM top ORDER BY rank""".stripMargin,
+    "d08_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSq("embedding")} AS nsq,
+         |  ${lshBits(18)} AS allbits FROM embeddings),
+         |banded AS (SELECT vec_id, embedding, nsq, allbits, unnest(range(0, 3)) AS b FROM e),
+         |fl AS (SELECT vec_id, embedding, nsq, b,
+         |  (allbits // CAST(power(2, b*6) AS BIGINT)) % 64 AS bk FROM banded),
+         |cand AS (SELECT DISTINCT a.vec_id AS i, c.vec_id AS j,
+         |    a.embedding AS ea, a.nsq AS na, c.embedding AS eb, c.nsq AS nb
+         |  FROM fl a JOIN fl c ON a.b = c.b AND a.bk = c.bk AND a.vec_id < c.vec_id),
+         |p AS (SELECT i, j, ${cosine(dot("ea", "eb"), "na", "nb")} AS sim FROM cand),
+         |top AS (SELECT i, j, sim FROM p ORDER BY sim DESC, i, j LIMIT 25)
          |SELECT ROW_NUMBER() OVER (ORDER BY sim DESC, i, j) AS rank, i, j
          |FROM top ORDER BY rank""".stripMargin,
     "a01_bruteforce_topk" ->

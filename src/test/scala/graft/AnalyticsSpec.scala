@@ -114,6 +114,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("embeddingLshPairs: identical vectors collide in every band, sim = 1") {
+    import spark.implicits._
+    val v = (0 until 16).map(i => math.sin(i + 1).toFloat)
+    val u = (0 until 16).map(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((1L, v), (2L, v), (3L, u)).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingLshPairs(df, col("vec_id"), col("embedding"),
+        bands = 3, planesPerBand = 6)
+      .as[(Long, Long, Double)].collect()
+    val identical = got.find(p => p._1 == 1L && p._2 == 2L)
+    assert(identical.isDefined, s"identical vectors must be candidates, got ${got.toSeq}")
+    assert(math.abs(identical.get._3 - 1.0) < 1e-12)
+  }
+
   test("cosine: orthogonal → 0, identical → 1") {
     import spark.implicits._
     val df = Seq((Seq(1f, 0f), Seq(0f, 1f), Seq(1f, 0f))).toDF("a", "b", "c")
