@@ -67,6 +67,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected partial+final max_by aggregate:\n$p")
   }
 
+  test("d08: LSH blocking joins on band buckets — never a cartesian product") {
+    val p = planOf(graft.queries.AnalyticsQueries.d08EmbeddingLsh(spark, dir))
+    // the whole point of LSH blocking is an equi-join on (band, bucket);
+    // a cartesian/nested-loop here means candidates degraded to n²
+    assert(!p.contains("CartesianProduct"), s"LSH candidates went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"LSH candidates went nested-loop:\n$p")
+  }
+
   test("whole-stage codegen covers the native hash expression") {
     val df = Tables.documents(spark, dir)
       .select(graft.expressions.PolyHash(col("text")).as("fp"))
