@@ -67,4 +67,42 @@ object Multimodal {
       }
     }
   }
+
+  final case class FrameFeatures(media_id: Long, n_frames: Long, frame_idx: Long,
+      checksum: Long)
+
+  /** Frame sampling — the video path's 1-payload → N-sampled-frames
+    * op. The stub "codec" treats the decoded payload as fixed-size
+    * code-point frames (`frameCp` each); a real video decoder replaces
+    * only the slicing. Stride sampling capped at `maxFrames` keeps
+    * output rows linear in media COUNT, not media LENGTH — the shape
+    * that matters when one corrupt 10-hour file would otherwise emit
+    * millions of rows. Narrow flatMap: no shuffle, no driver data. */
+  def sampleFrames(df: DataFrame, frameCp: Int, stride: Int,
+      maxFrames: Int): Dataset[FrameFeatures] = {
+    require(frameCp > 0 && stride > 0 && maxFrames > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val s = new String(r.getAs[Array[Byte]](payloadIdx),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // code-point slicing (not UTF-16 units) so frame boundaries
+        // match character-addressed decoders and the SQL oracle
+        val totalCp = s.codePointCount(0, s.length)
+        val nFrames = (totalCp.toLong + frameCp - 1) / frameCp
+        Iterator.range(0L, nFrames, stride.toLong).take(maxFrames).map { k =>
+          val fromCp = (k * frameCp).toInt
+          val a = s.offsetByCodePoints(0, fromCp)
+          val b = s.offsetByCodePoints(0, math.min(fromCp + frameCp, totalCp))
+          val checksum = graft.expressions.PolyHash.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(a, b)))
+          FrameFeatures(id, nFrames, k, checksum)
+        }
+      }
+    }
+  }
 }

@@ -290,6 +290,30 @@ object AnalyticsQueries {
       .orderBy(col("media_id"))
   }
 
+  /** m02 — frame sampling: 1 payload → ≤5 stride-2 sampled frames of
+    * 64 code points each, per-frame checksum. Output is linear in
+    * media count, not media length. */
+  def m02FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.asPayload(Tables.documents(spark, dir),
+      col("doc_id"), col("text"), lit("video"))
+    Multimodal.sampleFrames(payloads, frameCp = 64, stride = 2, maxFrames = 5).toDF()
+      .select(col("media_id").as("doc_id"), col("n_frames"),
+        col("frame_idx"), col("checksum"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** p06 — deterministic hash sampling (the training-pipeline "take a
+    * reproducible 10% slice" op): membership = polyHash(id) % 10, so
+    * the same rows are sampled on any engine, any run, any partition
+    * layout — unlike rand()-based sampling. */
+  def p06HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(pmod(TF.polyHash(col("doc_id").cast("string")), lit(10)) === 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> d01ExactDedup _,
     "d02_ngram_jaccard" -> d02NgramJaccard _,
@@ -308,6 +332,8 @@ object AnalyticsQueries {
     "t04_fingerprint"   -> t04Fingerprint _,
     "t05_bpe_tokens"    -> t05BpeTokens _,
     "m01_multimodal"    -> m01Multimodal _,
+    "m02_frame_sample"  -> m02FrameSample _,
+    "p06_hash_sample"   -> p06HashSample _,
   )
 
   import Sql._
@@ -526,5 +552,18 @@ object AnalyticsQueries {
          |  CAST(unicode(substring(text, 1, 1)) AS INT) AS first_cp,
          |  ${polyHash("text")} AS checksum
          |FROM documents ORDER BY media_id""".stripMargin,
+    "m02_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |    CAST(CEIL(LENGTH(text) / 64.0) AS BIGINT) AS n_frames FROM documents),
+         |k AS (SELECT doc_id, text, n_frames,
+         |    unnest(range(0, LEAST(5, (n_frames + 1) // 2))) AS ki FROM f)
+         |SELECT doc_id, n_frames, ki * 2 AS frame_idx,
+         |  ${polyHash("substr(text, CAST(ki*2*64+1 AS BIGINT), 64)")} AS checksum
+         |FROM k ORDER BY doc_id, frame_idx""".stripMargin,
+    "p06_hash_sample" ->
+      s"""SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM documents
+         |WHERE ${polyHash("CAST(doc_id AS VARCHAR)")} % 10 = 0
+         |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

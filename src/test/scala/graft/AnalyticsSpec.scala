@@ -146,6 +146,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(f.checksum == "abc".foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L))
   }
 
+  test("multimodal frame sampling: stride/cap honored, code-point slicing") {
+    import spark.implicits._
+    // 300 cps → 5 frames of 64; stride 2 samples frames 0,2,4; cap 2 keeps 0,2
+    val text = "ab" * 150
+    val df = Multimodal.asPayload(Seq((7L, text)).toDF("id", "t"),
+      col("id"), col("t"), lit("video"))
+    val all = Multimodal.sampleFrames(df, frameCp = 64, stride = 2, maxFrames = 5)
+      .collect().sortBy(_.frame_idx)
+    assert(all.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L))
+    assert(all.forall(_.n_frames == 5L))
+    val capped = Multimodal.sampleFrames(df, frameCp = 64, stride = 2, maxFrames = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(capped.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    // frame 4 is the 300-cp tail (44 cps) — checksum over the short slice
+    val tail = all.find(_.frame_idx == 4L).get
+    val want = graft.expressions.PolyHash.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text.substring(256)))
+    assert(tail.checksum == want)
+  }
+
   test("langId: marker-word heuristic with priority tie-break") {
     import spark.implicits._
     val got = Seq("the cat and the dog is here", "der hund ist ein tier und so",
