@@ -142,9 +142,13 @@ object Dedup {
     * Input: (i, j) pairs; output: (doc_id, cluster_id) for every doc
     * appearing in a pair. */
   def dupClusters(pairs: DataFrame): DataFrame = {
-    val nodes = pairs.select(col("i").as("doc_id"))
-      .union(pairs.select(col("j").as("doc_id"))).distinct()
-    var e = pairs.select(col("i"), col("j"))
+    // materialize the pair set once — its producer is typically an
+    // expensive candidate pipeline (LSH join + verify) that must not
+    // re-run for the node list, the initial edges, and every round
+    val p0 = pairs.select(col("i"), col("j")).localCheckpoint()
+    val nodes = p0.select(col("i").as("doc_id"))
+      .union(p0.select(col("j").as("doc_id"))).distinct()
+    var e = p0
       .filter(col("i") =!= col("j"))
       .select(greatest(col("i"), col("j")).as("u"), least(col("i"), col("j")).as("v"))
       .distinct()
