@@ -140,11 +140,77 @@ object StreamingQueries {
     spark.table(name).orderBy(col("partition_id"))
   }
 
+  /** JVM-shared sink state for s05: the producer must be one instance
+    * across tasks (closures serialize even in local mode), and the
+    * transient-failure injector needs a shared attempt count per
+    * record. In-proc demo sink, same caveat as s01. */
+  private object S05 {
+    import java.util.concurrent.ConcurrentHashMap
+    val holders = new ConcurrentHashMap[String, InMemoryRecordProducer]()
+    private val attempts = new ConcurrentHashMap[String, Integer]()
+    def producer(key: String): InMemoryRecordProducer =
+      holders.computeIfAbsent(key, _ => new InMemoryRecordProducer(nShards = 4,
+        failWhen = r => {
+          val pay = key + "/" + new String(r.data, java.nio.charset.StandardCharsets.UTF_8)
+          // every fifth payload (by hash) fails its FIRST attempt only —
+          // a deterministic throttled-service model
+          math.floorMod(pay.hashCode, 5) == 0 &&
+            attempts.merge(pay, 1, (a, b) => a + b) == 1
+        }))
+    def drop(key: String): Unit = {
+      holders.remove(key)
+      attempts.keySet.removeIf(_.startsWith(key + "/"))
+    }
+  }
+
+  /** s05 — the pipeline end-to-end in streaming form: the REAL replay
+    * source feeds foreachBatch, which produces every record to the
+    * keyed sink with the at-least-once flip ON (retries = 2) while a
+    * deterministic fault injector throttles every fifth record's first
+    * attempt. The sink's final contents must equal the batch
+    * aggregate — converged, no loss, no duplicates (successes are
+    * never resent). */
+  def s05StreamPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = s"s05_${System.nanoTime()}"
+    val stream = spark.readStream.format("graft-replay")
+      .option("path", s"$dir/events.parquet")
+      .option("nanosAsLong", "true")
+      .option("tsMillisExpr", "ts DIV 1000000")
+      .option("keyExpr", "event_type")
+      .option("payloadExpr", "props")
+      .option("maxGroupsPerTrigger", "1000000")
+      .load()
+    val q = stream
+      .select(col("partition_key").as("partitionKey"),
+        col("payload").cast("binary").as("data"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val leftover = KinesisSink.produce(
+          batch, "graft-stream", () => S05.producer(key), retries = 2).count()
+        require(leftover == 0,
+          s"at-least-once retries must clear transient failures, $leftover left")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = S05.producer(key).records.map { case (_, k, _, data) =>
+      (k, new String(data, java.nio.charset.StandardCharsets.UTF_8))
+    }
+    S05.drop(key)
+    spark.createDataset(got).toDF("partition_id", "payload")
+      .groupBy(col("partition_id"))
+      .agg(count(lit(1)).as("n"), min(col("payload")).as("min_payload"),
+        max(col("payload")).as("max_payload"))
+      .orderBy(col("partition_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_replay_sink"  -> s01ReplaySink _,
     "s02_stream_window" -> s02StreamWindow _,
     "s03_stateful_counts" -> s03StatefulCounts _,
     "s04_replay_source" -> s04ReplaySource _,
+    "s05_stream_pipeline" -> s05StreamPipeline _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -159,6 +225,12 @@ object StreamingQueries {
       """SELECT event_type, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s04_replay_source" ->
+      """SELECT event_type AS partition_id,
+        |  COUNT(*) AS n, MIN(props) AS min_payload, MAX(props) AS max_payload
+        |FROM events GROUP BY event_type ORDER BY partition_id""".stripMargin,
+    // delivered-exactly despite injected transient failures → the sink
+    // holds precisely the events table
+    "s05_stream_pipeline" ->
       """SELECT event_type AS partition_id,
         |  COUNT(*) AS n, MIN(props) AS min_payload, MAX(props) AS max_payload
         |FROM events GROUP BY event_type ORDER BY partition_id""".stripMargin,
