@@ -69,6 +69,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `maxGroupsPerTrigger` admission cap (default 10000)
   *   - `nanosAsLong`     read TIMESTAMP(NANOS) columns as BIGINT during
   *                       staging (scoped: the session conf is restored)
+  *   - `stagingDir`      root for the scratch snapshot. On a real
+  *                       cluster this MUST be shared storage (HDFS/S3)
+  *                       so executors can read it; the default
+  *                       (java.io.tmpdir) is only valid in local mode
   */
 class ReplaySource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-replay"
@@ -230,7 +234,7 @@ class ReplayMicroBatchStream(
     * main.py:39-44) and cumulative row count (for ReadMaxRows).
     * Everything here is one entry per group/file: metadata-scale. */
   private case class Staged(
-      dir: java.nio.file.Path,
+      dir: String,
       files: Array[(String, Long, Long)], // (path, tsMin, tsMax)
       ts: Array[Long], due: Array[Long], cumRows: Array[Long])
 
@@ -238,7 +242,9 @@ class ReplayMicroBatchStream(
 
   private lazy val staged: Staged = {
     import org.apache.spark.sql.functions.col
-    val dir = java.nio.file.Files.createTempDirectory("graft_replay_stage_")
+    val root = Option(options.get("stagingDir"))
+      .getOrElse(sys.props("java.io.tmpdir"))
+    val dir = s"$root/graft_replay_stage_${java.util.UUID.randomUUID()}"
     // scope the NANOS-as-BIGINT legacy conf to the staging read; the
     // snapshot itself is plain BIGINT so nothing later needs the conf
     val confKey = "spark.sql.legacy.parquet.nanosAsLong"
@@ -256,14 +262,14 @@ class ReplayMicroBatchStream(
       projected
         .repartitionByRange(nFiles, col("ts_ms"))
         .sortWithinPartitions("ts_ms")
-        .write.mode("overwrite").parquet(dir.toString)
+        .write.mode("overwrite").parquet(dir)
     } finally {
       if (nanosAsLong) prev match {
         case Some(v) => spark.conf.set(confKey, v)
         case None    => spark.conf.unset(confKey)
       }
     }
-    val snapshot = spark.read.parquet(dir.toString)
+    val snapshot = spark.read.parquet(dir)
     val grouped = snapshot.groupBy(col("ts_ms")).count()
       .orderBy(col("ts_ms")).collect() // one row per distinct ts: metadata
     val ts = grouped.map(_.getLong(0))
@@ -411,13 +417,14 @@ class ReplayMicroBatchStream(
 
   override def stop(): Unit = {
     // best-effort scratch cleanup; stagedRef stays null if staging
-    // never ran (referencing the lazy val here would trigger it)
+    // never ran (referencing the lazy val here would trigger it).
+    // Hadoop FS API so shared-storage staging roots clean up too.
     val s = stagedRef
     if (s != null) {
       try {
-        import java.nio.file.Files
-        Files.walk(s.dir).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
+        val p = new HPath(s.dir)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        ()
       } catch { case _: Throwable => () }
     }
   }
