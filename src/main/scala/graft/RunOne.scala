@@ -27,6 +27,19 @@ object RunOne {
     if (args.length > 2 && args(2) == "explain") df.explain("formatted")
     val n = df.count()
     println(f"[runone] $name rows=$n took ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // "dump:<dir>" writes <dir>/<name> parquet + oracle_sql.json so
+    // tools/selfcheck.py can gate a single query
+    args.find(_.startsWith("dump:")).map(_.stripPrefix("dump:")).foreach { out =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+      val sql = SparkEntry.oracleSql(name)
+        .flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+          case '\r' => "\\r"; case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+        }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/oracle_sql.json"),
+        s"""{"$name": "$sql"}""")
+    }
     spark.stop()
   }
 }

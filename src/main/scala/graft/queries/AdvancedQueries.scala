@@ -81,8 +81,14 @@ object AdvancedQueries {
     * over one supplier-partitioned ordering (single shuffle). */
   def q27WindowFrames(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // l_quantity tie-break: the synthetic data can repeat an
+    // (orderkey, linenumber) pair (1 instance at sf0.1), and engines
+    // order such ties differently — the running sum then differs
+    // mid-tie. With quantity in the ordering, prefix sums are
+    // well-defined even for fully duplicated rows.
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
     // lead/ntile take the plain ordering spec (Spark rejects them over
     // an explicit rows frame); the running sum gets the rows frame
     li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -159,7 +165,7 @@ object AdvancedQueries {
         |  LEAD(l_orderkey, 1) OVER w AS next_orderkey,
         |  NTILE(4) OVER w AS quartile
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q22_salted_join" ->
