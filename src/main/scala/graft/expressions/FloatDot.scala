@@ -1,0 +1,45 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native dot product over two `array<float>` embeddings: strictly
+  * sequential ascending-index double accumulation — bitwise identical
+  * to the HOF `zip_with`/`aggregate` form (`Vectors.dotHof`, pinned by
+  * AnalyticsSpec) and to the DuckDB oracle's `list_reduce` twin, so
+  * cosine RANKINGS stay engine-stable while the per-pair cost drops
+  * from interpreted-lambda-per-element to one codegen'd loop. Length
+  * mismatch truncates to the shorter array (zip_with semantics would
+  * null-pad; embeddings are fixed-width so neither path is ever
+  * exercised — truncation keeps the loop branch-free). */
+case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_float_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FloatDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.FloatDot.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatDot {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+}

@@ -188,18 +188,25 @@ object Dedup {
     import graft.functions.Vectors
     val e = df.select(idCol.as("id"), vecCol.as("vec"))
       .withColumn("nsq", Vectors.normSq(col("vec")))
+    // band rows carry ONLY (id, band, key) — same discipline as the
+    // MinHash path: the bucket shuffle and candidate self-join must
+    // move ids + short keys, never the embedding arrays (at sf0.1 this
+    // was measured 4×: vectors through the distinct dominated)
+    val banded = e
       .withColumn("allbits", Vectors.lshBucket(col("vec"), bands * planesPerBand))
-    val banded = e.select(col("id"), col("vec"), col("nsq"),
-        explode(sequence(lit(0), lit(bands - 1))).as("b"), col("allbits"))
+      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("b"), col("allbits"))
       .withColumn("bk", expr(
         s"allbits div cast(power(2, b * $planesPerBand) as bigint) % ${1 << planesPerBand}"))
-      .drop("allbits")
-    val a = banded.toDF("i", "ea", "na", "b", "bk")
-    val c = banded.toDF("j", "eb", "nb", "b", "bk")
-    a.join(c, Seq("b", "bk"))
+      .select(col("id"), col("b"), col("bk"))
+    val cand = banded.toDF("i", "b", "bk")
+      .join(banded.toDF("j", "b", "bk"), Seq("b", "bk"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j"), col("ea"), col("na"), col("eb"), col("nb"))
-      .dropDuplicates("i", "j")
+      .select(col("i"), col("j")).distinct()
+    // embeddings join back only for the (small) candidate set; column
+    // pruning keeps the LSH hash out of these projections
+    cand
+      .join(e.select(col("id").as("i"), col("vec").as("ea"), col("nsq").as("na")), Seq("i"))
+      .join(e.select(col("id").as("j"), col("vec").as("eb"), col("nsq").as("nb")), Seq("j"))
       .withColumn("sim", Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb")))
       .select(col("i"), col("j"), col("sim"))
   }

@@ -128,13 +128,14 @@ object AnalyticsQueries {
   }
 
   /** d08 — embedding near-dup, the scale path: banded hyperplane-LSH
-    * blocking (3 bands × 6 planes) with exact cosine verify — unlike
-    * d05's label-blocked window, this needs no labels and its
-    * candidate cost is band-bucket occupancy². Top-25 pairs by cosine
-    * (ids only; the fold is IEEE-identical cross-engine). */
+    * blocking (3 bands × 10 planes — 1024 buckets per band, the d06
+    * simhash banding shape) with exact cosine verify — unlike d05's
+    * label-blocked window, this needs no labels and its candidate
+    * cost is band-bucket occupancy². Top-25 pairs by cosine (ids
+    * only; the fold is IEEE-identical cross-engine). */
   def d08EmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.embeddingLshPairs(Tables.embeddings(spark, dir),
-      col("vec_id"), col("embedding"), bands = 3, planesPerBand = 6)
+      col("vec_id"), col("embedding"), bands = 3, planesPerBand = 10)
     pairs.orderBy(col("sim").desc, col("i"), col("j")).limit(25)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("sim").desc, col("i"), col("j"))))
@@ -442,10 +443,10 @@ object AnalyticsQueries {
          |FROM top ORDER BY rank""".stripMargin,
     "d08_embedding_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${normSq("embedding")} AS nsq,
-         |  ${lshBits(18)} AS allbits FROM embeddings),
+         |  ${lshBits(30)} AS allbits FROM embeddings),
          |banded AS (SELECT vec_id, embedding, nsq, allbits, unnest(range(0, 3)) AS b FROM e),
          |fl AS (SELECT vec_id, embedding, nsq, b,
-         |  (allbits // CAST(power(2, b*6) AS BIGINT)) % 64 AS bk FROM banded),
+         |  (allbits // CAST(power(2, b*10) AS BIGINT)) % 1024 AS bk FROM banded),
          |cand AS (SELECT DISTINCT a.vec_id AS i, c.vec_id AS j,
          |    a.embedding AS ea, a.nsq AS na, c.embedding AS eb, c.nsq AS nb
          |  FROM fl a JOIN fl c ON a.b = c.b AND a.bk = c.bk AND a.vec_id < c.vec_id),

@@ -114,6 +114,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("native dot/normSq match the HOF formulations bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.Vectors
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 50).map { _ =>
+      ((0 until 64).map(_ => (rnd.nextGaussian() * 2).toFloat),
+        (0 until 64).map(_ => (rnd.nextGaussian() * 2).toFloat))
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+        Vectors.dot(col("a"), col("b")).as("d1"),
+        Vectors.dotHof(col("a"), col("b")).as("d2"),
+        Vectors.normSq(col("a")).as("n1"),
+        Vectors.normSqHof(col("a")).as("n2"))
+      .as[(Double, Double, Double, Double)].collect()
+    // bitwise equality, not tolerance — the oracle hash-gate needs it
+    assert(got.forall(r => r._1 == r._2 && r._3 == r._4),
+      s"native != HOF: ${got.find(r => r._1 != r._2 || r._3 != r._4)}")
+  }
+
+  test("native hyperplane bits match the HOF formulation bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.Vectors
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 50).map(_ => (0 until 64).map(_ => (rnd.nextGaussian() * 3).toFloat))
+    val df = vecs.map(v => Tuple1(v)).toDF("v")
+    for (planes <- Seq(8, 18, 30)) {
+      val got = df.select(Vectors.lshBucket(col("v"), planes).as("a"),
+          Vectors.lshBucketHof(col("v"), planes).as("b"))
+        .as[(Long, Long)].collect()
+      assert(got.forall(p => p._1 == p._2),
+        s"native != HOF at $planes planes: ${got.find(p => p._1 != p._2)}")
+    }
+  }
+
   test("embeddingLshPairs: identical vectors collide in every band, sim = 1") {
     import spark.implicits._
     val v = (0 until 16).map(i => math.sin(i + 1).toFloat)
