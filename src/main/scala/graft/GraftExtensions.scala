@@ -76,6 +76,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("graft_simhash", 2, exprs)
         graft.expressions.SimHashBits(exprs.head, intParam("graft_simhash", exprs(1)))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_bits"),
+      info("graft_hyperplane_bits", "graft_hyperplane_bits(array<float>, nPlanes) - LSH sign bits"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_hyperplane_bits", 2, exprs)
+        graft.expressions.HyperplaneBits(exprs.head, intParam("graft_hyperplane_bits", exprs(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_float_dot"),
+      info("graft_float_dot", "graft_float_dot(array<float>, array<float>) - IEEE-ordered dot product"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_float_dot", 2, exprs)
+        graft.expressions.FloatDot(exprs.head, exprs(1))
+      }))
     // the XML path (reference dispatch: file_flattener.py:156) — SQL
     // users compose tokenize + flatten with explode, same operators the
     // Scala API wraps

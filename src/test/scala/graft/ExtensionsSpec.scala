@@ -59,6 +59,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaOp == viaSql)
   }
 
+  test("vector primitives usable from SQL, match the Column API") {
+    import spark.implicits._
+    val (d, b) = spark.sql(
+      """SELECT graft_float_dot(array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)),
+        |                       array(CAST(4.0 AS FLOAT), CAST(0.5 AS FLOAT))),
+        |       graft_hyperplane_bits(array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)), 8)
+        |""".stripMargin).as[(Double, Long)].head()
+    assert(d == 1.5 * 4.0 + (-2.0) * 0.5)
+    val viaApi = Seq(Tuple1(Seq(1.0f, 1.0f))).toDF("v")
+      .select(graft.functions.Vectors.lshBucket(org.apache.spark.sql.functions.col("v"), 8))
+      .as[Long].head()
+    assert(b == viaApi)
+  }
+
   test("graft_shingle_hashes + graft_minhash_sig compose in SQL") {
     import spark.implicits._
     val sig = spark.sql(
