@@ -68,6 +68,42 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(media_id: Long, orig_len: Long, resized_len: Long,
+      checksum: Long)
+
+  /** Resize — the image path's downsample op as a stub "codec": keep
+    * every `stride`-th code point of the decoded payload (a real
+    * resizer replaces the sampling kernel only; the 1:1-row shape,
+    * binary-in → features-out contract, and narrow no-shuffle stage
+    * are the part that matters at scale). */
+  def resize(df: DataFrame, stride: Int): Dataset[ResizedMedia] = {
+    require(stride > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val s = new String(r.getAs[Array[Byte]](payloadIdx),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        var cp = 0
+        while (i < s.length) {
+          val c = s.codePointAt(i)
+          if (cp % stride == 0) sb.appendCodePoint(c)
+          cp += 1
+          i += Character.charCount(c)
+        }
+        val resized = sb.toString
+        ResizedMedia(r.getLong(idIdx), cp.toLong,
+          resized.codePointCount(0, resized.length).toLong,
+          graft.expressions.PolyHash.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(resized)))
+      }
+    }
+  }
+
   final case class FrameFeatures(media_id: Long, n_frames: Long, frame_idx: Long,
       checksum: Long)
 

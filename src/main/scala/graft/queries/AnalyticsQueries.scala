@@ -303,6 +303,17 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** m03 — resize: 2:1 code-point downsample of every payload with
+    * length + checksum of the result (1:1 rows, linear cost). */
+  def m03Resize(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.asPayload(Tables.documents(spark, dir),
+      col("doc_id"), col("text"), lit("image"))
+    Multimodal.resize(payloads, stride = 2).toDF()
+      .select(col("media_id").as("doc_id"), col("orig_len"),
+        col("resized_len"), col("checksum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** p06 — deterministic hash sampling (the training-pipeline "take a
     * reproducible 10% slice" op): membership = polyHash(id) % 10, so
     * the same rows are sampled on any engine, any run, any partition
@@ -334,6 +345,7 @@ object AnalyticsQueries {
     "t05_bpe_tokens"    -> t05BpeTokens _,
     "m01_multimodal"    -> m01Multimodal _,
     "m02_frame_sample"  -> m02FrameSample _,
+    "m03_resize"        -> m03Resize _,
     "p06_hash_sample"   -> p06HashSample _,
   )
 
@@ -561,6 +573,14 @@ object AnalyticsQueries {
          |SELECT doc_id, n_frames, ki * 2 AS frame_idx,
          |  ${polyHash("substr(text, CAST(ki*2*64+1 AS BIGINT), 64)")} AS checksum
          |FROM k ORDER BY doc_id, frame_idx""".stripMargin,
+    "m03_resize" ->
+      s"""WITH r AS (SELECT doc_id, LENGTH(text) AS orig_len,
+         |  array_to_string(list_transform(range(1, LENGTH(text)+1, 2),
+         |    _ri -> substring(text, CAST(_ri AS BIGINT), 1)), '') AS resized
+         |  FROM documents)
+         |SELECT doc_id, orig_len, LENGTH(resized) AS resized_len,
+         |  ${polyHash("resized")} AS checksum
+         |FROM r ORDER BY doc_id""".stripMargin,
     "p06_hash_sample" ->
       s"""SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM documents
