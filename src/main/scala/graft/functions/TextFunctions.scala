@@ -89,4 +89,24 @@ object TextFunctions {
 
   /** Document fingerprint: polynomial hash of the full normalized text. */
   def fingerprint(text: Column): Column = polyHash(trim(text))
+
+  /** PII redaction patterns — RE2-compatible (no backrefs/lookaround)
+    * so the Java and DuckDB regex engines match identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3,}"
+
+  /** Redact emails/phones (training pipelines scrub PII before
+    * tokenization). regexp_replace replaces every occurrence. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** ALL n-word shingles (multiset, positions 1..len-n — same
+    * enumeration as [[wordShingles]] but without the distinct), for
+    * repetition analysis where multiplicity is the signal. */
+  def wordShinglesAll(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) < n + 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - n),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+  }
 }

@@ -280,6 +280,34 @@ object AnalyticsQueries {
       .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** t07 — PII redaction: emails/phones synthesized deterministically
+    * onto each doc, scrubbed with RE2-compatible patterns (identical
+    * Java/DuckDB semantics), verified by occurrence counts and a
+    * checksum of the redacted text. */
+  def t07Redact(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"), lit(" contact u"), col("doc_id"),
+        lit("@example.org or 555-"), col("doc_id"), lit("00")).as("t"))
+    withPii.select(col("doc_id"),
+        TF.polyHash(TF.redactPii(col("t"))).as("redacted_fp"),
+        regexp_count(col("t"), lit(TF.EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(TF.PhoneRe)).cast("long").as("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t08 — repetition analysis (the Dolma/RedPajama-style quality
+    * signal): max multiplicity of any 3-word shingle per doc, plus
+    * distinct/total shingle counts. Shingle MULTISET, not set —
+    * multiplicity is the signal. */
+  def t08Repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TF.wordShinglesAll(col("text"), 3)).as("s"))
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_rep"), count(lit(1)).as("n_distinct"),
+        sum(col("c")).as("n_shingles"))
+      .orderBy(col("doc_id"))
+
   // ----------------------------------------------------------- multimodal
 
   /** m01 — binary payload plumbing + batched feature-extraction stub. */
@@ -343,6 +371,8 @@ object AnalyticsQueries {
     "t03_lang_id"       -> t03LangId _,
     "t04_fingerprint"   -> t04Fingerprint _,
     "t05_bpe_tokens"    -> t05BpeTokens _,
+    "t07_redact"        -> t07Redact _,
+    "t08_repetition"    -> t08Repetition _,
     "m01_multimodal"    -> m01Multimodal _,
     "m02_frame_sample"  -> m02FrameSample _,
     "m03_resize"        -> m03Resize _,
@@ -559,6 +589,24 @@ object AnalyticsQueries {
          |  len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS n_subtokens,
          |  len(${words("text")}) AS n_words
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "t07_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.org or 555-' || CAST(doc_id AS VARCHAR) || '00' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${polyHash("regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{3}-[0-9]{3,}', '<PHONE>', 'g')")} AS redacted_fp,
+         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3,}')) AS BIGINT) AS n_phones
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "t08_repetition" ->
+      s"""WITH w AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-2),
+         |    _si -> array_to_string(w[_si:_si+2], ' '))) AS s FROM w),
+         |m AS (SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY 1, 2)
+         |SELECT doc_id, MAX(c) AS max_rep, COUNT(*) AS n_distinct,
+         |  CAST(SUM(c) AS BIGINT) AS n_shingles
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "m01_multimodal" ->
       s"""SELECT doc_id AS media_id,
          |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
