@@ -36,11 +36,19 @@ object Dedup {
     * Jaccard ≥ `minJaccard` over the string shingle sets. Output:
     * (i, j, shared, ni, nj).
     *
-    * Candidates join on the native 8-byte shingle HASH (not the ~30-byte
-    * shingle string): the shuffle moves longs, and a hash collision can
-    * only add a candidate, never a result — the verify step intersects
-    * the exact string sets, so output is identical to a string-keyed
-    * join. */
+    * Candidate generation is PREFIX-FILTERED (Bayardo, Ma & Srikant,
+    * "Scaling Up All Pairs Similarity Search", WWW'07): with shingle
+    * hashes in a canonical total order (ascending hash value), any pair
+    * with Jaccard ≥ t must share its smallest common element inside
+    * both docs' first `n − ⌈t·n⌉ + 1` sorted hashes, so only that
+    * prefix is exploded into the candidate join — at t=0.5 the indexed
+    * volume halves and candidate pairs shrink ~4×, with zero recall
+    * loss. A length filter (`t·ni ≤ nj ∧ t·nj ≤ ni`, implied by
+    * Jaccard ≥ t) prunes survivors before the distinct. Output is
+    * IDENTICAL to the unfiltered join because the verify step below
+    * intersects the exact string sets; a hash collision can only add a
+    * candidate, never a result. The shuffle moves 8-byte hashes, never
+    * shingle strings. */
   def jaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
       n: Int, minJaccard: Double): DataFrame = {
     // no cache: shingling/hashing is native scan-speed work, and a
@@ -50,9 +58,18 @@ object Dedup {
         graft.expressions.WordShingleStrings(textCol, n).as("shingles"),
         graft.expressions.WordShingleHashes(textCol, n).as("hv"))
       .withColumn("n_shingles", size(col("shingles")))
-    val ex = sets.select(col("id"), explode(col("hv")).as("h"))
-    val cand = ex.toDF("i", "h").join(ex.toDF("j", "h"), Seq("h"))
+    // prefix length ni − ⌈t·ni⌉ + 1 over ascending-sorted hashes; the
+    // per-set required overlap is ⌈t·ni⌉ (o ≥ t·ni follows from
+    // o/(ni+nj−o) ≥ t and o ≤ nj), and the smallest shared hash of a
+    // qualifying pair provably lands in both prefixes
+    val ex = sets.select(col("id"), col("n_shingles").as("n"),
+      explode(slice(array_sort(col("hv")), lit(1),
+        (col("n_shingles") - ceil(col("n_shingles") * lit(minJaccard)) + 1)
+          .cast("int"))).as("h"))
+    val cand = ex.toDF("i", "ni_c", "h").join(ex.toDF("j", "nj_c", "h"), Seq("h"))
       .filter(col("i") < col("j"))
+      .filter(col("nj_c") >= col("ni_c") * lit(minJaccard) &&
+        col("ni_c") >= col("nj_c") * lit(minJaccard))
       .select(col("i"), col("j")).distinct()
     cand
       .join(sets.select(col("id").as("i"), col("shingles").as("si"), col("n_shingles").as("ni")), Seq("i"))

@@ -70,6 +70,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("prefix-filtered jaccard pairs == brute-force exact jaccard (sf0.001 docs)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // brute-force oracle in plain Scala: distinct 4-word shingles per
+    // doc (space-split of trimmed text, same enumeration as the engine)
+    def shingles(t: String): Set[String] = {
+      val w = t.trim.split("\\s+", -1)
+      if (w.length < 5) Set.empty
+      else (0 to w.length - 4).map(i => w.slice(i, i + 4).mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+    val want = (for {
+      (i, si) <- sets; (j, sj) <- sets
+      if i < j && si.nonEmpty
+      shared = (si & sj).size
+      if shared.toDouble / (si.size + sj.size - shared) >= 0.5
+    } yield (i, j)).toSet
+    val got = Dedup.jaccardPairs(Tables.documents(spark, "/root/testdata/sf0.001"),
+        col("doc_id"), col("text"), 4, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty, "testdata must actually contain near-dup pairs")
+  }
+
   test("minhash LSH finds what exact jaccard finds on near-dups") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
