@@ -308,6 +308,58 @@ object AnalyticsQueries {
         sum(col("c")).as("n_shingles"))
       .orderBy(col("doc_id"))
 
+  /** t06 — TF-IDF top terms per document. Classic two-aggregation
+    * shape: term frequencies per (doc, term), document frequencies per
+    * term, then a rank-3 window per doc. The idf is the engine-stable
+    * fixed-point ⌊10⁴·N/df⌋ (a log-free inverse-frequency weight —
+    * ln() differs in final-ulp between libm and the JVM, which would
+    * break the cross-engine hash gate; the RANKING is identical for
+    * any monotone transform of N/df). Scale shape: two hash-agg
+    * shuffles (map-side combined), one shuffle join on the term key,
+    * and a per-doc window — no driver-side state but the doc count. */
+  def t06Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val tf = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfTerm, Seq("term"))
+      .withColumn("score", col("tf") * floor(lit(10000.0) * nDocs / col("df")).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** d09 — train/eval contamination check (the "is my benchmark in the
+    * training set" sweep every LLM data pipeline runs): eval docs =
+    * reproducible 10% hash slice by doc_id, train = the rest; an eval
+    * doc's contamination = the fraction of its distinct 4-word shingles
+    * that appear anywhere in the train corpus. Scale shape: the train
+    * shingle vocabulary is one distinct-shuffle over 8-byte hashes, the
+    * probe is a shuffle join on those hashes, and everything per-doc is
+    * a map-side-combinable count — no all-pairs term, linear in corpus
+    * size. */
+  def d09Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(spark, dir).select(col("doc_id"),
+      graft.expressions.WordShingleHashes(col("text"), 4).as("hv"))
+    val isEval = pmod(col("doc_id"), lit(10)) === 0
+    val evalSets = sets.filter(isEval && size(col("hv")) > 0)
+    val trainVocab = sets.filter(!isEval)
+      .select(explode(col("hv")).as("h")).distinct()
+    val hits = evalSets.select(col("doc_id"), explode(col("hv")).as("h"))
+      .join(trainVocab, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cont"))
+    evalSets.select(col("doc_id"), size(col("hv")).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_cont"), lit(0L)))
+      .withColumn("rate4",
+        floor(lit(10000.0) * col("n_contaminated") / col("n_shingles")).cast("long"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"), col("rate4"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------- multimodal
 
   /** m01 — binary payload plumbing + batched feature-extraction stub. */
@@ -363,6 +415,7 @@ object AnalyticsQueries {
     "d07_dup_clusters"  -> d07DupClusters _,
     "d05_embedding_dup" -> d05EmbeddingDup _,
     "d08_embedding_lsh" -> d08EmbeddingLsh _,
+    "d09_contamination" -> d09Contamination _,
     "a01_bruteforce_topk" -> a01BruteForceTopK _,
     "a02_lsh_ann"       -> a02LshAnn _,
     "a03_ivf_ann"       -> a03IvfAnn _,
@@ -371,6 +424,7 @@ object AnalyticsQueries {
     "t03_lang_id"       -> t03LangId _,
     "t04_fingerprint"   -> t04Fingerprint _,
     "t05_bpe_tokens"    -> t05BpeTokens _,
+    "t06_tfidf"         -> t06Tfidf _,
     "t07_redact"        -> t07Redact _,
     "t08_repetition"    -> t08Repetition _,
     "m01_multimodal"    -> m01Multimodal _,
@@ -589,6 +643,34 @@ object AnalyticsQueries {
          |  len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS n_subtokens,
          |  len(${words("text")}) AS n_words
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "t06_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |s AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+         |    tf.tf * CAST(floor(10000.0 * n.n / dft.df) AS BIGINT) AS score
+         |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tf, df, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+         |  FROM s)
+         |SELECT doc_id, rank, term, tf, df, score FROM r
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "d09_contamination" ->
+      s"""WITH hs AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(${words("text")})-3),
+         |    i -> ${polyHash(s"array_to_string(${words("text")}[i:i+3], ' ')")})) AS hv
+         |  FROM documents),
+         |ev AS (SELECT doc_id, hv, len(hv) AS n_shingles FROM hs
+         |  WHERE doc_id % 10 = 0 AND len(hv) > 0),
+         |tr AS (SELECT DISTINCT unnest(hv) AS h FROM hs WHERE doc_id % 10 <> 0),
+         |probe AS (SELECT doc_id, unnest(hv) AS h FROM ev),
+         |c AS (SELECT probe.doc_id, COUNT(*) AS n_cont
+         |  FROM probe JOIN tr USING (h) GROUP BY 1)
+         |SELECT ev.doc_id, ev.n_shingles,
+         |  COALESCE(c.n_cont, 0) AS n_contaminated,
+         |  CAST(floor(10000.0 * COALESCE(c.n_cont, 0) / ev.n_shingles) AS BIGINT) AS rate4
+         |FROM ev LEFT JOIN c USING (doc_id) ORDER BY ev.doc_id""".stripMargin,
     "t07_redact" ->
       s"""WITH p AS (SELECT doc_id,
          |  text || ' contact u' || CAST(doc_id AS VARCHAR) ||
