@@ -90,6 +90,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("graft_float_dot", 2, exprs)
         graft.expressions.FloatDot(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_k"),
+      info("graft_top_k", "graft_top_k(score, id, k) - single-pass bounded top-k aggregate, best-first array<struct<score,id>>"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_top_k", 3, exprs)
+        // the analyzer wraps a bare AggregateFunction into an
+        // AggregateExpression during UnresolvedFunction resolution
+        graft.expressions.TopKByScore(exprs.head, exprs(1),
+          intParam("graft_top_k", exprs(2)))
+      }))
     // the XML path (reference dispatch: file_flattener.py:156) — SQL
     // users compose tokenize + flatten with explode, same operators the
     // Scala API wraps

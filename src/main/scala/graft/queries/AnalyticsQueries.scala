@@ -236,6 +236,26 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** a04 — single-pass top-k per group via the native
+    * [[graft.expressions.TopKByScore]] TypedImperativeAggregate: top-5
+    * longest docs per language. Unlike the window form (q13/a01–a03
+    * style), each map task reduces its slice to ≤ k pairs per group
+    * BEFORE the exchange — shuffle volume is groups×k, independent of
+    * corpus size, and nothing is ever sorted. The oracle is the
+    * equivalent window SQL: same rows, radically different physical
+    * plan (pinned in PlanAuditSpec). */
+  def a04TopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("score"))
+    scored.groupBy(col("lang"))
+      .agg(graft.expressions.TopKByScore(col("score"), col("doc_id"), 5).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   // ----------------------------------------------------------------- text
 
   /** t01 — token counts aggregated per language label. */
@@ -419,6 +439,7 @@ object AnalyticsQueries {
     "a01_bruteforce_topk" -> a01BruteForceTopK _,
     "a02_lsh_ann"       -> a02LshAnn _,
     "a03_ivf_ann"       -> a03IvfAnn _,
+    "a04_topk_agg"      -> a04TopkAgg _,
     "t01_token_stats"   -> t01TokenStats _,
     "t02_quality"       -> t02Quality _,
     "t03_lang_id"       -> t03LangId _,
@@ -604,6 +625,13 @@ object AnalyticsQueries {
          |  FROM p)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    "a04_topk_agg" ->
+      s"""WITH s AS (SELECT lang, doc_id, len(${words("text")}) AS score FROM documents),
+         |r AS (SELECT lang, doc_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rank
+         |  FROM s)
+         |SELECT lang, rank, doc_id, score FROM r WHERE rank <= 5
+         |ORDER BY lang, rank""".stripMargin,
     "t01_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |  CAST(SUM(len(${words("text")})) AS BIGINT) AS total_tokens,

@@ -109,6 +109,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("graft_top_k: matches window top-k, ties by lower id, short groups kept whole") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 20L), ("a", 5L, 5L),
+      ("b", 6L, 7L), // group smaller than k
+      ("c", 7L, 1L), ("c", 8L, 1L), ("c", 9L, 1L), ("c", 10L, 1L)) // all ties
+      .toDF("g", "id", "score")
+    val got = df.groupBy(col("g"))
+      .agg(graft.expressions.TopKByScore(col("score"), col("id"), 3).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rank"), col("col.id"), col("col.score"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = Set(
+      ("a", 1L, 2L, 30L), ("a", 2L, 3L, 30L), ("a", 3L, 4L, 20L),
+      ("b", 1L, 6L, 7L),
+      ("c", 1L, 7L, 1L), ("c", 2L, 8L, 1L), ("c", 3L, 9L, 1L))
+    assert(got == want)
+    // serialization roundtrip exercised by a repartition-forced exchange
+    val shuffled = df.repartition(4, col("id")).groupBy(col("g"))
+      .agg(graft.expressions.TopKByScore(col("score"), col("id"), 3).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rank"), col("col.id"), col("col.score"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(shuffled == want)
+  }
+
   test("dupClusters: long chains converge (no diameter-bound round cap)") {
     import spark.implicits._
     // a 200-edge chain has graph diameter 200 — naive min-label

@@ -86,4 +86,17 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[Seq[Long]].head()
     assert(empty == Seq.fill(4)(1000000007L))
   }
+
+  test("graft_top_k usable from SQL as an aggregate") {
+    import spark.implicits._
+    Seq(("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L), ("b", 4L, 1L))
+      .toDF("g", "id", "score").createOrReplaceTempView("tk")
+    val got = spark.sql(
+      """SELECT g, t.id, t.score
+        |FROM (SELECT g, graft_top_k(score, id, 2) AS top FROM tk GROUP BY g)
+        |LATERAL VIEW explode(top) AS t
+        |ORDER BY g, t.score DESC""".stripMargin)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L, 30L), ("a", 3L, 20L), ("b", 4L, 1L)))
+  }
 }

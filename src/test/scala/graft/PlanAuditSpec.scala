@@ -75,6 +75,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"LSH candidates went nested-loop:\n$p")
   }
 
+  test("a04: top-k agg is partial+final ObjectHashAggregate, no window sort") {
+    val p = planOf(graft.queries.AnalyticsQueries.a04TopkAgg(spark, dir))
+    // partial aggregation caps each map task's output at k pairs/group
+    // BEFORE the exchange — the 100 TB property the window form lacks
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final object-hash aggregate:\n$p")
+    assert(!p.contains("Window"), s"top-k agg must not plan a window:\n$p")
+  }
+
   test("whole-stage codegen covers the native hash expression") {
     val df = Tables.documents(spark, dir)
       .select(graft.expressions.PolyHash(col("text")).as("fp"))
