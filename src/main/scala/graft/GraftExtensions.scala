@@ -91,6 +91,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.FloatDot(exprs.head, exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_quantize_i8"),
+      info("graft_quantize_i8", "graft_quantize_i8(array<float>) - symmetric int8-style scalar quantization"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_quantize_i8", 1, exprs)
+        graft.expressions.QuantizeI8(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_int_dot"),
+      info("graft_int_dot", "graft_int_dot(array<int>, array<int>) - exact 64-bit integer dot product"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_int_dot", 2, exprs)
+        graft.expressions.IntDot(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_top_k"),
       info("graft_top_k", "graft_top_k(score, id, k) - single-pass bounded top-k aggregate, best-first array<struct<score,id>>"),
       (exprs: Seq[Expression]) => {

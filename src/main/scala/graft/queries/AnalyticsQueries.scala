@@ -236,6 +236,35 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** a05 — scalar-quantized (int8-style) similarity search: embeddings
+    * quantize once to `array<int>` codes in [-127,127] (native
+    * [[graft.expressions.QuantizeI8]]), and candidate scoring runs on
+    * exact integer dot products ([[graft.expressions.IntDot]]) — the
+    * FAISS-SQ8 memory-bandwidth lever: a 100 TB float corpus becomes
+    * 25 TB of codes and every comparison moves 4× less data. Top-3 by
+    * quantized cosine for the first 20 queries; the oracle replays the
+    * identical quantization (floor(x·s+0.5) — the one rounding with
+    * equal JVM/DuckDB semantics), so ranks are hash-exact. Recall vs
+    * the float-exact a01 is pinned in AnalyticsSpec. */
+  def a05QuantizedAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{IntDot, QuantizeI8}
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), QuantizeI8(col("embedding")).as("q"))
+      .withColumn("qn", IntDot(col("q"), col("q")))
+      .filter(col("qn") > 0)
+    val q = e.filter(col("vec_id") < 20).toDF("query_id", "qq", "qqn")
+    val c = e.toDF("neighbor_id", "cq", "cqn")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("neighbor_id"))
+    q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qsim", IntDot(col("qq"), col("cq")).cast("double") /
+        (sqrt(col("qqn").cast("double")) * sqrt(col("cqn").cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** a04 — single-pass top-k per group via the native
     * [[graft.expressions.TopKByScore]] TypedImperativeAggregate: top-5
     * longest docs per language. Unlike the window form (q13/a01–a03
@@ -440,6 +469,7 @@ object AnalyticsQueries {
     "a02_lsh_ann"       -> a02LshAnn _,
     "a03_ivf_ann"       -> a03IvfAnn _,
     "a04_topk_agg"      -> a04TopkAgg _,
+    "a05_quantized_ann" -> a05QuantizedAnn _,
     "t01_token_stats"   -> t01TokenStats _,
     "t02_quality"       -> t02Quality _,
     "t03_lang_id"       -> t03LangId _,
@@ -622,6 +652,29 @@ object AnalyticsQueries {
          |  FROM probes q JOIN cells c ON q.cid = c.cid AND q.query_id <> c.neighbor_id),
          |r AS (SELECT query_id, neighbor_id,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM p)
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "a05_quantized_ann" ->
+      s"""WITH m AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, _qx -> abs(CAST(_qx AS DOUBLE)))) AS maxabs
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id,
+         |    CASE WHEN maxabs > 0 THEN list_transform(embedding,
+         |      _qy -> CAST(floor(CAST(_qy AS DOUBLE) * (127.0 / maxabs) + 0.5) AS BIGINT))
+         |    ELSE list_transform(embedding, _qz -> CAST(0 AS BIGINT)) END AS q
+         |  FROM m),
+         |qn AS (SELECT vec_id, q, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(q, _qw -> _qw * _qw)), (_qa, _qb) -> _qa + _qb) AS qn FROM qv),
+         |e AS (SELECT * FROM qn WHERE qn > 0),
+         |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len(a.q)+1), _qi -> a.q[_qi] * b.q[_qi])),
+         |      (_qa, _qb) -> _qa + _qb) AS DOUBLE)
+         |      / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.qn AS DOUBLE))) AS qsim
+         |  FROM e a JOIN e b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qsim DESC, neighbor_id) AS rank
          |  FROM p)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,

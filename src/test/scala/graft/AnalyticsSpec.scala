@@ -109,6 +109,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("quantizeI8: codes bounded, extremes hit ±127, zero vector → zeros") {
+    import spark.implicits._
+    val got = Seq(Seq(0.5f, -1.0f, 0.25f, 0.0f), Seq(0.0f, 0.0f))
+      .toDF("v").select(graft.expressions.QuantizeI8(col("v")))
+      .as[Seq[Int]].collect().toSeq
+    // scale = 127/1.0; floor(0.5*127+0.5)=64, floor(-127+0.5)=-127, floor(31.75+0.5)=32
+    assert(got == Seq(Seq(64, -127, 32, 0), Seq(0, 0)))
+    val dot = Seq((Seq(1, 2, 3), Seq(4, -5, 6))).toDF("a", "b")
+      .select(graft.expressions.IntDot(col("a"), col("b"))).as[Long].head()
+    assert(dot == 4 - 10 + 18)
+  }
+
+  test("quantized search recall@3 vs float-exact ranking (sf0.001)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.queries.AnalyticsQueries.a01BruteForceTopK(spark, dir)
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = graft.queries.AnalyticsQueries.a05QuantizedAnn(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq.map { q =>
+      (exact(q) & quant.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+    }.sum / exact.size
+    assert(recall >= 0.85, s"quantized recall@3 degraded to $recall")
+  }
+
   test("graft_top_k: matches window top-k, ties by lower id, short groups kept whole") {
     import spark.implicits._
     val df = Seq(
