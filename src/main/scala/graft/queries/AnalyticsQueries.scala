@@ -409,6 +409,35 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t09 — rule-based quality filtering (the Gopher/Dolma gate, Rae et
+    * al. 2021 §A1.1, adapted): word count in [50, 100k], mean word
+    * length in [3, 10] chars, ≥80% words containing a letter, ≥2
+    * distinct stopword hits. Emits per-doc rule inputs + the verdict
+    * (first failing rule, else "keep") — the actionable form a
+    * pipeline filters on. All rule math is integer/fixed-point, so the
+    * verdict is engine-exact. Scan-speed: one pass, no shuffle until
+    * the final order. */
+  def t09QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val stopwords = array(Seq("the", "and", "of", "is", "a").map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_words"),
+        TF.avgWordLen4(col("text")).as("avg_wlen4"),
+        size(filter(TF.words(col("text")), w => w.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha"),
+        size(array_intersect(array_distinct(TF.words(col("text"))), stopwords))
+          .cast("long").as("stop_hits"))
+      .withColumn("verdict",
+        when(col("n_words") < 50, lit("too_short"))
+          .when(col("n_words") > 100000, lit("too_long"))
+          .when(col("avg_wlen4") < 30000, lit("words_too_short"))
+          .when(col("avg_wlen4") > 100000, lit("words_too_long"))
+          .when(col("n_alpha") * 5 < col("n_words") * 4, lit("low_alpha"))
+          .when(col("stop_hits") < 2, lit("few_stopwords"))
+          .otherwise(lit("keep")))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------- multimodal
 
   /** m01 — binary payload plumbing + batched feature-extraction stub. */
@@ -478,6 +507,7 @@ object AnalyticsQueries {
     "t06_tfidf"         -> t06Tfidf _,
     "t07_redact"        -> t07Redact _,
     "t08_repetition"    -> t08Repetition _,
+    "t09_quality_filter" -> t09QualityFilter _,
     "m01_multimodal"    -> m01Multimodal _,
     "m02_frame_sample"  -> m02FrameSample _,
     "m03_resize"        -> m03Resize _,
@@ -770,6 +800,23 @@ object AnalyticsQueries {
          |SELECT doc_id, MAX(c) AS max_rep, COUNT(*) AS n_distinct,
          |  CAST(SUM(c) AS BIGINT) AS n_shingles
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t09_quality_filter" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    CAST(len(${words("text")}) AS BIGINT) AS n_words,
+         |    CAST(floor(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) * 10000
+         |      / len(${words("text")})) AS BIGINT) AS avg_wlen4,
+         |    CAST(len(list_filter(${words("text")}, _qw -> regexp_matches(_qw, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_intersect(list_distinct(${words("text")}), ['the','and','of','is','a'])) AS BIGINT) AS stop_hits
+         |  FROM documents)
+         |SELECT doc_id, n_words, avg_wlen4, n_alpha, stop_hits,
+         |  CASE WHEN n_words < 50 THEN 'too_short'
+         |       WHEN n_words > 100000 THEN 'too_long'
+         |       WHEN avg_wlen4 < 30000 THEN 'words_too_short'
+         |       WHEN avg_wlen4 > 100000 THEN 'words_too_long'
+         |       WHEN n_alpha * 5 < n_words * 4 THEN 'low_alpha'
+         |       WHEN stop_hits < 2 THEN 'few_stopwords'
+         |       ELSE 'keep' END AS verdict
+         |FROM s ORDER BY doc_id""".stripMargin,
     "m01_multimodal" ->
       s"""SELECT doc_id AS media_id,
          |  CAST(octet_length(encode(text)) AS INT) AS byte_len,

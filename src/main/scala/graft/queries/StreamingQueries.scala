@@ -205,12 +205,46 @@ object StreamingQueries {
       .orderBy(col("partition_id"))
   }
 
+  /** s06 — streaming deduplication (the ingestion-time dedup stage of
+    * a training-data pipeline): a file-source stream over the documents
+    * table → exact dedup on (lang, text-fingerprint) via
+    * `dropDuplicates` → per-lang unique counts, drained with
+    * Trigger.AvailableNow. Dedup state is one 8-byte hash per distinct
+    * (lang, text) — the bounded-state production variant is
+    * `dropDuplicatesWithinWatermark` when an event-time column exists
+    * (the documents table has none). Keyed on (lang, fp), not fp, so
+    * per-lang counts are deterministic no matter which duplicate
+    * survives. */
+  def s06StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType)))
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_s06_${math.abs(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "documents.parquet"),
+      staged.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(col("lang"),
+        graft.expressions.PolyHash(lower(trim(col("text")))).as("fp"))
+      .dropDuplicates("lang", "fp")
+    val agg = stream.groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
+    val name = s"s06_out_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_replay_sink"  -> s01ReplaySink _,
     "s02_stream_window" -> s02StreamWindow _,
     "s03_stateful_counts" -> s03StatefulCounts _,
     "s04_replay_source" -> s04ReplaySource _,
     "s05_stream_pipeline" -> s05StreamPipeline _,
+    "s06_stream_dedup" -> s06StreamDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -234,5 +268,9 @@ object StreamingQueries {
       """SELECT event_type AS partition_id,
         |  COUNT(*) AS n, MIN(props) AS min_payload, MAX(props) AS max_payload
         |FROM events GROUP BY event_type ORDER BY partition_id""".stripMargin,
+    // streaming dedup must agree with the batch distinct count
+    "s06_stream_dedup" ->
+      """SELECT lang, COUNT(DISTINCT lower(trim(text))) AS n_unique
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -137,6 +137,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"quantized recall@3 degraded to $recall")
   }
 
+  test("quality filter: keep and reject verdicts both occur on testdata") {
+    import spark.implicits._
+    val verdicts = graft.queries.AnalyticsQueries
+      .t09QualityFilter(spark, "/root/testdata/sf0.001")
+      .groupBy(col("verdict")).count()
+      .as[(String, Long)].collect().toMap
+    assert(verdicts.contains("keep"), s"no docs kept: $verdicts")
+    assert(verdicts.contains("too_short"), s"no short-doc rejects: $verdicts")
+  }
+
   test("graft_top_k: matches window top-k, ties by lower id, short groups kept whole") {
     import spark.implicits._
     val df = Seq(
