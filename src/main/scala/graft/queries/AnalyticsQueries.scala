@@ -438,6 +438,62 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** p07 — the data-prep pipeline end-to-end, composed from the
+    * engine's own stages the way a training run would wire them:
+    *
+    *   1. quality gate   — keep only t09 "keep"-verdict docs;
+    *   2. corpus split   — held-out eval slice = doc_id % 10 == 0,
+    *                       the training corpus is everything else;
+    *   3. exact dedup    — one survivor (min doc_id) per normalized
+    *                       text (one hash-agg shuffle);
+    *   4. decontaminate  — drop training docs with ≥ 80% 4-gram
+    *                       overlap against the eval shingle vocabulary
+    *                       (semi-join on 8-byte hashes, d09 shape);
+    *   5. sample         — reproducible 90% slice by polyHash(doc_id)
+    *                       (p06 semantics, partition-layout-free);
+    *   6. report         — per-lang doc count + token budget.
+    *
+    * Every stage is linear or hash-shuffled — nothing quadratic, no
+    * driver-side data. The oracle replays the identical pipeline in
+    * SQL, so the final mix report is hash-exact. */
+  def p07DataPrep(spark: SparkSession, dir: String): DataFrame = {
+    val stopwords = array(Seq("the", "and", "of", "is", "a").map(lit): _*)
+    val docs = Tables.documents(spark, dir)
+    // 1. quality gate (inline t09 keep-rules; verdict chain not needed)
+    val quality = docs.filter(
+      TF.tokenCount(col("text")).between(50, 100000) &&
+        TF.avgWordLen4(col("text")).between(30000, 100000) &&
+        size(filter(TF.words(col("text")), w => w.rlike("[A-Za-z]"))) * 5 >=
+          TF.tokenCount(col("text")) * 4 &&
+        size(array_intersect(array_distinct(TF.words(col("text"))), stopwords)) >= 2)
+    // 2. corpus split — eval vocabulary comes from ALL eval docs (the
+    // held-out set is what it is, regardless of its quality)
+    val train = quality.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val evalVocab = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(explode(graft.expressions.WordShingleHashes(col("text"), 4)).as("h"))
+      .distinct()
+    // 3. exact dedup: min-doc_id survivor per normalized text
+    val w = Window.partitionBy(lower(trim(col("text")))).orderBy(col("doc_id"))
+    val deduped = train.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    // 4. decontamination: shingle-overlap rate vs the eval vocabulary
+    val sets = deduped.select(col("doc_id"), col("lang"), col("text"),
+        graft.expressions.WordShingleHashes(col("text"), 4).as("hv"))
+      .withColumn("n_sh", size(col("hv")))
+    val hits = sets.select(col("doc_id"), explode(col("hv")).as("h"))
+      .join(evalVocab, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cont"))
+    val clean = sets.join(hits, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_cont"), lit(0L)) * 10 < col("n_sh").cast("long") * 8)
+    // 5. reproducible 90% sample; 6. per-lang mix report
+    clean
+      .filter(pmod(TF.polyHash(col("doc_id").cast("string")), lit(100)) < 90)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
   // ----------------------------------------------------------- multimodal
 
   /** m01 — binary payload plumbing + batched feature-extraction stub. */
@@ -512,6 +568,7 @@ object AnalyticsQueries {
     "m02_frame_sample"  -> m02FrameSample _,
     "m03_resize"        -> m03Resize _,
     "p06_hash_sample"   -> p06HashSample _,
+    "p07_data_prep"     -> p07DataPrep _,
   )
 
   import Sql._
@@ -843,6 +900,38 @@ object AnalyticsQueries {
       s"""SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM documents
          |WHERE ${polyHash("CAST(doc_id AS VARCHAR)")} % 10 = 0
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "p07_data_prep" ->
+      s"""WITH quality AS (SELECT doc_id, lang, text FROM documents
+         |  WHERE len(${words("text")}) BETWEEN 50 AND 100000
+         |    AND floor(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) * 10000
+         |      / len(${words("text")})) BETWEEN 30000 AND 100000
+         |    AND len(list_filter(${words("text")}, _qw -> regexp_matches(_qw, '[A-Za-z]'))) * 5
+         |      >= len(${words("text")}) * 4
+         |    AND len(list_intersect(list_distinct(${words("text")}), ['the','and','of','is','a'])) >= 2),
+         |train AS (SELECT * FROM quality WHERE doc_id % 10 <> 0),
+         |evvocab AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    range(1, len(${words("text")})-3),
+         |    i -> ${polyHash(s"array_to_string(${words("text")}[i:i+3], ' ')")}))) AS h
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |deduped AS (SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text, ROW_NUMBER() OVER (
+         |      PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn FROM train)
+         |  WHERE rn = 1),
+         |sets AS (SELECT doc_id, lang, text, list_distinct(list_transform(
+         |    range(1, len(${words("text")})-3),
+         |    i -> ${polyHash(s"array_to_string(${words("text")}[i:i+3], ' ')")})) AS hv
+         |  FROM deduped),
+         |hits AS (SELECT p.doc_id, COUNT(*) AS n_cont
+         |  FROM (SELECT doc_id, unnest(hv) AS h FROM sets) p
+         |  JOIN evvocab USING (h) GROUP BY 1),
+         |clean AS (SELECT s.doc_id, s.lang, s.text FROM sets s
+         |  LEFT JOIN hits USING (doc_id)
+         |  WHERE COALESCE(hits.n_cont, 0) * 10 < len(s.hv) * 8)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(${words("text")})) AS BIGINT) AS total_tokens
+         |FROM clean
+         |WHERE ${polyHash("CAST(doc_id AS VARCHAR)")} % 100 < 90
          |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
