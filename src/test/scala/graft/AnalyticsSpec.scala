@@ -75,11 +75,12 @@ class AnalyticsSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
     // brute-force oracle in plain Scala: distinct 4-word shingles per
-    // doc (space-split of trimmed text, same enumeration as the engine)
+    // doc — positions 1..len-n, the engine/DuckDB enumeration (the
+    // final window is deliberately NOT emitted; see TF.wordShingles)
     def shingles(t: String): Set[String] = {
       val w = t.trim.split("\\s+", -1)
       if (w.length < 5) Set.empty
-      else (0 to w.length - 4).map(i => w.slice(i, i + 4).mkString(" ")).toSet
+      else (0 until w.length - 4).map(i => w.slice(i, i + 4).mkString(" ")).toSet
     }
     val sets = docs.map { case (id, t) => id -> shingles(t) }
     val want = (for {
@@ -171,6 +172,53 @@ class AnalyticsSpec extends AnyFunSuite {
       .select(col("g"), (col("pos") + 1).as("rank"), col("col.id"), col("col.score"))
       .as[(String, Long, Long, Long)].collect().toSet
     assert(shuffled == want)
+  }
+
+  test("TopKHeap property: 200 random streams match sort-take oracle") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { trial =>
+      val k = 1 + rnd.nextInt(8)
+      val n = rnd.nextInt(40)
+      // small score range forces heavy ties → exercises the id tiebreak
+      val xs = Seq.fill(n)((rnd.nextInt(5).toLong, rnd.nextLong()))
+      val heap = new graft.expressions.TopKHeap(k)
+      xs.foreach { case (s, i) => heap.insert(s, i) }
+      // duplicates of the same (score,id) may both be kept — compare on
+      // the multiset the heap actually saw
+      val wantMulti = xs.sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(heap.sortedPairs.toSeq == wantMulti, s"trial $trial k=$k n=$n")
+    }
+  }
+
+  test("prefix filter property: random near-dup corpora lose no qualifying pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    // random docs + mutated near-copies: a mix that makes Jaccard≥0.5
+    // pairs common enough to be a real completeness check
+    val docs = (0 until 60).flatMap { i =>
+      val base = Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      val mutated = base.updated(rnd.nextInt(base.size), vocab(rnd.nextInt(vocab.size)))
+      Seq((i * 2L, base.mkString(" ")), (i * 2L + 1, mutated.mkString(" ")))
+    }
+    val df = docs.toDF("doc_id", "text")
+    // engine/DuckDB enumeration: positions 1..len-n (no final window)
+    def shingles(t: String): Set[String] = {
+      val w = t.trim.split("\\s+", -1)
+      if (w.length < 5) Set.empty
+      else (0 until w.length - 4).map(i => w.slice(i, i + 4).mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+    val want = (for {
+      (i, si) <- sets; (j, sj) <- sets
+      if i < j && si.nonEmpty
+      shared = (si & sj).size
+      if shared.toDouble / (si.size + sj.size - shared) >= 0.5
+    } yield (i, j)).toSet
+    val got = Dedup.jaccardPairs(df, col("doc_id"), col("text"), 4, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.size > 20, s"corpus too easy: only ${want.size} qualifying pairs")
   }
 
   test("dupClusters: long chains converge (no diameter-bound round cap)") {
