@@ -265,6 +265,46 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** a06 — per-label centroid + outlier over QUANTIZED codes: the
+    * embedding-analytics companion to a05. Centroids are fixed-point
+    * integer means per dimension (⌊10⁴·Σq/n⌋ — grouped float averaging
+    * would be summation-order-dependent and break cross-engine parity;
+    * integer sums are exact in any order), and each member's distance
+    * to its label centroid uses the algebraic identity
+    * Σ(10⁴·q − m)² = 10⁸·⟨q,q⟩ + ⟨m,m⟩ − 2·10⁴·⟨q,m⟩ — three native
+    * [[graft.expressions.IntDot]] calls, zero per-element lambdas. The
+    * per-label argmax runs through [[graft.expressions.TopKByScore]]
+    * (k=1), so the whole query is scan → one (label,dim) hash-agg →
+    * broadcast centroids back → one top-k agg. Output: each label's
+    * population and its farthest member (the mislabeled-cluster /
+    * outlier-mining primitive). */
+  def a06QuantizedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{IntDot, QuantizeI8, TopKByScore}
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), QuantizeI8(col("embedding")).as("q"))
+    // per-(label, dim) integer sums → fixed-point centroid coordinate
+    val byDim = q.select(col("label"), posexplode(col("q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m4", floor(lit(10000.0) * col("s") / col("n")).cast("long"))
+    // centroid vector per label, dimension-ordered (collect_list has no
+    // order guarantee — sort the (dim, m4) structs, then project)
+    val cent = byDim.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m4")))),
+        e => e.getField("m4").cast("int")).as("m"))
+    val dist = q.join(broadcast(cent), Seq("label"))
+      .withColumn("dist",
+        lit(100000000L) * IntDot(col("q"), col("q")) + IntDot(col("m"), col("m"))
+          - lit(20000L) * IntDot(col("q"), col("m")))
+    dist.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        TopKByScore(col("dist"), col("vec_id"), 1).as("top"))
+      .select(col("label"), col("n_vecs"),
+        col("top").getItem(0).getField("id").as("outlier_id"),
+        col("top").getItem(0).getField("score").as("dist"))
+      .orderBy(col("label"))
+  }
+
   /** a04 — single-pass top-k per group via the native
     * [[graft.expressions.TopKByScore]] TypedImperativeAggregate: top-5
     * longest docs per language. Unlike the window form (q13/a01–a03
@@ -555,6 +595,7 @@ object AnalyticsQueries {
     "a03_ivf_ann"       -> a03IvfAnn _,
     "a04_topk_agg"      -> a04TopkAgg _,
     "a05_quantized_ann" -> a05QuantizedAnn _,
+    "a06_quantized_centroids" -> a06QuantizedCentroids _,
     "t01_token_stats"   -> t01TokenStats _,
     "t02_quality"       -> t02Quality _,
     "t03_lang_id"       -> t03LangId _,
@@ -765,6 +806,36 @@ object AnalyticsQueries {
          |  FROM p)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    "a06_quantized_centroids" ->
+      s"""WITH m0 AS (SELECT vec_id, label, embedding,
+         |    list_max(list_transform(embedding, _qx -> abs(CAST(_qx AS DOUBLE)))) AS maxabs
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id, label,
+         |    CASE WHEN maxabs > 0 THEN list_transform(embedding,
+         |      _qy -> CAST(floor(CAST(_qy AS DOUBLE) * (127.0 / maxabs) + 0.5) AS BIGINT))
+         |    ELSE list_transform(embedding, _qz -> CAST(0 AS BIGINT)) END AS q
+         |  FROM m0),
+         |dims AS (SELECT label, u.dim AS dim, u.v AS v FROM qv,
+         |  unnest(list_transform(range(1, len(q)+1), _di -> {'dim': _di, 'v': q[_di]})) AS t(u)),
+         |bydim AS (SELECT label, dim,
+         |    CAST(floor(10000.0 * CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m4
+         |  FROM dims GROUP BY 1, 2),
+         |cent AS (SELECT label, list(m4 ORDER BY dim) AS m FROM bydim GROUP BY label),
+         |dists AS (SELECT qv.vec_id, qv.label,
+         |    100000000 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(qv.q, _qa -> _qa * _qa)), (_x, _y) -> _x + _y)
+         |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(cent.m, _qb -> _qb * _qb)), (_x, _y) -> _x + _y)
+         |    - 20000 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len(qv.q)+1), _qi -> qv.q[_qi] * cent.m[_qi])),
+         |      (_x, _y) -> _x + _y) AS dist
+         |  FROM qv JOIN cent USING (label)),
+         |r AS (SELECT label, vec_id, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY label) AS n_vecs
+         |  FROM dists)
+         |SELECT label, n_vecs, vec_id AS outlier_id, dist FROM r
+         |WHERE rk = 1 ORDER BY label""".stripMargin,
     "a04_topk_agg" ->
       s"""WITH s AS (SELECT lang, doc_id, len(${words("text")}) AS score FROM documents),
          |r AS (SELECT lang, doc_id, score,

@@ -42,7 +42,20 @@ object StreamingQueries {
     * memory sink (complete mode), drained synchronously with
     * Trigger.AvailableNow. Same answer as the batch q20 shape. */
   def s02StreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    // scoped conf: the file stream source consults it while the query
+    // runs; AvailableNow drains synchronously inside this method, so
+    // save/restore around awaitTermination is sound (the memory-table
+    // read below never touches parquet)
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try s02StreamWindowImpl(spark, dir)
+    finally prevNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
+  private def s02StreamWindowImpl(spark: SparkSession, dir: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
