@@ -142,6 +142,43 @@ object AnalyticsQueries {
       .select(col("rank"), col("i"), col("j"))
   }
 
+  /** d10 — duplicated-substring span detection (the exact-substring
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22 — there via a corpus suffix
+    * array): character-level 32-char windows at stride 16, hashed;
+    * a window is a duplicated span iff its hash occurs in ≥ 2 distinct
+    * docs. Stride-16 windows of width 32 overlap by 16, so any
+    * duplicated substring of ≥ 47 chars is guaranteed to cover at
+    * least one full window in both copies. Output: per-doc window
+    * count + duplicated-window count (the "fraction of the doc that is
+    * copied text" signal pipelines threshold on). Scale shape: explode
+    * to (doc, hash) — volume = chars/16 — one distinct, one hash-agg,
+    * one join back on 8-byte keys; no pairwise term at all. */
+  def d10DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val win = 32
+    val stride = 16
+    val docs = Tables.documents(spark, dir)
+    val windows = docs.select(col("doc_id"),
+        explode(when(length(col("text")) < win, array().cast("array<long>"))
+          .otherwise(transform(
+            sequence(lit(0),
+              floor((length(col("text")) - lit(win)) / lit(stride)).cast("int")),
+            k => TF.polyHash(col("text").substr(lit(1) + k * stride, lit(win))))))
+          .as("h"))
+    val perDocHash = windows.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("n_local"))
+    val dupHashes = perDocHash.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") >= 2)
+      .select(col("h"))
+    val perDoc = windows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val dupCounts = windows.join(dupHashes, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------- similarity
 
   /** a01 — brute-force cosine top-5 neighbors for the first 20 vectors
@@ -590,6 +627,7 @@ object AnalyticsQueries {
     "d05_embedding_dup" -> d05EmbeddingDup _,
     "d08_embedding_lsh" -> d08EmbeddingLsh _,
     "d09_contamination" -> d09Contamination _,
+    "d10_dup_spans"     -> d10DupSpans _,
     "a01_bruteforce_topk" -> a01BruteForceTopK _,
     "a02_lsh_ann"       -> a02LshAnn _,
     "a03_ivf_ann"       -> a03IvfAnn _,
@@ -910,6 +948,19 @@ object AnalyticsQueries {
          |  COALESCE(c.n_cont, 0) AS n_contaminated,
          |  CAST(floor(10000.0 * COALESCE(c.n_cont, 0) / ev.n_shingles) AS BIGINT) AS rate4
          |FROM ev LEFT JOIN c USING (doc_id) ORDER BY ev.doc_id""".stripMargin,
+    "d10_dup_spans" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    CASE WHEN length(text) < 32 THEN CAST([] AS BIGINT[])
+         |    ELSE list_transform(range(0, CAST(floor((length(text)-32)/16) AS BIGINT)+1),
+         |      _dk -> ${polyHash("substring(text, CAST(1+_dk*16 AS BIGINT), 32)")}) END AS hs
+         |  FROM documents),
+         |win AS (SELECT doc_id, unnest(hs) AS h FROM w),
+         |dh AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM win GROUP BY h)
+         |  WHERE nd >= 2),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_windows FROM win GROUP BY doc_id),
+         |dc AS (SELECT win.doc_id, COUNT(*) AS n_dup FROM win JOIN dh USING (h) GROUP BY 1)
+         |SELECT pd.doc_id, pd.n_windows, COALESCE(dc.n_dup, 0) AS n_dup
+         |FROM pd LEFT JOIN dc USING (doc_id) ORDER BY pd.doc_id""".stripMargin,
     "t07_redact" ->
       s"""WITH p AS (SELECT doc_id,
          |  text || ' contact u' || CAST(doc_id AS VARCHAR) ||
