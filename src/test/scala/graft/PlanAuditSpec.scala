@@ -84,6 +84,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"top-k agg must not plan a window:\n$p")
   }
 
+  test("d09/d10/p07: vocabulary joins stay equi-joins on hash keys") {
+    // contamination / dup-span / prep-pipeline all join exploded docs
+    // against a hash vocabulary — a cartesian or nested-loop here is
+    // the n² failure mode the design exists to avoid
+    Seq(
+      graft.queries.AnalyticsQueries.d09Contamination(spark, dir),
+      graft.queries.AnalyticsQueries.d10DupSpans(spark, dir),
+      graft.queries.AnalyticsQueries.p07DataPrep(spark, dir)
+    ).foreach { df =>
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), s"vocabulary join went cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"vocabulary join went nested-loop:\n$p")
+    }
+  }
+
+  test("a06: centroids broadcast back onto members (corpus never sort-merges)") {
+    val p = planOf(graft.queries.AnalyticsQueries.a06QuantizedCentroids(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast centroid join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"centroid join fell back to sort-merge:\n$p")
+  }
+
   test("whole-stage codegen covers the native hash expression") {
     val df = Tables.documents(spark, dir)
       .select(graft.expressions.PolyHash(col("text")).as("fp"))
