@@ -571,6 +571,36 @@ object AnalyticsQueries {
       .orderBy(col("lang"))
   }
 
+  /** t11 — sequence packing (the batch-shaping step before training:
+    * concatenate docs into fixed token budgets): greedy first-fit with
+    * the reference's exact batching semantics ([[graft.sources
+    * .GreedyBatcher]] — `>=` cap trigger, oversized singletons),
+    * packed INDEPENDENTLY per language shard via typed
+    * `flatMapGroups`. Packing is inherently sequential WITHIN a
+    * stream, so the scale unit is the shard: shards pack in parallel
+    * (one shuffle on the shard key), and a production corpus keys
+    * shards finer — (source, day) — to bound per-group state; the
+    * fold itself is O(docs-in-shard) with O(1) working memory. Output:
+    * per (lang, batch) doc count + token sum, cap = 512. */
+  def t11SeqPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 512L
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (lang, it) =>
+        val docs = it.toVector.sortBy(_._2) // deterministic: doc_id order
+        val ids = graft.sources.GreedyBatcher.assign(docs.map(_._3), cap)
+        docs.lazyZip(ids).map { case ((_, did, nt), b) => (lang, b.toLong, did, nt) }
+      }
+      .toDF("lang", "batch_id", "doc_id", "n_tok")
+      .groupBy(col("lang"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("batch_tokens"))
+      .orderBy(col("lang"), col("batch_id"))
+  }
+
   // ----------------------------------------------------------- multimodal
 
   /** m01 — binary payload plumbing + batched feature-extraction stub. */
@@ -643,6 +673,7 @@ object AnalyticsQueries {
     "t07_redact"        -> t07Redact _,
     "t08_repetition"    -> t08Repetition _,
     "t09_quality_filter" -> t09QualityFilter _,
+    "t11_seq_pack"      -> t11SeqPack _,
     "m01_multimodal"    -> m01Multimodal _,
     "m02_frame_sample"  -> m02FrameSample _,
     "m03_resize"        -> m03Resize _,
@@ -996,6 +1027,31 @@ object AnalyticsQueries {
          |       WHEN stop_hits < 2 THEN 'few_stopwords'
          |       ELSE 'keep' END AS verdict
          |FROM s ORDER BY doc_id""".stripMargin,
+    // per-lang greedy packing state machine — the x10 recursive-CTE
+    // parity encoding, partitioned by the shard key
+    "t11_seq_pack" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT lang, CAST(len(${words("text")}) AS BIGINT) AS n_tok,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents
+         |), packed AS (
+         |  SELECT lang, rn, n_tok, CAST(0 AS BIGINT) AS batch_id,
+         |    n_tok AS acc, n_tok >= 512 AS closed
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.lang, d.rn, d.n_tok,
+         |    CASE WHEN p.closed OR p.acc + d.n_tok >= 512 THEN p.batch_id + 1
+         |         ELSE p.batch_id END AS batch_id,
+         |    CASE WHEN p.closed OR p.acc + d.n_tok >= 512 THEN d.n_tok
+         |         ELSE p.acc + d.n_tok END AS acc,
+         |    CASE WHEN p.closed THEN d.n_tok >= 512
+         |         WHEN p.acc + d.n_tok >= 512 THEN d.n_tok >= 512
+         |         ELSE FALSE END AS closed
+         |  FROM d JOIN packed p ON d.lang = p.lang AND d.rn = p.rn + 1
+         |)
+         |SELECT lang, batch_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS batch_tokens
+         |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "m01_multimodal" ->
       s"""SELECT doc_id AS media_id,
          |  CAST(octet_length(encode(text)) AS INT) AS byte_len,

@@ -5,9 +5,10 @@ package graft.sources
   * (`spark.sql.files.maxPartitionBytes` + `openCostInBytes`) implements
   * the same greedy shape for file sources; this utility exists for
   * (a) parity tests pinning the exact reference semantics, including
-  * the `>=` threshold and the oversized-singleton case, and (b) batch
-  * assignment over driver-side listings (metadata-scale input — this is
-  * a sequential fold over a file listing, never over data rows).
+  * the `>=` threshold and the oversized-singleton case, (b) batch
+  * assignment over driver-side listings (metadata-scale input), and
+  * (c) executor-side per-shard sequence packing (t11: one fold per
+  * `flatMapGroups` group — O(1) working memory, shards in parallel).
   */
 object GreedyBatcher {
 
