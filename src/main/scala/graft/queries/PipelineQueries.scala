@@ -163,16 +163,58 @@ object PipelineQueries {
       .orderBy(col("user_id"))
   }
 
+  /** p08 — small-file compaction, the table-maintenance operator every
+    * long-lived 100 TB dataset needs (streaming ingest + partitioned
+    * writes fragment storage; small files poison scan planning and
+    * listing). Fragment the documents table into 64 shards, then
+    * compact to ⌈bytes / 8 MiB⌉ target files sized from the ACTUAL
+    * on-disk footprint (compression-aware, not row-count guessing).
+    * The method `require`s the file count actually dropped; the
+    * oracle checks content survival — per-lang counts and a text
+    * checksum that any lost/duplicated row would break. */
+  def p08Compaction(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val path = staging("p08", dir)
+    Tables.documents(spark, dir).repartition(64)
+      .write.mode("overwrite").parquet(s"$path/frag")
+    def parquetFiles(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles((_: java.io.File, n: String) =>
+        n.endsWith(".parquet")).toSeq
+    val fragFiles = parquetFiles(s"$path/frag")
+    val targetBytes = 8L << 20
+    val nOut = math.max(1, math.ceil(
+      fragFiles.map(_.length).sum.toDouble / targetBytes).toInt)
+    spark.read.parquet(s"$path/frag").repartition(nOut)
+      .write.mode("overwrite").parquet(s"$path/compact")
+    val nAfter = parquetFiles(s"$path/compact").size
+    require(nAfter < fragFiles.size,
+      s"compaction must reduce file count: $nAfter vs ${fragFiles.size}")
+    spark.read.parquet(s"$path/compact")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(TF.polyHash(col("text"))).as("checksum"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_partition_prune" -> p01PartitionPrune _,
     "p02_csv_roundtrip"   -> p02CsvRoundtrip _,
     "p03_binary_objects"  -> p03BinaryObjects _,
     "p04_domain_guard"    -> p04DomainGuard _,
     "p05_run_counters"    -> p05RunCounters _,
+    "p08_compaction"      -> p08Compaction _,
     "q21_sessionize"      -> q21Sessionize _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // content survival across fragment→compact: counts + text checksum
+    "p08_compaction" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text)+1),
+        |      _pc -> unicode(substring(text, _pc, 1)))),
+        |    (_pa,_pb) -> (_pa*31+_pb) % 1000000007)) AS BIGINT) AS checksum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "p01_partition_prune" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
         |  COUNT(DISTINCT user_id) AS n_users

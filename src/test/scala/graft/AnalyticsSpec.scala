@@ -174,6 +174,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(shuffled == want)
   }
 
+  test("graft_top_k skips null scores/ids instead of failing or ranking them") {
+    import spark.implicits._
+    val df = Seq((Some(5L), Some(1L)), (None, Some(2L)), (Some(7L), None),
+      (Some(3L), Some(4L))).toDF("score", "id").withColumn("g", lit("x"))
+    val got = df.groupBy(col("g"))
+      .agg(graft.expressions.TopKByScore(col("score"), col("id"), 10).as("top"))
+      .select(explode(col("top"))).select(col("col.score"), col("col.id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 1L), (3L, 4L)))
+  }
+
   test("TopKHeap property: 200 random streams match sort-take oracle") {
     val rnd = new scala.util.Random(42)
     (1 to 200).foreach { trial =>
