@@ -1,24 +1,34 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native dot product over two `array<float>` embeddings: strictly
   * sequential ascending-index double accumulation — bitwise identical
   * to the HOF `zip_with`/`aggregate` form (`Vectors.dotHof`, pinned by
   * AnalyticsSpec) and to the DuckDB oracle's `list_reduce` twin, so
   * cosine RANKINGS stay engine-stable while the per-pair cost drops
-  * from interpreted-lambda-per-element to one codegen'd loop. Length
-  * mismatch truncates to the shorter array (zip_with semantics would
-  * null-pad; embeddings are fixed-width so neither path is ever
-  * exercised — truncation keeps the loop branch-free). */
+  * from interpreted-lambda-per-element to one codegen'd loop.
+  * Mismatched lengths throw (embeddings are fixed-width; a truncated
+  * dot product would surface a corrupt row as a plausible similarity
+  * instead of an error). */
 case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_float_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     FloatDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -33,7 +43,10 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
 
 object FloatDot {
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_float_dot: length mismatch ($n vs ${b.numElements()})")
     var acc = 0.0d
     var i = 0
     while (i < n) {

@@ -1,11 +1,12 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
 
 /** Per-vector symmetric int8-style scalar quantization of an
   * `array<float>` embedding: `q_i = ⌊v_i · (127 / max|v|) + 0.5⌋`,
@@ -24,6 +25,12 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_quantize_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     QuantizeI8.quantize(input.asInstanceOf[ArrayData])
@@ -62,13 +69,22 @@ object QuantizeI8 {
 
 /** Integer dot product over two `array<int>` quantized codes — exact
   * 64-bit accumulation (no rounding at all, so cross-engine parity is
-  * trivial), one codegen'd loop. Truncates to the shorter array, same
+  * trivial), one codegen'd loop. Mismatched lengths throw, same
   * contract as [[FloatDot]]. */
 case class IntDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_int_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<int> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     IntDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -83,7 +99,10 @@ case class IntDot(left: Expression, right: Expression) extends BinaryExpression 
 
 object IntDot {
   def dot(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_int_dot: length mismatch ($n vs ${b.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) {

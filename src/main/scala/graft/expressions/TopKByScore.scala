@@ -64,10 +64,12 @@ final class TopKHeap(val k: Int) {
       siftDown()
     }
 
-  /** Kept pairs, best-first. */
+  /** Kept pairs, best-first. Direct comparator, not negation-sortBy —
+    * `-Long.MinValue` overflows back to MinValue and would rank the
+    * worst possible score first. */
   def sortedPairs: Array[(Long, Long)] =
     (0 until size).map(i => (scores(i), ids(i))).toArray
-      .sortBy { case (s, i) => (-s, i) }
+      .sortWith { case ((sa, ia), (sb, ib)) => sa > sb || (sa == sb && ia < ib) }
 }
 
 /** Native single-pass top-k-per-group aggregate (the custom
@@ -96,6 +98,14 @@ case class TopKByScore(
 
   override def prettyName: String = "graft_top_k"
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint score, bigint id), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("score", LongType, nullable = false),

@@ -35,13 +35,8 @@ object TextFunctions {
 
   /** Distinct n-word shingles at positions 1..len-n (joined by a single
     * space). Matches the oracle's `range(1, len-(n-1))` enumeration. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    array_distinct(
-      when(size(w) < n + 1, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(w) - n),
-          i => concat_ws(" ", slice(w, i, lit(n))))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordShinglesAll(text, n))
 
   /** Shingle hash set: polyHash of each distinct shingle. */
   def shingleHashes(text: Column, n: Int): Column =

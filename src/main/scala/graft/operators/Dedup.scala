@@ -213,7 +213,7 @@ object Dedup {
       .withColumn("allbits", Vectors.lshBucket(col("vec"), bands * planesPerBand))
       .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("b"), col("allbits"))
       .withColumn("bk", expr(
-        s"allbits div cast(power(2, b * $planesPerBand) as bigint) % ${1 << planesPerBand}"))
+        s"allbits div cast(power(2, b * $planesPerBand) as bigint) % ${1L << planesPerBand}"))
       .select(col("id"), col("b"), col("bk"))
     val cand = banded.toDF("i", "b", "bk")
       .join(banded.toDF("j", "b", "bk"), Seq("b", "bk"))

@@ -240,13 +240,17 @@ class ReplayMicroBatchStream(
 
   @volatile private var stagedRef: Staged = null
 
-  private lazy val staged: Staged = {
+  private lazy val staged: Staged = ReplayStageLock.synchronized {
     import org.apache.spark.sql.functions.col
     val root = Option(options.get("stagingDir"))
       .getOrElse(sys.props("java.io.tmpdir"))
     val dir = s"$root/graft_replay_stage_${java.util.UUID.randomUUID()}"
     // scope the NANOS-as-BIGINT legacy conf to the staging read; the
-    // snapshot itself is plain BIGINT so nothing later needs the conf
+    // snapshot itself is plain BIGINT so nothing later needs the conf.
+    // The save/set/restore races with a concurrent second stream's
+    // staging in the same session — ReplayStageLock serializes the
+    // whole staging step (one-time, metadata-paced) so the conf window
+    // is exclusive
     val confKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(confKey)
     if (nanosAsLong) spark.conf.set(confKey, "true")
@@ -429,3 +433,10 @@ class ReplayMicroBatchStream(
     }
   }
 }
+
+/** JVM-wide lock for the staging step's session-conf save/set/restore:
+  * two replay streams starting concurrently in one SparkSession would
+  * otherwise interleave their nanosAsLong windows and read a wrong (or
+  * failing) schema. Staging is a one-time metadata-paced step per
+  * stream, so serializing it costs nothing observable. */
+private[streaming] object ReplayStageLock

@@ -185,6 +185,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Seq((5L, 1L), (3L, 4L)))
   }
 
+  test("review regressions: wide LSH bands, MinValue scores, typed/length guards") {
+    import spark.implicits._
+    // 31-bit band mask must use a Long shift (Int `1 << 31` is negative)
+    val wide = Seq((1L, Seq.fill(8)(1.0f)), (2L, Seq.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingLshPairs(wide, col("vec_id"), col("embedding"),
+      bands = 2, planesPerBand = 31).select("i", "j").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // Long.MinValue score must rank LAST, not first
+    val sentinel = Seq((1L, Long.MinValue), (2L, 5L)).toDF("id", "score")
+    val top = sentinel.groupBy(lit(1))
+      .agg(graft.expressions.TopKByScore(col("score"), col("id"), 2).as("t"))
+      .select(explode(col("t"))).select(col("col.id")).as[Long].collect().toSeq
+    assert(top == Seq(2L, 1L))
+    // wrong element type fails at ANALYSIS, not with silent garbage
+    val doubles = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      doubles.select(Vectors.dot(col("a"), col("b"))).collect()
+    }
+    // mismatched lengths throw instead of truncating to a plausible value
+    val ragged = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      ragged.select(Vectors.dot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("TopKHeap property: 200 random streams match sort-take oracle") {
     val rnd = new scala.util.Random(42)
     (1 to 200).foreach { trial =>
