@@ -251,6 +251,55 @@ object StreamingQueries {
     spark.table(name).orderBy(col("lang"))
   }
 
+  /** s07 — the native top-k aggregate INSIDE Structured Streaming:
+    * stream the documents table, keep each language's top-3 longest
+    * docs via `graft_top_k` in a complete-mode aggregation. The
+    * TypedImperativeAggregate's binary buffer round-trips through the
+    * streaming state store between micro-batches — the serialization
+    * path a batch-only test never exercises. Oracle = the batch window
+    * form. */
+  def s07StreamTopK(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType)))
+    // stage TWO disjoint halves and admit one file per trigger, so the
+    // aggregate state provably round-trips through the state store
+    // between micro-batches (a single batch would eval the buffer it
+    // just built and never exercise restore+merge)
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_s07_${math.abs(dir.hashCode)}")
+    val docs = Tables.documents(spark, dir)
+    val median = docs.count() / 2
+    def stageHalf(half: DataFrame, name: String): Unit = {
+      val tmp = staged.resolve(s"_stage_$name")
+      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles(
+        (_: java.io.File, n: String) => n.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(staged)
+      java.nio.file.Files.move(part.toPath, staged.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    stageHalf(docs.filter(col("doc_id") < median), "a")
+    stageHalf(docs.filter(col("doc_id") >= median), "b")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .select(col("lang"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"))
+    val agg = stream.groupBy(col("lang"))
+      .agg(graft.expressions.TopKByScore(col("n_words"), col("doc_id"), 3).as("top"))
+    val name = s"s07_out_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("n_words"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_replay_sink"  -> s01ReplaySink _,
     "s02_stream_window" -> s02StreamWindow _,
@@ -258,6 +307,7 @@ object StreamingQueries {
     "s04_replay_source" -> s04ReplaySource _,
     "s05_stream_pipeline" -> s05StreamPipeline _,
     "s06_stream_dedup" -> s06StreamDedup _,
+    "s07_stream_topk" -> s07StreamTopK _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -285,5 +335,15 @@ object StreamingQueries {
     "s06_stream_dedup" ->
       """SELECT lang, COUNT(DISTINCT lower(trim(text))) AS n_unique
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // streaming top-k state must agree with the batch window form
+    "s07_stream_topk" ->
+      """WITH s AS (SELECT lang, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, n_words,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_words DESC, doc_id) AS rank
+        |  FROM s)
+        |SELECT lang, rank, doc_id, n_words FROM r WHERE rank <= 3
+        |ORDER BY lang, rank""".stripMargin,
   )
 }
