@@ -515,6 +515,28 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** p09 — stratified deterministic sampling: exactly `k` docs per
+    * language stratum, chosen as the k SMALLEST `polyHash(doc_id)`
+    * values — a keyed lottery, so the sample is identical on any
+    * engine, any run, any partition layout (p06's property, plus exact
+    * per-stratum counts — the eval-set builder's contract). Runs
+    * through [[graft.expressions.TopKByScore]] with negated-hash
+    * scores: one partial-aggregated pass, shuffle = strata×k, no
+    * per-stratum sort (hash < 2³¹ so negation is overflow-safe).
+    * Output: the sampled (lang, doc_id) pairs with their rank. */
+  def p09StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        (-TF.polyHash(col("doc_id").cast("string"))).as("score"))
+      .groupBy(col("lang"))
+      .agg(graft.expressions.TopKByScore(col("score"), col("doc_id"), k).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** p07 — the data-prep pipeline end-to-end, composed from the
     * engine's own stages the way a training run would wire them:
     *
@@ -679,6 +701,7 @@ object AnalyticsQueries {
     "m03_resize"        -> m03Resize _,
     "p06_hash_sample"   -> p06HashSample _,
     "p07_data_prep"     -> p07DataPrep _,
+    "p09_stratified_sample" -> p09StratifiedSample _,
   )
 
   import Sql._
@@ -1079,6 +1102,15 @@ object AnalyticsQueries {
          |FROM documents
          |WHERE ${polyHash("CAST(doc_id AS VARCHAR)")} % 10 = 0
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // ranking by ascending hash == ranking by descending negated hash
+    "p09_stratified_sample" ->
+      s"""WITH h AS (SELECT lang, doc_id,
+         |    ${polyHash("CAST(doc_id AS VARCHAR)")} AS hv FROM documents),
+         |r AS (SELECT lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rank
+         |  FROM h)
+         |SELECT lang, rank, doc_id FROM r WHERE rank <= 20
+         |ORDER BY lang, rank""".stripMargin,
     "p07_data_prep" ->
       s"""WITH quality AS (SELECT doc_id, lang, text FROM documents
          |  WHERE len(${words("text")}) BETWEEN 50 AND 100000
