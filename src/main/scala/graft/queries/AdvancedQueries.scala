@@ -129,7 +129,32 @@ object AdvancedQueries {
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_orderkey"))
 
+  /** q30 — exact per-group median by rank selection: the integer-safe
+    * distributed-quantile pattern. Each group's median is picked as
+    * the ⌈n/2⌉-th and ⌊n/2⌋+1-th order statistics (equal for odd n),
+    * emitted as (median_lo, median_hi) so no float averaging ever
+    * happens — cross-engine exact, unlike percentile_cont whose
+    * interpolation arithmetic differs per engine. The per-group sort
+    * is WITHIN the group's partition slice (window over the group
+    * key); no global sort, and the two ranks are filtered before the
+    * final ordering. */
+  def q30GroupMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("qty"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("flag")).orderBy(col("qty"))
+    li.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))))
+      .filter(col("rn") === expr("(n + 1) DIV 2") || col("rn") === expr("n DIV 2 + 1"))
+      .groupBy(col("flag"))
+      .agg(min(col("qty")).as("median_lo"), max(col("qty")).as("median_hi"),
+        min(col("n")).as("n"))
+      .orderBy(col("flag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_group_median"    -> q30GroupMedian _,
     "q27_window_frames"   -> q27WindowFrames _,
     "q28_cte"             -> q28Cte _,
     "q29_array_agg"       -> q29ArrayAgg _,
@@ -159,6 +184,15 @@ object AdvancedQueries {
         |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
         |  COUNT(*) AS n_lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q30_group_median" ->
+      """WITH s AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |r AS (SELECT flag, qty,
+        |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY qty) AS rn,
+        |    COUNT(*) OVER (PARTITION BY flag) AS n FROM s)
+        |SELECT flag, MIN(qty) AS median_lo, MAX(qty) AS median_hi, MIN(n) AS n
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |GROUP BY flag ORDER BY flag""".stripMargin,
     "q27_window_frames" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS running_qty,
