@@ -19,6 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
   * half-even `rint` — because `floor` is the one rounding primitive
   * with identical semantics in the JVM and DuckDB, which keeps the
   * quantized codes (and therefore quantized rankings) engine-exact.
+  *
+  * Precondition: FINITE inputs. NaN/±Inf elements degrade to 0 codes
+  * on the JVM (`Double.toInt` of NaN is 0) and other engines disagree
+  * on NaN casts — validate embeddings upstream (the quality gate's
+  * job) rather than relying on this path for non-finite data. The
+  * behavior is pinned by a test so a change is loud, not silent.
   */
 case class QuantizeI8(child: Expression) extends UnaryExpression {
 

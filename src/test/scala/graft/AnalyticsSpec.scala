@@ -122,6 +122,15 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(dot == 4 - 10 + 18)
   }
 
+  test("quantizeI8 non-finite inputs degrade to 0 codes (documented precondition)") {
+    import spark.implicits._
+    val got = Seq(Seq(Float.NaN, 1.0f, Float.PositiveInfinity))
+      .toDF("v").select(graft.expressions.QuantizeI8(col("v")))
+      .as[Seq[Int]].head()
+    // maxAbs = +Inf → scale 0; finite x*0 → floor(0.5)=0; NaN/Inf → 0
+    assert(got == Seq(0, 0, 0))
+  }
+
   test("quantized search recall@3 vs float-exact ranking (sf0.001)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
