@@ -105,6 +105,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.IntDot(exprs.head, exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_sort_key"),
+      info("graft_sort_key", "graft_sort_key(double) - order-preserving double->long sort key for graft_top_k"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_sort_key", 1, exprs)
+        graft.expressions.DoubleSortKey(exprs.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_top_k"),
       info("graft_top_k", "graft_top_k(score, id, k) - single-pass bounded top-k aggregate, best-first array<struct<score,id>>"),
       (exprs: Seq[Expression]) => {

@@ -182,19 +182,31 @@ object AnalyticsQueries {
   // ----------------------------------------------------------- similarity
 
   /** a01 — brute-force cosine top-5 neighbors for the first 20 vectors
-    * (the exactness baseline; 1M codegen'd fold evaluations at sf0.1). */
+    * (the exactness baseline; 1M codegen'd fold evaluations at sf0.1).
+    *
+    * Scale shape: the ≤20-row QUERY side is the broadcast build side
+    * and the corpus streams past it — never the reverse (a corpus
+    * broadcast is an executor OOM at 100 TB). Per-query top-k runs
+    * through the bounded-heap [[graft.expressions.TopKByScore]]
+    * aggregate keyed by [[graft.expressions.DoubleSortKey]] (an
+    * order-preserving double→long map, so ranks — ties included — are
+    * bit-identical to ranking the double itself): each map task
+    * reduces its corpus slice to ≤ k pairs per query before the
+    * exchange, so the post-scan shuffle is queries×k rows, not a
+    * per-query window sort over n·queries scored rows. */
   def a01BruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{DoubleSortKey, TopKByScore}
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), Vectors.normSq(col("embedding")).as("nsq"))
     val q = e.filter(col("vec_id") < 20).toDF("query_id", "qe", "qn")
     val c = e.toDF("neighbor_id", "ce", "cn")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore(DoubleSortKey(col("sim")), col("neighbor_id"), 5).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col").getField("id").as("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -282,23 +294,31 @@ object AnalyticsQueries {
     * quantized cosine for the first 20 queries; the oracle replays the
     * identical quantization (floor(x·s+0.5) — the one rounding with
     * equal JVM/DuckDB semantics), so ranks are hash-exact. Recall vs
-    * the float-exact a01 is pinned in AnalyticsSpec. */
+    * the float-exact a01 is pinned in AnalyticsSpec.
+    *
+    * Scale shape (this IS the claimed 100 TB path, so the plan has to
+    * earn it): the ≤20-row query side is broadcast, the quantized
+    * corpus only streams — scan → broadcast-NLJ against 20 rows →
+    * partial top-k heaps → a queries×k shuffle. No corpus broadcast,
+    * no window sort; [[graft.expressions.DoubleSortKey]] makes the
+    * double ranking ride the long-keyed [[graft.expressions.TopKByScore]]
+    * with bit-identical order. */
   def a05QuantizedAnn(spark: SparkSession, dir: String): DataFrame = {
-    import graft.expressions.{IntDot, QuantizeI8}
+    import graft.expressions.{DoubleSortKey, IntDot, QuantizeI8, TopKByScore}
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), QuantizeI8(col("embedding")).as("q"))
       .withColumn("qn", IntDot(col("q"), col("q")))
       .filter(col("qn") > 0)
     val q = e.filter(col("vec_id") < 20).toDF("query_id", "qq", "qqn")
     val c = e.toDF("neighbor_id", "cq", "cqn")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qsim").desc, col("neighbor_id"))
-    q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("qsim", IntDot(col("qq"), col("cq")).cast("double") /
         (sqrt(col("qqn").cast("double")) * sqrt(col("cqn").cast("double"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore(DoubleSortKey(col("qsim")), col("neighbor_id"), 3).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col").getField("id").as("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
   }
 

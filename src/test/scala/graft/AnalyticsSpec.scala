@@ -131,20 +131,50 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Seq(0, 0, 0))
   }
 
-  test("quantized search recall@3 vs float-exact ranking (sf0.001)") {
-    import spark.implicits._
-    val dir = "/root/testdata/sf0.001"
-    val exact = graft.queries.AnalyticsQueries.a01BruteForceTopK(spark, dir)
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val quant = graft.queries.AnalyticsQueries.a05QuantizedAnn(spark, dir)
-      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val recall = exact.keys.toSeq.map { q =>
-      (exact(q) & quant.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
-    }.sum / exact.size
-    assert(recall >= 0.85, s"quantized recall@3 degraded to $recall")
+  // recall is asserted at BOTH the unit scale and the bench scale
+  // (sf0.1 = 2000 vectors): quantization error compounds with corpus
+  // density, so a bound checked only on 500 vectors says little about
+  // the scale the bench actually reports. Measured: 1.00 at sf0.001,
+  // 0.967 at sf0.1 (recorded in PERF.md).
+  for (sf <- Seq("sf0.001", "sf0.1"))
+    test(s"quantized search recall@3 vs float-exact ranking ($sf)") {
+      import spark.implicits._
+      val dir = s"/root/testdata/$sf"
+      val exact = graft.queries.AnalyticsQueries.a01BruteForceTopK(spark, dir)
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val quant = graft.queries.AnalyticsQueries.a05QuantizedAnn(spark, dir)
+        .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recall = exact.keys.toSeq.map { q =>
+        (exact(q) & quant.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+      }.sum / exact.size
+      assert(recall >= 0.85, s"quantized recall@3 degraded to $recall at $sf")
+    }
+
+  test("graft_sort_key: order-preserving and injective on doubles") {
+    import graft.expressions.DoubleSortKey
+    val rnd = new scala.util.Random(42)
+    val xs = (Seq.fill(2000)(rnd.nextDouble() * 2 - 1) ++
+      Seq.fill(500)((rnd.nextDouble() - 0.5) * 1e300) ++
+      Seq(0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+        Double.MaxValue, Double.MinValue,
+        Double.PositiveInfinity, Double.NegativeInfinity))
+      .distinct.sorted
+    // xs is strictly increasing as doubles, so order preservation +
+    // injectivity ⇔ the key sequence is strictly increasing as longs
+    val keys = xs.map(DoubleSortKey.key)
+    keys.sliding(2).foreach { case Seq(a, b) =>
+      assert(a < b, s"key order diverges from double order ($a !< $b)")
+    }
+    // self-inverse: re-applying the bit transform recovers the double
+    xs.foreach { x =>
+      val k = DoubleSortKey.key(x)
+      val back = java.lang.Double.longBitsToDouble(k ^ ((k >> 63) & Long.MaxValue))
+      assert(java.lang.Double.doubleToLongBits(back) ===
+        java.lang.Double.doubleToLongBits(x))
+    }
   }
 
   test("quality filter: keep and reject verdicts both occur on testdata") {

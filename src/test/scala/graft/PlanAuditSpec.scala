@@ -84,6 +84,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"top-k agg must not plan a window:\n$p")
   }
 
+  test("a01/a05: query side broadcasts, corpus streams; top-k is agg, not window") {
+    // the int8 path is SOLD as the 100 TB plan: the ≤20-row query side
+    // must be the broadcast build side (a corpus broadcast OOMs an
+    // executor long before 100 TB), and per-query top-k must be the
+    // bounded-heap aggregate — shuffle queries×k — not a window sort
+    // over every scored candidate
+    Seq(
+      graft.queries.AnalyticsQueries.a01BruteForceTopK(spark, dir),
+      graft.queries.AnalyticsQueries.a05QuantizedAnn(spark, dir)
+    ).foreach { df =>
+      val p = planOf(df)
+      assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+        s"query side (right) must be the broadcast build side:\n$p")
+      assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+      assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+        s"expected partial+final bounded-heap top-k aggregate:\n$p")
+    }
+  }
+
   test("d09/d10/p07: vocabulary joins stay equi-joins on hash keys") {
     // contamination / dup-span / prep-pipeline all join exploded docs
     // against a hash vocabulary — a cartesian or nested-loop here is
