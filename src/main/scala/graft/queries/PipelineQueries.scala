@@ -18,6 +18,20 @@ object PipelineQueries {
   def staging(tag: String, dir: String): String =
     Paths.get(sys.props("java.io.tmpdir"), s"graft_${tag}_${math.abs(dir.hashCode)}").toString
 
+  /** (name, bytes) of every parquet data file directly under `dir`,
+    * listed through the Hadoop [[org.apache.hadoop.fs.FileSystem]] API
+    * so the same code works on local FS, HDFS, and S3-style stores —
+    * the places table maintenance actually runs. Sorted by name for
+    * deterministic downstream math. */
+  def parquetFileSizes(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.getName, st.getLen))
+      .sortBy(_._1)
+  }
+
   /** p01 — S1/K5: write events Hive-partitioned by (event_type, day),
     * read back with partition filters (Catalyst prunes to 2 of ~180
     * directories — PlanAuditSpec pins that), aggregate per day. */
@@ -177,16 +191,16 @@ object PipelineQueries {
     val path = staging("p08", dir)
     Tables.documents(spark, dir).repartition(64)
       .write.mode("overwrite").parquet(s"$path/frag")
-    def parquetFiles(p: String): Seq[java.io.File] =
-      new java.io.File(p).listFiles((_: java.io.File, n: String) =>
-        n.endsWith(".parquet")).toSeq
-    val fragFiles = parquetFiles(s"$path/frag")
+    // list through the Hadoop FileSystem API, not java.io.File:
+    // compaction only matters on HDFS/S3-style stores, where a local
+    // listing would return nothing and the reduction require would throw
+    val fragFiles = PipelineQueries.parquetFileSizes(spark, s"$path/frag")
     val targetBytes = 8L << 20
     val nOut = math.max(1, math.ceil(
-      fragFiles.map(_.length).sum.toDouble / targetBytes).toInt)
+      fragFiles.map(_._2).sum.toDouble / targetBytes).toInt)
     spark.read.parquet(s"$path/frag").repartition(nOut)
       .write.mode("overwrite").parquet(s"$path/compact")
-    val nAfter = parquetFiles(s"$path/compact").size
+    val nAfter = PipelineQueries.parquetFileSizes(spark, s"$path/compact").size
     require(nAfter < fragFiles.size,
       s"compaction must reduce file count: $nAfter vs ${fragFiles.size}")
     spark.read.parquet(s"$path/compact")

@@ -137,6 +137,23 @@ class OperatorSparkSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction file listing goes through the Hadoop FileSystem API") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs_list").toString
+    spark.range(100).select(col("id")).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val listed = graft.queries.PipelineQueries.parquetFileSizes(spark, dir)
+    assert(listed.size == 4, s"expected 4 parquet files, got $listed")
+    assert(listed.forall { case (n, len) => n.endsWith(".parquet") && len > 0 })
+    assert(listed.map(_._1) == listed.map(_._1).sorted, "listing must be name-sorted")
+    // _SUCCESS and other non-data files must be excluded
+    assert(!listed.exists(_._1.startsWith("_")))
+    // works on an explicit file:// URI too (the Path → FileSystem
+    // resolution a non-local store would exercise)
+    val viaUri = graft.queries.PipelineQueries.parquetFileSizes(spark, s"file://$dir")
+    assert(viaUri == listed)
+  }
+
   test("sessionize splits on a sub-second 1800.5s gap but not on exactly 1800.0s") {
     import spark.implicits._
     import java.sql.Timestamp
