@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   * the Scala analogue of `mapInPandas` (iterator-of-batches in, typed
   * rows out), so a real decoder drops in without touching the plumbing.
   *
-  * The actual media decode is STUBBED (this container has no image /
-  * audio codecs): [[FeatureExtractor.decodeStub]] derives deterministic
-  * features from the raw bytes. The Spark-side contract — schema,
-  * batching, partitioning, null handling — is real and tested.
+  * The image path is REAL: [[decodeDownsample2x]] decodes PNG/BMP
+  * payloads with the JDK's built-in `javax.imageio.ImageIO` codec (no
+  * external dependency) and runs a genuine 2:1 box-filter downsample
+  * over the pixels. Audio/video feature extraction remains a labeled
+  * stub ([[FeatureExtractor.decodeStub]] — no audio codecs ship with
+  * the JDK); its Spark-side contract — schema, batching, partitioning,
+  * null handling — is real and tested, so a codec drops in by
+  * replacing one function.
   */
 object Multimodal {
 
@@ -100,6 +104,82 @@ object Multimodal {
           resized.codePointCount(0, resized.length).toLong,
           graft.expressions.PolyHash.hash(
             org.apache.spark.unsafe.types.UTF8String.fromString(resized)))
+      }
+    }
+  }
+
+  /** Deterministic synthetic RGB image, PNG-encoded with the real JDK
+    * codec: channel `c ∈ {0=R,1=G,2=B}` of pixel `(x, y)` is
+    * `(id·7 + (y·w + x)·3 + c) mod 256`. PNG is lossless for 8-bit
+    * RGB, so a decoder must recover these exact values — which is what
+    * lets a SQL oracle with no image codec verify a real codec
+    * roundtrip arithmetically. */
+  def synthPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = id * 7 + (y.toLong * w + x) * 3
+        val r = (base % 256).toInt
+        val g = ((base + 1) % 256).toInt
+        val b = ((base + 2) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  final case class DecodedImage(media_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, checksum: Long)
+
+  /** REAL image decode + resize (no stub): `ImageIO.read` each binary
+    * payload, 2:1 box-filter downsample (integer mean of each 2×2
+    * block per channel — floor division, exact in any engine), then a
+    * polynomial checksum over the downsampled pixels in (y, x,
+    * R-G-B) order. Narrow 1:1 mapPartitions stage: decode cost is the
+    * only cost, no shuffle, scales with executor count. Undecodable
+    * payloads fail loudly (a silent skip would corrupt downstream
+    * training-set statistics). */
+  def decodeDownsample2x(df: DataFrame): Dataset[DecodedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](payloadIdx)))
+        require(img != null, s"media $id: payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        val ow = w / 2
+        val oh = h / 2
+        var hsh = 0L
+        var my = 0
+        while (my < oh) {
+          var mx = 0
+          while (mx < ow) {
+            var c = 0
+            while (c < 3) {
+              val shift = 16 - 8 * c
+              @inline def ch(px: Int, py: Int): Int = (img.getRGB(px, py) >> shift) & 0xFF
+              val v = (ch(2 * mx, 2 * my) + ch(2 * mx + 1, 2 * my) +
+                ch(2 * mx, 2 * my + 1) + ch(2 * mx + 1, 2 * my + 1)) / 4
+              hsh = (hsh * 31 + v) % FeatureExtractor.P
+              c += 1
+            }
+            mx += 1
+          }
+          my += 1
+        }
+        DecodedImage(id, w, h, ow, oh, hsh)
       }
     }
   }

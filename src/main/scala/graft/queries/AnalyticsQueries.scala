@@ -677,6 +677,29 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** m04 — REAL image decode via the JDK's `ImageIO` codec (the
+    * round-3 labeled stub made first-class, no new dependency): each
+    * document id becomes a deterministic 16×16 RGB PNG (encoded
+    * executor-side with the real PNG writer), which is then decoded
+    * back with `ImageIO.read` and 2:1 box-filter downsampled — an
+    * integer mean over each 2×2 pixel block per channel — and the 8×8
+    * output pixels are checksummed. PNG is lossless for 8-bit RGB, so
+    * the DuckDB oracle (which has no image codec) recomputes the
+    * expected downsampled pixels arithmetically: a matching checksum
+    * proves the full encode→decode→resample pixel path bit-exactly.
+    * Both stages are narrow 1:1 mapPartitions — decode cost only, no
+    * shuffle, linear in media count. */
+  def m04ImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.synthPng(id, 16, 16))))
+      .toDF("media_id", "payload")
+    Multimodal.decodeDownsample2x(payloads).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"), col("checksum"))
+      .orderBy(col("media_id"))
+  }
+
   /** p06 — deterministic hash sampling (the training-pipeline "take a
     * reproducible 10% slice" op): membership = polyHash(id) % 10, so
     * the same rows are sampled on any engine, any run, any partition
@@ -719,6 +742,7 @@ object AnalyticsQueries {
     "m01_multimodal"    -> m01Multimodal _,
     "m02_frame_sample"  -> m02FrameSample _,
     "m03_resize"        -> m03Resize _,
+    "m04_image_decode"  -> m04ImageDecode _,
     "p06_hash_sample"   -> p06HashSample _,
     "p07_data_prep"     -> p07DataPrep _,
     "p09_stratified_sample" -> p09StratifiedSample _,
@@ -1117,6 +1141,24 @@ object AnalyticsQueries {
          |SELECT doc_id, orig_len, LENGTH(resized) AS resized_len,
          |  ${polyHash("resized")} AS checksum
          |FROM r ORDER BY doc_id""".stripMargin,
+    // pixel math mirror of the ImageIO path: source channel c of pixel
+    // (x,y) is (id*7 + (y*16+x)*3 + c) % 256; the 2:1 box filter is the
+    // floor mean of each 2x2 block; checksum folds (h*31+v) % P over
+    // the 8x8 output in (y, x, R-G-B) order — bit-exact because PNG is
+    // lossless and every operation is integer
+    "m04_image_decode" ->
+      s"""SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+         |  8 AS out_w, 8 AS out_h,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), flatten(flatten(
+         |    list_transform(range(0, 8), _my -> list_transform(range(0, 8), _mx ->
+         |      list_transform(range(0, 3), _mc -> CAST((
+         |          (doc_id*7 + ((2*_my)*16 + 2*_mx)*3 + _mc) % 256
+         |        + (doc_id*7 + ((2*_my)*16 + 2*_mx + 1)*3 + _mc) % 256
+         |        + (doc_id*7 + ((2*_my + 1)*16 + 2*_mx)*3 + _mc) % 256
+         |        + (doc_id*7 + ((2*_my + 1)*16 + 2*_mx + 1)*3 + _mc) % 256
+         |      ) // 4 AS BIGINT))))))),
+         |    (_ma, _mb) -> (_ma * 31 + _mb) % 1000000007) AS checksum
+         |FROM documents ORDER BY media_id""".stripMargin,
     "p06_hash_sample" ->
       s"""SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM documents

@@ -386,6 +386,44 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r._1 == 0.0 && r._2 == 1.0)
   }
 
+  test("image decode: ImageIO roundtrip + 2:1 box filter match pure pixel math") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // expected checksum computed WITHOUT ImageIO — independent integer
+    // pixel math; equality proves the codec encode→decode is lossless
+    // and the downsample kernel is the floor 2x2 mean
+    def expected(id: Long, w: Int, h: Int): Long = {
+      def v(x: Int, y: Int, c: Int): Long = (id * 7 + (y.toLong * w + x) * 3 + c) % 256
+      var hsh = 0L
+      for (my <- 0 until h / 2; mx <- 0 until w / 2; c <- 0 until 3) {
+        val m = (v(2 * mx, 2 * my, c) + v(2 * mx + 1, 2 * my, c) +
+          v(2 * mx, 2 * my + 1, c) + v(2 * mx + 1, 2 * my + 1, c)) / 4
+        hsh = (hsh * 31 + m) % Multimodal.FeatureExtractor.P
+      }
+      hsh
+    }
+    val ids = Seq(0L, 1L, 37L, 9999L)
+    val payloads = ids.toDF("media_id")
+      .select(col("media_id"), lit(null).cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, _) => (id, Multimodal.synthPng(id, 16, 16)) }
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeDownsample2x(payloads).collect()
+      .map(d => d.media_id -> d).toMap
+    ids.foreach { id =>
+      val d = got(id)
+      assert((d.width, d.height, d.out_w, d.out_h) == (16, 16, 8, 8))
+      assert(d.checksum == expected(id, 16, 16),
+        s"codec/kernel drift for id=$id: ${d.checksum} vs ${expected(id, 16, 16)}")
+    }
+    // a non-image payload must fail loudly, not silently skip
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeDownsample2x(bad).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("multimodal: batched stub features match byte-level expectation") {
     import spark.implicits._
     val df = Seq((7L, "abc")).toDF("doc_id", "text")
