@@ -133,6 +133,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(1L)) // only the click 60s after user 1's error joins
   }
 
+  test("interval join matches across micro-batches (state store crossing)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long)]
+    val purchases = MemoryStream[(Long, Long)]
+    def withTs(df: org.apache.spark.sql.DataFrame, u: String, t: String) =
+      df.toDF(u, "sec").withColumn(t, timestamp_seconds(col("sec"))).drop("sec")
+    val c = withTs(clicks.toDF(), "c_user", "c_ts").withWatermark("c_ts", "1 hour")
+    val p = withTs(purchases.toDF(), "p_user", "p_ts").withWatermark("p_ts", "1 hour")
+    val name = s"ssx_${System.nanoTime()}"
+    val q = c.join(p,
+        col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    val t0 = 1700000000L
+    // batch 1: clicks only — nothing can match yet
+    clicks.addData((1L, t0), (2L, t0))
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 0)
+    // batch 2: purchases arrive — user 1's click from batch 1 must
+    // still be in the join state and match now
+    purchases.addData((1L, t0 + 600), (3L, t0 + 600))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).select("c_user").as[Long].collect().toSeq
+    assert(got == Seq(1L), s"cross-batch interval match lost: $got")
+  }
+
   test("windowed agg with watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
