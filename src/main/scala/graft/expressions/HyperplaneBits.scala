@@ -1,9 +1,10 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Native random-hyperplane sign-bit hash over an `array<float>`
   * embedding: bit j is set iff Σᵢ vᵢ·wᵢⱼ ≥ 0, where the ±1 plane
@@ -25,6 +26,19 @@ case class HyperplaneBits(child: Expression, nPlanes: Int) extends UnaryExpressi
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_hyperplane_bits"
+
+  // analysis-time rejection, same contract as FloatDot/QuantizeI8: via
+  // the registered SQL function an array<double> argument would reach
+  // ArrayData.getFloat, which on unsafe layouts misreads 8-byte doubles
+  // as 4-byte floats and produces silently wrong LSH bits
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if nPlanes >= 1 && nPlanes <= 62 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires nPlanes in [1, 62], got $nPlanes")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     HyperplaneBits.hash(input.asInstanceOf[ArrayData], nPlanes)

@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
@@ -34,6 +35,13 @@ case class GraftTokenize(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_tokenize"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
   override protected def nullSafeEval(content: Any, endTag: Any): Any = {
     val frags = Tokenizer.tokenizeString(
       content.asInstanceOf[UTF8String].toString,
@@ -57,6 +65,13 @@ case class GraftFlatten(left: Expression, right: Expression)
   override def dataType: DataType =
     ArrayType(MapType(StringType, StringType, valueContainsNull = true), containsNull = false)
   override def prettyName: String = "graft_flatten"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override protected def nullSafeEval(xml: Any, readingType: Any): Any = {
     val flattener = Flattener.forReadingType(readingType.asInstanceOf[UTF8String].toString)

@@ -88,6 +88,32 @@ object ReplaySource {
     StructField("ts_ms", LongType, nullable = false),
     StructField("partition_key", StringType),
     StructField("payload", StringType)))
+
+  /** Snapshots older than this under a staging root are orphans from a
+    * crashed/killed driver (live streams re-stage fresh UUIDs on every
+    * restart, and staging itself is seconds, not hours). */
+  private[graft] val StaleStageMs: Long = 12L * 3600 * 1000
+
+  /** Best-effort prune of orphaned `graft_replay_stage_*` snapshots
+    * under `root`. A driver that dies before `stop()` leaks its
+    * UUID-named snapshot (a full copy of the replayed projection);
+    * since each restart stages a fresh one, the leak otherwise grows
+    * without bound. Age-gated so a concurrently RUNNING stream's
+    * snapshot (always younger) is never touched. */
+  private[graft] def pruneStaleStages(
+      root: String, conf: Configuration,
+      now: () => Long = () => System.currentTimeMillis(),
+      staleMs: Long = StaleStageMs): Unit =
+    try {
+      val rp = new HPath(root)
+      val fs = rp.getFileSystem(conf)
+      if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("graft_replay_stage_") &&
+            now() - st.getModificationTime > staleMs) {
+          try { fs.delete(st.getPath, true); () } catch { case _: Throwable => () }
+        }
+      }
+    } catch { case _: Throwable => () }
 }
 
 class ReplayTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
@@ -244,7 +270,14 @@ class ReplayMicroBatchStream(
     import org.apache.spark.sql.functions.col
     val root = Option(options.get("stagingDir"))
       .getOrElse(sys.props("java.io.tmpdir"))
+    // reclaim snapshots orphaned by drivers that died before stop()
+    val stageHconf = spark.sessionState.newHadoopConf()
+    ReplaySource.pruneStaleStages(root, stageHconf)
     val dir = s"$root/graft_replay_stage_${java.util.UUID.randomUUID()}"
+    // this stream's own snapshot must not outlive an abrupt JVM exit;
+    // the conf is captured NOW — at shutdown the session may be gone
+    cleanupHook = new Thread(() => deleteStaged(dir, stageHconf))
+    Runtime.getRuntime.addShutdownHook(cleanupHook)
     // scope the NANOS-as-BIGINT legacy conf to the staging read; the
     // snapshot itself is plain BIGINT so nothing later needs the conf.
     // The save/set/restore races with a concurrent second stream's
@@ -419,17 +452,30 @@ class ReplayMicroBatchStream(
 
   override def commit(end: Offset): Unit = ()
 
+  @volatile private var cleanupHook: Thread = null
+
+  /** Best-effort snapshot delete, via the Hadoop FS API so
+    * shared-storage staging roots clean up too. Safe to call twice
+    * (stop + shutdown hook): deleting a missing path is a no-op. */
+  private def deleteStaged(dir: String, conf: Configuration): Unit =
+    try {
+      val p = new HPath(dir)
+      p.getFileSystem(conf).delete(p, true)
+      ()
+    } catch { case _: Throwable => () }
+
   override def stop(): Unit = {
-    // best-effort scratch cleanup; stagedRef stays null if staging
-    // never ran (referencing the lazy val here would trigger it).
-    // Hadoop FS API so shared-storage staging roots clean up too.
+    // stagedRef stays null if staging never ran (referencing the lazy
+    // val here would trigger it)
     val s = stagedRef
-    if (s != null) {
-      try {
-        val p = new HPath(s.dir)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-        ()
-      } catch { case _: Throwable => () }
+    if (s != null) deleteStaged(s.dir, spark.sessionState.newHadoopConf())
+    val h = cleanupHook
+    if (h != null) {
+      // clean exit: the hook's work is done, don't accumulate one
+      // thread per stream over a long-lived driver
+      try { Runtime.getRuntime.removeShutdownHook(h); () }
+      catch { case _: Throwable => () } // already shutting down
+      cleanupHook = null
     }
   }
 }

@@ -73,6 +73,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(b == viaApi)
   }
 
+  test("type misuse fails at analysis, not with runtime cast errors") {
+    // array<double> into the float-array LSH primitive would misread
+    // 8-byte doubles as 4-byte floats on unsafe layouts — must be
+    // rejected before execution, like the other vector primitives
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hyperplane_bits(array(1.0, 2.0), 8)").collect()
+    }
+    assert(e1.getMessage.contains("array<float>"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hyperplane_bits(array(CAST(1.0 AS FLOAT)), 63)").collect()
+    }
+    assert(e2.getMessage.contains("nPlanes"))
+    // XML front door: non-string arguments get an analysis-time type
+    // error instead of a raw ClassCastException mid-query
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_tokenize(42, '</a>')").collect()
+    }
+    assert(e3.getMessage.contains("string"))
+    val e4 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_flatten('<a/>', 7)").collect()
+    }
+    assert(e4.getMessage.contains("string"))
+  }
+
   test("graft_shingle_hashes + graft_minhash_sig compose in SQL") {
     import spark.implicits._
     val sig = spark.sql(

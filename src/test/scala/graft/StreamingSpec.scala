@@ -162,6 +162,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(1L), s"cross-batch interval match lost: $got")
   }
 
+  test("stale replay staging snapshots are pruned; fresh and foreign dirs kept") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_prune_test").toString
+    val old = Paths.get(root, "graft_replay_stage_deadbeef")
+    val fresh = Paths.get(root, "graft_replay_stage_cafe")
+    val foreign = Paths.get(root, "user_data")
+    Seq(old, fresh, foreign).foreach(Files.createDirectories(_))
+    // age the orphan well past the stale horizon
+    Files.setLastModifiedTime(old, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - graft.streaming.ReplaySource.StaleStageMs - 3600 * 1000))
+    graft.streaming.ReplaySource.pruneStaleStages(
+      root, spark.sessionState.newHadoopConf())
+    assert(!Files.exists(old), "orphaned snapshot must be pruned")
+    assert(Files.exists(fresh), "a fresh (possibly live) snapshot must be kept")
+    assert(Files.exists(foreign), "non-staging directories must never be touched")
+  }
+
   test("windowed agg with watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
