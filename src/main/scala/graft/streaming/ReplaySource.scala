@@ -67,6 +67,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `payloadExpr`     SQL expr → payload string   (required)
   *   - `timeScale`       gap multiplier, 0 = no pacing (default 0)
   *   - `maxGroupsPerTrigger` admission cap (default 10000)
+  *   - `groupGranularityMs` coarsen the replay schedule to this bucket
+  *                       width (default 1 = exact per-timestamp
+  *                       groups). The driver schedule costs 3 longs
+  *                       per distinct group key — fine for second/day
+  *                       recordings, 24 bytes/row for ms-unique
+  *                       telemetry; at e.g. 1000 all rows in the same
+  *                       second replay as one group and offsets become
+  *                       bucket-end-valued (restart/backfill contract
+  *                       unchanged, at bucket granularity)
   *   - `nanosAsLong`     read TIMESTAMP(NANOS) columns as BIGINT during
   *                       staging (scoped: the session conf is restored)
   *   - `stagingDir`      root for the scratch snapshot. On a real
@@ -248,6 +257,10 @@ class ReplayMicroBatchStream(
   private val timeScale = Option(options.get("timeScale")).map(_.toDouble).getOrElse(0.0)
   private val maxGroupsPerTrigger =
     Option(options.get("maxGroupsPerTrigger")).map(_.toInt).getOrElse(10000)
+  private val groupGranularityMs =
+    Option(options.get("groupGranularityMs")).map(_.toLong).getOrElse(1L)
+  require(groupGranularityMs >= 1L,
+    s"graft-replay: groupGranularityMs must be >= 1, got $groupGranularityMs")
   private val nanosAsLong =
     Option(options.get("nanosAsLong")).exists(_.toBoolean)
 
@@ -267,7 +280,7 @@ class ReplayMicroBatchStream(
   @volatile private var stagedRef: Staged = null
 
   private lazy val staged: Staged = ReplayStageLock.synchronized {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit, pmod}
     val root = Option(options.get("stagingDir"))
       .getOrElse(sys.props("java.io.tmpdir"))
     // reclaim snapshots orphaned by drivers that died before stop()
@@ -307,8 +320,20 @@ class ReplayMicroBatchStream(
       }
     }
     val snapshot = spark.read.parquet(dir)
-    val grouped = snapshot.groupBy(col("ts_ms")).count()
-      .orderBy(col("ts_ms")).collect() // one row per distinct ts: metadata
+    // the driver schedule is 3 longs PER DISTINCT GROUP KEY. At
+    // second/day-grained recordings that is metadata; for
+    // millisecond-unique telemetry it would be 24 bytes/row — set
+    // groupGranularityMs to coarsen. The group key is the BUCKET END
+    // (b + g − 1 where b = ts − ts mod g): every raw ts in a bucket is
+    // ≤ its end and > the previous bucket's end, so the ts-valued
+    // offset/range machinery below works on bucket ends untouched,
+    // with g = 1 degenerating to exact per-ts grouping
+    val groupKey =
+      if (groupGranularityMs == 1L) col("ts_ms")
+      else col("ts_ms") - pmod(col("ts_ms"), lit(groupGranularityMs)) +
+        lit(groupGranularityMs - 1L)
+    val grouped = snapshot.groupBy(groupKey.as("g_ts")).count()
+      .orderBy(col("g_ts")).collect() // one row per distinct group: metadata
     val ts = grouped.map(_.getLong(0))
     val counts = grouped.map(_.getLong(1))
     val due = new Array[Long](ts.length)

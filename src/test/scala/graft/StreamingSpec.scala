@@ -162,6 +162,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(1L), s"cross-batch interval match lost: $got")
   }
 
+  test("replay source: groupGranularityMs coarsens ms-unique ts into bucket groups") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_gran").toString
+    // 6 millisecond-unique rows in 3 distinct seconds — without
+    // coarsening the driver schedule holds 6 groups, with it 3
+    Seq((1000L, "a"), (1001L, "b"), (1999L, "c"),
+      (2000L, "d"), (2500L, "e"), (4700L, "f"))
+      .toDF("ts", "payload").withColumn("key", lit("k"))
+      .write.mode("overwrite").parquet(dir)
+    val s = new ReplayMicroBatchStream(
+      replayOptions(dir, "groupGranularityMs" -> "1000"), clock = () => 0L)
+    try {
+      // schedule = bucket ends 1999 / 2999 / 4999
+      assert(s.reportLatestOffset().asInstanceOf[ReplayOffset].lastTs == 4999L)
+      val end = s.latestOffset(ReplayOffset.Start, s.getDefaultReadLimit)
+      assert(end.asInstanceOf[ReplayOffset].lastTs == 4999L)
+      // one admitted group at a time: first bucket = the 3 rows of second 1
+      val s2 = new ReplayMicroBatchStream(
+        replayOptions(dir, "groupGranularityMs" -> "1000",
+          "maxGroupsPerTrigger" -> "1"), clock = () => 0L)
+      try {
+        val first = s2.latestOffset(ReplayOffset.Start, s2.getDefaultReadLimit)
+        assert(first.asInstanceOf[ReplayOffset].lastTs == 1999L)
+        val parts = s2.planInputPartitions(ReplayOffset.Start, first)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val rows = parts.flatMap { p =>
+          val r = new ReplayPartitionReader(
+            p.asInstanceOf[ReplayInputPartition], conf)
+          try Iterator.continually(if (r.next()) Some(r.get().getLong(0)) else None)
+            .takeWhile(_.isDefined).flatten.toList
+          finally r.close()
+        }
+        assert(rows.sorted.toSeq == Seq(1000L, 1001L, 1999L),
+          s"first bucket must carry exactly second-1 rows, got ${rows.toSeq}")
+      } finally s2.stop()
+    } finally s.stop()
+  }
+
   test("stale replay staging snapshots are pruned; fresh and foreign dirs kept") {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft_prune_test").toString
