@@ -153,7 +153,39 @@ object AdvancedQueries {
       .orderBy(col("flag"))
   }
 
+  /** q31 — BUCKETED co-located fact-to-fact join, the storage-layout
+    * lever that removes the dominant recurring cost at 100 TB: both
+    * sides are written `bucketBy(8, o_orderkey)` (+ in-bucket sort),
+    * so the join's hash distribution is satisfied by the LAYOUT and
+    * the sort-merge join plans with NO shuffle exchange on either side
+    * — pay the shuffle once at write time, never again per query.
+    * BucketingSpec pins the exchange-free plan (with broadcast
+    * disabled so the property is visible at dimension sizes); here the
+    * bucketed round-trip also goes through the correctness gate.
+    * External-table paths keep the warehouse out of the repo tree. */
+  def q31BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_q31_${math.abs(dir.hashCode)}").toString
+    graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").option("path", s"$stage/orders_b")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_q31_orders_b")
+    graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite").option("path", s"$stage/lineitem_b")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_q31_lineitem_b")
+    spark.table("graft_q31_lineitem_b")
+      .join(spark.table("graft_q31_orders_b"), Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_bucketed_join"   -> q31BucketedJoin _,
     "q30_group_median"    -> q30GroupMedian _,
     "q27_window_frames"   -> q27WindowFrames _,
     "q28_cte"             -> q28Cte _,
@@ -166,6 +198,11 @@ object AdvancedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q31_bucketed_join" ->
+      """SELECT o.o_orderstatus, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q28_cte" ->
       """WITH spend AS (
         |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS total

@@ -101,6 +101,32 @@ object AnalyticsQueries {
     Dedup.dupClusters(pairs).orderBy(col("doc_id"))
   }
 
+  /** d11 — dedup APPLIED end to end (d03/d07 find structure; this is
+    * the op a pipeline actually ships): near-dup pairs (4-gram
+    * Jaccard ≥ 0.5) → connected components (large/small-star, O(log n)
+    * rounds) → each cluster keeps its lowest-doc_id representative →
+    * per-lang kept/removed accounting plus surviving token volume.
+    * Scale shape: everything upstream is the already-audited bucketed
+    * pair + CC machinery; the apply step adds one left join on doc_id
+    * (cluster label is null for docs in no pair — trivially kept) and
+    * one hash-agg. This is the number that decides a training run:
+    * how much of the corpus survives dedup, per language. */
+  def d11DedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+      n = 4, minJaccard = 0.5).select(col("i"), col("j"))
+    val clusters = Dedup.dupClusters(pairs) // (doc_id, cluster_id)
+    docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("kept",
+        col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), TF.tokenCount(col("text")).cast("long"))
+          .otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** d06 — SimHash near-dup pairs: 60-bit shingle-hash simhash, 6
     * bands × 10 bits (sound for Hamming ≤ 3), exact Hamming verify. */
   def d06SimhashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -360,6 +386,29 @@ object AnalyticsQueries {
         col("top").getItem(0).getField("id").as("outlier_id"),
         col("top").getItem(0).getField("score").as("dist"))
       .orderBy(col("label"))
+  }
+
+  /** a07 — SEMANTIC decontamination, the embedding companion to the
+    * shingle-based d09: flag every corpus vector whose cosine to ANY
+    * held-out eval vector (vec_id < 20, the benchmark stand-in) is
+    * ≥ 0.30 — the paraphrased-leak sweep a token-overlap check misses.
+    * Scale shape: the tiny eval side broadcasts, the corpus only
+    * streams past it, output is linear in matches — a scan, no
+    * shuffle of corpus data at all. Thresholding on a FLOAT is safe
+    * here and only here because both engines compute bit-identical
+    * sims (strict ascending-index IEEE fold on both sides — the same
+    * parity d05/a01 rankings rely on), so `sim >= τ` is exact, not
+    * approximate. */
+  def a07SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Vectors.normSq(col("embedding")).as("nsq"))
+    val q = e.filter(col("vec_id") < 20).toDF("eval_id", "qe", "qn")
+    val c = e.filter(col("vec_id") >= 20).toDF("corpus_id", "ce", "cn")
+    c.join(broadcast(q), lit(true))
+      .withColumn("sim", Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn")))
+      .filter(col("sim") >= 0.30)
+      .select(col("corpus_id"), col("eval_id"))
+      .orderBy(col("corpus_id"), col("eval_id"))
   }
 
   /** a04 — single-pass top-k per group via the native
@@ -700,6 +749,40 @@ object AnalyticsQueries {
       .orderBy(col("media_id"))
   }
 
+  /** p10 — INCREMENTAL dedup, the production shape: yesterday's corpus
+    * is already deduplicated and must not be rescanned or re-clustered
+    * when today's increment lands. The increment (odd doc_ids — a
+    * deterministic stand-in for "the new partition") is deduped
+    * against itself (keep the lowest doc_id per content fingerprint)
+    * and then anti-joined against the corpus's fingerprint set (even
+    * doc_ids). Scale shape: the ONLY thing read from the corpus is its
+    * 8-byte-per-doc fingerprint index (~0.01% of corpus bytes at
+    * 100 TB — maintainable as its own table); the increment pays one
+    * hash-agg and one equi-anti-join, and corpus data never shuffles.
+    * Output: per-lang incoming / self-deduped / corpus-novel counts —
+    * the accounting a daily ingest job reports. */
+  def p10IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = TF.polyHash(lower(trim(col("text"))))
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), fp.as("fp"), (col("doc_id") % 2 === 0).as("is_corpus"))
+    val corpusFps = docs.filter(col("is_corpus")).select(col("fp")).distinct()
+    val inc = docs.filter(!col("is_corpus"))
+    // self-dedup: keep the lowest doc_id per fingerprint (its lang via
+    // min_by, so accounting follows the KEPT row)
+    val selfKept = inc.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), min_by(col("lang"), col("doc_id")).as("lang"))
+    val novel = selfKept.join(corpusFps, Seq("fp"), "left_anti")
+    inc.groupBy(col("lang")).agg(count(lit(1)).as("n_incoming"))
+      .join(selfKept.groupBy(col("lang")).agg(count(lit(1)).as("n_self_kept")),
+        Seq("lang"), "left")
+      .join(novel.groupBy(col("lang")).agg(count(lit(1)).as("n_novel")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_incoming"),
+        coalesce(col("n_self_kept"), lit(0L)).as("n_self_kept"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .orderBy(col("lang"))
+  }
+
   /** p06 — deterministic hash sampling (the training-pipeline "take a
     * reproducible 10% slice" op): membership = polyHash(id) % 10, so
     * the same rows are sampled on any engine, any run, any partition
@@ -719,6 +802,8 @@ object AnalyticsQueries {
     "d04_simhash"       -> d04Simhash _,
     "d06_simhash_pairs" -> d06SimhashPairs _,
     "d07_dup_clusters"  -> d07DupClusters _,
+    "d11_dedup_apply"   -> d11DedupApply _,
+    "p10_incremental_dedup" -> p10IncrementalDedup _,
     "d05_embedding_dup" -> d05EmbeddingDup _,
     "d08_embedding_lsh" -> d08EmbeddingLsh _,
     "d09_contamination" -> d09Contamination _,
@@ -729,6 +814,7 @@ object AnalyticsQueries {
     "a04_topk_agg"      -> a04TopkAgg _,
     "a05_quantized_ann" -> a05QuantizedAnn _,
     "a06_quantized_centroids" -> a06QuantizedCentroids _,
+    "a07_semantic_decontam" -> a07SemanticDecontam _,
     "t01_token_stats"   -> t01TokenStats _,
     "t02_quality"       -> t02Quality _,
     "t03_lang_id"       -> t03LangId _,
@@ -787,6 +873,48 @@ object AnalyticsQueries {
          |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
          |SELECT id AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // same component labels as d07, then the apply step: cluster
+    // representative = min doc_id, accounting per lang
+    "d11_dedup_apply" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |ex AS (SELECT doc_id, n, unnest(sh) AS s FROM ws),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, a.n AS ni, b.n AS nj, COUNT(*) AS shared
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.5),
+         |e AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+         |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |k AS (SELECT d.lang,
+         |    CASE WHEN lab.cluster_id IS NULL OR lab.cluster_id = d.doc_id
+         |         THEN 1 ELSE 0 END AS kept,
+         |    CAST(len(${words("d.text")}) AS BIGINT) AS toks
+         |  FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN kept = 1 THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "p10_incremental_dedup" ->
+      s"""WITH f AS (SELECT doc_id, lang, ${polyHash("lower(trim(text))")} AS fp,
+         |    doc_id % 2 = 0 AS is_corpus FROM documents),
+         |inc AS (SELECT * FROM f WHERE NOT is_corpus),
+         |selfk AS (SELECT fp, MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang
+         |  FROM inc GROUP BY fp),
+         |novel AS (SELECT s.fp, s.lang FROM selfk s
+         |  WHERE s.fp NOT IN (SELECT fp FROM f WHERE is_corpus)),
+         |a AS (SELECT lang, COUNT(*) AS n_incoming FROM inc GROUP BY lang),
+         |b AS (SELECT lang, COUNT(*) AS n_self_kept FROM selfk GROUP BY lang),
+         |c AS (SELECT lang, COUNT(*) AS n_novel FROM novel GROUP BY lang)
+         |SELECT a.lang, a.n_incoming,
+         |  CAST(COALESCE(b.n_self_kept, 0) AS BIGINT) AS n_self_kept,
+         |  CAST(COALESCE(c.n_novel, 0) AS BIGINT) AS n_novel
+         |FROM a LEFT JOIN b ON a.lang = b.lang LEFT JOIN c ON a.lang = c.lang
+         |ORDER BY a.lang""".stripMargin,
     // Shingle SETS are represented by their polynomial hashes (matching
     // WordShingleHashes): distinct hash of each 4-word window.
     "d03_minhash_lsh" ->
@@ -875,6 +1003,15 @@ object AnalyticsQueries {
          |  FROM p)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    // threshold on a raw float is exact: both engines produce
+    // bit-identical sims via the same strict ascending IEEE fold
+    "a07_semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSq("embedding")} AS nsq FROM embeddings),
+         |p AS (SELECT c.vec_id AS corpus_id, q.vec_id AS eval_id,
+         |    ${cosine(dot("q.embedding", "c.embedding"), "q.nsq", "c.nsq")} AS sim
+         |  FROM e c JOIN e q ON q.vec_id < 20 AND c.vec_id >= 20)
+         |SELECT corpus_id, eval_id FROM p WHERE sim >= 0.30
+         |ORDER BY corpus_id, eval_id""".stripMargin,
     "a02_lsh_ann" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${normSq("embedding")} AS nsq,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), j ->
