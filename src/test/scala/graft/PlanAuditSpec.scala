@@ -103,6 +103,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("a07: eval side broadcasts; corpus decontamination is a pure scan") {
+    val p = planOf(graft.queries.AnalyticsQueries.a07SemanticDecontam(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"eval set (right) must be the broadcast build side:\n$p")
+    // matches stream straight out of the scan — no shuffle of corpus
+    // rows at all (the final presentation sort is driver-bound output)
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+  }
+
   test("d09/d10/p07: vocabulary joins stay equi-joins on hash keys") {
     // contamination / dup-span / prep-pipeline all join exploded docs
     // against a hash vocabulary — a cartesian or nested-loop here is
