@@ -377,6 +377,50 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** s09 — streaming dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keyed on (event_type, user_id).
+    * s06's `dropDuplicates` is exactly correct but keeps every key
+    * forever — state grows with the stream; within-watermark is the
+    * steady-state form a 100 TB stream actually runs, evicting keys
+    * once they age past the watermark horizon. The delay here is
+    * generous so the drained result equals the batch distinct count
+    * and the oracle can hash it; the EVICTION semantics (a re-arriving
+    * key after expiry re-emits) are pinned in StreamingSpec, where
+    * arrival order is controlled. */
+  def s09StreamDedupBounded(spark: SparkSession, dir: String): DataFrame = {
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try s09Impl(spark, dir)
+    finally prevNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
+  private def s09Impl(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_s09_${math.abs(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
+      staged.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
+    val agg = stream.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    val name = s"s09_out_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_replay_sink"  -> s01ReplaySink _,
     "s02_stream_window" -> s02StreamWindow _,
@@ -386,6 +430,7 @@ object StreamingQueries {
     "s06_stream_dedup" -> s06StreamDedup _,
     "s07_stream_topk" -> s07StreamTopK _,
     "s08_interval_join" -> s08IntervalJoin _,
+    "s09_stream_dedup_bounded" -> s09StreamDedupBounded _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -432,5 +477,10 @@ object StreamingQueries {
         |  AND a.event_type = 'click' AND b.event_type = 'purchase'
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
         |ORDER BY a.user_id, click_id, purchase_id""".stripMargin,
+    // bounded-state dedup drained within one watermark horizon must
+    // equal the batch distinct count
+    "s09_stream_dedup_bounded" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
