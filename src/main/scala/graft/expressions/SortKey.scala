@@ -12,10 +12,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * comparison of the keys matches double comparison of the values.
   *
   * `key(a) < key(b) ⇔ a < b` for all finite doubles; the mapping is
-  * injective (distinct doubles → distinct longs), so ranking by the
-  * key — including id tie-breaks on EQUAL keys — is bit-identical to
-  * ranking by the double itself. NaN maps above +Inf, matching Spark
-  * SQL's double ordering. This is the adapter that lets a
+  * injective on VALUES (distinct doubles → distinct longs; -0.0 is
+  * normalized to +0.0 first, so the two zeros — equal as doubles —
+  * get equal keys and tie-break by id like any other tie). NaN maps
+  * above +Inf, matching Spark SQL's double ordering. This is the
+  * adapter that lets a
   * floating-point similarity score ride the bounded-heap
   * [[TopKByScore]] aggregate (long scores) without changing any
   * ranking: top-k by `graft_sort_key(sim)` ≡ top-k by `sim`, but the
@@ -45,10 +46,13 @@ case class DoubleSortKey(child: Expression) extends UnaryExpression {
 }
 
 object DoubleSortKey {
-  /** Self-inverse: `key(key(x).asDouble)` bits round-trip, so the
-    * transform can also decode a key back to its double if needed. */
+  /** Self-inverse on its range: re-applying the bit transform to a key
+    * recovers the (zero-normalized) double. The `== 0.0` branch folds
+    * -0.0 into +0.0 — without it the two zeros, EQUAL as doubles,
+    * would get keys -1 and 0 and order by sign instead of by id. */
   def key(x: Double): Long = {
-    val b = java.lang.Double.doubleToLongBits(x)
+    val v = if (x == 0.0d) 0.0d else x
+    val b = java.lang.Double.doubleToLongBits(v)
     b ^ ((b >> 63) & Long.MaxValue)
   }
 

@@ -164,8 +164,7 @@ object AdvancedQueries {
     * bucketed round-trip also goes through the correctness gate.
     * External-table paths keep the warehouse out of the repo tree. */
   def q31BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val stage = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_q31_${math.abs(dir.hashCode)}").toString
+    val stage = PipelineQueries.staging("q31", dir)
     graft.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"))
       .write.mode("overwrite").option("path", s"$stage/orders_b")

@@ -314,8 +314,7 @@ object StreamingQueries {
     * stay pinned in StreamingSpec, where nondeterministic arrival is
     * controlled. */
   def s08IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_s08_${math.abs(dir.hashCode)}")
+    val staged = java.nio.file.Paths.get(PipelineQueries.staging("s08", dir))
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts").cast("timestamp")).as("ts_us"))
@@ -339,8 +338,16 @@ object StreamingQueries {
       java.nio.file.Files.createDirectories(side)
       Seq(0, 1).foreach { half =>
         val src = stageTmp.resolve(s"event_type=$typ").resolve(s"half=$half")
-        val part = PipelineQueries.parquetFileSizes(spark, src.toString).head._1
-        java.nio.file.Files.move(src.resolve(part), side.resolve(s"$half.parquet"),
+        // an absent/empty partition means the input has no rows for
+        // this (type, half) — fail with the actual problem, not a
+        // FileNotFoundException from deep inside the listing
+        require(java.nio.file.Files.isDirectory(src),
+          s"s08 staging: no '$typ' events with event_id % 2 = $half in $dir")
+        val parts = PipelineQueries.parquetFileSizes(spark, src.toString)
+        require(parts.nonEmpty,
+          s"s08 staging: empty partition for '$typ' half=$half in $dir")
+        java.nio.file.Files.move(src.resolve(parts.head._1),
+          side.resolve(s"$half.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
       side.toString
@@ -402,8 +409,7 @@ object StreamingQueries {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val staged = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_s09_${math.abs(dir.hashCode)}")
+    val staged = java.nio.file.Paths.get(PipelineQueries.staging("s09", dir))
     java.nio.file.Files.createDirectories(staged)
     java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
       staged.resolve("events.parquet"),

@@ -98,17 +98,54 @@ object ReplaySource {
     StructField("partition_key", StringType),
     StructField("payload", StringType)))
 
-  /** Snapshots older than this under a staging root are orphans from a
-    * crashed/killed driver (live streams re-stage fresh UUIDs on every
-    * restart, and staging itself is seconds, not hours). */
+  /** Snapshots whose newest file is older than this are orphans from a
+    * crashed/killed driver. Live streams are protected twice over:
+    * same-JVM streams are registered in [[liveDirs]] and skipped
+    * outright, and cross-JVM streams refresh a `_heartbeat` file every
+    * [[HeartbeatMs]], keeping their newest-file age far below this. */
   private[graft] val StaleStageMs: Long = 12L * 3600 * 1000
+
+  /** Driver-side heartbeat period for a live snapshot (one tiny file
+    * rewrite per period — noise next to a micro-batch). */
+  private[graft] val HeartbeatMs: Long = 15L * 60 * 1000
+
+  /** Staging dirs of streams live in THIS JVM — never pruned, however
+    * old their files are. */
+  private[graft] val liveDirs: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Best-effort snapshot delete, via the Hadoop FS API so
+    * shared-storage staging roots clean up too. A companion-object
+    * method on purpose: the JVM shutdown hook closes over ONLY
+    * (dir, conf), not the stream instance and its schedule arrays.
+    * Safe to call twice (stop + hook): deleting a missing path is a
+    * no-op. */
+  private[graft] def deleteStaged(dir: String, conf: Configuration): Unit =
+    try {
+      liveDirs.remove(dir)
+      val p = new HPath(dir)
+      p.getFileSystem(conf).delete(p, true)
+      ()
+    } catch { case _: Throwable => () }
+
+  /** Touch (rewrite) the snapshot's `_heartbeat` marker. */
+  private[graft] def heartbeat(dir: String, conf: Configuration): Unit =
+    try {
+      val p = new HPath(dir, "_heartbeat")
+      val out = p.getFileSystem(conf).create(p, true)
+      out.close()
+    } catch { case _: Throwable => () }
 
   /** Best-effort prune of orphaned `graft_replay_stage_*` snapshots
     * under `root`. A driver that dies before `stop()` leaks its
     * UUID-named snapshot (a full copy of the replayed projection);
     * since each restart stages a fresh one, the leak otherwise grows
-    * without bound. Age-gated so a concurrently RUNNING stream's
-    * snapshot (always younger) is never touched. */
+    * without bound. Guards, in order: same-JVM live dirs are skipped
+    * outright; staleness is judged on the NEWEST direct child mtime
+    * (so a long-running stream's heartbeat keeps it fresh, and the
+    * write-once parquet files' age alone cannot condemn it); dirs
+    * whose listing yields no usable mtime (object stores that report
+    * 0) are skipped rather than guessed at. */
   private[graft] def pruneStaleStages(
       root: String, conf: Configuration,
       now: () => Long = () => System.currentTimeMillis(),
@@ -118,8 +155,15 @@ object ReplaySource {
       val fs = rp.getFileSystem(conf)
       if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
         if (st.isDirectory && st.getPath.getName.startsWith("graft_replay_stage_") &&
-            now() - st.getModificationTime > staleMs) {
-          try { fs.delete(st.getPath, true); () } catch { case _: Throwable => () }
+            !liveDirs.contains(st.getPath.toUri.getPath) &&
+            !liveDirs.contains(st.getPath.toString)) {
+          val newest =
+            try fs.listStatus(st.getPath).foldLeft(0L)((m, c) =>
+              math.max(m, c.getModificationTime))
+            catch { case _: Throwable => Long.MaxValue } // listing failed: keep
+          if (newest > 0L && newest != Long.MaxValue && now() - newest > staleMs) {
+            try { fs.delete(st.getPath, true); () } catch { case _: Throwable => () }
+          }
         }
       }
     } catch { case _: Throwable => () }
@@ -287,9 +331,20 @@ class ReplayMicroBatchStream(
     val stageHconf = spark.sessionState.newHadoopConf()
     ReplaySource.pruneStaleStages(root, stageHconf)
     val dir = s"$root/graft_replay_stage_${java.util.UUID.randomUUID()}"
+    ReplaySource.liveDirs.add(dir)
     // this stream's own snapshot must not outlive an abrupt JVM exit;
-    // the conf is captured NOW — at shutdown the session may be gone
-    cleanupHook = new Thread(() => deleteStaged(dir, stageHconf))
+    // the hook closes over ONLY (dir, conf) — a `this` capture would
+    // pin the stream and its schedule arrays for the driver's
+    // lifetime — and the conf is captured NOW, since at shutdown the
+    // session may be gone. A failed staging attempt re-enters this
+    // lazy val: drop the previous attempt's hook first so hooks don't
+    // accumulate
+    val prevHook = cleanupHook
+    if (prevHook != null) {
+      try { Runtime.getRuntime.removeShutdownHook(prevHook); () }
+      catch { case _: Throwable => () }
+    }
+    cleanupHook = new Thread(() => ReplaySource.deleteStaged(dir, stageHconf))
     Runtime.getRuntime.addShutdownHook(cleanupHook)
     // scope the NANOS-as-BIGINT legacy conf to the staging read; the
     // snapshot itself is plain BIGINT so nothing later needs the conf.
@@ -345,6 +400,8 @@ class ReplayMicroBatchStream(
       i += 1
     }
     val hconf = spark.sessionState.newHadoopConf()
+    ReplaySource.heartbeat(dir, hconf) // freshness marker for cross-JVM pruning
+    lastBeat = clock()
     val files = snapshot.inputFiles.map(f => footerTsBounds(f, hconf)).sortBy(_._2)
     logInfo(s"graft-replay staged ${ts.length} groups (${if (cum.isEmpty) 0L else cum.last} rows) " +
       s"into ${files.length} files at $dir")
@@ -422,8 +479,17 @@ class ReplayMicroBatchStream(
         hi
     }
 
+  // throttled liveness marker: refreshed at most once per HeartbeatMs
+  // from the driver's trigger path, so a stream that outlives
+  // StaleStageMs is never condemned by its write-once parquet mtimes
+  @volatile private var lastBeat: Long = 0L
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = staged
+    if (clock() - lastBeat > ReplaySource.HeartbeatMs) {
+      lastBeat = clock()
+      ReplaySource.heartbeat(s.dir, spark.sessionState.newHadoopConf())
+    }
     val lastTs = start.asInstanceOf[ReplayOffset].lastTs
     val from = idxAfter(s.ts, lastTs)
     if (from >= s.ts.length) return start
@@ -479,21 +545,12 @@ class ReplayMicroBatchStream(
 
   @volatile private var cleanupHook: Thread = null
 
-  /** Best-effort snapshot delete, via the Hadoop FS API so
-    * shared-storage staging roots clean up too. Safe to call twice
-    * (stop + shutdown hook): deleting a missing path is a no-op. */
-  private def deleteStaged(dir: String, conf: Configuration): Unit =
-    try {
-      val p = new HPath(dir)
-      p.getFileSystem(conf).delete(p, true)
-      ()
-    } catch { case _: Throwable => () }
-
   override def stop(): Unit = {
     // stagedRef stays null if staging never ran (referencing the lazy
     // val here would trigger it)
     val s = stagedRef
-    if (s != null) deleteStaged(s.dir, spark.sessionState.newHadoopConf())
+    if (s != null)
+      ReplaySource.deleteStaged(s.dir, spark.sessionState.newHadoopConf())
     val h = cleanupHook
     if (h != null) {
       // clean exit: the hook's work is done, don't accumulate one

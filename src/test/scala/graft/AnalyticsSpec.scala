@@ -175,6 +175,9 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(java.lang.Double.doubleToLongBits(back) ===
         java.lang.Double.doubleToLongBits(x))
     }
+    // the zeros are EQUAL as doubles, so they must get EQUAL keys
+    // (ties then break by id, matching window ORDER BY semantics)
+    assert(DoubleSortKey.key(-0.0d) === DoubleSortKey.key(0.0d))
   }
 
   test("quality filter: keep and reject verdicts both occur on testdata") {

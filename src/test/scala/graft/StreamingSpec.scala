@@ -200,21 +200,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
-  test("stale replay staging snapshots are pruned; fresh and foreign dirs kept") {
+  test("stale replay staging snapshots are pruned; fresh/live/foreign dirs kept") {
     import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
     val root = Files.createTempDirectory("graft_prune_test").toString
-    val old = Paths.get(root, "graft_replay_stage_deadbeef")
-    val fresh = Paths.get(root, "graft_replay_stage_cafe")
-    val foreign = Paths.get(root, "user_data")
-    Seq(old, fresh, foreign).foreach(Files.createDirectories(_))
-    // age the orphan well past the stale horizon
-    Files.setLastModifiedTime(old, java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - graft.streaming.ReplaySource.StaleStageMs - 3600 * 1000))
-    graft.streaming.ReplaySource.pruneStaleStages(
-      root, spark.sessionState.newHadoopConf())
-    assert(!Files.exists(old), "orphaned snapshot must be pruned")
-    assert(Files.exists(fresh), "a fresh (possibly live) snapshot must be kept")
-    assert(Files.exists(foreign), "non-staging directories must never be touched")
+    val horizon = graft.streaming.ReplaySource.StaleStageMs
+    val oldMs = System.currentTimeMillis() - horizon - 3600 * 1000
+    def mk(name: String, childAgeMs: Option[Long]): java.nio.file.Path = {
+      val d = Paths.get(root, name)
+      Files.createDirectories(d)
+      childAgeMs.foreach { t =>
+        val f = d.resolve("part-0.parquet")
+        Files.write(f, Array[Byte](1))
+        Files.setLastModifiedTime(f, FileTime.fromMillis(t))
+      }
+      d
+    }
+    val orphan = mk("graft_replay_stage_deadbeef", Some(oldMs))
+    val fresh = mk("graft_replay_stage_cafe", Some(System.currentTimeMillis()))
+    // a LIVE stream's snapshot with stale-looking files (long-running
+    // query, write-once parquet + registered in liveDirs) must survive
+    val live = mk("graft_replay_stage_live", Some(oldMs))
+    graft.streaming.ReplaySource.liveDirs.add(live.toString)
+    // no usable child mtimes (empty dir) → skipped, never guessed at
+    val unknown = mk("graft_replay_stage_unknown", None)
+    Files.setLastModifiedTime(unknown, FileTime.fromMillis(oldMs))
+    val foreign = mk("user_data", Some(oldMs))
+    try {
+      graft.streaming.ReplaySource.pruneStaleStages(
+        root, spark.sessionState.newHadoopConf())
+      assert(!Files.exists(orphan), "orphaned snapshot must be pruned")
+      assert(Files.exists(fresh), "a fresh snapshot must be kept")
+      assert(Files.exists(live), "a live stream's snapshot must be kept however old")
+      assert(Files.exists(unknown), "unknown-age dirs must be kept, not guessed at")
+      assert(Files.exists(foreign), "non-staging directories must never be touched")
+    } finally graft.streaming.ReplaySource.liveDirs.remove(live.toString)
   }
 
   test("windowed agg with watermark drops late data in append mode") {
