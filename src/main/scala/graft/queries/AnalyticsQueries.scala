@@ -783,6 +783,36 @@ object AnalyticsQueries {
       .orderBy(col("lang"))
   }
 
+  /** p11 — CDC MERGE (upsert + delete), the corpus-refresh op a
+    * long-lived 100 TB dataset runs every ingest cycle: apply a
+    * changeset of updates (doc_id % 7 == 3 → text gains a " v2"
+    * suffix) and deletes (doc_id % 10 == 0) to the base table in one
+    * pass. Implemented as the engine-level MERGE shape: changeset
+    * keyed by doc_id, base LEFT-joined against it, row-level resolve
+    * (delete drops, update replaces, absent keeps). ONE shuffle on the
+    * merge key — the changeset is usually broadcast-sized in
+    * production, making it a scan; either way nothing quadratic and
+    * no driver-side data. Output: per-lang surviving count, updated
+    * count, and a text checksum any wrong/lost/duplicated row breaks. */
+  def p11CdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val changes = docs
+      .filter(col("doc_id") % 7 === 3 || col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        concat(col("text"), lit(" v2")).as("new_text"))
+    val merged = docs.join(changes, Seq("doc_id"), "left")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("doc_id"), col("lang"),
+        when(col("op") === "U", col("new_text")).otherwise(col("text")).as("text"),
+        (col("op") === "U").as("updated"))
+    merged.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("updated"), 1L).otherwise(0L)).as("n_updated"),
+        sum(TF.polyHash(col("text"))).as("checksum"))
+      .orderBy(col("lang"))
+  }
+
   /** p06 — deterministic hash sampling (the training-pipeline "take a
     * reproducible 10% slice" op): membership = polyHash(id) % 10, so
     * the same rows are sampled on any engine, any run, any partition
@@ -804,6 +834,7 @@ object AnalyticsQueries {
     "d07_dup_clusters"  -> d07DupClusters _,
     "d11_dedup_apply"   -> d11DedupApply _,
     "p10_incremental_dedup" -> p10IncrementalDedup _,
+    "p11_cdc_merge"     -> p11CdcMerge _,
     "d05_embedding_dup" -> d05EmbeddingDup _,
     "d08_embedding_lsh" -> d08EmbeddingLsh _,
     "d09_contamination" -> d09Contamination _,
@@ -915,6 +946,20 @@ object AnalyticsQueries {
          |  CAST(COALESCE(c.n_novel, 0) AS BIGINT) AS n_novel
          |FROM a LEFT JOIN b ON a.lang = b.lang LEFT JOIN c ON a.lang = c.lang
          |ORDER BY a.lang""".stripMargin,
+    "p11_cdc_merge" ->
+      s"""WITH ch AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         |    text || ' v2' AS new_text
+         |  FROM documents WHERE doc_id % 7 = 3 OR doc_id % 10 = 0),
+         |m AS (SELECT d.doc_id, d.lang,
+         |    CASE WHEN ch.op = 'U' THEN ch.new_text ELSE d.text END AS text,
+         |    ch.op = 'U' AS updated
+         |  FROM documents d LEFT JOIN ch ON d.doc_id = ch.doc_id
+         |  WHERE ch.op IS NULL OR ch.op <> 'D')
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN updated THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+         |  CAST(SUM(${polyHash("text")}) AS BIGINT) AS checksum
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     // Shingle SETS are represented by their polynomial hashes (matching
     // WordShingleHashes): distinct hash of each 4-word window.
     "d03_minhash_lsh" ->

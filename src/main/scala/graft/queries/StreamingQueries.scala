@@ -12,6 +12,21 @@ import graft.streaming.{InMemoryRecordProducer, KinesisSink, Replay}
   * wall-clock); the pacing math itself is pinned by ReplaySpec. */
 object StreamingQueries {
 
+  /** Scope `spark.sql.shuffle.partitions` down around a streaming
+    * query's START. Every stateful operator commits one state store
+    * per shuffle partition per micro-batch; at the session's 32
+    * partitions that fixed cost dwarfs these correctness-gate volumes
+    * (measured 23 s → 13 s cold on the stream-stream join). The value
+    * is captured in the query's own offset log at start, so the
+    * save/restore cannot leak into a later batch plan — and a real
+    * deployment sizes this to its data, which is exactly the point of
+    * it being a config. */
+  private def withStreamShuffle[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** s01 — T1/T2/T3/T4 + K3: replay the events table (timestamp-grouped,
     * ascending) into the in-memory keyed sink, then read the sink back.
     * One replay per event_type mirrors the reference's
@@ -77,9 +92,11 @@ object StreamingQueries {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val name = s"s02_out_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
+    val q = withStreamShuffle(spark, 4) {
+      agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.table(name)
       .select(col("w.start").cast("timestamp_ntz").as("hour"), col("event_type"), col("n"))
@@ -101,8 +118,10 @@ object StreamingQueries {
       .select(col("event_type")).as[String].toLocalIterator()
     val mem = MemoryStream[String]
     val name = s"s03_${System.nanoTime()}"
-    val q = graft.streaming.Stateful.runningCounts(mem.toDS())
-      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    val q = withStreamShuffle(spark, 4) {
+      graft.streaming.Stateful.runningCounts(mem.toDS())
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+    }
     // feed in bounded chunks; process twice (mid + end) so the state
     // provably crosses a micro-batch boundary without paying a full
     // streaming cycle per chunk
@@ -146,9 +165,11 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"), min(col("payload")).as("min_payload"),
         max(col("payload")).as("max_payload"))
     val name = s"s04_out_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
+    val q = withStreamShuffle(spark, 4) {
+      agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.table(name).orderBy(col("partition_id"))
   }
@@ -244,9 +265,11 @@ object StreamingQueries {
       .dropDuplicates("lang", "fp")
     val agg = stream.groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
     val name = s"s06_out_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
+    val q = withStreamShuffle(spark, 4) {
+      agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.table(name).orderBy(col("lang"))
   }
@@ -289,9 +312,11 @@ object StreamingQueries {
     val agg = stream.groupBy(col("lang"))
       .agg(graft.expressions.TopKByScore(col("n_words"), col("doc_id"), 3).as("top"))
     val name = s"s07_out_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
+    val q = withStreamShuffle(spark, 4) {
+      agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.table(name)
       .select(col("lang"), posexplode(col("top")))
@@ -420,9 +445,11 @@ object StreamingQueries {
       .dropDuplicatesWithinWatermark("event_type", "user_id")
     val agg = stream.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
     val name = s"s09_out_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
+    val q = withStreamShuffle(spark, 4) {
+      agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.table(name).orderBy(col("event_type"))
   }
