@@ -222,6 +222,11 @@ class StreamingSpec extends AnyFunSuite {
     // query, write-once parquet + registered in liveDirs) must survive
     val live = mk("graft_replay_stage_live", Some(oldMs))
     graft.streaming.ReplaySource.liveDirs.add(live.toString)
+    // a cross-JVM long-runner: parquet files are old but the driver's
+    // heartbeat marker is fresh — newest-child staleness keeps it
+    val beating = mk("graft_replay_stage_beating", Some(oldMs))
+    graft.streaming.ReplaySource.heartbeat(
+      beating.toString, spark.sessionState.newHadoopConf())
     // no usable child mtimes (empty dir) → skipped, never guessed at
     val unknown = mk("graft_replay_stage_unknown", None)
     Files.setLastModifiedTime(unknown, FileTime.fromMillis(oldMs))
@@ -232,6 +237,8 @@ class StreamingSpec extends AnyFunSuite {
       assert(!Files.exists(orphan), "orphaned snapshot must be pruned")
       assert(Files.exists(fresh), "a fresh snapshot must be kept")
       assert(Files.exists(live), "a live stream's snapshot must be kept however old")
+      assert(Files.exists(beating),
+        "a heartbeating cross-JVM stream's snapshot must be kept")
       assert(Files.exists(unknown), "unknown-age dirs must be kept, not guessed at")
       assert(Files.exists(foreign), "non-staging directories must never be touched")
     } finally graft.streaming.ReplaySource.liveDirs.remove(live.toString)
