@@ -454,6 +454,79 @@ object StreamingQueries {
     spark.table(name).orderBy(col("event_type"))
   }
 
+  /** s10 — streaming SESSIONIZATION via `session_window`: the
+    * event-time analogue of batch q21, but as a native streaming
+    * aggregate whose windows MERGE as events arrive (two touching
+    * [ts, ts+gap) spans coalesce into one session in the state store).
+    * Session windows only support APPEND mode (Spark 4), and append
+    * emits a session only once the watermark passes its end — so the
+    * drain stages a SENTINEL flush event (dummy user, ts far past the
+    * data, second file via maxFilesPerTrigger=1) whose batch advances
+    * the watermark beyond every real session; the real sessions then
+    * flush from the state store and the sentinel's own never does
+    * (filtered out). This is the textbook watermark-close pattern for
+    * draining an append-mode session stream deterministically. Gap
+    * rule: a ≥ 30 min silence starts a new session (session_window
+    * spans are end-exclusive). Output: per-user session count and
+    * largest session. */
+  def s10SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try s10Impl(spark, dir)
+    finally prevNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
+  private def s10Impl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val staged = java.nio.file.Paths.get(PipelineQueries.staging("s10", dir))
+    java.nio.file.Files.createDirectories(staged)
+    val dataFile = staged.resolve("events.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
+      dataFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // sentinel: one event a day past the data's max ts, for a user id
+    // that cannot occur. Staged as a SECOND file with a LATER mtime so
+    // maxFilesPerTrigger=1 processes data first, sentinel second —
+    // sentinel-first would mark all real data late and drop it
+    val maxTsNs = spark.read.schema(schema).parquet(dataFile.toString)
+      .agg(max(col("ts"))).head.getLong(0)
+    val flushTmp = staged.resolve("_flush_tmp")
+    Seq((-1L, maxTsNs + 86400L * 1000000000L, -1L, "flush", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(flushTmp.toString)
+    val part = PipelineQueries.parquetFileSizes(spark, flushTmp.toString).head._1
+    java.nio.file.Files.move(flushTmp.resolve(part), staged.resolve("zz_flush.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.setLastModifiedTime(dataFile,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    java.nio.file.Files.setLastModifiedTime(staged.resolve("zz_flush.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts", "1 second")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+    val name = s"s10_out_${System.nanoTime()}"
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .filter(col("user_id") >= 0) // drop the sentinel's own session
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_replay_sink"  -> s01ReplaySink _,
     "s02_stream_window" -> s02StreamWindow _,
@@ -464,6 +537,7 @@ object StreamingQueries {
     "s07_stream_topk" -> s07StreamTopK _,
     "s08_interval_join" -> s08IntervalJoin _,
     "s09_stream_dedup_bounded" -> s09StreamDedupBounded _,
+    "s10_session_window" -> s10SessionWindow _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -515,5 +589,20 @@ object StreamingQueries {
     "s09_stream_dedup_bounded" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lag-based sessionization with the same >= 30 min split rule as
+    // session_window's end-exclusive spans (testdata has no gap of
+    // exactly 30 min, so the boundary convention is unambiguous)
+    "s10_session_window" ->
+      """WITH o AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+        |g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
