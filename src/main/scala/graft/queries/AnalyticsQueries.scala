@@ -813,6 +813,33 @@ object AnalyticsQueries {
       .orderBy(col("lang"))
   }
 
+  /** p12 — SCHEMA EVOLUTION across dataset generations: a long-lived
+    * corpus accretes columns (here: generation 1 has no `quality`
+    * score; generation 2 adds one). The union read uses parquet
+    * `mergeSchema`, so gen-1 rows surface the new column as null and
+    * one query spans both generations — the alternative (rewriting
+    * 100 TB of history to add a column) is exactly what schema merge
+    * exists to avoid. Scale note: mergeSchema reconciles FOOTERS
+    * (metadata-scale); data files are untouched. Output: per-gen/lang
+    * counts with null-aware quality stats the oracle recomputes. */
+  def p12SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val stage = PipelineQueries.staging("p12", dir)
+    val docs = Tables.documents(spark, dir)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$stage/gen=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"),
+        (length(col("text")) % 100).cast("long").as("quality"))
+      .write.mode("overwrite").parquet(s"$stage/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(stage)
+      .groupBy(col("gen"), col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("quality").isNull, 1L).otherwise(0L)).as("n_unscored"),
+        coalesce(sum(col("quality")), lit(0L)).as("quality_sum"))
+      .orderBy(col("gen"), col("lang"))
+  }
+
   /** p06 — deterministic hash sampling (the training-pipeline "take a
     * reproducible 10% slice" op): membership = polyHash(id) % 10, so
     * the same rows are sampled on any engine, any run, any partition
@@ -835,6 +862,7 @@ object AnalyticsQueries {
     "d11_dedup_apply"   -> d11DedupApply _,
     "p10_incremental_dedup" -> p10IncrementalDedup _,
     "p11_cdc_merge"     -> p11CdcMerge _,
+    "p12_schema_evolution" -> p12SchemaEvolution _,
     "d05_embedding_dup" -> d05EmbeddingDup _,
     "d08_embedding_lsh" -> d08EmbeddingLsh _,
     "d09_contamination" -> d09Contamination _,
@@ -960,6 +988,19 @@ object AnalyticsQueries {
          |  CAST(SUM(CASE WHEN updated THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
          |  CAST(SUM(${polyHash("text")}) AS BIGINT) AS checksum
          |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // the merged read's gen-1 rows surface `quality` as NULL — the
+    // oracle reconstructs both generations from the base table
+    "p12_schema_evolution" ->
+      """WITH g AS (
+        |  SELECT lang, 1 AS gen, CAST(NULL AS BIGINT) AS quality
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT lang, 2 AS gen, CAST(LENGTH(text) % 100 AS BIGINT) AS quality
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT gen, lang, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unscored,
+        |  CAST(COALESCE(SUM(quality), 0) AS BIGINT) AS quality_sum
+        |FROM g GROUP BY 1, 2 ORDER BY gen, lang""".stripMargin,
     // Shingle SETS are represented by their polynomial hashes (matching
     // WordShingleHashes): distinct hash of each 4-word window.
     "d03_minhash_lsh" ->

@@ -73,6 +73,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(b == viaApi)
   }
 
+  test("graft_sort_key + graft_top_k compose in SQL for double scores") {
+    import spark.implicits._
+    val got = Seq((1L, 0.5), (2L, 0.9), (3L, -0.2), (4L, 0.9))
+      .toDF("id", "score").createOrReplaceTempView("sk_demo")
+    val rows = spark.sql(
+      """SELECT t.pair.id AS id FROM (
+        |  SELECT explode(graft_top_k(graft_sort_key(score), id, 2)) AS pair
+        |  FROM sk_demo) t""".stripMargin)
+      .as[Long].collect().toSeq
+    // 0.9 ties break by lower id (2 before 4); -0.2 and 0.5 excluded
+    assert(rows == Seq(2L, 4L), s"got $rows")
+  }
+
   test("type misuse fails at analysis, not with runtime cast errors") {
     // array<double> into the float-array LSH primitive would misread
     // 8-byte doubles as 4-byte floats on unsafe layouts — must be
