@@ -138,5 +138,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("graft_flatten", 2, exprs)
         graft.expressions.GraftFlatten(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg", "graft_bloom_agg(key, numBits, numHashes) - Bloom filter over a bigint key column as one binary value"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_bloom_agg", 3, exprs)
+        graft.expressions.BloomAgg(exprs.head,
+          intParam("graft_bloom_agg", exprs(1)),
+          intParam("graft_bloom_agg", exprs(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", "graft_bloom_contains(filter, key) - membership probe against a graft_bloom_agg filter"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_bloom_contains", 2, exprs)
+        graft.expressions.BloomContains(exprs.head, exprs(1))
+      }))
   }
 }

@@ -183,7 +183,40 @@ object AdvancedQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q32 — Bloom-filter runtime join pruning, the explicit form of the
+    * row-level runtime filter that makes selective fact-to-dim joins
+    * survive 100 TB: build a [[graft.expressions.BloomAgg]] bitset over
+    * the filtered dimension keys (one 128 KiB blob — partial-aggregable,
+    * the exchange moves one bitset per map task, never the keys), pull
+    * that single sketch row to the driver (metadata-scale, the same
+    * contract as Spark's own InSubquery runtime filter), and prune the
+    * fact SCAN with a codegen'd `graft_bloom_contains` probe BEFORE the
+    * join exchange. False positives are discarded by the exact join
+    * that follows, so the result is join-exact while the shuffle only
+    * carries ~1/5 of the fact rows (the dimension's selectivity).
+    * Unlike AQE's automatic variant, the filter is a persistable
+    * artifact: build it once beside the corpus and apply it to
+    * tomorrow's increment without re-reading the dimension. */
+  def q32BloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{BloomAgg, BloomContains}
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val filterBytes = dim
+      .agg(BloomAgg(col("o_orderkey"), numBits = 1 << 20, numHashes = 5).as("f"))
+      .head.getAs[Array[Byte]]("f")
+    val pruned = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .filter(BloomContains(lit(filterBytes), col("l_orderkey")))
+    pruned.join(dim, pruned("l_orderkey") === dim("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("l_quantity"))), 2).cast("double").as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_bloom_prune"     -> q32BloomPrune _,
     "q31_bucketed_join"   -> q31BucketedJoin _,
     "q30_group_median"    -> q30GroupMedian _,
     "q27_window_frames"   -> q27WindowFrames _,
@@ -197,6 +230,12 @@ object AdvancedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q32_bloom_prune" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q31_bucketed_join" ->
       """SELECT o.o_orderstatus, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price

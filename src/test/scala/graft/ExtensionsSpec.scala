@@ -110,6 +110,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("string"))
   }
 
+  test("graft_bloom_agg/graft_bloom_contains: no false negatives, bounded false positives") {
+    import org.apache.spark.sql.functions._
+    spark.range(0, 1000, 1, 4).toDF("k").createOrReplaceTempView("bloom_keys")
+    // 4 input partitions force partial-buffer merges through serialize/
+    // deserialize — the cross-task OR is what this exercises
+    val f = spark.sql("SELECT graft_bloom_agg(k, 65536, 5) AS f FROM bloom_keys")
+      .head.getAs[Array[Byte]]("f")
+    assert(f.length == 4 + 65536 / 8)
+    val filt = lit(f)
+    val missedMembers = spark.range(0, 1000)
+      .filter(!expressions.BloomContains(filt, col("id"))).count()
+    assert(missedMembers == 0, "Bloom filter dropped an inserted key (false negative)")
+    // 10k absent keys at 65536 bits / 1000 keys / 5 hashes: theoretical
+    // fpp ≈ 0.06% — assert an order of magnitude of headroom, not the exact rate
+    val falsePositives = spark.range(1000000, 1010000)
+      .filter(expressions.BloomContains(filt, col("id"))).count()
+    assert(falsePositives < 100, s"false-positive rate out of bounds: $falsePositives/10000")
+    // type misuse is an analysis-time error, not a runtime cast failure
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bloom_agg(CAST(1 AS INT), 65536, 5) FROM bloom_keys").collect()
+    }
+    assert(e1.getMessage.contains("bigint"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bloom_contains('notbinary', 1)").collect()
+    }
+    assert(e2.getMessage.contains("binary"))
+  }
+
   test("graft_shingle_hashes + graft_minhash_sig compose in SQL") {
     import spark.implicits._
     val sig = spark.sql(

@@ -133,6 +133,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"centroid join fell back to sort-merge:\n$p")
   }
 
+  test("q32: bloom probe prunes the fact side below the join, and actually prunes") {
+    val df = graft.queries.AdvancedQueries.q32BloomPrune(spark, dir)
+    val p = planOf(df)
+    // the probe must sit on the fact branch BELOW the join (plan text is
+    // top-down, so the Filter line prints after its parent join line)
+    val joinAt = p.indexOf("Join")
+    val probeAt = p.indexOf("graft_bloom_contains")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"bloom probe must filter the fact scan below the join:\n$p")
+    // effectiveness: the probe keeps roughly the dimension's selectivity
+    // (~1/5 of fact rows + fpp), never the full scan
+    import graft.expressions.{BloomAgg, BloomContains}
+    val dim = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    val f = dim.agg(BloomAgg(col("o_orderkey"), 1 << 20, 5)).head.getAs[Array[Byte]](0)
+    val li = Tables.lineitem(spark, dir)
+    val total = li.count()
+    val kept = li.filter(BloomContains(lit(f), col("l_orderkey"))).count()
+    assert(kept < total / 2, s"bloom probe kept $kept of $total fact rows — not pruning")
+  }
+
   test("whole-stage codegen covers the native hash expression") {
     val df = Tables.documents(spark, dir)
       .select(graft.expressions.PolyHash(col("text")).as("fp"))
