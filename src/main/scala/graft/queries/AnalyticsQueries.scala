@@ -584,6 +584,34 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t10 — corpus unigram-LM quality score: the engine-exact form of
+    * the CCNet/Wikipedia-LM perplexity filter. Each doc is scored by
+    * the mean corpus frequency of its tokens — docs dominated by
+    * corpus-rare tokens score low and get the `suspect_rare` flag the
+    * pipeline filters on. All weights are log-free fixed-point
+    * (⌊10⁹·ctf/N⌋, integer-DIV per-doc mean): ln() differs in
+    * final-ulp across libm builds and would break the hash gate, and
+    * the RANKING/thresholding is identical for any monotone transform
+    * of the token likelihood. Scale shape (t06's): one map-side-
+    * combined hash-agg builds the vocabulary-sized frequency table,
+    * tokens join it on the term key, one more hash-agg folds per-doc
+    * sums — nothing quadratic, no driver state but the token count. */
+  def t10UnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("term"))
+    val total = tokens.count()
+    val freq = tokens.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
+      .select(col("term"),
+        floor(lit(1000000000.0) * col("ctf") / lit(total.toDouble)).cast("long").as("w"))
+    tokens.join(freq, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("sum_w"))
+      .withColumn("lm_score", expr("sum_w DIV n_tokens"))
+      .withColumn("suspect_rare", col("lm_score") < 33000000L)
+      .select(col("doc_id"), col("n_tokens"), col("lm_score"), col("suspect_rare"))
+      .orderBy(col("doc_id"))
+  }
+
   /** p09 — stratified deterministic sampling: exactly `k` docs per
     * language stratum, chosen as the k SMALLEST `polyHash(doc_id)`
     * values — a keyed lottery, so the sample is identical on any
@@ -883,6 +911,7 @@ object AnalyticsQueries {
     "t07_redact"        -> t07Redact _,
     "t08_repetition"    -> t08Repetition _,
     "t09_quality_filter" -> t09QualityFilter _,
+    "t10_unigram_lm"    -> t10UnigramLm _,
     "t11_seq_pack"      -> t11SeqPack _,
     "m01_multimodal"    -> m01Multimodal _,
     "m02_frame_sample"  -> m02FrameSample _,
@@ -1316,6 +1345,17 @@ object AnalyticsQueries {
          |       WHEN n_alpha * 5 < n_words * 4 THEN 'low_alpha'
          |       WHEN stop_hits < 2 THEN 'few_stopwords'
          |       ELSE 'keep' END AS verdict
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "t10_unigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents),
+         |n AS (SELECT COUNT(*) AS total FROM t),
+         |freq AS (SELECT term,
+         |    CAST(floor(1000000000.0 * COUNT(*) / ANY_VALUE(n.total)) AS BIGINT) AS w
+         |  FROM t CROSS JOIN n GROUP BY term),
+         |s AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS sum_w
+         |  FROM t JOIN freq USING (term) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, CAST(sum_w // n_tokens AS BIGINT) AS lm_score,
+         |  (sum_w // n_tokens) < 33000000 AS suspect_rare
          |FROM s ORDER BY doc_id""".stripMargin,
     // per-lang greedy packing state machine — the x10 recursive-CTE
     // parity encoding, partitioned by the shard key
