@@ -49,6 +49,18 @@ object AnalyticsQueries {
     def cosine(dotE: String, na: String, nb: String): String =
       s"$dotE / (sqrt($na) * sqrt($nb))"
 
+    /** a06/a08's exact integer distance algebra between an int8 code
+      * list `q` and a 10⁴ fixed-point centroid list `m`:
+      * `10⁸·q·q + m·m − 2·10⁴·q·m` (∝ squared Euclidean distance). */
+    def intDist(q: String, m: String): String =
+      s"100000000 * list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($q, _qa -> _qa * _qa)), (_x, _y) -> _x + _y)" +
+        s" + list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($m, _qb -> _qb * _qb)), (_x, _y) -> _x + _y)" +
+        s" - 20000 * list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(1, len($q)+1), _qi -> $q[_qi] * $m[_qi])), " +
+        s"(_x, _y) -> _x + _y)"
+
     /** `n`-plane sign bits over the `embedding` column — the DuckDB
       * twin of Vectors.lshBucket (outer lambda binds j, inner binds i;
       * distinct names so DuckDB's innermost-binding rule is safe). */
@@ -409,6 +421,53 @@ object AnalyticsQueries {
       .filter(col("sim") >= 0.30)
       .select(col("corpus_id"), col("eval_id"))
       .orderBy(col("corpus_id"), col("eval_id"))
+  }
+
+  /** a08 — distributed k-means over QUANTIZED embeddings (two Lloyd
+    * iterations, k=8): the clustering primitive behind SemDeDup-style
+    * semantic dedup and IVF index builds, in the engine-exact integer
+    * form. Init = the k lowest-id int8 codes lifted to the 10⁴
+    * fixed-point domain; assignment = argmin of the exact integer
+    * distance algebra `10⁸·q·q + m·m − 2·10⁴·q·m` (a06's identity)
+    * taken with the bounded top-1 heap (ties → lower centroid id);
+    * update = per-(cluster, dim) integer sums → ⌊10⁴·mean⌋ — order-
+    * independent, so cross-engine exact with no float accumulation
+    * anywhere. Scale shape per iteration: centroids BROADCAST (k·dim
+    * ints), the corpus only streams past them, the top-1 heap is
+    * partial-aggregated so the exchange carries one (vec, cluster)
+    * pair per vector, and the update is one map-side-combined
+    * hash-agg. Nothing quadratic, no driver-side data but the k·dim
+    * centroid table itself. */
+  def a08KmeansQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{IntDot, QuantizeI8, TopKByScore}
+    val k = 8
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), QuantizeI8(col("embedding")).as("q"))
+    val c0 = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"),
+        transform(col("q"), x => x * lit(10000)).as("m"))
+    def assign(cent: DataFrame): DataFrame =
+      q.join(broadcast(cent), lit(true))
+        .withColumn("dist",
+          lit(100000000L) * IntDot(col("q"), col("q")) + IntDot(col("m"), col("m"))
+            - lit(20000L) * IntDot(col("q"), col("m")))
+        .groupBy(col("vec_id"))
+        .agg(TopKByScore((-col("dist")).cast("long"), col("cid").cast("long"), 1).as("top"))
+        .select(col("vec_id"),
+          col("top").getItem(0).getField("id").as("cid"),
+          (-col("top").getItem(0).getField("score")).as("dist"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("vec_id"), col("cid")).join(q, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("q")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m4", floor(lit(10000.0) * col("s") / col("n")).cast("long"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m4")))),
+          e => e.getField("m4").cast("int")).as("m"))
+    val a2 = assign(update(assign(c0)))
+    a2.select(col("vec_id"), col("cid").as("cluster"), col("dist"))
+      .orderBy(col("vec_id"))
   }
 
   /** a04 — single-pass top-k per group via the native
@@ -902,6 +961,7 @@ object AnalyticsQueries {
     "a05_quantized_ann" -> a05QuantizedAnn _,
     "a06_quantized_centroids" -> a06QuantizedCentroids _,
     "a07_semantic_decontam" -> a07SemanticDecontam _,
+    "a08_kmeans_quantized" -> a08KmeansQuantized _,
     "t01_token_stats"   -> t01TokenStats _,
     "t02_quality"       -> t02Quality _,
     "t03_lang_id"       -> t03LangId _,
@@ -1346,6 +1406,33 @@ object AnalyticsQueries {
          |       WHEN stop_hits < 2 THEN 'few_stopwords'
          |       ELSE 'keep' END AS verdict
          |FROM s ORDER BY doc_id""".stripMargin,
+    "a08_kmeans_quantized" ->
+      s"""WITH m0 AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, _qx -> abs(CAST(_qx AS DOUBLE)))) AS maxabs
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id,
+         |    CASE WHEN maxabs > 0 THEN list_transform(embedding,
+         |      _qy -> CAST(floor(CAST(_qy AS DOUBLE) * (127.0 / maxabs) + 0.5) AS BIGINT))
+         |    ELSE list_transform(embedding, _qz -> CAST(0 AS BIGINT)) END AS q
+         |  FROM m0),
+         |c0 AS (SELECT vec_id AS cid, list_transform(q, _c0 -> _c0 * 10000) AS m
+         |  FROM qv WHERE vec_id < 8),
+         |d1 AS (SELECT qv.vec_id, c0.cid, ${intDist("qv.q", "c0.m")} AS dist
+         |  FROM qv CROSS JOIN c0),
+         |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1)
+         |  WHERE rk = 1),
+         |dims AS (SELECT a1.cid, u.dim AS dim, u.v AS v FROM a1 JOIN qv USING (vec_id),
+         |  unnest(list_transform(range(1, len(q)+1), _di -> {'dim': _di, 'v': q[_di]})) AS t(u)),
+         |bydim AS (SELECT cid, dim,
+         |    CAST(floor(10000.0 * CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m4
+         |  FROM dims GROUP BY 1, 2),
+         |c1 AS (SELECT cid, list(m4 ORDER BY dim) AS m FROM bydim GROUP BY cid),
+         |d2 AS (SELECT qv.vec_id, c1.cid, ${intDist("qv.q", "c1.m")} AS dist
+         |  FROM qv CROSS JOIN c1)
+         |SELECT vec_id, cid AS cluster, dist FROM (SELECT vec_id, cid, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d2)
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     "t10_unigram_lm" ->
       s"""WITH t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents),
          |n AS (SELECT COUNT(*) AS total FROM t),

@@ -134,6 +134,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"centroid join fell back to sort-merge:\n$p")
   }
 
+  test("a08: every k-means iteration broadcasts centroids; corpus never sort-merges") {
+    val p = planOf(graft.queries.AnalyticsQueries.a08KmeansQuantized(spark, dir))
+    // both assignment passes stream the corpus past broadcast centroids
+    assert("BroadcastNestedLoopJoin BuildRight".r.findAllIn(p).length >= 2,
+      s"centroid tables must be the broadcast build side in both iterations:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must never sort-merge:\n$p")
+    // argmin is the bounded top-1 heap, partial-aggregated — no window
+    assert(!p.contains("Window"), s"assignment must not plan a window sort:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final top-1 heap aggregate:\n$p")
+  }
+
   test("q32: bloom probe prunes the fact side below the join, and actually prunes") {
     val df = graft.queries.AdvancedQueries.q32BloomPrune(spark, dir)
     val p = planOf(df)
