@@ -470,6 +470,34 @@ object AnalyticsQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
+    * WITHIN a08's k-means clusters — the trick that makes embedding
+    * dedup tractable at corpus scale. Pairwise cosine is computed only
+    * between co-clustered vectors (an equi-join on the cluster id, cost
+    * Σ cluster² instead of n²), pairs at sim ≥ 0.35 are emitted as
+    * (keep lower id, drop higher id). The float threshold is exact,
+    * not approximate: both engines fold the dot/norm in strict
+    * ascending index order (a07/d05's parity), so `sim ≥ τ` is
+    * bit-identical. Scale: clustering is the a08 scan; the pair join
+    * shuffles each vector once per cluster key; no all-pairs term. */
+  def d12SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the clustering once (both pair-join sides consume it;
+    // without this the a08 scan+broadcast subtree runs twice — at scale
+    // the assignment would be a persisted table, this is the demo analog)
+    val clusters = a08KmeansQuantized(spark, dir).select(col("vec_id"), col("cluster"))
+      .localCheckpoint()
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Vectors.normSq(col("embedding")).as("nsq"))
+      .join(clusters, Seq("vec_id"))
+    val a = e.toDF("i", "ea", "na", "cluster")
+    val b = e.toDF("j", "eb", "nb", "cluster")
+    a.join(b, Seq("cluster"))
+      .filter(col("j") > col("i"))
+      .filter(Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb")) >= 0.35)
+      .select(col("cluster"), col("i").as("keep_id"), col("j").as("dup_id"))
+      .orderBy(col("cluster"), col("keep_id"), col("dup_id"))
+  }
+
   /** a04 — single-pass top-k per group via the native
     * [[graft.expressions.TopKByScore]] TypedImperativeAggregate: top-5
     * longest docs per language. Unlike the window form (q13/a01–a03
@@ -962,6 +990,7 @@ object AnalyticsQueries {
     "a06_quantized_centroids" -> a06QuantizedCentroids _,
     "a07_semantic_decontam" -> a07SemanticDecontam _,
     "a08_kmeans_quantized" -> a08KmeansQuantized _,
+    "d12_semdedup"      -> d12SemDedup _,
     "t01_token_stats"   -> t01TokenStats _,
     "t02_quality"       -> t02Quality _,
     "t03_lang_id"       -> t03LangId _,
@@ -987,6 +1016,37 @@ object AnalyticsQueries {
   private val shingleCte =
     s"""w AS (SELECT doc_id, ${shingles("text", 4)} AS sh FROM documents),
        |ws AS (SELECT doc_id, sh, len(sh) AS n FROM w)""".stripMargin
+
+  /** The a08 two-iteration quantized k-means as a reusable CTE chain —
+    * ends in `asg(vec_id, cluster, dist)`. Shared by the a08 oracle and
+    * every downstream oracle that consumes the clustering (d12). */
+  private val kmeansCtes =
+    s"""m0 AS (SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, _qx -> abs(CAST(_qx AS DOUBLE)))) AS maxabs
+       |  FROM embeddings),
+       |qv AS (SELECT vec_id,
+       |    CASE WHEN maxabs > 0 THEN list_transform(embedding,
+       |      _qy -> CAST(floor(CAST(_qy AS DOUBLE) * (127.0 / maxabs) + 0.5) AS BIGINT))
+       |    ELSE list_transform(embedding, _qz -> CAST(0 AS BIGINT)) END AS q
+       |  FROM m0),
+       |c0 AS (SELECT vec_id AS cid, list_transform(q, _c0 -> _c0 * 10000) AS m
+       |  FROM qv WHERE vec_id < 8),
+       |d1 AS (SELECT qv.vec_id, c0.cid, ${intDist("qv.q", "c0.m")} AS dist
+       |  FROM qv CROSS JOIN c0),
+       |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1)
+       |  WHERE rk = 1),
+       |dims AS (SELECT a1.cid, u.dim AS dim, u.v AS v FROM a1 JOIN qv USING (vec_id),
+       |  unnest(list_transform(range(1, len(q)+1), _di -> {'dim': _di, 'v': q[_di]})) AS t(u)),
+       |bydim AS (SELECT cid, dim,
+       |    CAST(floor(10000.0 * CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m4
+       |  FROM dims GROUP BY 1, 2),
+       |c1 AS (SELECT cid, list(m4 ORDER BY dim) AS m FROM bydim GROUP BY cid),
+       |d2 AS (SELECT qv.vec_id, c1.cid, ${intDist("qv.q", "c1.m")} AS dist
+       |  FROM qv CROSS JOIN c1),
+       |asg AS (SELECT vec_id, cid AS cluster, dist FROM (SELECT vec_id, cid, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d2)
+       |  WHERE rk = 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -1407,32 +1467,16 @@ object AnalyticsQueries {
          |       ELSE 'keep' END AS verdict
          |FROM s ORDER BY doc_id""".stripMargin,
     "a08_kmeans_quantized" ->
-      s"""WITH m0 AS (SELECT vec_id, embedding,
-         |    list_max(list_transform(embedding, _qx -> abs(CAST(_qx AS DOUBLE)))) AS maxabs
-         |  FROM embeddings),
-         |qv AS (SELECT vec_id,
-         |    CASE WHEN maxabs > 0 THEN list_transform(embedding,
-         |      _qy -> CAST(floor(CAST(_qy AS DOUBLE) * (127.0 / maxabs) + 0.5) AS BIGINT))
-         |    ELSE list_transform(embedding, _qz -> CAST(0 AS BIGINT)) END AS q
-         |  FROM m0),
-         |c0 AS (SELECT vec_id AS cid, list_transform(q, _c0 -> _c0 * 10000) AS m
-         |  FROM qv WHERE vec_id < 8),
-         |d1 AS (SELECT qv.vec_id, c0.cid, ${intDist("qv.q", "c0.m")} AS dist
-         |  FROM qv CROSS JOIN c0),
-         |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1)
-         |  WHERE rk = 1),
-         |dims AS (SELECT a1.cid, u.dim AS dim, u.v AS v FROM a1 JOIN qv USING (vec_id),
-         |  unnest(list_transform(range(1, len(q)+1), _di -> {'dim': _di, 'v': q[_di]})) AS t(u)),
-         |bydim AS (SELECT cid, dim,
-         |    CAST(floor(10000.0 * CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m4
-         |  FROM dims GROUP BY 1, 2),
-         |c1 AS (SELECT cid, list(m4 ORDER BY dim) AS m FROM bydim GROUP BY cid),
-         |d2 AS (SELECT qv.vec_id, c1.cid, ${intDist("qv.q", "c1.m")} AS dist
-         |  FROM qv CROSS JOIN c1)
-         |SELECT vec_id, cid AS cluster, dist FROM (SELECT vec_id, cid, dist,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d2)
-         |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cluster, dist FROM asg ORDER BY vec_id""".stripMargin,
+    "d12_semdedup" ->
+      s"""WITH $kmeansCtes,
+         |e AS (SELECT vec_id, cluster, embedding, ${normSq("embedding")} AS nsq
+         |  FROM embeddings JOIN asg USING (vec_id))
+         |SELECT a.cluster AS cluster, a.vec_id AS keep_id, b.vec_id AS dup_id
+         |FROM e a JOIN e b ON a.cluster = b.cluster AND b.vec_id > a.vec_id
+         |WHERE ${cosine(dot("a.embedding", "b.embedding"), "a.nsq", "b.nsq")} >= 0.35
+         |ORDER BY 1, 2, 3""".stripMargin,
     "t10_unigram_lm" ->
       s"""WITH t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents),
          |n AS (SELECT COUNT(*) AS total FROM t),

@@ -146,6 +146,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected partial+final top-1 heap aggregate:\n$p")
   }
 
+  test("d12: pair join is cluster-keyed — only the k-means centroid broadcasts nest-loop") {
+    val p = planOf(graft.queries.AnalyticsQueries.d12SemDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"pair enumeration went cartesian:\n$p")
+    // the clustering is checkpointed, so no a08 subtree appears at all:
+    // the pairwise cosine must ride an equi-join on the cluster id,
+    // never an all-pairs nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair enumeration must not nest-loop:\n$p")
+    assert(p.contains("Join [cluster") || p.contains("Join [coalesce(cluster"),
+      s"pair join must be keyed on the cluster id:\n$p")
+  }
+
   test("q32: bloom probe prunes the fact side below the join, and actually prunes") {
     val df = graft.queries.AdvancedQueries.q32BloomPrune(spark, dir)
     val p = planOf(df)
