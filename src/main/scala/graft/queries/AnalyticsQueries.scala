@@ -864,6 +864,28 @@ object AnalyticsQueries {
       .orderBy(col("media_id"))
   }
 
+  /** m05 — audio frame energy + silence detection over REAL PCM bytes:
+    * each document id becomes a deterministic 800-sample raw PCM clip
+    * (little-endian int16 — the post-codec wire format, synthesized
+    * executor-side), which is then parsed back with genuine
+    * two's-complement byte math, windowed into five 160-sample frames,
+    * and scored with the exact integer energy `Σ v²` per frame — the
+    * VAD front end of an audio pipeline, with every third frame muted
+    * so silence detection has real positives. The DuckDB oracle (no
+    * audio stack) recomputes the energies arithmetically from the
+    * synthesis formula: a match proves the byte-level decode path
+    * end to end, m04's codec-proof trick applied to audio. Narrow
+    * 1→5 flatMap, no shuffle, linear in clip count. */
+  def m05AudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.synthPcm(id, 800, 160))))
+      .toDF("media_id", "payload")
+    Multimodal.frameEnergy(payloads, frame = 160).toDF()
+      .select(col("media_id"), col("frame_idx"), col("energy"), col("is_silence"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** p10 — INCREMENTAL dedup, the production shape: yesterday's corpus
     * is already deduplicated and must not be rescanned or re-clustered
     * when today's increment lands. The increment (odd doc_ids — a
@@ -1006,6 +1028,7 @@ object AnalyticsQueries {
     "m02_frame_sample"  -> m02FrameSample _,
     "m03_resize"        -> m03Resize _,
     "m04_image_decode"  -> m04ImageDecode _,
+    "m05_audio_energy"  -> m05AudioEnergy _,
     "p06_hash_sample"   -> p06HashSample _,
     "p07_data_prep"     -> p07DataPrep _,
     "p09_stratified_sample" -> p09StratifiedSample _,
@@ -1553,6 +1576,17 @@ object AnalyticsQueries {
          |      ) // 4 AS BIGINT))))))),
          |    (_ma, _mb) -> (_ma * 31 + _mb) % 1000000007) AS checksum
          |FROM documents ORDER BY media_id""".stripMargin,
+    "m05_audio_energy" ->
+      s"""WITH f AS (SELECT doc_id AS media_id, CAST(_fi AS BIGINT) AS frame_idx,
+         |    CASE WHEN _fi % 3 = 2 THEN CAST(0 AS BIGINT) ELSE
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(_fi*160, _fi*160 + 160), _ai ->
+         |          CAST((doc_id*31 + _ai*7) % 4096 - 2048 AS BIGINT)
+         |            * CAST((doc_id*31 + _ai*7) % 4096 - 2048 AS BIGINT))),
+         |        (_ea, _eb) -> _ea + _eb) END AS energy
+         |  FROM documents CROSS JOIN unnest(range(0, 5)) AS t(_fi))
+         |SELECT media_id, frame_idx, energy, energy = 0 AS is_silence
+         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "p06_hash_sample" ->
       s"""SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM documents

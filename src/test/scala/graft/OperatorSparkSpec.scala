@@ -137,6 +137,34 @@ class OperatorSparkSpec extends AnyFunSuite {
     }
   }
 
+  test("PCM frame energy: int16 sign extension, exact sums, silence verdicts") {
+    import spark.implicits._
+    // hand-built little-endian payload: frame size 2, samples
+    // [-1, 1, 0, 0, 32767, -32768] → energies [2, 0, 32767²+32768²]
+    val bytes = Array[Byte](
+      0xFF.toByte, 0xFF.toByte, 0x01, 0x00, // -1, 1
+      0x00, 0x00, 0x00, 0x00, //  0, 0 (true silence)
+      0xFF.toByte, 0x7F.toByte, 0x00, 0x80.toByte) // 32767, -32768
+    val df = Seq((7L, bytes)).toDF("media_id", "payload")
+    val got = Multimodal.frameEnergy(df, frame = 2).collect().sortBy(_.frame_idx)
+    assert(got.map(f => (f.frame_idx, f.energy, f.is_silence)).toSeq == Seq(
+      (0L, 2L, false), (1L, 0L, true),
+      (2L, 32767L * 32767L + 32768L * 32768L, false)))
+    // synthesized clips decode back to the synthesis formula exactly
+    val synth = Seq((3L, Multimodal.synthPcm(3L, 320, 160))).toDF("media_id", "payload")
+    val e0 = (0 until 160).map(i => { val v = ((3L * 31 + i * 7L) % 4096) - 2048; v * v }).sum
+    val frames = Multimodal.frameEnergy(synth, frame = 160).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.energy).toSeq == Seq(e0,
+      (160 until 320).map(i => { val v = ((3L * 31 + i * 7L) % 4096) - 2048; v * v }).sum))
+    // odd byte length fails loudly instead of silently truncating
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.frameEnergy(bad, frame = 2).collect()
+    }
+    assert(err.getMessage.contains("odd PCM byte length")
+      || Option(err.getCause).exists(_.getMessage.contains("odd PCM byte length")))
+  }
+
   test("compaction file listing goes through the Hadoop FileSystem API") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_fs_list").toString
