@@ -527,7 +527,59 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** s11 — stream-static enrichment join, the shape every streaming
+    * fact pipeline runs: the event stream joins a STATIC dimension
+    * snapshot (customer ⋈ nation) per micro-batch, then aggregates per
+    * nation. The static side is broadcast — at scale the stream only
+    * ever streams, the dimension rides the broadcast, and no stream
+    * row is shuffled for the join (only the groups×1 agg exchange).
+    * Money math routes through DECIMAL(18,4) on both engines so the
+    * cross-engine hash holds. */
+  def s11StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try s11Impl(spark, dir)
+    finally prevNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
+  private def s11Impl(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_s11_${math.abs(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
+      staged.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(col("user_id"), col("value").cast("decimal(18,4)").as("v"))
+    val dim = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name"))
+    val agg = stream.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val name = s"s11_out_${System.nanoTime()}"
+    val q = withStreamShuffle(spark, 4) {
+      agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("n_name"), col("n"),
+        round(col("sv"), 2).cast("double").as("sum_value"))
+      .orderBy(col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_stream_static_join" -> s11StreamStaticJoin _,
     "s01_replay_sink"  -> s01ReplaySink _,
     "s02_stream_window" -> s02StreamWindow _,
     "s03_stateful_counts" -> s03StatefulCounts _,
@@ -541,6 +593,12 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s11_stream_static_join" ->
+      """SELECT n_name, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s01_replay_sink" ->
       """SELECT event_type AS partition_id,
         |  COUNT(*) AS n, MIN(props) AS min_payload, MAX(props) AS max_payload
