@@ -210,7 +210,38 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** p13 — SORT-CLUSTERED layout, the row-group-skipping lever that
+    * complements q31's bucketing: rewrite the fact table range-
+    * partitioned AND sorted by `l_shipdate`, so each parquet row group
+    * covers a narrow, disjoint date interval and its min/max footer
+    * stats let a reader skip everything outside the predicate — on the
+    * original insert-ordered layout every row group spans the full
+    * date domain and nothing can be skipped. At 100 TB this is the
+    * difference between scanning one month and scanning the whole
+    * table for a month-window query; the clustering shuffle is paid
+    * once at write time, like bucketing. The gate checks the query
+    * result; PlanAuditSpec checks the FOOTERS (sorted layout: ≤¼ of
+    * row groups overlap one month; original: all of them). */
+  def p13SortLayout(spark: SparkSession, dir: String): DataFrame = {
+    val stage = staging("p13", dir)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"),
+        col("l_returnflag"))
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$stage/li_sorted")
+    spark.read.parquet(s"$stage/li_sorted")
+      .filter(col("l_shipdate") >= lit("1995-03-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1995-04-01").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+          .cast("double").as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_sort_layout"     -> p13SortLayout _,
     "p01_partition_prune" -> p01PartitionPrune _,
     "p02_csv_roundtrip"   -> p02CsvRoundtrip _,
     "p03_binary_objects"  -> p03BinaryObjects _,
@@ -221,6 +252,12 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p13_sort_layout" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_shipdate >= '1995-03-01' AND l_shipdate < '1995-04-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // content survival across fragment→compact: counts + text checksum
     "p08_compaction" ->
       """SELECT lang, COUNT(*) AS n,

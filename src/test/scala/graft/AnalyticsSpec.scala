@@ -270,6 +270,31 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("Bloom property: random key sets never false-negative; merge ≡ single build") {
+    import graft.expressions.{Bloom, BloomBuffer}
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { trial =>
+      val n = 1 + rnd.nextInt(400)
+      val keys = Seq.fill(n)(rnd.nextLong())
+      // split across 3 "tasks", OR-merge, serialize — the agg's life cycle
+      val parts = keys.grouped((n + 2) / 3).toSeq.map { slice =>
+        val b = new BloomBuffer(64, 5) // 4096 bits: small enough to stress fpp
+        slice.foreach(b.add)
+        b
+      }
+      val merged = parts.reduceLeft { (a, b) => a.mergeFrom(b); a }
+      val bytes = merged.toBytes
+      keys.foreach { k =>
+        assert(Bloom.contains(bytes, k), s"trial $trial: inserted key $k missing")
+      }
+      // a single-pass build must produce the identical bitset
+      val single = new BloomBuffer(64, 5)
+      keys.foreach(single.add)
+      assert(java.util.Arrays.equals(single.toBytes, bytes),
+        s"trial $trial: merge-of-parts differs from single build")
+    }
+  }
+
   test("prefix filter property: random near-dup corpora lose no qualifying pair") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -178,6 +178,56 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(kept < total / 2, s"bloom probe kept $kept of $total fact rows — not pruning")
   }
 
+  test("p13: sorted layout's row-group stats skip the month; insert order cannot") {
+    import scala.jdk.CollectionConverters._
+    PipelineQueries.p13SortLayout(spark, dir).collect() // materialize staging
+    val conf = spark.sessionState.newHadoopConf()
+    // (min, max) micros of l_shipdate per row group, straight from the
+    // parquet footers — the stats a reader's row-group filter consults
+    def bounds(path: String): Seq[(Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isFile) Seq(p)
+        else fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+      files.flatMap { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == "l_shipdate").get
+          // normalize to micros — the driver testdata stores millis,
+          // Spark writes micros
+          val toMicros = c.getPrimitiveType.getLogicalTypeAnnotation match {
+            case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+                case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+                case _ => fail(s"unexpected timestamp unit in $f")
+              }
+            case other => fail(s"unexpected l_shipdate type $other in $f")
+          }
+          val st = c.getStatistics
+          (st.genericGetMin.asInstanceOf[Long] * toMicros,
+            st.genericGetMax.asInstanceOf[Long] * toMicros)
+        } finally r.close()
+      }
+    }
+    def overlapFrac(bs: Seq[(Long, Long)]): Double = {
+      val lo = java.time.LocalDate.of(1995, 3, 1).toEpochDay * 86400L * 1000000L
+      val hi = java.time.LocalDate.of(1995, 4, 1).toEpochDay * 86400L * 1000000L
+      bs.count { case (mn, mx) => mx >= lo && mn < hi }.toDouble / bs.size
+    }
+    val sorted = bounds(s"${PipelineQueries.staging("p13", dir)}/li_sorted")
+    val original = bounds(s"$dir/lineitem.parquet")
+    assert(overlapFrac(original) == 1.0,
+      s"expected the insert-ordered layout to be unskippable, got ${overlapFrac(original)}")
+    assert(overlapFrac(sorted) <= 0.25,
+      s"sorted layout should let a reader skip ≥75% of row groups, " +
+        s"got ${overlapFrac(sorted)} over ${sorted.size} groups")
+  }
+
   test("whole-stage codegen covers the native hash expression") {
     val df = Tables.documents(spark, dir)
       .select(graft.expressions.PolyHash(col("text")).as("fp"))
