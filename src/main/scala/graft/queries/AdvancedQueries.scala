@@ -215,7 +215,26 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q33 — correlated EXISTS subquery (the TPC-H Q4 shape), entered
+    * through SQL: Catalyst rewrites the per-row subquery into one LEFT
+    * SEMI join on the correlation key (pinned in PlanAuditSpec), so
+    * the cost is a single hash-shuffled semi join — not an n² re-
+    * execution of the inner query, which is what the naive reading of
+    * EXISTS would do at 100 TB. Complements q08 (DataFrame anti-join)
+    * and q25 (scalar subquery). */
+  def q33ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q33_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q33_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM graft_q33_orders
+        |WHERE EXISTS (SELECT 1 FROM graft_q33_lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_exists_subquery" -> q33ExistsSubquery _,
     "q32_bloom_prune"     -> q32BloomPrune _,
     "q31_bucketed_join"   -> q31BucketedJoin _,
     "q30_group_median"    -> q30GroupMedian _,
@@ -230,6 +249,12 @@ object AdvancedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q33_exists_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q32_bloom_prune" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty

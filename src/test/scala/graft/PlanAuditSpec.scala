@@ -178,6 +178,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(kept < total / 2, s"bloom probe kept $kept of $total fact rows — not pruning")
   }
 
+  test("q33: EXISTS rewrites to one semi join, not a per-row subquery") {
+    val p = planOf(graft.queries.AdvancedQueries.q33ExistsSubquery(spark, dir))
+    assert(p.contains("LeftSemi"), s"expected a left semi join rewrite:\n$p")
+    assert(!p.contains("CartesianProduct"), s"EXISTS went cartesian:\n$p")
+  }
+
   test("p13: sorted layout's row-group stats skip the month; insert order cannot") {
     import scala.jdk.CollectionConverters._
     PipelineQueries.p13SortLayout(spark, dir).collect() // materialize staging
