@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Tables
-import graft.streaming.{InMemoryRecordProducer, KinesisSink, Replay}
+import graft.streaming.{InMemoryRecordProducer, KinesisSink, Replay, UpsertSink}
 
 /** Oracle-checked exercises of the streaming surface (SURVEY §2.9).
   * Replay pacing runs with timeScale = 0 here (correctness, not
@@ -578,7 +578,62 @@ object StreamingQueries {
       .orderBy(col("n_name"))
   }
 
+  /** s12 — foreachBatch idempotent keyed upsert, the exactly-once SINK
+    * pattern: the stream is split into four micro-batches
+    * (maxFilesPerTrigger=1 over a 4-file staging), each batch's per-key
+    * partial aggregate is MERGED into a parquet state table through
+    * [[UpsertSink.merge]] — full-outer join on the key, atomic pointer
+    * swap, and a committed-batch ledger so checkpoint replay of a batch
+    * after a crash is absorbed instead of double-counted (the replay
+    * path itself is pinned in StreamingSpec). State is one row per
+    * distinct key, dimension-scale; each batch touches only its own
+    * increments plus that table. */
+  def s12ForeachBatchUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try s12Impl(spark, dir)
+    finally prevNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
+  private def s12Impl(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_s12_${math.abs(dir.hashCode)}")
+    val hfs = new org.apache.hadoop.fs.Path(root.toString)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(root.toString), true) // fresh run
+    val staged = root.resolve("in")
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+      .write.mode("overwrite").parquet(staged.toString)
+    val stateDir = root.resolve("state").toString
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val incr = batch.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,4)")).as("sv"))
+          UpsertSink.merge(spark, stateDir, incr, id)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    UpsertSink.readState(spark, stateDir)
+      .select(col("key").as("event_type"), col("n"),
+        round(col("sv"), 2).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_foreachbatch_upsert" -> s12ForeachBatchUpsert _,
     "s11_stream_static_join" -> s11StreamStaticJoin _,
     "s01_replay_sink"  -> s01ReplaySink _,
     "s02_stream_window" -> s02StreamWindow _,
@@ -593,6 +648,10 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s12_foreachbatch_upsert" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "s11_stream_static_join" ->
       """SELECT n_name, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value

@@ -411,6 +411,30 @@ class StreamingSpec extends AnyFunSuite {
     s.stop()
   }
 
+  test("upsert sink: batch replay after a crash is absorbed, not double-counted") {
+    import spark.implicits._
+    import graft.streaming.UpsertSink
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    def incr(rows: (String, Long, BigDecimal)*) =
+      rows.toSeq.toDF("key", "n", "sv")
+        .select(col("key"), col("n"), col("sv").cast("decimal(28,4)").as("sv"))
+    assert(UpsertSink.merge(spark, stateDir, incr(("a", 2L, BigDecimal(10))), 0L))
+    assert(UpsertSink.merge(spark, stateDir,
+      incr(("a", 1L, BigDecimal(5)), ("b", 3L, BigDecimal(7))), 1L))
+    def state() = UpsertSink.readState(spark, stateDir)
+      .as[(String, Long, BigDecimal)].collect().sortBy(_._1).toSeq
+      .map { case (k, n, sv) => (k, n, sv.toLong) }
+    val after = state()
+    assert(after == Seq(("a", 3L, 15L), ("b", 3L, 7L)))
+    // checkpoint replay: the sink must report "already applied" and
+    // leave the state bit-identical
+    assert(!UpsertSink.merge(spark, stateDir, incr(("a", 1L, BigDecimal(5))), 1L))
+    assert(state() == after, "replayed batch mutated the state")
+    // and a genuinely new batch still applies
+    assert(UpsertSink.merge(spark, stateDir, incr(("b", 1L, BigDecimal(1))), 2L))
+    assert(state() == Seq(("a", 3L, 15L), ("b", 4L, 8L)))
+  }
+
   test("replay source: checkpointed restart resumes with no loss and no re-emission") {
     import spark.implicits._
     val dataDir = java.nio.file.Files.createTempDirectory("graft_rs_data").toString
