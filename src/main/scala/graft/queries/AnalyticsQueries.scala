@@ -699,6 +699,46 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t12 — boilerplate shingle REMOVAL, the apply-form companion to
+    * d10's detection: a 3-word shingle is boilerplate when it appears
+    * in ≥ max(5, 1% of corpus) distinct docs (the CCNet-style relative
+    * frequency rule), and every word covered by a boilerplate shingle
+    * occurrence is dropped from its document. Emits per-doc counts and
+    * the fingerprint of the scrubbed text — the form a cleaning stage
+    * writes back. All array algebra rides codegen'd higher-order
+    * functions; the word-coverage test is interval overlap against the
+    * doc's (tiny) common-start list. Scale shape: one positional-
+    * shingle explode, a map-side-combined df hash-agg, one equi-join
+    * back on the 8-byte shingle hash, one coverage pass — linear,
+    * vocabulary-sized side state, no driver data but the doc count. */
+  def t12BoilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), TF.words(col("text")).as("w"))
+    val minDf = math.max(5L, docs.count() / 100)
+    val withSh = docs.withColumn("sh",
+      when(size(col("w")) >= 3,
+        transform(sequence(lit(0), size(col("w")) - 3),
+          j => TF.polyHash(concat_ws(" ", slice(col("w"), j + 1, lit(3))))))
+        .otherwise(array().cast("array<bigint>")))
+    val starts = withSh.select(col("doc_id"), posexplode(col("sh")))
+    val common = starts.groupBy(col("col"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf).select(col("col").as("h"))
+    val cstarts = starts.join(common, starts("col") === common("h"))
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("cs"))
+    withSh.join(cstarts, Seq("doc_id"), "left")
+      .withColumn("cs", coalesce(col("cs"), array().cast("array<int>")))
+      .withColumn("kept", filter(
+        transform(sequence(lit(0), size(col("w")) - 1),
+          i => struct(i.as("i"), element_at(col("w"), i + 1).as("x"))),
+        s => !exists(col("cs"),
+          j => j <= s.getField("i") && j + 2 >= s.getField("i"))))
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        (size(col("w")) - size(col("kept"))).as("n_removed"),
+        TF.polyHash(concat_ws(" ",
+          transform(col("kept"), s => s.getField("x")))).as("kept_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** p09 — stratified deterministic sampling: exactly `k` docs per
     * language stratum, chosen as the k SMALLEST `polyHash(doc_id)`
     * values — a keyed lottery, so the sample is identical on any
@@ -1024,6 +1064,7 @@ object AnalyticsQueries {
     "t09_quality_filter" -> t09QualityFilter _,
     "t10_unigram_lm"    -> t10UnigramLm _,
     "t11_seq_pack"      -> t11SeqPack _,
+    "t12_boilerplate_removal" -> t12BoilerplateRemoval _,
     "m01_multimodal"    -> m01Multimodal _,
     "m02_frame_sample"  -> m02FrameSample _,
     "m03_resize"        -> m03Resize _,
@@ -1489,6 +1530,26 @@ object AnalyticsQueries {
          |       WHEN stop_hits < 2 THEN 'few_stopwords'
          |       ELSE 'keep' END AS verdict
          |FROM s ORDER BY doc_id""".stripMargin,
+    "t12_boilerplate_removal" ->
+      s"""WITH w AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+         |sh AS (SELECT doc_id, list_transform(range(0, len(w)-2),
+         |    _j -> ${polyHash("array_to_string(w[_j+1:_j+3], ' ')")}) AS sh FROM w),
+         |st AS (SELECT doc_id, u.p AS pos, u.h AS h FROM sh,
+         |  unnest(list_transform(range(0, len(sh)), _k -> {'p': _k, 'h': sh[_k+1]})) AS t(u)),
+         |common AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM st GROUP BY h)
+         |  WHERE df >= GREATEST(5, (SELECT COUNT(*) FROM documents) // 100)),
+         |cs AS (SELECT doc_id, list(DISTINCT pos) AS cs FROM st JOIN common USING (h)
+         |  GROUP BY doc_id),
+         |j AS (SELECT w.doc_id, w.w, COALESCE(cs.cs, []) AS cs
+         |  FROM w LEFT JOIN cs ON w.doc_id = cs.doc_id),
+         |k AS (SELECT doc_id, len(w) AS n_words,
+         |    list_transform(list_filter(range(0, len(w)),
+         |      _i -> len(list_filter(cs, _cj -> _cj <= _i AND _cj + 2 >= _i)) = 0),
+         |      _ki -> w[_ki+1]) AS kept
+         |  FROM j)
+         |SELECT doc_id, n_words, n_words - len(kept) AS n_removed,
+         |  ${polyHash("array_to_string(kept, ' ')")} AS kept_fp
+         |FROM k ORDER BY doc_id""".stripMargin,
     "a08_kmeans_quantized" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id, cluster, dist FROM asg ORDER BY vec_id""".stripMargin,

@@ -120,7 +120,8 @@ class PlanAuditSpec extends AnyFunSuite {
       graft.queries.AnalyticsQueries.d09Contamination(spark, dir),
       graft.queries.AnalyticsQueries.d10DupSpans(spark, dir),
       graft.queries.AnalyticsQueries.p07DataPrep(spark, dir),
-      graft.queries.AnalyticsQueries.t10UnigramLm(spark, dir)
+      graft.queries.AnalyticsQueries.t10UnigramLm(spark, dir),
+      graft.queries.AnalyticsQueries.t12BoilerplateRemoval(spark, dir)
     ).foreach { df =>
       val p = planOf(df)
       assert(!p.contains("CartesianProduct"), s"vocabulary join went cartesian:\n$p")
