@@ -233,7 +233,27 @@ object AdvancedQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** q34 — quantile-sketch accuracy bounds, q23's pattern for
+    * percentiles: `approx_percentile` (the mergeable KLL-style sketch a
+    * 100 TB profile job actually runs — exact percentile needs a global
+    * sort) must land within 1% of the exact rank statistic at p50 and
+    * p95. The gate pins the BOOLEAN, so a sketch regression fails
+    * loudly while the hash compare never touches the approximate
+    * values themselves. */
+  def q34QuantileBounds(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("exact"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("approx"))
+      .select(col("l_returnflag"),
+        (abs(col("approx")(0) - col("exact")(0)) / col("exact")(0) <= 0.01)
+          .as("p50_within_1pct"),
+        (abs(col("approx")(1) - col("exact")(1)) / col("exact")(1) <= 0.01)
+          .as("p95_within_1pct"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_quantile_bounds" -> q34QuantileBounds _,
     "q33_exists_subquery" -> q33ExistsSubquery _,
     "q32_bloom_prune"     -> q32BloomPrune _,
     "q31_bucketed_join"   -> q31BucketedJoin _,
@@ -249,6 +269,9 @@ object AdvancedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q34_quantile_bounds" ->
+      """SELECT l_returnflag, TRUE AS p50_within_1pct, TRUE AS p95_within_1pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q33_exists_subquery" ->
       """SELECT o_orderpriority, COUNT(*) AS n
         |FROM orders
