@@ -470,6 +470,79 @@ object AnalyticsQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** a09 — PRODUCT-QUANTIZED ANN (Jégou et al. TPAMI'11 / FAISS PQ,
+    * public), the billion-scale memory lever past a05's SQ8: the
+    * 64-dim space splits into M=2 subspaces; each subspace trains its
+    * own K=16 codebook (one Lloyd iteration of the a08 integer
+    * machinery over per-subvector int8 codes) and every corpus vector
+    * compresses to M centroid IDs — one byte per subspace instead of
+    * 256 float bytes. Search is ASYMMETRIC (ADC): the uncompressed
+    * query's subcodes score against each corpus vector's reconstructed
+    * centroids, distance = Σₘ intDist(queryₘ, centroid[codeₘ]) — exact
+    * integer algebra end to end, so rankings are engine-identical and
+    * the full top-5 table hash-gates. Scale shape: codebooks are
+    * K·dim-int tables (broadcast), corpus codes join them on the
+    * 1-byte cid, the ≤20-row query side broadcasts, the corpus only
+    * streams, and per-query top-5 is the bounded heap — shuffle
+    * queries×k. (Production adds the per-query K×M lookup table so
+    * each pair costs M adds; the plan shape is already that one.)
+    * Recall vs the float-exact a01 is pinned in AnalyticsSpec. */
+  def a09PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{IntDot, QuantizeI8, TopKByScore}
+    val M = 2; val subDim = 32; val K = 16
+    // per-subspace int8 codes; checkpointed once — training, encoding,
+    // and query scoring all consume it
+    val sub = Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: (0 until M).map(m =>
+        QuantizeI8(slice(col("embedding"), m * subDim + 1, lit(subDim))).as(s"q$m")): _*)
+      .localCheckpoint()
+    def dist(q: Column, mm: Column): Column =
+      lit(100000000L) * IntDot(q, q) + IntDot(mm, mm) - lit(20000L) * IntDot(q, mm)
+    def argminAssign(q: DataFrame, cent: DataFrame): DataFrame =
+      q.join(broadcast(cent), lit(true))
+        .withColumn("d", dist(col("q"), col("mm")))
+        .groupBy(col("vec_id"))
+        .agg(TopKByScore((-col("d")).cast("long"), col("cid").cast("long"), 1).as("top"))
+        .select(col("vec_id"), col("top").getItem(0).getField("id").as("cid"))
+    // K-centroid codebook for subspace m: init = first K subcodes
+    // lifted to the 10⁴ domain, one integer-mean update (a08's step)
+    def codebook(m: Int): DataFrame = {
+      val q = sub.select(col("vec_id"), col(s"q$m").as("q"))
+      val c0 = q.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), transform(col("q"), x => x * lit(10000)).as("mm"))
+      argminAssign(q, c0).join(q, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("q")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m4", floor(lit(10000.0) * col("s") / col("n")).cast("long"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m4")))),
+          x => x.getField("m4").cast("int")).as("mm"))
+    }
+    // corpus → M one-byte codes; reconstructed centroids ride the
+    // broadcast codebook join back on
+    var corpus = sub.select(col("vec_id"))
+    (0 until M).foreach { m =>
+      val cb = codebook(m).localCheckpoint()
+      corpus = corpus
+        .join(argminAssign(sub.select(col("vec_id"), col(s"q$m").as("q")), cb)
+          .withColumnRenamed("cid", s"cid$m"), Seq("vec_id"))
+        .join(broadcast(cb.select(col("cid").as(s"cid$m"), col("mm").as(s"mm$m"))),
+          Seq(s"cid$m"))
+    }
+    val queries = sub.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id") +:
+        (0 until M).map(m => col(s"q$m").as(s"qq$m")): _*)
+    corpus.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .withColumn("d", (0 until M).map(m => dist(col(s"qq$m"), col(s"mm$m"))).reduce(_ + _))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore((-col("d")).cast("long"), col("vec_id"), 5).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col").getField("id").as("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
     * dedup tractable at corpus scale. Pairwise cosine is computed only
