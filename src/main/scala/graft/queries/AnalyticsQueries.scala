@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -494,7 +494,7 @@ object AnalyticsQueries {
     // and query scoring all consume it
     val sub = Tables.embeddings(spark, dir)
       .select(col("vec_id") +: (0 until M).map(m =>
-        QuantizeI8(slice(col("embedding"), m * subDim + 1, lit(subDim))).as(s"q$m")): _*)
+        QuantizeI8(slice(col("embedding"), lit(m * subDim + 1), lit(subDim))).as(s"q$m")): _*)
       .localCheckpoint()
     def dist(q: Column, mm: Column): Column =
       lit(100000000L) * IntDot(q, q) + IntDot(mm, mm) - lit(20000L) * IntDot(q, mm)
