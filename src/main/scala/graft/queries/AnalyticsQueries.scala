@@ -470,26 +470,42 @@ object AnalyticsQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** a09's PQ geometry, shared by the Spark program and the generated
+    * DuckDB oracle so the two can never drift: M subspaces of subDim
+    * dims each (M·subDim = the embedding dim), K centroids per
+    * subspace — K^M = 65536 addressable cells. */
+  private val PqM = 4; private val PqSubDim = 16; private val PqK = 16
+  /** ADC shortlist size per query before the exact re-rank. */
+  private val PqL = 100
+
   /** a09 — PRODUCT-QUANTIZED ANN (Jégou et al. TPAMI'11 / FAISS PQ,
     * public), the billion-scale memory lever past a05's SQ8: the
-    * 64-dim space splits into M=2 subspaces; each subspace trains its
-    * own K=16 codebook (one Lloyd iteration of the a08 integer
-    * machinery over per-subvector int8 codes) and every corpus vector
-    * compresses to M centroid IDs — one byte per subspace instead of
-    * 256 float bytes. Search is ASYMMETRIC (ADC): the uncompressed
+    * 64-dim space splits into [[PqM]] subspaces; each subspace trains
+    * its own [[PqK]]-centroid codebook (one Lloyd iteration of the a08
+    * integer machinery over per-subvector int8 codes) and every corpus
+    * vector compresses to M centroid IDs — one byte per subspace
+    * instead of 256 float bytes. Search is ASYMMETRIC (ADC): the uncompressed
     * query's subcodes score against each corpus vector's reconstructed
     * centroids, distance = Σₘ intDist(queryₘ, centroid[codeₘ]) — exact
-    * integer algebra end to end, so rankings are engine-identical and
-    * the full top-5 table hash-gates. Scale shape: codebooks are
-    * K·dim-int tables (broadcast), corpus codes join them on the
-    * 1-byte cid, the ≤20-row query side broadcasts, the corpus only
-    * streams, and per-query top-5 is the bounded heap — shuffle
-    * queries×k. (Production adds the per-query K×M lookup table so
-    * each pair costs M adds; the plan shape is already that one.)
-    * Recall vs the float-exact a01 is pinned in AnalyticsSpec. */
+    * integer algebra end to end, so shortlists are engine-identical.
+    * The scoring is the production ADC-lookup form: per subspace, a
+    * queries×K table of query-to-centroid integer distances is
+    * precomputed and broadcast, so a corpus row is scored with M
+    * hash-lookups + M adds on its one-byte codes — centroid arrays
+    * never ride corpus rows. Search is the FAISS two-stage refine
+    * shape: ADC prunes the corpus to the [[PqL]]-candidate shortlist
+    * per query (bounded heap, shuffle queries×L), then ONLY shortlist
+    * rows fetch their float vectors (shortlist broadcasts back onto
+    * the corpus scan) for an exact-cosine top-5 re-rank — at 100 TB
+    * the float corpus is touched for L/n of its rows, the rest is
+    * scored on 4 one-byte codes. Both stages are deterministic (ties
+    * break on vec_id; the re-rank cosine folds in strict ascending
+    * index order, a01's parity), so the full top-5 table hash-gates.
+    * Plan pinned in PlanAuditSpec; recall vs the float-exact a01
+    * pinned in AnalyticsSpec at both unit and bench scale. */
   def a09PqAnn(spark: SparkSession, dir: String): DataFrame = {
     import graft.expressions.{IntDot, QuantizeI8, TopKByScore}
-    val M = 2; val subDim = 32; val K = 16
+    val M = PqM; val subDim = PqSubDim; val K = PqK
     // per-subspace int8 codes; checkpointed once — training, encoding,
     // and query scoring all consume it
     val sub = Tables.embeddings(spark, dir)
@@ -519,24 +535,60 @@ object AnalyticsQueries {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m4")))),
           x => x.getField("m4").cast("int")).as("mm"))
     }
-    // corpus → M one-byte codes; reconstructed centroids ride the
-    // broadcast codebook join back on
-    var corpus = sub.select(col("vec_id"))
-    (0 until M).foreach { m =>
-      val cb = codebook(m).localCheckpoint()
-      corpus = corpus
-        .join(argminAssign(sub.select(col("vec_id"), col(s"q$m").as("q")), cb)
-          .withColumnRenamed("cid", s"cid$m"), Seq("vec_id"))
-        .join(broadcast(cb.select(col("cid").as(s"cid$m"), col("mm").as(s"mm$m"))),
-          Seq(s"cid$m"))
+    // corpus → M one-byte codes in ONE corpus pass: melt to a row per
+    // (vector, subspace), argmin against the broadcast union of all M
+    // codebooks keyed by the subspace index, pivot the M codes back to
+    // columns — two tiny-row exchanges instead of M per-subspace joins
+    // stitched on vec_id. Scoring never touches centroid arrays again;
+    // it goes through the per-query ADC lookup table.
+    val cbs = (0 until M).map(m => codebook(m).localCheckpoint())
+    val cbAll = cbs.zipWithIndex
+      .map { case (cb, m) => cb.withColumn("m", lit(m)) }.reduce(_ union _)
+    val assigned = sub
+      .select(col("vec_id"), posexplode(array((0 until M).map(m => col(s"q$m")): _*)))
+      .toDF("vec_id", "m", "q")
+      .join(broadcast(cbAll), Seq("m"))
+      .withColumn("d", dist(col("q"), col("mm")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(TopKByScore((-col("d")).cast("long"), col("cid").cast("long"), 1).as("top"))
+      .select(col("vec_id"), col("m"), col("top").getItem(0).getField("id").as("cid"))
+    val codeCols = (0 until M).map(m => max(when(col("m") === m, col("cid"))).as(s"cid$m"))
+    val corpus = assigned.groupBy(col("vec_id")).agg(codeCols.head, codeCols.tail: _*)
+    // ADC lookup tables: queries×K rows per subspace (here 20×16), each
+    // the exact integer distance from a query subcode to a centroid —
+    // broadcast, so scoring a corpus row is M hash-lookups + M adds
+    val qside = sub.filter(col("vec_id") < 20)
+    val luts = (0 until M).map { m =>
+      qside.select(col("vec_id").as("query_id"), col(s"q$m").as("qq"))
+        .join(broadcast(cbs(m)), lit(true))
+        .select(col("query_id"), col("cid").as(s"cid$m"),
+          dist(col("qq"), col("mm")).as(s"d$m"))
     }
-    val queries = sub.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id") +:
-        (0 until M).map(m => col(s"q$m").as(s"qq$m")): _*)
-    corpus.join(broadcast(queries), col("query_id") =!= col("vec_id"))
-      .withColumn("d", (0 until M).map(m => dist(col(s"qq$m"), col(s"mm$m"))).reduce(_ + _))
+    var scored = corpus.join(broadcast(luts(0)), Seq("cid0"))
+    (1 until M).foreach { m =>
+      scored = scored.join(broadcast(luts(m)), Seq(s"cid$m", "query_id"))
+    }
+    // stage 1: ADC shortlist — per-query top-L on the integer estimate,
+    // bounded heap, ties on vec_id (lockstep with the oracle's
+    // ROW_NUMBER(d, vec_id))
+    val shortlist = scored.filter(col("query_id") =!= col("vec_id"))
+      .withColumn("d", (0 until M).map(m => col(s"d$m")).reduce(_ + _))
       .groupBy(col("query_id"))
-      .agg(TopKByScore((-col("d")).cast("long"), col("vec_id"), 5).as("top"))
+      .agg(TopKByScore((-col("d")).cast("long"), col("vec_id"), PqL).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c").getField("id").as("vec_id"))
+    // stage 2: exact re-rank — the ≤ queries×L shortlist broadcasts
+    // back onto the float corpus scan (the corpus streams; only
+    // shortlisted rows survive the join), then exact cosine + top-5
+    import graft.expressions.DoubleSortKey
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Vectors.normSq(col("embedding")).as("nsq"))
+    val qe = e.filter(col("vec_id") < 20).toDF("query_id", "qemb", "qn")
+    e.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .withColumn("sim", Vectors.cosine(col("qemb"), col("embedding"), col("qn"), col("nsq")))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore(DoubleSortKey(col("sim")), col("vec_id"), 5).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col").getField("id").as("neighbor_id"))
@@ -1125,6 +1177,7 @@ object AnalyticsQueries {
     "a06_quantized_centroids" -> a06QuantizedCentroids _,
     "a07_semantic_decontam" -> a07SemanticDecontam _,
     "a08_kmeans_quantized" -> a08KmeansQuantized _,
+    "a09_pq_ann"        -> a09PqAnn _,
     "d12_semdedup"      -> d12SemDedup _,
     "t01_token_stats"   -> t01TokenStats _,
     "t02_quality"       -> t02Quality _,
@@ -1184,6 +1237,82 @@ object AnalyticsQueries {
        |asg AS (SELECT vec_id, cid AS cluster, dist FROM (SELECT vec_id, cid, dist,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d2)
        |  WHERE rk = 1)""".stripMargin
+
+  /** One PQ subspace (index `m`) of the a09 oracle as a CTE chain:
+    * slice → per-subvector int8 quantize → K-seed init → one integer
+    * Lloyd step → final assignment, ending in `aa$m(vec_id, cid)` and
+    * codebook `cc$m(cid, mm)`. Lockstep with a09PqAnn's per-subspace
+    * algebra (same floor rounding, same (dist, cid) argmin ties). */
+  private def pqSubspaceCtes(m: Int, subDim: Int, k: Int): String = {
+    val lo = m * subDim + 1; val hi = (m + 1) * subDim
+    s"""sl$m AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS e,
+       |    list_max(list_transform(list_slice(embedding, $lo, $hi),
+       |      _qx -> abs(CAST(_qx AS DOUBLE)))) AS maxabs
+       |  FROM embeddings),
+       |qq$m AS (SELECT vec_id,
+       |    CASE WHEN maxabs > 0 THEN list_transform(e,
+       |      _qy -> CAST(floor(CAST(_qy AS DOUBLE) * (127.0 / maxabs) + 0.5) AS BIGINT))
+       |    ELSE list_transform(e, _qz -> CAST(0 AS BIGINT)) END AS q
+       |  FROM sl$m),
+       |c0$m AS (SELECT vec_id AS cid, list_transform(q, _c0 -> _c0 * 10000) AS mm
+       |  FROM qq$m WHERE vec_id < $k),
+       |d1$m AS (SELECT qq$m.vec_id, c0$m.cid, ${intDist(s"qq$m.q", s"c0$m.mm")} AS dist
+       |  FROM qq$m CROSS JOIN c0$m),
+       |a1$m AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1$m)
+       |  WHERE rk = 1),
+       |dims$m AS (SELECT a1$m.cid, u.dim AS dim, u.v AS v
+       |  FROM a1$m JOIN qq$m USING (vec_id),
+       |  unnest(list_transform(range(1, len(q)+1), _di -> {'dim': _di, 'v': q[_di]})) AS t(u)),
+       |bydim$m AS (SELECT cid, dim,
+       |    CAST(floor(10000.0 * CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m4
+       |  FROM dims$m GROUP BY 1, 2),
+       |cc$m AS (SELECT cid, list(m4 ORDER BY dim) AS mm FROM bydim$m GROUP BY cid),
+       |d2$m AS (SELECT qq$m.vec_id, cc$m.cid, ${intDist(s"qq$m.q", s"cc$m.mm")} AS dist
+       |  FROM qq$m CROSS JOIN cc$m),
+       |aa$m AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d2$m)
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  /** Whole a09 oracle, generated from the same (M, subDim, K, L)
+    * geometry the Spark program uses. ADC scoring is folded to
+    * per-pair algebra — dist(queryₘ, centroid of corpus codeₘ) summed
+    * over subspaces — identical totals to the Spark LUT form, since
+    * the LUT holds exactly that distance per (query, cid) pair; the
+    * exact-cosine re-rank over the top-L shortlist reuses the a01
+    * fold-order-exact cosine. */
+  private def pqOracle(mCount: Int, subDim: Int, k: Int, l: Int): String = {
+    val ms = 0 until mCount
+    val ctes = ms.map(m => pqSubspaceCtes(m, subDim, k)).mkString(",\n")
+    val corpusJoins = ms.tail.map(m =>
+      s"JOIN aa$m ON aa0.vec_id = aa$m.vec_id JOIN cc$m ON aa$m.cid = cc$m.cid")
+      .mkString("\n  ")
+    val qsJoins = ms.tail.map(m => s"JOIN qq$m ON qq0.vec_id = qq$m.vec_id")
+      .mkString("\n  ")
+    s"""WITH $ctes,
+       |corpus AS (SELECT aa0.vec_id, ${ms.map(m => s"cc$m.mm AS mm$m").mkString(", ")}
+       |  FROM aa0 JOIN cc0 ON aa0.cid = cc0.cid
+       |  $corpusJoins),
+       |qs AS (SELECT qq0.vec_id AS query_id, ${ms.map(m => s"qq$m.q AS query$m").mkString(", ")}
+       |  FROM qq0 $qsJoins WHERE qq0.vec_id < 20),
+       |p AS (SELECT qs.query_id, corpus.vec_id AS neighbor_id,
+       |    ${ms.map(m => intDist(s"qs.query$m", s"corpus.mm$m")).mkString(" + ")} AS d
+       |  FROM corpus CROSS JOIN qs WHERE qs.query_id <> corpus.vec_id),
+       |short AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
+       |  FROM p) WHERE rk <= $l),
+       |ev AS (SELECT vec_id, embedding, ${normSq("embedding")} AS nsq FROM embeddings),
+       |rr AS (SELECT s.query_id, s.neighbor_id,
+       |    ${cosine(dot("qv.embedding", "cv.embedding"), "qv.nsq", "cv.nsq")} AS sim
+       |  FROM short s JOIN ev qv ON s.query_id = qv.vec_id
+       |  JOIN ev cv ON s.neighbor_id = cv.vec_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rr)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -1626,6 +1755,7 @@ object AnalyticsQueries {
     "a08_kmeans_quantized" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id, cluster, dist FROM asg ORDER BY vec_id""".stripMargin,
+    "a09_pq_ann" -> pqOracle(PqM, PqSubDim, PqK, PqL),
     "d12_semdedup" ->
       s"""WITH $kmeansCtes,
          |e AS (SELECT vec_id, cluster, embedding, ${normSq("embedding")} AS nsq

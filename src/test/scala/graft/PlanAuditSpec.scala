@@ -147,6 +147,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected partial+final top-1 heap aggregate:\n$p")
   }
 
+  test("a09: PQ search — LUTs broadcast, corpus never sort-merges, top-k is agg not window") {
+    val p = planOf(graft.queries.AnalyticsQueries.a09PqAnn(spark, dir))
+    // the corpus must only ever stream: codes are assigned against a
+    // broadcast codebook union, ADC scoring joins broadcast per-query
+    // lookup tables on the one-byte codes, and the re-rank fetch
+    // broadcasts the shortlist back onto the corpus scan
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled into a sort-merge join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"PQ search went cartesian:\n$p")
+    // nested-loop appears only for tiny centroid tables, and only as
+    // the broadcast build side — never with the corpus as build side
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft"),
+      s"corpus became a nested-loop build side:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast ADC-LUT joins:\n$p")
+    // shortlist and final top-5 are bounded heaps, partial-aggregated
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 4,
+      s"expected partial+final bounded-heap aggregates:\n$p")
+  }
+
   test("d12: pair join is cluster-keyed — only the k-means centroid broadcasts nest-loop") {
     val p = planOf(graft.queries.AnalyticsQueries.d12SemDedup(spark, dir))
     assert(!p.contains("CartesianProduct"), s"pair enumeration went cartesian:\n$p")
