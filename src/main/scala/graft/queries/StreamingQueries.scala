@@ -582,10 +582,11 @@ object StreamingQueries {
     * pattern: the stream is split into four micro-batches
     * (maxFilesPerTrigger=1 over a 4-file staging), each batch's per-key
     * partial aggregate is MERGED into a parquet state table through
-    * [[UpsertSink.merge]] — full-outer join on the key, atomic pointer
-    * swap, and a committed-batch ledger so checkpoint replay of a batch
-    * after a crash is absorbed instead of double-counted (the replay
-    * path itself is pinned in StreamingSpec). State is one row per
+    * [[UpsertSink.merge]] — full-outer join on the key, versioned
+    * snapshots whose ids double as commit evidence, and a
+    * committed-batch ledger so checkpoint replay of a batch after a
+    * crash is absorbed instead of double-counted (the replay and
+    * crash-window paths are pinned in StreamingSpec). State is one row per
     * distinct key, dimension-scale; each batch touches only its own
     * increments plus that table. */
   def s12ForeachBatchUpsert(spark: SparkSession, dir: String): DataFrame = {

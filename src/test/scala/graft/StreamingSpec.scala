@@ -433,6 +433,22 @@ class StreamingSpec extends AnyFunSuite {
     // and a genuinely new batch still applies
     assert(UpsertSink.merge(spark, stateDir, incr(("b", 1L, BigDecimal(1))), 2L))
     assert(state() == Seq(("a", 3L, 15L), ("b", 4L, 8L)))
+    // crash window 1: snapshot v2 completed but the ledger marker never
+    // landed — the replay must see commit evidence in the snapshot id
+    // itself and NOT re-merge (the old pointer-swap design lost this)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(stateDir, "committed", "2"))
+    assert(!UpsertSink.merge(spark, stateDir, incr(("b", 1L, BigDecimal(1))), 2L),
+      "marker-less replay of a completed snapshot re-applied the batch")
+    assert(state() == Seq(("a", 3L, 15L), ("b", 4L, 8L)))
+    // crash window 2: a half-written snapshot (no _SUCCESS) must be
+    // invisible to readers and to the next merge's base resolution
+    val junk = java.nio.file.Paths.get(stateDir, "v9")
+    java.nio.file.Files.createDirectory(junk)
+    java.nio.file.Files.write(junk.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    assert(state() == Seq(("a", 3L, 15L), ("b", 4L, 8L)),
+      "reader resolved an incomplete snapshot")
+    assert(UpsertSink.merge(spark, stateDir, incr(("a", 1L, BigDecimal(1))), 3L))
+    assert(state() == Seq(("a", 4L, 16L), ("b", 4L, 8L)))
   }
 
   test("replay source: checkpointed restart resumes with no loss and no re-emission") {
