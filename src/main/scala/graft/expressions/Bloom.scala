@@ -27,9 +27,18 @@ object Bloom {
   }
 
   /** Probe `key` against a serialized filter. Zero-allocation hot
-    * path: reads words straight out of the byte array. */
+    * path: reads words straight out of the byte array. `graft_bloom_
+    * contains` is a public SQL function, so a malformed blob must fail
+    * loudly here, not index out of bounds or answer vacuously — the
+    * header+words shape is validated before the first probe. */
   def contains(filter: Array[Byte], key: Long): Boolean = {
+    require(filter.length >= 12 && (filter.length - 4) % 8 == 0,
+      s"graft_bloom_contains: malformed filter (${filter.length} bytes; " +
+        "expected a 4-byte header plus at least one 8-byte word)")
     val numHashes = readInt(filter, 0)
+    require(numHashes >= 1 && numHashes <= 16,
+      s"graft_bloom_contains: numHashes $numHashes outside [1, 16] — " +
+        "not a graft_bloom_agg artifact")
     val numBits = (filter.length - 4).toLong * 8L
     val h1 = mix(key)
     val h2 = mix(key ^ 0x5DEECE66DL) | 1L
@@ -68,6 +77,9 @@ final class BloomBuffer(val numWords: Int, val numHashes: Int) {
   }
 
   def mergeFrom(other: BloomBuffer): Unit = {
+    require(other.numWords == numWords && other.numHashes == numHashes,
+      s"bloom merge of mismatched filters: ($numWords words, $numHashes hashes)" +
+        s" vs (${other.numWords} words, ${other.numHashes} hashes)")
     var i = 0
     while (i < numWords) { words(i) |= other.words(i); i += 1 }
   }

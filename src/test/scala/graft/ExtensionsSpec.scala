@@ -138,6 +138,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("binary"))
   }
 
+  test("graft_bloom_contains rejects malformed blobs with a descriptive error") {
+    import org.apache.spark.sql.functions._
+    // public SQL surface: a truncated/garbage binary must fail loudly,
+    // never index out of bounds or answer vacuously
+    def probe(bytes: Array[Byte]) =
+      spark.range(1).select(expressions.BloomContains(lit(bytes), lit(42L))).collect()
+    val tooShort = intercept[Exception] { probe(Array[Byte](0, 0, 0, 5)) }
+    assert(tooShort.getMessage.contains("malformed filter"))
+    val raggedWords = intercept[Exception] { probe(new Array[Byte](4 + 11)) }
+    assert(raggedWords.getMessage.contains("malformed filter"))
+    val zeroHashes = intercept[Exception] { probe(new Array[Byte](12)) }
+    assert(zeroHashes.getMessage.contains("outside [1, 16]"))
+    // and mismatched-geometry merges are refused, not silently OR'd
+    val a = new expressions.BloomBuffer(2, 5)
+    val b = new expressions.BloomBuffer(3, 5)
+    val mm = intercept[IllegalArgumentException] { a.mergeFrom(b) }
+    assert(mm.getMessage.contains("mismatched"))
+  }
+
   test("graft_shingle_hashes + graft_minhash_sig compose in SQL") {
     import spark.implicits._
     val sig = spark.sql(
