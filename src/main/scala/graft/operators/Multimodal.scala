@@ -9,14 +9,17 @@ import org.apache.spark.sql.functions._
   * the Scala analogue of `mapInPandas` (iterator-of-batches in, typed
   * rows out), so a real decoder drops in without touching the plumbing.
   *
-  * The image path is REAL: [[decodeDownsample2x]] decodes PNG/BMP
+  * The image path is REAL: [[decodeDownsample2x]] (2:1 box filter)
+  * and [[decodeResizeNearest]] (stride sampling) both decode PNG/BMP
   * payloads with the JDK's built-in `javax.imageio.ImageIO` codec (no
-  * external dependency) and runs a genuine 2:1 box-filter downsample
-  * over the pixels. Audio/video feature extraction remains a labeled
-  * stub ([[FeatureExtractor.decodeStub]] — no audio codecs ship with
-  * the JDK); its Spark-side contract — schema, batching, partitioning,
-  * null handling — is real and tested, so a codec drops in by
-  * replacing one function.
+  * external dependency) and run genuine pixel kernels. The audio path
+  * is REAL at the wire level: [[frameEnergy]] parses raw little-endian
+  * int16 PCM — the post-codec format — with two's-complement byte
+  * math. What remains stubbed is only what the JDK cannot decode
+  * (compressed audio/video containers): [[FeatureExtractor.decodeStub]]
+  * and [[sampleFrames]]'s frame slicing, whose Spark-side contract —
+  * schema, batching, partitioning, null handling — is real and tested,
+  * so a codec drops in by replacing one function.
   */
 object Multimodal {
 
@@ -72,15 +75,19 @@ object Multimodal {
     }
   }
 
-  final case class ResizedMedia(media_id: Long, orig_len: Long, resized_len: Long,
-      checksum: Long)
+  final case class ResizedImage(media_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, checksum: Long)
 
-  /** Resize — the image path's downsample op as a stub "codec": keep
-    * every `stride`-th code point of the decoded payload (a real
-    * resizer replaces the sampling kernel only; the 1:1-row shape,
-    * binary-in → features-out contract, and narrow no-shuffle stage
-    * are the part that matters at scale). */
-  def resize(df: DataFrame, stride: Int): Dataset[ResizedMedia] = {
+  /** REAL image resize (nearest-neighbor): `ImageIO.read` each binary
+    * payload and keep every `stride`-th pixel in both axes — the
+    * sampling kernel a thumbnail/tiling stage uses when a box filter's
+    * smoothing is unwanted — then checksum the sampled pixels in
+    * (y, x, R-G-B) order. Pixel selection is pure integer indexing, so
+    * a codec-less SQL oracle verifies the decode+sample path exactly
+    * (same trick as [[decodeDownsample2x]], different kernel). Narrow
+    * 1:1 mapPartitions stage: decode cost only, no shuffle. Undecodable
+    * payloads fail loudly. */
+  def decodeResizeNearest(df: DataFrame, stride: Int): Dataset[ResizedImage] = {
     require(stride > 0)
     val spark = df.sparkSession
     import spark.implicits._
@@ -88,22 +95,30 @@ object Multimodal {
     val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
       rows.map { r =>
-        val s = new String(r.getAs[Array[Byte]](payloadIdx),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val sb = new java.lang.StringBuilder
-        var i = 0
-        var cp = 0
-        while (i < s.length) {
-          val c = s.codePointAt(i)
-          if (cp % stride == 0) sb.appendCodePoint(c)
-          cp += 1
-          i += Character.charCount(c)
+        val id = r.getLong(idIdx)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](payloadIdx)))
+        require(img != null, s"media $id: payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        val ow = (w + stride - 1) / stride
+        val oh = (h + stride - 1) / stride
+        var hsh = 0L
+        var my = 0
+        while (my < oh) {
+          var mx = 0
+          while (mx < ow) {
+            val rgb = img.getRGB(mx * stride, my * stride)
+            var c = 0
+            while (c < 3) {
+              hsh = (hsh * 31 + ((rgb >> (16 - 8 * c)) & 0xFF)) % FeatureExtractor.P
+              c += 1
+            }
+            mx += 1
+          }
+          my += 1
         }
-        val resized = sb.toString
-        ResizedMedia(r.getLong(idIdx), cp.toLong,
-          resized.codePointCount(0, resized.length).toLong,
-          graft.expressions.PolyHash.hash(
-            org.apache.spark.unsafe.types.UTF8String.fromString(resized)))
+        ResizedImage(id, w, h, ow, oh, hsh)
       }
     }
   }

@@ -995,15 +995,24 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  /** m03 — resize: 2:1 code-point downsample of every payload with
-    * length + checksum of the result (1:1 rows, linear cost). */
+  /** m03 — REAL image resize on the m04 ImageIO kernel (the last
+    * labeled image stub retired): each document id becomes a
+    * deterministic 16×16 RGB PNG, decoded with the real codec and
+    * nearest-neighbor sampled at stride 4 (keep pixel (4x, 4y)) into a
+    * 4×4 thumbnail, checksummed per pixel channel. The DuckDB oracle
+    * recomputes the sampled pixels arithmetically from the synthesis
+    * formula — a match proves decode + integer pixel addressing, with
+    * a different kernel than m04's box mean. Narrow 1:1 mapPartitions,
+    * no shuffle, linear in media count. */
   def m03Resize(spark: SparkSession, dir: String): DataFrame = {
-    val payloads = Multimodal.asPayload(Tables.documents(spark, dir),
-      col("doc_id"), col("text"), lit("image"))
-    Multimodal.resize(payloads, stride = 2).toDF()
-      .select(col("media_id").as("doc_id"), col("orig_len"),
-        col("resized_len"), col("checksum"))
-      .orderBy(col("doc_id"))
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.synthPng(id, 16, 16))))
+      .toDF("media_id", "payload")
+    Multimodal.decodeResizeNearest(payloads, stride = 4).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"), col("checksum"))
+      .orderBy(col("media_id"))
   }
 
   /** m04 — REAL image decode via the JDK's `ImageIO` codec (the
@@ -1814,14 +1823,19 @@ object AnalyticsQueries {
          |SELECT doc_id, n_frames, ki * 2 AS frame_idx,
          |  ${polyHash("substr(text, CAST(ki*2*64+1 AS BIGINT), 64)")} AS checksum
          |FROM k ORDER BY doc_id, frame_idx""".stripMargin,
+    // nearest-neighbor mirror of the ImageIO path: sampled pixel
+    // (mx, my) of the 4x4 thumbnail is source pixel (4*mx, 4*my),
+    // whose channel c is (id*7 + ((4*my)*16 + 4*mx)*3 + c) % 256;
+    // checksum folds (h*31+v) % P in (y, x, R-G-B) order
     "m03_resize" ->
-      s"""WITH r AS (SELECT doc_id, LENGTH(text) AS orig_len,
-         |  array_to_string(list_transform(range(1, LENGTH(text)+1, 2),
-         |    _ri -> substring(text, CAST(_ri AS BIGINT), 1)), '') AS resized
-         |  FROM documents)
-         |SELECT doc_id, orig_len, LENGTH(resized) AS resized_len,
-         |  ${polyHash("resized")} AS checksum
-         |FROM r ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+         |  4 AS out_w, 4 AS out_h,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), flatten(flatten(
+         |    list_transform(range(0, 4), _my -> list_transform(range(0, 4), _mx ->
+         |      list_transform(range(0, 3), _mc -> CAST(
+         |        (doc_id*7 + ((4*_my)*16 + 4*_mx)*3 + _mc) % 256 AS BIGINT))))))),
+         |    (_ma, _mb) -> (_ma * 31 + _mb) % 1000000007) AS checksum
+         |FROM documents ORDER BY media_id""".stripMargin,
     // pixel math mirror of the ImageIO path: source channel c of pixel
     // (x,y) is (id*7 + (y*16+x)*3 + c) % 256; the 2:1 box filter is the
     // floor mean of each 2x2 block; checksum folds (h*31+v) % P over
