@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,10 +19,12 @@ import graft.operators.{Flattener, Tokenizer}
   * LATERAL VIEW explode(graft_flatten(doc, 'ACOUSTIC')) f AS m
   * }}}
   *
-  * Both are eval-mode (CodegenFallback) deliberately: the work is
-  * XML parsing — allocation-dominated, nothing codegen could inline —
-  * and the Scala API's hot path is the composed built-in pipeline
-  * (Tokenizer.tokenize) / flatMap (FlattenOps), which stays codegen'd.
+  * Both generate code as one static kernel call (`defineCodeGen`), the
+  * same shape as the hash/vector expressions: the XML parsing itself is
+  * allocation-dominated and gains nothing from inlining, but staying
+  * codegen-able keeps the SURROUNDING stage in whole-stage codegen and
+  * skips the per-row interpreted-eval boxing a `CodegenFallback` would
+  * pay at the dispatch site. Pinned in PlanAuditSpec.
   */
 
 /** `graft_tokenize(content, endTag)` → ARRAY<STRING> of standalone,
@@ -30,10 +32,11 @@ import graft.operators.{Flattener, Tokenizer}
   * (U1/P1, reference file_flattener.py:47-55). Same core as
   * [[graft.operators.Tokenizer.tokenizeString]]. */
 case class GraftTokenize(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_tokenize"
+  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType && right.dataType == StringType)
@@ -42,16 +45,25 @@ case class GraftTokenize(left: Expression, right: Expression)
       s"$prettyName requires (string, string), got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
-  override protected def nullSafeEval(content: Any, endTag: Any): Any = {
-    val frags = Tokenizer.tokenizeString(
-      content.asInstanceOf[UTF8String].toString,
-      endTag.asInstanceOf[UTF8String].toString)
-    new GenericArrayData(frags.map(UTF8String.fromString).toArray[Any])
-  }
+  override protected def nullSafeEval(content: Any, endTag: Any): Any =
+    GraftTokenize.kernel(
+      content.asInstanceOf[UTF8String], endTag.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (c, e) => s"graft.expressions.GraftTokenize.kernel($c, $e)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GraftTokenize =
     copy(left = newLeft, right = newRight)
+}
+
+object GraftTokenize {
+  /** Static kernel shared by eval and generated code. */
+  def kernel(content: UTF8String, endTag: UTF8String): GenericArrayData = {
+    val frags = Tokenizer.tokenizeString(content.toString, endTag.toString)
+    new GenericArrayData(frags.map(UTF8String.fromString).toArray[Any])
+  }
 }
 
 /** `graft_flatten(xml, readingType)` → ARRAY<MAP<STRING,STRING>>: one
@@ -60,11 +72,12 @@ case class GraftTokenize(left: Expression, right: Expression)
   * per component node). Strict mode: a grammar violation fails the
   * query (E6) — quarantine flows use the Scala-side flattenSafe. */
 case class GraftFlatten(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType =
     ArrayType(MapType(StringType, StringType, valueContainsNull = true), containsNull = false)
   override def prettyName: String = "graft_flatten"
+  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType && right.dataType == StringType)
@@ -73,9 +86,24 @@ case class GraftFlatten(left: Expression, right: Expression)
       s"$prettyName requires (string, string), got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
-  override protected def nullSafeEval(xml: Any, readingType: Any): Any = {
-    val flattener = Flattener.forReadingType(readingType.asInstanceOf[UTF8String].toString)
-    val rows = flattener.flatten(xml.asInstanceOf[UTF8String].toString)
+  override protected def nullSafeEval(xml: Any, readingType: Any): Any =
+    GraftFlatten.kernel(
+      xml.asInstanceOf[UTF8String], readingType.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, rt) => s"graft.expressions.GraftFlatten.kernel($x, $rt)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftFlatten =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFlatten {
+  /** Static kernel shared by eval and generated code. */
+  def kernel(xml: UTF8String, readingType: UTF8String): GenericArrayData = {
+    val flattener = Flattener.forReadingType(readingType.toString)
+    val rows = flattener.flatten(xml.toString)
     new GenericArrayData(rows.map { m =>
       val keys = new GenericArrayData(m.keysIterator.map(UTF8String.fromString).toArray[Any])
       val values = new GenericArrayData(m.valuesIterator
@@ -83,8 +111,4 @@ case class GraftFlatten(left: Expression, right: Expression)
       new ArrayBasedMapData(keys, values): Any
     }.toArray[Any])
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): GraftFlatten =
-    copy(left = newLeft, right = newRight)
 }

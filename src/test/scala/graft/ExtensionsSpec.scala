@@ -138,6 +138,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("binary"))
   }
 
+  test("whole-stage codegen covers the SQL XML front door") {
+    // graft_tokenize/graft_flatten were the last eval-mode dispatch in
+    // the native surface; they must plan INSIDE a codegen'd stage (the
+    // `*(n)` operator prefix), not fall the stage back to interpreted
+    import org.apache.spark.sql.functions._
+    val df = spark.range(3).toDF("id")
+      .selectExpr("graft_tokenize(concat('<m>a', id, '</m>'), '</m>') AS frags")
+      .selectExpr("explode(frags) AS doc")
+    val p = df.queryExecution.executedPlan.toString
+    val projLine = p.linesIterator.find(_.contains("graft_tokenize"))
+    assert(projLine.exists(_.contains("*(")),
+      s"graft_tokenize planned outside whole-stage codegen:\n$p")
+    // and the expressions no longer carry the CodegenFallback marker
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(!expressions.GraftTokenize(Literal("a"), Literal("b")).isInstanceOf[CodegenFallback])
+    assert(!expressions.GraftFlatten(Literal("a"), Literal("b")).isInstanceOf[CodegenFallback])
+    // the generated static-call path computes the same thing as eval
+    val got = df.collect().map(_.getString(0)).toSet
+    assert(got == Set("<m>a0\n</m>", "<m>a1\n</m>", "<m>a2\n</m>"))
+  }
+
   test("graft_bloom_contains rejects malformed blobs with a descriptive error") {
     import org.apache.spark.sql.functions._
     // public SQL surface: a truncated/garbage binary must fail loudly,
