@@ -18,7 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -67,6 +67,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `payloadExpr`     SQL expr → payload string   (required)
   *   - `timeScale`       gap multiplier, 0 = no pacing (default 0)
   *   - `maxGroupsPerTrigger` admission cap (default 10000)
+  *   - `maxRowsPerTrigger` admission cap by ROW count (default
+  *                       unlimited): after a restart against a large
+  *                       backlog every overdue group is admissible at
+  *                       once, and without a row cap the first
+  *                       micro-batch would be backlog-sized. The cap
+  *                       admits whole groups until the row budget is
+  *                       spent (always ≥ 1 group so the stream
+  *                       progresses); backlog drain rate becomes
+  *                       cap × trigger rate. Progress is observable
+  *                       via the source metrics (`behindGroups`,
+  *                       `behindRows`, `pacingLagMs`) in each
+  *                       StreamingQueryProgress
   *   - `groupGranularityMs` coarsen the replay schedule to this bucket
   *                       width (default 1 = exact per-timestamp
   *                       groups). The driver schedule costs 3 longs
@@ -289,7 +301,7 @@ class ReplayMicroBatchStream(
     options: CaseInsensitiveStringMap,
     clock: () => Long = () => System.currentTimeMillis())
   extends MicroBatchStream with SupportsAdmissionControl
-  with SupportsTriggerAvailableNow with Logging {
+  with SupportsTriggerAvailableNow with ReportsSourceMetrics with Logging {
 
   private val path = Option(options.get("path"))
     .getOrElse(throw new IllegalArgumentException("graft-replay requires 'path'"))
@@ -301,6 +313,10 @@ class ReplayMicroBatchStream(
   private val timeScale = Option(options.get("timeScale")).map(_.toDouble).getOrElse(0.0)
   private val maxGroupsPerTrigger =
     Option(options.get("maxGroupsPerTrigger")).map(_.toInt).getOrElse(10000)
+  private val maxRowsPerTrigger =
+    Option(options.get("maxRowsPerTrigger")).map(_.toLong)
+  require(maxRowsPerTrigger.forall(_ >= 1L),
+    s"graft-replay: maxRowsPerTrigger must be >= 1, got ${maxRowsPerTrigger.get}")
   private val groupGranularityMs =
     Option(options.get("groupGranularityMs")).map(_.toLong).getOrElse(1L)
   require(groupGranularityMs >= 1L,
@@ -502,9 +518,40 @@ class ReplayMicroBatchStream(
         while (hi < s.ts.length && s.due(hi) <= elapsed) hi += 1
         hi
       }
-    val capped = applyReadLimit(limit, from,
-      math.min(dueNow, from + maxGroupsPerTrigger), s.cumRows)
+    val hiCap = math.min(dueNow, from + maxGroupsPerTrigger)
+    // source-side row budget: composes with (never overrides) the
+    // engine's ReadLimit — the tighter of the two wins
+    val rowCapped = maxRowsPerTrigger
+      .map(n => applyReadLimit(ReadLimit.maxRows(n), from, hiCap, s.cumRows))
+      .getOrElse(hiCap)
+    val capped = math.min(applyReadLimit(limit, from, hiCap, s.cumRows), rowCapped)
     if (capped <= from) start else ReplayOffset(s.ts(capped - 1))
+  }
+
+  /** Backlog/lag observability, surfaced per micro-batch in
+    * `StreamingQueryProgress.sources[i].metrics`: how many schedule
+    * groups and rows remain unconsumed, and — when pacing is active —
+    * how far past-due the next unconsumed group is (a healthy paced
+    * replay keeps `pacingLagMs` near zero; a sustained climb means the
+    * query cannot keep up with the recorded event rate). */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset]): util.Map[String, String] = {
+    val s = stagedRef
+    if (s == null || s.ts.isEmpty) return util.Collections.emptyMap[String, String]()
+    val lastTs =
+      if (!latestConsumedOffset.isPresent) Long.MinValue
+      else latestConsumedOffset.get match {
+        case r: ReplayOffset => r.lastTs
+        case o => ReplayOffset.fromJson(o.json).lastTs
+      }
+    val from = idxAfter(s.ts, lastTs)
+    val doneRows = if (from > 0) s.cumRows(from - 1) else 0L
+    val lagMs =
+      if (from >= s.ts.length || anchorWall < 0L || timeScale <= 0.0) 0L
+      else math.max(0L, (clock() - anchorWall) - s.due(from))
+    Map(
+      "behindGroups" -> (s.ts.length - from).toString,
+      "behindRows" -> (s.cumRows.last - doneRows).toString,
+      "pacingLagMs" -> lagMs.toString).asJava
   }
 
   override def reportLatestOffset(): Offset =

@@ -480,6 +480,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterB.sorted == (0 until 20).map(i => f"p$i%02d").toVector,
       s"restart must add exactly the new groups, got $afterB")
   }
+
+  test("replay source: row cap bounds every batch under a backlog; lag metrics drain") {
+    import spark.implicits._
+    val dataDir = java.nio.file.Files.createTempDirectory("graft_rs_bl_data").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rs_bl_ckpt").toString
+    // a cold start against 30 already-recorded groups of 2 rows each is
+    // exactly the restart-against-backlog shape: with timeScale=0 every
+    // group is admissible in trigger one, so only the row cap stands
+    // between the stream and a 60-row first batch
+    (0 until 60).map(i => ((i / 2) * 100L, "k", f"p$i%02d")).toDF("ts", "key", "payload")
+      .write.mode("append").parquet(dataDir)
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val lastMetrics = new java.util.concurrent.atomic.AtomicReference[java.util.Map[String, String]]()
+    val q = spark.readStream.format("graft-replay")
+      .option("path", dataDir).option("tsMillisExpr", "ts")
+      .option("keyExpr", "key").option("payloadExpr", "payload")
+      .option("maxRowsPerTrigger", "7")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(b.count()); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.flatMap(p => p.sources.headOption).foreach { s =>
+      if (s.metrics != null && !s.metrics.isEmpty) lastMetrics.set(s.metrics)
+    }
+    val sizes = batchSizes.toArray.map(_.toString.toLong).toVector
+    assert(sizes.sum == 60, s"backlog drain lost rows: $sizes")
+    // 2-row groups against a 7-row budget → whole-group packing admits
+    // at most 3 groups (6 rows) per batch; nothing may exceed the cap
+    assert(sizes.forall(_ <= 7), s"a batch exceeded the row cap: $sizes")
+    assert(sizes.length >= 10, s"expected the backlog to drain over many batches: $sizes")
+    // the source reports its backlog position; after the final batch
+    // the unconsumed remainder is zero
+    val m = lastMetrics.get()
+    assert(m != null, "no source metrics reported")
+    assert(m.get("behindRows") == "0" && m.get("behindGroups") == "0",
+      s"drained stream still reports backlog: $m")
+  }
 }
 
 /** Tasks/writers run in executor threads (same JVM in local mode) with
