@@ -477,6 +477,8 @@ object AnalyticsQueries {
   private val PqM = 4; private val PqSubDim = 16; private val PqK = 16
   /** ADC shortlist size per query before the exact re-rank. */
   private val PqL = 100
+  /** a10: coarse cells probed per query (of the 8 k-means cells). */
+  private val IvfPqProbes = 3
 
   /** a09 — PRODUCT-QUANTIZED ANN (Jégou et al. TPAMI'11 / FAISS PQ,
     * public), the billion-scale memory lever past a05's SQ8: the
@@ -504,7 +506,40 @@ object AnalyticsQueries {
     * Plan pinned in PlanAuditSpec; recall vs the float-exact a01
     * pinned in AnalyticsSpec at both unit and bench scale. */
   def a09PqAnn(spark: SparkSession, dir: String): DataFrame = {
-    import graft.expressions.{IntDot, QuantizeI8, TopKByScore}
+    import graft.expressions.TopKByScore
+    val ix = buildPqIndex(spark, dir)
+    var scored = ix.corpus.join(broadcast(ix.luts(0)), Seq("cid0"))
+    (1 until PqM).foreach { m =>
+      scored = scored.join(broadcast(ix.luts(m)), Seq(s"cid$m", "query_id"))
+    }
+    // stage 1: ADC shortlist — per-query top-L on the integer estimate,
+    // bounded heap, ties on vec_id (lockstep with the oracle's
+    // ROW_NUMBER(d, vec_id))
+    val shortlist = scored.filter(col("query_id") =!= col("vec_id"))
+      .withColumn("d", (0 until PqM).map(m => col(s"d$m")).reduce(_ + _))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore((-col("d")).cast("long"), col("vec_id"), PqL).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c").getField("id").as("vec_id"))
+    pqExactRerank(spark, dir, shortlist)
+  }
+
+  /** The integer ADC distance algebra shared by every quantized query:
+    * `10⁸·q·q + mm·mm − 2·10⁴·q·mm` ∝ ‖10⁴·q − mm‖². */
+  private def pqDist(q: Column, mm: Column): Column = {
+    import graft.expressions.IntDot
+    lit(100000000L) * IntDot(q, q) + IntDot(mm, mm) - lit(20000L) * IntDot(q, mm)
+  }
+
+  /** Shared PQ index (a09 / a10): per-subspace int8 codes `sub`,
+    * per-subspace codebooks `cbs`, corpus one-byte code columns
+    * `corpus(vec_id, cid0..cidM-1)`, and the per-query broadcast ADC
+    * lookup tables `luts(m)(query_id, cidm, dm)`. */
+  private final case class PqIndex(
+      sub: DataFrame, cbs: Seq[DataFrame], corpus: DataFrame, luts: Seq[DataFrame])
+
+  private def buildPqIndex(spark: SparkSession, dir: String): PqIndex = {
+    import graft.expressions.{QuantizeI8, TopKByScore}
     val M = PqM; val subDim = PqSubDim; val K = PqK
     // per-subspace int8 codes; checkpointed once — training, encoding,
     // and query scoring all consume it
@@ -512,11 +547,9 @@ object AnalyticsQueries {
       .select(col("vec_id") +: (0 until M).map(m =>
         QuantizeI8(slice(col("embedding"), lit(m * subDim + 1), lit(subDim))).as(s"q$m")): _*)
       .localCheckpoint()
-    def dist(q: Column, mm: Column): Column =
-      lit(100000000L) * IntDot(q, q) + IntDot(mm, mm) - lit(20000L) * IntDot(q, mm)
     def argminAssign(q: DataFrame, cent: DataFrame): DataFrame =
       q.join(broadcast(cent), lit(true))
-        .withColumn("d", dist(col("q"), col("mm")))
+        .withColumn("d", pqDist(col("q"), col("mm")))
         .groupBy(col("vec_id"))
         .agg(TopKByScore((-col("d")).cast("long"), col("cid").cast("long"), 1).as("top"))
         .select(col("vec_id"), col("top").getItem(0).getField("id").as("cid"))
@@ -548,7 +581,7 @@ object AnalyticsQueries {
       .select(col("vec_id"), posexplode(array((0 until M).map(m => col(s"q$m")): _*)))
       .toDF("vec_id", "m", "q")
       .join(broadcast(cbAll), Seq("m"))
-      .withColumn("d", dist(col("q"), col("mm")))
+      .withColumn("d", pqDist(col("q"), col("mm")))
       .groupBy(col("vec_id"), col("m"))
       .agg(TopKByScore((-col("d")).cast("long"), col("cid").cast("long"), 1).as("top"))
       .select(col("vec_id"), col("m"), col("top").getItem(0).getField("id").as("cid"))
@@ -562,25 +595,18 @@ object AnalyticsQueries {
       qside.select(col("vec_id").as("query_id"), col(s"q$m").as("qq"))
         .join(broadcast(cbs(m)), lit(true))
         .select(col("query_id"), col("cid").as(s"cid$m"),
-          dist(col("qq"), col("mm")).as(s"d$m"))
+          pqDist(col("qq"), col("mm")).as(s"d$m"))
     }
-    var scored = corpus.join(broadcast(luts(0)), Seq("cid0"))
-    (1 until M).foreach { m =>
-      scored = scored.join(broadcast(luts(m)), Seq(s"cid$m", "query_id"))
-    }
-    // stage 1: ADC shortlist — per-query top-L on the integer estimate,
-    // bounded heap, ties on vec_id (lockstep with the oracle's
-    // ROW_NUMBER(d, vec_id))
-    val shortlist = scored.filter(col("query_id") =!= col("vec_id"))
-      .withColumn("d", (0 until M).map(m => col(s"d$m")).reduce(_ + _))
-      .groupBy(col("query_id"))
-      .agg(TopKByScore((-col("d")).cast("long"), col("vec_id"), PqL).as("top"))
-      .select(col("query_id"), explode(col("top")).as("c"))
-      .select(col("query_id"), col("c").getField("id").as("vec_id"))
-    // stage 2: exact re-rank — the ≤ queries×L shortlist broadcasts
-    // back onto the float corpus scan (the corpus streams; only
-    // shortlisted rows survive the join), then exact cosine + top-5
-    import graft.expressions.DoubleSortKey
+    PqIndex(sub, cbs, corpus, luts)
+  }
+
+  /** Stage 2 shared by a09/a10: exact-cosine re-rank of a
+    * `(query_id, vec_id)` shortlist into the ranked top-5 table. The
+    * ≤ queries×L shortlist broadcasts back onto the float corpus scan
+    * (the corpus streams; only shortlisted rows survive the join). */
+  private def pqExactRerank(spark: SparkSession, dir: String,
+      shortlist: DataFrame): DataFrame = {
+    import graft.expressions.{DoubleSortKey, TopKByScore}
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), Vectors.normSq(col("embedding")).as("nsq"))
     val qe = e.filter(col("vec_id") < 20).toDF("query_id", "qemb", "qn")
@@ -593,6 +619,74 @@ object AnalyticsQueries {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col").getField("id").as("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a10 — IVF-PQ ANN (FAISS IVFPQ, Jégou et al., public): the
+    * composition that actually runs billion-scale production search.
+    * a03's IVF bounds WHICH vectors a query scores (probe the top
+    * [[IvfPqProbes]] of 8 coarse cells — a08's integer k-means is the
+    * coarse quantizer verbatim); a09's PQ bounds WHAT each scored
+    * vector costs (M one-byte codes through broadcast ADC lookup
+    * tables). Search: probes (queries×P rows) broadcast onto the
+    * cell-keyed code index, candidates in probed cells ADC-score via
+    * the LUT equi-joins, the per-query top-[[PqL]] shortlist re-ranks
+    * on exact float cosine. Scale: per query the corpus contributes
+    * only its probed cells (P/k of rows at balanced cells), each
+    * candidate costs M adds, floats are fetched for L rows — index
+    * build is the only full-corpus work (one coarse join at build
+    * time, documented). All integer until the re-rank, ties on ids —
+    * hash-gated end to end against the generated DuckDB twin. Recall
+    * vs a01 trades against a09 by exactly the unprobed-cell mass;
+    * pinned in AnalyticsSpec. */
+  def a10IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{QuantizeI8, TopKByScore}
+    // coarse quantizer = a08's k=8 integer k-means, re-derived here in
+    // lockstep with the shared kmeansCtes oracle (init first-k, one
+    // integer-mean Lloyd step, argmin ties → lower cid)
+    val k = 8
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), QuantizeI8(col("embedding")).as("q"))
+    val c0 = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), transform(col("q"), x => x * lit(10000)).as("mm"))
+    def assignTop(cent: DataFrame, n: Int): DataFrame =
+      q.join(broadcast(cent), lit(true))
+        .withColumn("d", pqDist(col("q"), col("mm")))
+        .groupBy(col("vec_id"))
+        .agg(TopKByScore((-col("d")).cast("long"), col("cid").cast("long"), n).as("top"))
+    def top1(assigned: DataFrame): DataFrame = assigned
+      .select(col("vec_id"), col("top").getItem(0).getField("id").as("cid"))
+    val c1 = top1(assignTop(c0, 1)).join(q, Seq("vec_id"))
+      .select(col("cid"), posexplode(col("q")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m4", floor(lit(10000.0) * col("s") / col("n")).cast("long"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m4")))),
+        x => x.getField("m4").cast("int")).as("mm"))
+      .localCheckpoint()
+    // cell list per corpus vector (build-time full pass + one build-time
+    // join onto the code index below); probe list per query vector
+    val cells = top1(assignTop(c1, 1)).withColumnRenamed("cid", "cell")
+    val probes = assignTop(c1, IvfPqProbes)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c").getField("id").as("cell"))
+    val ix = buildPqIndex(spark, dir)
+    // candidate set: only (corpus row, query) pairs whose cell the
+    // query probes — the probe table is queries×P rows, broadcast
+    var scored = ix.corpus.join(cells, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cell"))
+    scored = scored.join(broadcast(ix.luts(0)), Seq("cid0", "query_id"))
+    (1 until PqM).foreach { m =>
+      scored = scored.join(broadcast(ix.luts(m)), Seq(s"cid$m", "query_id"))
+    }
+    val shortlist = scored.filter(col("query_id") =!= col("vec_id"))
+      .withColumn("d", (0 until PqM).map(m => col(s"d$m")).reduce(_ + _))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore((-col("d")).cast("long"), col("vec_id"), PqL).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c").getField("id").as("vec_id"))
+    pqExactRerank(spark, dir, shortlist)
   }
 
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
@@ -1187,6 +1281,7 @@ object AnalyticsQueries {
     "a07_semantic_decontam" -> a07SemanticDecontam _,
     "a08_kmeans_quantized" -> a08KmeansQuantized _,
     "a09_pq_ann"        -> a09PqAnn _,
+    "a10_ivfpq_ann"     -> a10IvfPqAnn _,
     "d12_semdedup"      -> d12SemDedup _,
     "t01_token_stats"   -> t01TokenStats _,
     "t02_quality"       -> t02Quality _,
@@ -1315,6 +1410,52 @@ object AnalyticsQueries {
        |rr AS (SELECT s.query_id, s.neighbor_id,
        |    ${cosine(dot("qv.embedding", "cv.embedding"), "qv.nsq", "cv.nsq")} AS sim
        |  FROM short s JOIN ev qv ON s.query_id = qv.vec_id
+       |  JOIN ev cv ON s.neighbor_id = cv.vec_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rr)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Whole a10 oracle: the a08 coarse-clustering CTE chain supplies
+    * the cells (`asg`) and the query-to-centroid distances (`d2` →
+    * probes), the a09 subspace chains supply codes and codebooks, and
+    * candidate scoring is restricted to (corpus row, query) pairs
+    * whose cell the query probes. Same ADC fold + re-rank as a09. */
+  private def ivfPqOracle(mCount: Int, subDim: Int, k: Int, p: Int, l: Int): String = {
+    val ms = 0 until mCount
+    val ctes = ms.map(m => pqSubspaceCtes(m, subDim, k)).mkString(",\n")
+    val corpusJoins = ms.tail.map(m =>
+      s"JOIN aa$m ON aa0.vec_id = aa$m.vec_id JOIN cc$m ON aa$m.cid = cc$m.cid")
+      .mkString("\n  ")
+    val qsJoins = ms.tail.map(m => s"JOIN qq$m ON qq0.vec_id = qq$m.vec_id")
+      .mkString("\n  ")
+    s"""WITH $kmeansCtes,
+       |$ctes,
+       |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |    FROM d2 WHERE vec_id < 20) WHERE rk <= $p),
+       |corpus AS (SELECT aa0.vec_id, asg.cluster AS cell,
+       |    ${ms.map(m => s"cc$m.mm AS mm$m").mkString(", ")}
+       |  FROM aa0 JOIN cc0 ON aa0.cid = cc0.cid
+       |  $corpusJoins
+       |  JOIN asg ON aa0.vec_id = asg.vec_id),
+       |qs AS (SELECT qq0.vec_id AS query_id, ${ms.map(m => s"qq$m.q AS query$m").mkString(", ")}
+       |  FROM qq0 $qsJoins WHERE qq0.vec_id < 20),
+       |pp AS (SELECT qs.query_id, corpus.vec_id AS neighbor_id,
+       |    ${ms.map(m => intDist(s"qs.query$m", s"corpus.mm$m")).mkString(" + ")} AS d
+       |  FROM corpus JOIN probes ON corpus.cell = probes.cell
+       |  JOIN qs ON qs.query_id = probes.query_id
+       |  WHERE qs.query_id <> corpus.vec_id),
+       |short AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
+       |  FROM pp) WHERE rk <= $l),
+       |ev AS (SELECT vec_id, embedding, ${normSq("embedding")} AS nsq FROM embeddings),
+       |rr AS (SELECT s.query_id, s.neighbor_id,
+       |    ${cosine(dot("qv2.embedding", "cv.embedding"), "qv2.nsq", "cv.nsq")} AS sim
+       |  FROM short s JOIN ev qv2 ON s.query_id = qv2.vec_id
        |  JOIN ev cv ON s.neighbor_id = cv.vec_id),
        |r AS (SELECT query_id, neighbor_id,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
@@ -1765,6 +1906,7 @@ object AnalyticsQueries {
       s"""WITH $kmeansCtes
          |SELECT vec_id, cluster, dist FROM asg ORDER BY vec_id""".stripMargin,
     "a09_pq_ann" -> pqOracle(PqM, PqSubDim, PqK, PqL),
+    "a10_ivfpq_ann" -> ivfPqOracle(PqM, PqSubDim, PqK, IvfPqProbes, PqL),
     "d12_semdedup" ->
       s"""WITH $kmeansCtes,
          |e AS (SELECT vec_id, cluster, embedding, ${normSq("embedding")} AS nsq

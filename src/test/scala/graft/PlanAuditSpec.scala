@@ -166,6 +166,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected partial+final bounded-heap aggregates:\n$p")
   }
 
+  test("a10: IVF-PQ search path is all-broadcast; only the build join may sort-merge") {
+    val p = planOf(graft.queries.AnalyticsQueries.a10IvfPqAnn(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"IVF-PQ search went cartesian:\n$p")
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft"),
+      s"corpus became a nested-loop build side:\n$p")
+    // probes, ADC LUTs, and the re-rank fetch all broadcast
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe/LUT joins:\n$p")
+    // exactly one sort-merge is allowed: the BUILD-time stitch of the
+    // code index with the cell assignment, keyed on vec_id (it reuses
+    // the pivot's hash partitioning; at search time nothing may SMJ)
+    val smjs = "SortMergeJoin \\[(\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(smjs.forall(_ == "vec_id") && smjs.length <= 1,
+      s"unexpected sort-merge joins on ${smjs.mkString(",")}:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 4,
+      s"expected partial+final bounded-heap aggregates:\n$p")
+  }
+
   test("d12: pair join is cluster-keyed — only the k-means centroid broadcasts nest-loop") {
     val p = planOf(graft.queries.AnalyticsQueries.d12SemDedup(spark, dir))
     assert(!p.contains("CartesianProduct"), s"pair enumeration went cartesian:\n$p")
