@@ -1,7 +1,7 @@
 package graft.queries
 
 import java.nio.file.Paths
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -240,7 +240,78 @@ object PipelineQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Z-value over two PRE-NORMALIZED 8-bit buckets (`a` → odd bit
+    * positions, `b` → even). A static 8-step unroll of codegen'd
+    * bitwise built-ins — no UDF — with the identical arithmetic
+    * generated for the DuckDB twin by [[zSql]]. Normalization to a
+    * common bucket scale happens BEFORE interleaving (see p14): raw
+    * keys of unequal bit width would put the wide key's high bits
+    * alone at the top of every z-value, and the narrow dimension
+    * would never participate in the curve's coarse splits — i.e. no
+    * pruning on it, however fine the row groups. */
+  private def zValue(a: Column, b: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+
+  private def zSql(a: String, b: String): String =
+    (0 until 8).map { i =>
+      s"((((CAST($a AS BIGINT) >> $i) & 1) << ${2 * i + 1}) | " +
+        s"(((CAST($b AS BIGINT) >> $i) & 1) << ${2 * i}))"
+    }.mkString("(", " | ", ")")
+
+  /** Order-preserving normalization of a non-negative key to 256
+    * buckets over its observed [0, max] domain. Double arithmetic is
+    * exact here (key·256 ≤ 2⁵³ by orders of magnitude), so the floor
+    * is engine-identical. */
+  private def zBucket(key: Column, keyMax: Column): Column =
+    floor(key.cast("double") * lit(256.0) / (keyMax.cast("double") + 1.0)).cast("long")
+
+  private def zBucketSql(key: String, keyMax: String): String =
+    s"CAST(floor(CAST($key AS DOUBLE) * 256.0 / (CAST($keyMax AS DOUBLE) + 1.0)) AS BIGINT)"
+
+  /** p14 — Z-ORDER layout (multi-column clustering; the lakehouse
+    * `OPTIMIZE ZORDER BY` primitive, public): p13 proves a SINGLE sort
+    * column makes row-group stats selective, but a second filter
+    * column inherits nothing from a linear sort. Interleaving the key
+    * bits of (l_partkey, l_suppkey) into one z-value and
+    * range-partitioning + sorting by IT gives every row group a tight
+    * bounding BOX in (partkey, suppkey) space, so footer min/max prune
+    * on BOTH dimensions — verified from the parquet footers in
+    * PlanAuditSpec, the p13 method applied in 2-D. The gated output
+    * reads the z-clustered snapshot back with a box predicate and
+    * aggregates per z-bucket (bucket id, count, qty, z min/max), so
+    * the oracle verifies the bit-interleave arithmetic itself, not
+    * just the survival of the rows. Scale: the clustering shuffle is
+    * paid once at write; every later box query reads the handful of
+    * row groups whose boxes intersect it. */
+  def p14ZOrderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val stage = staging("p14", dir)
+    // key maxes: one metadata-scale agg row, broadcast onto the scan
+    val mx = Tables.lineitem(spark, dir)
+      .agg(max(col("l_partkey")).as("mp"), max(col("l_suppkey")).as("ms"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .crossJoin(broadcast(mx))
+      .withColumn("z", zValue(zBucket(col("l_partkey"), col("mp")),
+        zBucket(col("l_suppkey"), col("ms"))))
+      .drop("mp", "ms")
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(s"$stage/li_zorder")
+    spark.read.parquet(s"$stage/li_zorder")
+      .filter(col("l_partkey").between(50, 80) && col("l_suppkey").between(2, 5))
+      .groupBy(shiftright(col("z"), 4).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+          .cast("double").as("qty"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+      .orderBy(col("z_bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_zorder_layout"   -> p14ZOrderLayout _,
     "p13_sort_layout"     -> p13SortLayout _,
     "p01_partition_prune" -> p01PartitionPrune _,
     "p02_csv_roundtrip"   -> p02CsvRoundtrip _,
@@ -252,6 +323,19 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p14_zorder_layout" ->
+      s"""WITH mx AS (SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms FROM lineitem),
+         |nb AS (SELECT l_quantity, l_partkey, l_suppkey,
+         |    ${zBucketSql("l_partkey", "mp")} AS za,
+         |    ${zBucketSql("l_suppkey", "ms")} AS zb
+         |  FROM lineitem CROSS JOIN mx),
+         |z AS (SELECT ${zSql("za", "zb")} AS z, l_quantity
+         |  FROM nb
+         |  WHERE l_partkey BETWEEN 50 AND 80 AND l_suppkey BETWEEN 2 AND 5)
+         |SELECT z >> 4 AS z_bucket, COUNT(*) AS n,
+         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty,
+         |  MIN(z) AS z_min, MAX(z) AS z_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "p13_sort_layout" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty

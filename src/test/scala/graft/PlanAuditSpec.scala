@@ -272,6 +272,58 @@ class PlanAuditSpec extends AnyFunSuite {
         s"got ${overlapFrac(sorted)} over ${sorted.size} groups")
   }
 
+  test("p14: z-order row-group boxes prune on BOTH key dimensions") {
+    import scala.jdk.CollectionConverters._
+    PipelineQueries.p14ZOrderLayout(spark, dir).collect() // materialize staging
+    val conf = spark.sessionState.newHadoopConf()
+    // per row group: ((pkMin, pkMax), (skMin, skMax)) — the bounding
+    // box a reader's row-group filter consults
+    def boxes(path: String): Seq[((Long, Long), (Long, Long))] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isFile) Seq(p)
+        else fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+      files.flatMap { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          def mm(name: String): (Long, Long) = {
+            val st = b.getColumns.asScala
+              .find(_.getPath.toDotString == name).get.getStatistics
+            (st.genericGetMin.toString.toLong, st.genericGetMax.toString.toLong)
+          }
+          (mm("l_partkey"), mm("l_suppkey"))
+        } finally r.close()
+      }
+    }
+    // the p14 box predicate: l_partkey in [50, 80] AND l_suppkey in [2, 5]
+    def hits(bs: Seq[((Long, Long), (Long, Long))]): Double =
+      bs.count { case ((pkLo, pkHi), (skLo, skHi)) =>
+        pkHi >= 50 && pkLo <= 80 && skHi >= 2 && skLo <= 5
+      }.toDouble / bs.size
+    val z = boxes(s"${PipelineQueries.staging("p14", dir)}/li_zorder")
+    val original = boxes(s"$dir/lineitem.parquet")
+    assert(hits(original) == 1.0,
+      s"expected the insert-ordered layout to be unskippable, got ${hits(original)}")
+    assert(hits(z) <= 0.5,
+      s"z-ordered layout should let a reader skip >=half the row groups " +
+        s"on a 2-D box, got ${hits(z)} over ${z.size} groups")
+    // and the 2-D property itself: normalization must make BOTH
+    // dimensions participate in the curve — some pair of row groups
+    // must be disjoint in partkey AND some pair disjoint in suppkey
+    // (a single-column sort gives only the former)
+    def splitsOn(sel: ((Long, Long), (Long, Long)) => (Long, Long)): Boolean =
+      z.exists { a => z.exists { b =>
+        val (aLo, aHi) = sel(a._1, a._2); val (bLo, bHi) = sel(b._1, b._2)
+        aHi < bLo || bHi < aLo
+      } }
+    assert(splitsOn((pk, _) => pk), "no row-group pair disjoint in partkey")
+    assert(splitsOn((_, sk) => sk), "no row-group pair disjoint in suppkey — " +
+      "the narrow dimension fell out of the curve (normalization broken)")
+  }
+
   test("whole-stage codegen covers the native hash expression") {
     val df = Tables.documents(spark, dir)
       .select(graft.expressions.PolyHash(col("text")).as("fp"))
