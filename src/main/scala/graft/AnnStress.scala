@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev measurement: ANN scale stress — the sf0.1 embedding corpus
+  * replicated ×N under fresh ids, each copy cyclically ROTATED by its
+  * copy index (order-preserving per-element shuffle: distinct vectors,
+  * same norm distribution — replicating identical vectors would make
+  * every query's true top-5 its own clones and trivialize recall).
+  * Times the brute-force float path (a01) against the PQ ADC path
+  * (a09) and IVF-PQ (a10) on the same corpus, and measures their
+  * recall@5 vs a01's exact ranking. This is the scaling story the
+  * bench's fixed-SF numbers can't show: a01 degrades with corpus
+  * bytes, a09 with corpus rows × M adds, a10 with probed-cell rows
+  * only. Results recorded in PERF.md.
+  *
+  * Usage: runMain graft.AnnStress [sfDir] [copies]
+  */
+object AnnStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.embeddings(spark, sfDir)
+    val n = base.count()
+    val dim = 64
+    val stressed = base
+      .crossJoin(spark.range(copies).toDF("copy"))
+      .select(
+        (col("vec_id") + col("copy") * n).as("vec_id"),
+        when(col("copy") === 0, col("embedding")).otherwise(
+          concat(
+            slice(col("embedding"), (col("copy") % dim).cast("int") + 1,
+              lit(dim) - (col("copy") % dim).cast("int")),
+            slice(col("embedding"), lit(1), (col("copy") % dim).cast("int"))))
+          .as("embedding"),
+        col("label"))
+    val stageDir = "/tmp/graft_ann_stress"
+    stressed.write.mode("overwrite").parquet(s"$stageDir/embeddings.parquet")
+    val total = spark.read.parquet(s"$stageDir/embeddings.parquet").count()
+    println(s"[stress] corpus = $total vectors (${copies}x of $n)")
+
+    def timed(label: String)(body: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val df = body
+      val rows = df.count()
+      println(f"[stress] $label rows=$rows took ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      df
+    }
+    import spark.implicits._
+    def topsOf(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topsOf(timed("a01 brute-force float")(
+      queries.AnalyticsQueries.a01BruteForceTopK(spark, stageDir)))
+    def recallOf(m: Map[Long, Set[Long]]): Double =
+      exact.keys.toSeq.map { q =>
+        (exact(q) & m.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+      }.sum / exact.size
+    val pq = topsOf(timed("a09 PQ ADC + rerank")(
+      queries.AnalyticsQueries.a09PqAnn(spark, stageDir)))
+    println(f"[stress] a09 recall@5 = ${recallOf(pq)}%.3f")
+    val ivfpq = topsOf(timed("a10 IVF-PQ + rerank")(
+      queries.AnalyticsQueries.a10IvfPqAnn(spark, stageDir)))
+    println(f"[stress] a10 recall@5 = ${recallOf(ivfpq)}%.3f")
+    spark.stop()
+  }
+}
