@@ -633,7 +633,75 @@ object StreamingQueries {
       .orderBy(col("event_type"))
   }
 
+  /** s13 — the ARBITRARY-STATE API (`transformWithState`, Spark 4):
+    * per-user stats kept in TYPED state variables — a ValueState
+    * counter, a MapState of seen event types, a ValueState running
+    * max ([[graft.streaming.Stateful.UserStatsProcessor]]) — the
+    * successor to mapGroupsWithState's single state blob, and the
+    * API a long-running keyed enrichment of the reference's telemetry
+    * would actually use today. Requires the RocksDB state store
+    * (scoped conf): per-variable storage is a state-store-backed
+    * column family, not an in-memory map. The events table streams in
+    * two MemoryStream chunks so state provably crosses a micro-batch
+    * boundary; every emitted stat is order-independent, so the
+    * latest emission per key equals the batch aggregate the oracle
+    * computes. */
+  def s13TransformWithState(spark: SparkSession, dir: String): DataFrame = {
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try s13Impl(spark, dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None    => spark.conf.unset(confKey)
+    }
+  }
+
+  private def s13Impl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.Encoders
+    import graft.streaming.Stateful
+    implicit val sqlCtx = spark.sqlContext
+    val total = Tables.events(spark, dir).count()
+    val it = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[Stateful.UserEvent].toLocalIterator()
+    val mem = MemoryStream[Stateful.UserEvent]
+    val out = mem.toDS()
+      .groupByKey(_.user_id)
+      .transformWithState(new Stateful.UserStatsProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        Encoders.product[Stateful.UserStats])
+    val name = s"s13_${System.nanoTime()}"
+    val q = withStreamShuffle(spark, 4) {
+      out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    }
+    // bounded chunks, processed twice (mid + end) — the s03 pattern
+    var fed = 0L
+    var processedMid = false
+    val chunk = new scala.collection.mutable.ArrayBuffer[Stateful.UserEvent](5000)
+    while (it.hasNext) {
+      chunk.clear()
+      while (it.hasNext && chunk.size < 5000) chunk += it.next()
+      mem.addData(chunk.toSeq: _*)
+      fed += chunk.size
+      if (!processedMid && fed >= total / 2) { q.processAllAvailable(); processedMid = true }
+    }
+    q.processAllAvailable()
+    q.stop()
+    // stats are monotone across batches: latest emission per key = max
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("n_types")).as("n_types"),
+        max(col("max_value")).as("max_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_transform_with_state" -> s13TransformWithState _,
     "s12_foreachbatch_upsert" -> s12ForeachBatchUpsert _,
     "s11_stream_static_join" -> s11StreamStaticJoin _,
     "s01_replay_sink"  -> s01ReplaySink _,
@@ -649,6 +717,12 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // max_value is a raw stored double (no arithmetic), so the hash
+    // compare is exact
+    "s13_transform_with_state" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_types, MAX(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s12_foreachbatch_upsert" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
