@@ -129,26 +129,35 @@ object AdvancedQueries {
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_orderkey"))
 
-  /** q30 — exact per-group median by rank selection: the integer-safe
-    * distributed-quantile pattern. Each group's median is picked as
-    * the ⌈n/2⌉-th and ⌊n/2⌋+1-th order statistics (equal for odd n),
-    * emitted as (median_lo, median_hi) so no float averaging ever
-    * happens — cross-engine exact, unlike percentile_cont whose
-    * interpolation arithmetic differs per engine. The per-group sort
-    * is WITHIN the group's partition slice (window over the group
-    * key); no global sort, and the two ranks are filtered before the
-    * final ordering. */
+  /** q30 — exact per-group median via a VALUE HISTOGRAM: the
+    * integer-safe distributed-quantile pattern for bounded/discrete
+    * domains. The ⌈n/2⌉-th and ⌊n/2⌋+1-th order statistics (equal for
+    * odd n) are emitted as (median_lo, median_hi) so no float
+    * averaging ever happens — cross-engine exact, unlike
+    * percentile_cont whose interpolation arithmetic differs per
+    * engine. Instead of rank-numbering raw rows (a per-group sort of
+    * n rows over a 3-value skewed key — the previous form, and a real
+    * bottleneck at scale), rows first collapse to a (group, value,
+    * count) histogram with a map-side-combined hash-agg; the
+    * cumulative window then runs over DISTINCT VALUES per group
+    * (~50 here), and the k-th order statistic is the smallest value
+    * whose cumulative count reaches k. Work at 100 TB: one partial
+    * agg shuffle of histogram rows, a window over value-domain-sized
+    * groups — never a sort of data rows. */
   def q30GroupMedian(spark: SparkSession, dir: String): DataFrame = {
     val li = graft.Tables.lineitem(spark, dir)
       .select(col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("qty"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("flag")).orderBy(col("qty"))
-    li.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
+    val hist = li.groupBy(col("flag"), col("qty")).agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("flag")).orderBy(col("qty"))))
+      .withColumn("n", sum(col("c")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))))
-      .filter(col("rn") === expr("(n + 1) DIV 2") || col("rn") === expr("n DIV 2 + 1"))
-      .groupBy(col("flag"))
-      .agg(min(col("qty")).as("median_lo"), max(col("qty")).as("median_hi"),
+    cum.groupBy(col("flag"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("qty"))).as("median_lo"),
+        min(when(col("cum") >= expr("n DIV 2 + 1"), col("qty"))).as("median_hi"),
         min(col("n")).as("n"))
       .orderBy(col("flag"))
   }

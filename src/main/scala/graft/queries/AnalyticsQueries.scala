@@ -160,6 +160,9 @@ object AnalyticsQueries {
       .withColumn("sim", Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb")))
       .orderBy(col("sim").desc, col("i"), col("j"))
       .limit(40)
+      // global window AFTER the limit: it numbers ≤40 rows (driver
+      // scale), so the single-partition WindowExec is benign — the
+      // distributed work ended at the TakeOrdered above
       .withColumn("rank", row_number().over(
         Window.orderBy(col("sim").desc, col("i"), col("j"))))
       .select(col("rank"), col("i"), col("j"))
@@ -175,6 +178,7 @@ object AnalyticsQueries {
     val pairs = Dedup.embeddingLshPairs(Tables.embeddings(spark, dir),
       col("vec_id"), col("embedding"), bands = 3, planesPerBand = 10)
     pairs.orderBy(col("sim").desc, col("i"), col("j")).limit(25)
+      // global window AFTER the limit (≤25 rows) — benign, see d05
       .withColumn("rank", row_number().over(
         Window.orderBy(col("sim").desc, col("i"), col("j"))))
       .select(col("rank"), col("i"), col("j"))
