@@ -273,3 +273,69 @@ object WordShingleStrings {
   def apply(c: Column, n: Int): Column =
     Bridge.column(WordShingleStrings(Bridge.expression(c), n))
 }
+
+/** Native repetition statistics over the n-word shingle MULTISET:
+  * `[max multiplicity, distinct count, total count]` in one pass —
+  * the t08 quality signal. Counting is by true STRING equality (a
+  * hash map keyed on the shingle string), so the result is identical
+  * to grouping the materialized shingles — no collision caveat — but
+  * nothing is exploded, shuffled, or lambda-evaluated: one codegen'd
+  * static call per document. (The HOF sort+fold formulation measured
+  * ~2× SLOWER than even the explode + double-groupBy it meant to
+  * replace — higher-order lambdas are interpreted per element.)
+  */
+case class ShingleRepStats(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_rep_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleRepStats.stats(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ShingleRepStats.stats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleRepStats =
+    copy(child = newChild)
+}
+
+object ShingleRepStats {
+
+  /** Same tokenizer as [[WordShingleHashes]]/[[WordShingleStrings]],
+    * so the multiset counted here is exactly the multiset the SQL
+    * oracle enumerates. */
+  def stats(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val (starts, ends) = WordShingleHashes.tokenize(str)
+    val words = new java.util.ArrayList[String]()
+    var wi = 0
+    while (wi < starts.size()) {
+      words.add(str.substring(starts.get(wi).intValue(), ends.get(wi).intValue()))
+      wi += 1
+    }
+    val nWindows = words.size() - n
+    if (nWindows <= 0) return new GenericArrayData(Array(0L, 0L, 0L))
+    val counts = new java.util.HashMap[String, Long]()
+    var maxRep = 0L
+    var w = 0
+    while (w < nWindows) {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words.get(w + k))
+        k += 1
+      }
+      val key = sb.toString
+      val c = counts.getOrDefault(key, 0L) + 1L
+      counts.put(key, c)
+      if (c > maxRep) maxRep = c
+      w += 1
+    }
+    new GenericArrayData(Array(maxRep, counts.size().toLong, nWindows.toLong))
+  }
+
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(ShingleRepStats(Bridge.expression(c), n))
+}

@@ -803,14 +803,22 @@ object AnalyticsQueries {
   /** t08 — repetition analysis (the Dolma/RedPajama-style quality
     * signal): max multiplicity of any 3-word shingle per doc, plus
     * distinct/total shingle counts. Shingle MULTISET, not set —
-    * multiplicity is the signal. */
+    * multiplicity is the signal. Every statistic is over ONE
+    * document's own shingles, so no cross-row state exists and no
+    * shuffle is owed: the previous explode + two-level groupBy
+    * re-shuffled every shingle STRING twice for what is a per-row
+    * computation. Now one codegen'd native-kernel call per document
+    * ([[graft.expressions.ShingleRepStats]] — string-exact counting,
+    * no collision caveat); zero exchanges before the presentation
+    * sort. An interpreted HOF sort+fold was tried first and measured
+    * SLOWER than the explode form — see the expression's scaladoc. */
   def t08Repetition(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TF.wordShinglesAll(col("text"), 3)).as("s"))
-      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("max_rep"), count(lit(1)).as("n_distinct"),
-        sum(col("c")).as("n_shingles"))
+      .select(col("doc_id"),
+        graft.expressions.ShingleRepStats(col("text"), 3).as("r"))
+      .filter(col("r").getItem(2) > 0) // shingle-less docs emit no row (oracle parity)
+      .select(col("doc_id"), col("r").getItem(0).as("max_rep"),
+        col("r").getItem(1).as("n_distinct"), col("r").getItem(2).as("n_shingles"))
       .orderBy(col("doc_id"))
 
   /** t06 — TF-IDF top terms per document. Classic two-aggregation
