@@ -1166,6 +1166,24 @@ object AnalyticsQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** m06 — video keyframe detection over REAL raw frames: each
+    * document id becomes a deterministic 8-frame × 64-byte clip
+    * (synthesized executor-side; every 4th frame starts a new scene),
+    * then genuine byte-level frame differencing scores each frame by
+    * the exact integer sum of absolute differences vs its predecessor
+    * and flags scene cuts — m05's codec-proof trick applied to video.
+    * The DuckDB oracle recomputes every diff arithmetically from the
+    * synthesis formulas. Narrow 1→7 flatMap, no shuffle. */
+  def m06KeyFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.synthVideo(id, 8, 64))))
+      .toDF("media_id", "payload")
+    Multimodal.frameDiff(payloads, frameBytes = 64, threshold = 3000L).toDF()
+      .select(col("media_id"), col("frame_idx"), col("diff"), col("is_keyframe"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** p10 — INCREMENTAL dedup, the production shape: yesterday's corpus
     * is already deduplicated and must not be rescanned or re-clustered
     * when today's increment lands. The increment (odd doc_ids — a
@@ -1312,6 +1330,7 @@ object AnalyticsQueries {
     "m03_resize"        -> m03Resize _,
     "m04_image_decode"  -> m04ImageDecode _,
     "m05_audio_energy"  -> m05AudioEnergy _,
+    "m06_keyframes"     -> m06KeyFrames _,
     "p06_hash_sample"   -> p06HashSample _,
     "p07_data_prep"     -> p07DataPrep _,
     "p09_stratified_sample" -> p09StratifiedSample _,
@@ -2019,6 +2038,25 @@ object AnalyticsQueries {
          |  FROM documents CROSS JOIN unnest(range(0, 5)) AS t(_fi))
          |SELECT media_id, frame_idx, energy, energy = 0 AS is_silence
          |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    // arithmetic mirror of the frame walk: byte i of frame f is
+    // (id*17 + f*53 + i*11) % 256 on scene starts (f%4=0), else
+    // (id*13 + f*3 + i*7) % 256; diff = sum of |byte(f,i)-byte(f-1,i)|
+    "m06_keyframes" ->
+      s"""WITH fr AS (SELECT doc_id AS media_id, CAST(_f AS BIGINT) AS frame_idx
+         |  FROM documents CROSS JOIN unnest(range(1, 8)) AS t(_f)),
+         |d AS (SELECT media_id, frame_idx,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 64), _vi ->
+         |    ABS(
+         |      (CASE WHEN frame_idx % 4 = 0
+         |            THEN (media_id*17 + frame_idx*53 + _vi*11) % 256
+         |            ELSE (media_id*13 + frame_idx*3 + _vi*7) % 256 END)
+         |      - (CASE WHEN (frame_idx-1) % 4 = 0
+         |              THEN (media_id*17 + (frame_idx-1)*53 + _vi*11) % 256
+         |              ELSE (media_id*13 + (frame_idx-1)*3 + _vi*7) % 256 END)))),
+         |    (_va, _vb) -> _va + _vb) AS diff
+         |  FROM fr)
+         |SELECT media_id, frame_idx, diff, diff > 3000 AS is_keyframe
+         |FROM d ORDER BY media_id, frame_idx""".stripMargin,
     "p06_hash_sample" ->
       s"""SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM documents
