@@ -70,6 +70,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intParam("graft_shingle_strings", exprs(1)))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_shingle_rep_stats"),
+      info("graft_shingle_rep_stats",
+        "graft_shingle_rep_stats(str, n) - [max multiplicity, distinct, total] over the n-word shingle multiset"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_shingle_rep_stats", 2, exprs)
+        graft.expressions.ShingleRepStats(exprs.head,
+          intParam("graft_shingle_rep_stats", exprs(1)))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(array<long>, bits) - bits-wide SimHash fingerprint"),
       (exprs: Seq[Expression]) => {

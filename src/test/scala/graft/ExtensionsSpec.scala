@@ -179,6 +179,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(mm.getMessage.contains("mismatched"))
   }
 
+  test("graft_shingle_rep_stats usable from SQL") {
+    import spark.implicits._
+    // "a b a b a b" 2-shingles (positions 1..len-n): "a b","b a","a b","b a" →
+    // max multiplicity 2, 2 distinct, 4 total
+    val got = spark.sql("SELECT graft_shingle_rep_stats('a b a b a b', 2)")
+      .as[Seq[Long]].head()
+    assert(got == Seq(2L, 2L, 4L))
+  }
+
   test("graft_shingle_hashes + graft_minhash_sig compose in SQL") {
     import spark.implicits._
     val sig = spark.sql(
