@@ -195,6 +195,32 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(recall >= bound, s"IVF-PQ recall@5 degraded to $recall at $sf")
     }
 
+  test("shingle rep stats kernel == brute-force multiset counts (seeded random)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val texts = Vector.fill(100) {
+      val n = rnd.nextInt(12)
+      Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } :+ "" :+ "aa" :+ "aa bb cc"
+    def brute(t: String, n: Int): Seq[Long] = {
+      val w = t.trim.split("\\s+", -1).toSeq.filterNot(_ => t.trim.isEmpty)
+      val wins = w.length - n
+      if (wins <= 0) Seq(0L, 0L, 0L)
+      else {
+        val counts = (0 until wins).map(i => w.slice(i, i + n).mkString(" "))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        Seq(counts.values.max, counts.size.toLong, wins.toLong)
+      }
+    }
+    val got = texts.toDF("t")
+      .select(graft.expressions.ShingleRepStats(col("t"), 3)).as[Seq[Long]]
+      .collect().toSeq
+    val want = texts.map(brute(_, 3))
+    assert(got == want, s"kernel diverged from brute force:\n${got.zip(want)
+      .zip(texts).filter(p => p._1._1 != p._1._2).take(3)}")
+  }
+
   test("graft_sort_key: order-preserving and injective on doubles") {
     import graft.expressions.DoubleSortKey
     val rnd = new scala.util.Random(42)
