@@ -210,6 +210,64 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** p15 — INCREMENTAL FILE-LEDGER INGEST, the daily-arrival idiom the
+    * reference's per-day driver loops imply (mp_unpack.sh day fan-out:
+    * each day's partition is processed once, never re-read): a
+    * committed-files ledger records every ingested file; each run
+    * lists the landing area through the Hadoop FS API, anti-joins the
+    * ledger, processes ONLY the new files, and appends them to the
+    * ledger. Two runs execute here — day-1 arrivals, then day-2
+    * arrivals landing beside them — and the per-run per-lang counts
+    * are the gate: if run 2 re-read day-1's files (a broken ledger)
+    * its counts double and the hash fails. Scale shape: the ledger
+    * and listing are metadata-sized (one row per FILE); data files
+    * are read exactly once ever, so a 100 TB landing area costs only
+    * its daily increment per run. This is the batch twin of the file
+    * stream source's processed-file log, as an explicit, persistable,
+    * engine-independent artifact. */
+  def p15IncrementalIngest(spark: SparkSession, dir: String): DataFrame = {
+    val root = staging("p15", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val hfs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(rootPath, true) // fresh run
+    val ledgerPath = s"$root/ledger"
+    def writeArrival(tag: String, m: Long): Unit =
+      Tables.documents(spark, dir).filter(col("doc_id") % 4 === m)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/in/arrival_$tag")
+    def listLanding(): Seq[String] = {
+      val in = new org.apache.hadoop.fs.Path(s"$root/in")
+      if (!hfs.exists(in)) Seq.empty
+      else hfs.listStatus(in).toSeq.filter(_.isDirectory).flatMap(d =>
+        parquetFileSizes(spark, d.getPath.toString)
+          .map { case (name, _) => s"${d.getPath.toString}/$name" })
+    }
+    def committed(): Set[String] =
+      if (!hfs.exists(new org.apache.hadoop.fs.Path(ledgerPath))) Set.empty
+      else {
+        import spark.implicits._
+        spark.read.parquet(ledgerPath).as[String].collect().toSet
+      }
+    def ingest(runId: Int): DataFrame = {
+      import spark.implicits._
+      val newFiles = listLanding().filterNot(committed()).sorted
+      require(newFiles.nonEmpty, s"run $runId: nothing new landed")
+      val counts = spark.read.parquet(newFiles: _*)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("run_id", lit(runId))
+      // commit AFTER the processing read plans against the file list —
+      // the ledger is one row per file, metadata-scale
+      newFiles.toDF("path").write.mode("append").parquet(ledgerPath)
+      counts.localCheckpoint() // pin results before later runs land files
+    }
+    writeArrival("d1m0", 0); writeArrival("d1m1", 1)
+    val run1 = ingest(1)
+    writeArrival("d2m2", 2); writeArrival("d2m3", 3)
+    val run2 = ingest(2)
+    run1.union(run2)
+      .select(col("run_id"), col("lang"), col("n_docs"))
+      .orderBy(col("run_id"), col("lang"))
+  }
+
   /** p13 — SORT-CLUSTERED layout, the row-group-skipping lever that
     * complements q31's bucketing: rewrite the fact table range-
     * partitioned AND sorted by `l_shipdate`, so each parquet row group
@@ -311,6 +369,7 @@ object PipelineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_incremental_ingest" -> p15IncrementalIngest _,
     "p14_zorder_layout"   -> p14ZOrderLayout _,
     "p13_sort_layout"     -> p13SortLayout _,
     "p01_partition_prune" -> p01PartitionPrune _,
@@ -323,6 +382,16 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // run 1 ingests the day-1 arrivals (doc_id % 4 in {0,1}), run 2
+    // ONLY the day-2 arrivals — a ledger that re-reads day-1 files
+    // would double run 2's counts and break the hash
+    "p15_incremental_ingest" ->
+      """SELECT CAST(1 AS INT) AS run_id, lang, COUNT(*) AS n_docs
+        |FROM documents WHERE doc_id % 4 < 2 GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(2 AS INT) AS run_id, lang, COUNT(*) AS n_docs
+        |FROM documents WHERE doc_id % 4 >= 2 GROUP BY 2
+        |ORDER BY run_id, lang""".stripMargin,
     "p14_zorder_layout" ->
       s"""WITH mx AS (SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms FROM lineitem),
          |nb AS (SELECT l_quantity, l_partkey, l_suppkey,
