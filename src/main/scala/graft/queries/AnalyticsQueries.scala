@@ -930,6 +930,42 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t13 — corpus BIGRAM-LM quality score, t10's CCNet-style filter
+    * upgraded to conditional probabilities: each adjacent word pair
+    * (w1, w2) scores the fixed-point estimate
+    * ⌊10⁶·c(w1 w2)/c(w1·)⌋ — c(w1·) is w1's bigram-PREFIX count, so
+    * the per-prefix estimates sum to 1 and the score is a true
+    * P(w2|w1) analog — and a document's score is the integer mean
+    * over its bigrams. Low scores flag incoherent word salad that
+    * unigram frequency alone cannot see (every word common, no pair
+    * common). Log-free fixed-point keeps the gate engine-exact
+    * (libm ln differs in final ulp). Scale shape: one bigram explode
+    * (volume = token count), two map-side-combined hash-aggs for the
+    * bigram/prefix vocabularies, two equi-joins back — linear,
+    * vocabulary-sized side state, t10's proven shape. */
+  def t13BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(sequence(lit(1), size(col("w")) - 1)).as("i"),
+        col("w"))
+      .select(col("doc_id"),
+        element_at(col("w"), col("i")).as("w1"),
+        concat_ws(" ", element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1)).as("bg"))
+    val c12 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(c12, Seq("bg")).join(c1, Seq("w1"))
+      .withColumn("wgt", floor(lit(1000000.0) * col("c12") / col("c1")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("wgt")).as("sum_w"))
+      .withColumn("lm_score", expr("sum_w DIV n_bigrams"))
+      .withColumn("suspect_incoherent", col("lm_score") < 33000L)
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score"),
+        col("suspect_incoherent"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t12 — boilerplate shingle REMOVAL, the apply-form companion to
     * d10's detection: a 3-word shingle is boilerplate when it appears
     * in ≥ max(5, 1% of corpus) distinct docs (the CCNet-style relative
@@ -1325,6 +1361,7 @@ object AnalyticsQueries {
     "t10_unigram_lm"    -> t10UnigramLm _,
     "t11_seq_pack"      -> t11SeqPack _,
     "t12_boilerplate_removal" -> t12BoilerplateRemoval _,
+    "t13_bigram_lm"     -> t13BigramLm _,
     "m01_multimodal"    -> m01Multimodal _,
     "m02_frame_sample"  -> m02FrameSample _,
     "m03_resize"        -> m03Resize _,
@@ -1956,6 +1993,22 @@ object AnalyticsQueries {
          |  FROM t JOIN freq USING (term) GROUP BY doc_id)
          |SELECT doc_id, n_tokens, CAST(sum_w // n_tokens AS BIGINT) AS lm_score,
          |  (sum_w // n_tokens) < 33000000 AS suspect_rare
+         |FROM s ORDER BY doc_id""".stripMargin,
+    // bigram-LM mirror: bigrams at 1-based positions 1..len-1, prefix
+    // counts from the same bigram table so estimates sum to 1; same
+    // fixed-point floor arithmetic on identical double operands
+    "t13_bigram_lm" ->
+      s"""WITH wd AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+         |wf AS (SELECT doc_id, w FROM wd WHERE len(w) >= 2),
+         |b AS (SELECT doc_id, w[_bi] AS w1, w[_bi] || ' ' || w[_bi + 1] AS bg
+         |  FROM wf, unnest(range(1, len(w))) AS t(_bi)),
+         |c12 AS (SELECT bg, COUNT(*) AS c12 FROM b GROUP BY 1),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+         |s AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |    SUM(CAST(floor(1000000.0 * c12 / c1) AS BIGINT)) AS sum_w
+         |  FROM b JOIN c12 USING (bg) JOIN c1 USING (w1) GROUP BY 1)
+         |SELECT doc_id, n_bigrams, CAST(sum_w // n_bigrams AS BIGINT) AS lm_score,
+         |  (sum_w // n_bigrams) < 33000 AS suspect_incoherent
          |FROM s ORDER BY doc_id""".stripMargin,
     // per-lang greedy packing state machine — the x10 recursive-CTE
     // parity encoding, partitioned by the shard key
