@@ -121,7 +121,8 @@ class PlanAuditSpec extends AnyFunSuite {
       graft.queries.AnalyticsQueries.d10DupSpans(spark, dir),
       graft.queries.AnalyticsQueries.p07DataPrep(spark, dir),
       graft.queries.AnalyticsQueries.t10UnigramLm(spark, dir),
-      graft.queries.AnalyticsQueries.t12BoilerplateRemoval(spark, dir)
+      graft.queries.AnalyticsQueries.t12BoilerplateRemoval(spark, dir),
+      graft.queries.AnalyticsQueries.t13BigramLm(spark, dir)
     ).foreach { df =>
       val p = planOf(df)
       assert(!p.contains("CartesianProduct"), s"vocabulary join went cartesian:\n$p")
