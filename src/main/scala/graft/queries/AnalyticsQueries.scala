@@ -479,8 +479,16 @@ object AnalyticsQueries {
     * dims each (M·subDim = the embedding dim), K centroids per
     * subspace — K^M = 65536 addressable cells. */
   private val PqM = 4; private val PqSubDim = 16; private val PqK = 16
-  /** ADC shortlist size per query before the exact re-rank. */
+  /** ADC shortlist FLOOR per query before the exact re-rank. The
+    * effective size scales with the corpus — `max(PqL, n/20)`, i.e.
+    * at least 5% of corpus rows — because a fixed shortlist's recall
+    * decays as the corpus grows past it (measured in AnnStress:
+    * 0.86 → 0.46 at 10× with a hard L=100). Both engines compute the
+    * same size: Spark from `count()`, the oracle from a
+    * `GREATEST(L, (SELECT COUNT(*) ...) // 20)` scalar subquery. */
   private val PqL = 100
+  private def pqShortlistSize(spark: SparkSession, dir: String): Int =
+    math.max(PqL.toLong, Tables.embeddings(spark, dir).count() / 20).toInt
   /** a10: coarse cells probed per query (of the 8 k-means cells). */
   private val IvfPqProbes = 3
 
@@ -522,7 +530,8 @@ object AnalyticsQueries {
     val shortlist = scored.filter(col("query_id") =!= col("vec_id"))
       .withColumn("d", (0 until PqM).map(m => col(s"d$m")).reduce(_ + _))
       .groupBy(col("query_id"))
-      .agg(TopKByScore((-col("d")).cast("long"), col("vec_id"), PqL).as("top"))
+      .agg(TopKByScore((-col("d")).cast("long"), col("vec_id"),
+        pqShortlistSize(spark, dir)).as("top"))
       .select(col("query_id"), explode(col("top")).as("c"))
       .select(col("query_id"), col("c").getField("id").as("vec_id"))
     pqExactRerank(spark, dir, shortlist)
@@ -687,7 +696,8 @@ object AnalyticsQueries {
     val shortlist = scored.filter(col("query_id") =!= col("vec_id"))
       .withColumn("d", (0 until PqM).map(m => col(s"d$m")).reduce(_ + _))
       .groupBy(col("query_id"))
-      .agg(TopKByScore((-col("d")).cast("long"), col("vec_id"), PqL).as("top"))
+      .agg(TopKByScore((-col("d")).cast("long"), col("vec_id"),
+        pqShortlistSize(spark, dir)).as("top"))
       .select(col("query_id"), explode(col("top")).as("c"))
       .select(col("query_id"), col("c").getField("id").as("vec_id"))
     pqExactRerank(spark, dir, shortlist)
@@ -1473,7 +1483,7 @@ object AnalyticsQueries {
        |  FROM corpus CROSS JOIN qs WHERE qs.query_id <> corpus.vec_id),
        |short AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
-       |  FROM p) WHERE rk <= $l),
+       |  FROM p) WHERE rk <= GREATEST($l, (SELECT COUNT(*) FROM embeddings) // 20)),
        |ev AS (SELECT vec_id, embedding, ${normSq("embedding")} AS nsq FROM embeddings),
        |rr AS (SELECT s.query_id, s.neighbor_id,
        |    ${cosine(dot("qv.embedding", "cv.embedding"), "qv.nsq", "cv.nsq")} AS sim
@@ -1519,7 +1529,7 @@ object AnalyticsQueries {
        |  WHERE qs.query_id <> corpus.vec_id),
        |short AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
-       |  FROM pp) WHERE rk <= $l),
+       |  FROM pp) WHERE rk <= GREATEST($l, (SELECT COUNT(*) FROM embeddings) // 20)),
        |ev AS (SELECT vec_id, embedding, ${normSq("embedding")} AS nsq FROM embeddings),
        |rr AS (SELECT s.query_id, s.neighbor_id,
        |    ${cosine(dot("qv2.embedding", "cv.embedding"), "qv2.nsq", "cv.nsq")} AS sim
