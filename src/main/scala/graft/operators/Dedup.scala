@@ -116,6 +116,39 @@ object Dedup {
       .select(col("i"), col("j"), col("shared"), col("ni"), col("nj"))
   }
 
+  /** Incremental NEAR-dup (the daily-crawl operation p10's exact form
+    * cannot cover): the INCREMENT's minhash band keys join the
+    * CORPUS's band index, and only the candidates verify exact
+    * Jaccard. Scale shape: the corpus contributes one (id, band, key)
+    * row per band — the 8-byte-ish index a production pipeline
+    * maintains as its own table — and shingle sets join back for
+    * candidates only; corpus text is never rescanned, the increment
+    * pays one scan. Emits verified (increment id, corpus id) pairs. */
+  def incrementalNearDupPairs(df: DataFrame, idCol: Column, textCol: Column,
+      isCorpus: Column, n: Int, k: Int, bands: Int, minJaccard: Double): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sets = df.select(idCol.as("id"), isCorpus.as("is_corpus"),
+        graft.expressions.WordShingleHashes(textCol, n).as("hv"))
+      .withColumn("n_shingles", size(col("hv")))
+      .withColumn("sig", graft.expressions.MinHashSig(col("hv"), k))
+    val banded = sets.select(col("id"), col("is_corpus"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"), concat_ws(":",
+            transform(slice(col("sig"), b * r + lit(1), lit(r)), v => v.cast("string"))).as("key")))).as("bk"))
+      .select(col("id"), col("is_corpus"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.filter(!col("is_corpus")).select(col("id").as("i"), col("band"), col("key"))
+      .join(banded.filter(col("is_corpus")).select(col("id").as("j"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("i"), col("j")).distinct()
+    cand
+      .join(sets.select(col("id").as("i"), col("hv").as("si"), col("n_shingles").as("ni")), Seq("i"))
+      .join(sets.select(col("id").as("j"), col("hv").as("sj"), col("n_shingles").as("nj")), Seq("j"))
+      .withColumn("shared", size(array_intersect(col("si"), col("sj"))))
+      .filter(col("shared").cast("double") / (col("ni") + col("nj") - col("shared")) >= minJaccard)
+      .select(col("i"), col("j"))
+  }
+
   /** Large-star round: for every node u, hang each strictly-larger
     * neighbor off m = min(N(u) ∪ {u}). */
   private def largeStar(e: DataFrame): DataFrame = {

@@ -1212,6 +1212,33 @@ object AnalyticsQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** d13 — INCREMENTAL near-dup, the companion p10's exact-hash form
+    * cannot cover: the daily increment (odd doc_ids) is near-dup
+    * checked against the existing corpus (even doc_ids) through the
+    * corpus's MinHash BAND INDEX — d03's banding with the self-join
+    * replaced by an increment→index join, so the corpus contributes
+    * only its (id, band, key) rows (the persistable index table) and
+    * its text is never rescanned. Candidates verify exact Jaccard
+    * ≥ 0.5; output is the per-lang ingest accounting (incoming /
+    * near-dup / novel) a daily crawl job reports. Scale shape: the
+    * increment pays one scan + one band-key equi-join; corpus cost is
+    * its index size. 12 of the 25 corpus-wide d03 pairs cross the
+    * parity split at sf0.01, so the near-dup path has real positives. */
+  def d13IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dupIncrements = Dedup.incrementalNearDupPairs(docs, col("doc_id"), col("text"),
+        (col("doc_id") % 2 === 0).as("is_corpus"), n = 4, k = 32, bands = 16,
+        minJaccard = 0.5)
+      .select(col("i").as("doc_id")).distinct()
+    docs.filter(col("doc_id") % 2 === 1)
+      .join(dupIncrements.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_near_dup"),
+        (count(lit(1)) - sum(coalesce(col("is_dup"), lit(0L)))).as("n_novel"))
+      .orderBy(col("lang"))
+  }
+
   /** m06 — video keyframe detection over REAL raw frames: each
     * document id becomes a deterministic 8-frame × 64-byte clip
     * (synthesized executor-side; every 4th frame starts a new scene),
@@ -1359,6 +1386,7 @@ object AnalyticsQueries {
     "a09_pq_ann"        -> a09PqAnn _,
     "a10_ivfpq_ann"     -> a10IvfPqAnn _,
     "d12_semdedup"      -> d12SemDedup _,
+    "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
     "t02_quality"       -> t02Quality _,
     "t03_lang_id"       -> t03LangId _,
@@ -1667,6 +1695,35 @@ object AnalyticsQueries {
          |  SELECT i, j, len(list_intersect(si, sj)) AS shared, ni, nj FROM cand)
          |WHERE CAST(shared AS DOUBLE) / (ni + nj - shared) >= 0.5
          |ORDER BY i, j""".stripMargin,
+    // d03's banding with the self-join replaced by increment(odd) →
+    // corpus(even) index join; per-lang ingest accounting
+    "d13_incremental_neardup" ->
+      s"""WITH hs AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(${words("text")})-3),
+         |    i -> ${polyHash(s"array_to_string(${words("text")}[i:i+3], ' ')")})) AS hv
+         |  FROM documents),
+         |sig AS (SELECT doc_id, hv, len(hv) AS n,
+         |  list_transform(range(0, 32), j -> coalesce(
+         |    list_min(list_transform(hv, h -> ((j*2+1) * h + j*7919 + 13) % $P)),
+         |    CAST($P AS BIGINT))) AS sg
+         |  FROM hs),
+         |banded AS (SELECT doc_id, hv, n, unnest(list_transform(range(0, 16), b ->
+         |    {'band': b, 'key': array_to_string(sg[b*2+1:b*2+2], ':')})) AS bk
+         |  FROM sig),
+         |flat AS (SELECT doc_id, hv, n, bk.band AS band, bk.key AS key FROM banded),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.hv AS si, b.hv AS sj,
+         |    a.n AS ni, b.n AS nj
+         |  FROM flat a JOIN flat b ON a.band = b.band AND a.key = b.key
+         |    AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+         |dup AS (SELECT DISTINCT i FROM (
+         |    SELECT i, len(list_intersect(si, sj)) AS shared, ni, nj FROM cand)
+         |  WHERE CAST(shared AS DOUBLE) / (ni + nj - shared) >= 0.5)
+         |SELECT d.lang, COUNT(*) AS n_incoming,
+         |  CAST(SUM(CASE WHEN dup.i IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+         |  CAST(COUNT(*) - SUM(CASE WHEN dup.i IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.i
+         |WHERE d.doc_id % 2 = 1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "d04_simhash" ->
       s"""WITH hv AS (SELECT doc_id,
          |  list_transform(${words("text")}, w -> ${polyHash("w")}) AS wh FROM documents),

@@ -122,7 +122,8 @@ class PlanAuditSpec extends AnyFunSuite {
       graft.queries.AnalyticsQueries.p07DataPrep(spark, dir),
       graft.queries.AnalyticsQueries.t10UnigramLm(spark, dir),
       graft.queries.AnalyticsQueries.t12BoilerplateRemoval(spark, dir),
-      graft.queries.AnalyticsQueries.t13BigramLm(spark, dir)
+      graft.queries.AnalyticsQueries.t13BigramLm(spark, dir),
+      graft.queries.AnalyticsQueries.d13IncrementalNearDup(spark, dir)
     ).foreach { df =>
       val p = planOf(df)
       assert(!p.contains("CartesianProduct"), s"vocabulary join went cartesian:\n$p")
