@@ -61,7 +61,15 @@ object Bench {
     val failures = results.filter(_._3 > 0)
       .map { case (k, _, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","reps":$reps}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","reps":$reps}"""
+    println(json)
+    // The stdout line can be truncated by tail-capture (BENCH_r05 lost
+    // a01..q09's medians that way); the file is the whole-artifact copy
+    // the driver/judge can ingest intact.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
     spark.stop()
   }
 }
