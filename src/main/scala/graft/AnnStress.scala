@@ -71,6 +71,17 @@ object AnnStress {
     val ivfpq = topsOf(timed("a10 IVF-PQ + rerank")(
       queries.AnalyticsQueries.a10IvfPqAnn(spark, stageDir)))
     println(f"[stress] a10 recall@5 = ${recallOf(ivfpq)}%.3f")
+    // the build/search split (a11): one-time index build timed alone,
+    // then repeated searches over the persisted index — the amortized
+    // cost a query batch actually pays in production
+    val tb = System.nanoTime()
+    queries.AnalyticsQueries.rebuildPqIndexStage(spark, stageDir)
+    println(f"[stress] a11 index build took ${(System.nanoTime() - tb) / 1e9}%.1f s (one-time)")
+    val prebuilt = topsOf(timed("a11 prebuilt search (1st)")(
+      queries.AnalyticsQueries.a11PqSearchPrebuilt(spark, stageDir)))
+    timed("a11 prebuilt search (2nd)")(
+      queries.AnalyticsQueries.a11PqSearchPrebuilt(spark, stageDir))
+    println(f"[stress] a11 recall@5 = ${recallOf(prebuilt)}%.3f")
     spark.stop()
   }
 }

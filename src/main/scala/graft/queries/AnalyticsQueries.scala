@@ -703,6 +703,93 @@ object AnalyticsQueries {
     pqExactRerank(spark, dir, shortlist)
   }
 
+  /** Persisted PQ index (a11): the build/search split production ANN
+    * actually runs — FAISS trains once and serves forever, while a09
+    * re-pays codebook training + corpus encoding on every call
+    * (measured in AnnStress: one-shot PQ 4× SLOWER than brute force
+    * because build dominates). The index is three parquet tables, the
+    * same persistable-artifact pattern as d13's band index and p10's
+    * fingerprint index:
+    *   codes(vec_id, cid0..cidM-1)  — 1 byte/subspace per corpus row
+    *   codebooks(m, cid, mm)        — M×K centroid arrays (tiny)
+    *   meta(n)                      — corpus size, so search derives
+    *                                  the corpus-scaled shortlist
+    *                                  without rescanning the corpus
+    * Built once per (source dir); the staging path is keyed on the dir
+    * (testdata is immutable — a changed corpus is a new dir). `force`
+    * rebuilds unconditionally (AnnStress uses it to time the build). */
+  private def stagePqIndex(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val stage = PipelineQueries.staging("a11pq", dir)
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // meta is written LAST — its presence marks a complete index
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val ix = buildPqIndex(spark, dir)
+      ix.corpus.write.mode("overwrite").parquet(s"$stage/codes")
+      ix.cbs.zipWithIndex
+        .map { case (cb, m) => cb.withColumn("m", lit(m)) }
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$stage/codebooks")
+      Tables.embeddings(spark, dir).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** a11 — PQ ANN over the PERSISTED index (search half of the
+    * build/search split; same Jégou/FAISS algebra as a09, identical
+    * output — the oracle is a09's). What search touches: the one-byte
+    * code table, the M×K codebooks, the incoming query vectors, and —
+    * only for the L-row shortlist — the float corpus for the exact
+    * re-rank. What it never touches: corpus text/floats for scoring,
+    * codebook training, corpus encoding. At 100 TB this is the
+    * difference between a query batch costing (corpus × M adds) and
+    * costing (corpus × M adds + full corpus re-encode): the index
+    * build is one-time, amortized across every later batch, exactly
+    * like d13's band index amortizes dedup. AnnStress measures the
+    * split: build reported separately, amortized search ≪ one-shot
+    * a09 and ≪ a01 at 10× corpus. */
+  def a11PqSearchPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{QuantizeI8, TopKByScore}
+    val stage = stagePqIndex(spark, dir)
+    val codes = spark.read.parquet(s"$stage/codes")
+    val cbAll = spark.read.parquet(s"$stage/codebooks")
+    val n = spark.read.parquet(s"$stage/meta").head.getAs[Long]("n")
+    val shortlistL = math.max(PqL.toLong, n / 20).toInt
+    // query side: subcodes for the INCOMING batch only (vec_id < 20 is
+    // the demo batch; the filter pushes to the scan) — queries are not
+    // part of the index
+    val qside = Tables.embeddings(spark, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id") +: (0 until PqM).map(m =>
+        QuantizeI8(slice(col("embedding"), lit(m * PqSubDim + 1), lit(PqSubDim)))
+          .as(s"q$m")): _*)
+    // per-subspace ADC lookup tables from the STORED codebooks:
+    // queries×K integer distances, broadcast
+    val luts = (0 until PqM).map { m =>
+      qside.select(col("query_id"), col(s"q$m").as("qq"))
+        .join(broadcast(cbAll.filter(col("m") === m).select(col("cid"), col("mm"))), lit(true))
+        .select(col("query_id"), col("cid").as(s"cid$m"),
+          pqDist(col("qq"), col("mm")).as(s"d$m"))
+    }
+    var scored = codes.join(broadcast(luts(0)), Seq("cid0"))
+    (1 until PqM).foreach { m =>
+      scored = scored.join(broadcast(luts(m)), Seq(s"cid$m", "query_id"))
+    }
+    val shortlist = scored.filter(col("query_id") =!= col("vec_id"))
+      .withColumn("d", (0 until PqM).map(m => col(s"d$m")).reduce(_ + _))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore((-col("d")).cast("long"), col("vec_id"), shortlistL).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c").getField("id").as("vec_id"))
+    pqExactRerank(spark, dir, shortlist)
+  }
+
+  /** AnnStress hook: rebuild the persisted PQ index unconditionally and
+    * return its path — isolates build cost from search cost. */
+  def rebuildPqIndexStage(spark: SparkSession, dir: String): String =
+    stagePqIndex(spark, dir, force = true)
+
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
     * dedup tractable at corpus scale. Pairwise cosine is computed only
@@ -1385,6 +1472,7 @@ object AnalyticsQueries {
     "a08_kmeans_quantized" -> a08KmeansQuantized _,
     "a09_pq_ann"        -> a09PqAnn _,
     "a10_ivfpq_ann"     -> a10IvfPqAnn _,
+    "a11_pq_search_prebuilt" -> a11PqSearchPrebuilt _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
@@ -2041,6 +2129,11 @@ object AnalyticsQueries {
       s"""WITH $kmeansCtes
          |SELECT vec_id, cluster, dist FROM asg ORDER BY vec_id""".stripMargin,
     "a09_pq_ann" -> pqOracle(PqM, PqSubDim, PqK, PqL),
+    // a11 searches the persisted index built by the same deterministic
+    // integer algebra a09 runs inline, so its answer — and oracle — is
+    // exactly a09's; what differs is what execution touches (stored
+    // codes/codebooks, not a rebuild).
+    "a11_pq_search_prebuilt" -> pqOracle(PqM, PqSubDim, PqK, PqL),
     "a10_ivfpq_ann" -> ivfPqOracle(PqM, PqSubDim, PqK, IvfPqProbes, PqL),
     "d12_semdedup" ->
       s"""WITH $kmeansCtes,

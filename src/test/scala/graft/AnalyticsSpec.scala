@@ -176,6 +176,20 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(recall >= bound, s"PQ recall@5 degraded to $recall at $sf")
     }
 
+  // a11 searches the PERSISTED index a09 builds inline; the algebra is
+  // deterministic integers end to end, so the full ranked table must be
+  // row-identical — any drift means the stored index diverged from the
+  // build math.
+  test("a11 prebuilt search == a09 inline build+search, row for row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank"), col("neighbor_id"))
+        .as[(Long, Int, Long)].collect().toSeq
+    assert(rows(graft.queries.AnalyticsQueries.a11PqSearchPrebuilt(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.a09PqAnn(spark, dir)))
+  }
+
   // a10 probes 3 of 8 coarse cells, so its recall trades against a09's
   // by exactly the unprobed-cell mass. Measured: 0.78 at sf0.001, 0.81
   // at sf0.01 (vs a09's 0.82/0.86); bounds leave noise headroom.

@@ -168,6 +168,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected partial+final bounded-heap aggregates:\n$p")
   }
 
+  test("a11: prebuilt-index search never rebuilds — no codebook training in the plan") {
+    val p = planOf(graft.queries.AnalyticsQueries.a11PqSearchPrebuilt(spark, dir))
+    // search half of the build/search split: the stored code table
+    // streams past broadcast ADC LUTs; nothing sort-merges, nothing
+    // trains (training's signature is the posexplode melt — absent)
+    assert(!p.contains("SortMergeJoin"), s"prebuilt search shuffled into a sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"prebuilt search went cartesian:\n$p")
+    // the build's codebook training runs through eager localCheckpoints,
+    // which surface as ExistingRDD scans — a search plan containing one
+    // has rebuilt the index instead of reading the stored tables
+    assert(!p.contains("ExistingRDD"), s"search plan contains build-time checkpoints:\n$p")
+    assert(p.contains("graft_a11pq"), s"search must scan the persisted index tables:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast ADC-LUT joins:\n$p")
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+  }
+
   test("a10: IVF-PQ search path is all-broadcast; only the build join may sort-merge") {
     val p = planOf(graft.queries.AnalyticsQueries.a10IvfPqAnn(spark, dir))
     assert(!p.contains("CartesianProduct"), s"IVF-PQ search went cartesian:\n$p")
