@@ -428,7 +428,8 @@ object AnalyticsQueries {
   }
 
   /** a08 — distributed k-means over QUANTIZED embeddings (two Lloyd
-    * iterations, k=8): the clustering primitive behind SemDeDup-style
+    * iterations, corpus-scaled k = ⌈√n⌉ clamped to [8,64], see
+    * [[scaledK]]): the clustering primitive behind SemDeDup-style
     * semantic dedup and IVF index builds, in the engine-exact integer
     * form. Init = the k lowest-id int8 codes lifted to the 10⁴
     * fixed-point domain; assignment = argmin of the exact integer
@@ -444,7 +445,7 @@ object AnalyticsQueries {
     * centroid table itself. */
   def a08KmeansQuantized(spark: SparkSession, dir: String): DataFrame = {
     import graft.expressions.{IntDot, QuantizeI8, TopKByScore}
-    val k = 8
+    val k = scaledK(spark, dir)
     val q = Tables.embeddings(spark, dir)
       .select(col("vec_id"), QuantizeI8(col("embedding")).as("q"))
     val c0 = q.filter(col("vec_id") < k)
@@ -473,6 +474,26 @@ object AnalyticsQueries {
     a2.select(col("vec_id"), col("cid").as("cluster"), col("dist"))
       .orderBy(col("vec_id"))
   }
+
+  /** Corpus-scaled cluster count for the k-means family (a08 clustering,
+    * a10's coarse quantizer, d12's SemDeDup scope): k = ⌈√n⌉ clamped to
+    * [8, 64] — the standard √n heuristic, so cluster populations and the
+    * d12 Σ cluster² pair bound both grow like √n instead of n. The
+    * oracle computes the identical value via the `kp` scalar CTE
+    * (GREATEST/LEAST over ceil(sqrt(COUNT(*)))), so the hash gate pins
+    * the scaling itself. IEEE sqrt/ceil are correctly-rounded in both
+    * engines — no boundary drift. */
+  private def scaledK(spark: SparkSession, dir: String): Int = {
+    val n = Tables.embeddings(spark, dir).count()
+    math.max(8L, math.min(64L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+  }
+
+  /** a10's probe count grows with the cell count (probe ~k/8 cells,
+    * floor [[IvfPqProbes]]) — a fixed probe count over √n cells would
+    * shrink the probed corpus fraction as n grows. Oracle mirror:
+    * GREATEST($p, ceil(k/8.0)) over the same kp CTE. */
+  private def scaledProbes(k: Int): Int =
+    math.max(IvfPqProbes, math.ceil(k / 8.0).toInt)
 
   /** a09's PQ geometry, shared by the Spark program and the generated
     * DuckDB oracle so the two can never drift: M subspaces of subDim
@@ -637,7 +658,8 @@ object AnalyticsQueries {
   /** a10 — IVF-PQ ANN (FAISS IVFPQ, Jégou et al., public): the
     * composition that actually runs billion-scale production search.
     * a03's IVF bounds WHICH vectors a query scores (probe the top
-    * [[IvfPqProbes]] of 8 coarse cells — a08's integer k-means is the
+    * ~k/8 (floor [[IvfPqProbes]]) of the k coarse cells, k = ⌈√n⌉
+    * clamped — a08's integer k-means is the
     * coarse quantizer verbatim); a09's PQ bounds WHAT each scored
     * vector costs (M one-byte codes through broadcast ADC lookup
     * tables). Search: probes (queries×P rows) broadcast onto the
@@ -653,10 +675,10 @@ object AnalyticsQueries {
     * pinned in AnalyticsSpec. */
   def a10IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
     import graft.expressions.{QuantizeI8, TopKByScore}
-    // coarse quantizer = a08's k=8 integer k-means, re-derived here in
-    // lockstep with the shared kmeansCtes oracle (init first-k, one
-    // integer-mean Lloyd step, argmin ties → lower cid)
-    val k = 8
+    // coarse quantizer = a08's corpus-scaled integer k-means, re-derived
+    // here in lockstep with the shared kmeansCtes oracle (init first-k,
+    // one integer-mean Lloyd step, argmin ties → lower cid)
+    val k = scaledK(spark, dir)
     val q = Tables.embeddings(spark, dir)
       .select(col("vec_id"), QuantizeI8(col("embedding")).as("q"))
     val c0 = q.filter(col("vec_id") < k)
@@ -680,7 +702,7 @@ object AnalyticsQueries {
     // cell list per corpus vector (build-time full pass + one build-time
     // join onto the code index below); probe list per query vector
     val cells = top1(assignTop(c1, 1)).withColumnRenamed("cid", "cell")
-    val probes = assignTop(c1, IvfPqProbes)
+    val probes = assignTop(c1, scaledProbes(k))
       .filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), explode(col("top")).as("c"))
       .select(col("query_id"), col("c").getField("id").as("cell"))
@@ -1507,9 +1529,14 @@ object AnalyticsQueries {
 
   /** The a08 two-iteration quantized k-means as a reusable CTE chain —
     * ends in `asg(vec_id, cluster, dist)`. Shared by the a08 oracle and
-    * every downstream oracle that consumes the clustering (d12). */
+    * every downstream oracle that consumes the clustering (d12, a10's
+    * coarse cells). `kp.k` is the corpus-scaled cluster count — the
+    * DuckDB twin of [[scaledK]], so the scaling law itself hash-gates. */
   private val kmeansCtes =
-    s"""m0 AS (SELECT vec_id, embedding,
+    s"""kp AS (SELECT GREATEST(8, LEAST(64,
+       |    CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS k
+       |  FROM embeddings),
+       |m0 AS (SELECT vec_id, embedding,
        |    list_max(list_transform(embedding, _qx -> abs(CAST(_qx AS DOUBLE)))) AS maxabs
        |  FROM embeddings),
        |qv AS (SELECT vec_id,
@@ -1518,7 +1545,7 @@ object AnalyticsQueries {
        |    ELSE list_transform(embedding, _qz -> CAST(0 AS BIGINT)) END AS q
        |  FROM m0),
        |c0 AS (SELECT vec_id AS cid, list_transform(q, _c0 -> _c0 * 10000) AS m
-       |  FROM qv WHERE vec_id < 8),
+       |  FROM qv WHERE vec_id < (SELECT k FROM kp)),
        |d1 AS (SELECT qv.vec_id, c0.cid, ${intDist("qv.q", "c0.m")} AS dist
        |  FROM qv CROSS JOIN c0),
        |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
@@ -1630,7 +1657,9 @@ object AnalyticsQueries {
        |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
        |    SELECT vec_id, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-       |    FROM d2 WHERE vec_id < 20) WHERE rk <= $p),
+       |    FROM d2 WHERE vec_id < 20)
+       |  WHERE rk <= (SELECT GREATEST($p,
+       |    CAST(ceil(CAST(k AS DOUBLE) / 8.0) AS BIGINT)) FROM kp)),
        |corpus AS (SELECT aa0.vec_id, asg.cluster AS cell,
        |    ${ms.map(m => s"cc$m.mm AS mm$m").mkString(", ")}
        |  FROM aa0 JOIN cc0 ON aa0.cid = cc0.cid
