@@ -9,17 +9,21 @@ import org.apache.spark.sql.functions._
   * the Scala analogue of `mapInPandas` (iterator-of-batches in, typed
   * rows out), so a real decoder drops in without touching the plumbing.
   *
-  * The image path is REAL: [[decodeDownsample2x]] (2:1 box filter)
-  * and [[decodeResizeNearest]] (stride sampling) both decode PNG/BMP
-  * payloads with the JDK's built-in `javax.imageio.ImageIO` codec (no
-  * external dependency) and run genuine pixel kernels. The audio path
-  * is REAL at the wire level: [[frameEnergy]] parses raw little-endian
-  * int16 PCM — the post-codec format — with two's-complement byte
-  * math. What remains stubbed is only what the JDK cannot decode
-  * (compressed audio/video containers): [[FeatureExtractor.decodeStub]]
-  * and [[sampleFrames]]'s frame slicing, whose Spark-side contract —
-  * schema, batching, partitioning, null handling — is real and tested,
-  * so a codec drops in by replacing one function.
+  * The image path is REAL end to end: [[decodeDownsample2x]] (2:1 box
+  * filter), [[decodeResizeNearest]] (stride sampling), and
+  * [[FeatureExtractor.imageFeatures]] (feature extraction) all decode
+  * `image/…` payloads with the JDK's built-in `javax.imageio.ImageIO`
+  * codec (no external dependency) and run genuine pixel kernels. The
+  * audio path is REAL at the wire level: [[frameEnergy]] parses raw
+  * little-endian int16 PCM — the post-codec format — with
+  * two's-complement byte math; [[frameDiff]] walks raw video frames
+  * the same way. The EXACT codec boundary: the JDK ships no decoder
+  * for compressed audio/video containers (MP3, MP4/H.264, Ogg), so
+  * those kinds traverse [[FeatureExtractor.textFeatures]] as opaque
+  * bytes and [[sampleFrames]]'s code-point frame slicing until an
+  * external codec feeds the real post-codec paths — the Spark-side
+  * contract (schema, batching, partitioning, null handling) is real
+  * and tested, so a codec drops in by replacing one function.
   */
 object Multimodal {
 
@@ -34,18 +38,21 @@ object Multimodal {
       struct(kindCol.as("kind"),
         length(contentCol.cast("binary")).as("declared_len")).as("meta"))
 
-  final case class MediaFeatures(media_id: Long, byte_len: Int, first_cp: Int,
-      checksum: Long)
+  final case class MediaFeatures(media_id: Long, kind: String, byte_len: Int,
+      feat: Int, checksum: Long)
 
   object FeatureExtractor {
     val P = 1000000007L
 
-    /** Deterministic stand-in for a media decoder: byte length, first
-      * Unicode code point, and a polynomial checksum over code points
+    /** Text/opaque features: byte length, first Unicode code point in
+      * `feat`, and a polynomial checksum over code points
       * (engine-stable vs the SQL oracle's unicode()/charwise fold even
-      * for non-ASCII payloads). A real image/audio extractor replaces
-      * this function only. */
-    def decodeStub(id: Long, payload: Array[Byte]): MediaFeatures = {
+      * for non-ASCII payloads). This is also the documented CODEC
+      * BOUNDARY: compressed audio/video containers (MP3, MP4/H.264,
+      * Ogg…) have no JDK decoder, so those kinds pass through here as
+      * opaque bytes until an external codec feeds the real post-codec
+      * paths ([[frameEnergy]] for PCM, [[frameDiff]] for raw frames). */
+    def textFeatures(id: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
       val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
       var h = 0L
       var i = 0
@@ -54,23 +61,64 @@ object Multimodal {
         h = (h * 31 + cp) % P
         i += Character.charCount(cp)
       }
-      MediaFeatures(id, payload.length,
+      MediaFeatures(id, kind, payload.length,
         if (s.isEmpty) -1 else s.codePointAt(0), h)
+    }
+
+    /** REAL image features — `ImageIO.read` (the JDK's zero-dependency
+      * PNG/BMP/GIF/JPEG codecs): `byte_len` is the DECODED RGB byte
+      * count (w·h·3 — the post-codec size; the container byte count is
+      * encoder-version-dependent and therefore not oracle-checkable),
+      * `feat` packs (width << 16) | height, and the checksum folds the
+      * decoded pixel channels in (y, x, R-G-B) order — the same walk
+      * m03/m04 verify arithmetically against the synthesis formula.
+      * Undecodable payloads fail loudly. */
+    def imageFeatures(id: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"media $id: payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      var hsh = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          var c = 0
+          while (c < 3) {
+            hsh = (hsh * 31 + ((rgb >> (16 - 8 * c)) & 0xFF)) % P
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(id, kind, w * h * 3, (w << 16) | h, hsh)
     }
   }
 
-  /** Batched feature extraction over the payload column; one decoder
-    * instance per partition, streaming through the iterator (no
-    * per-row setup cost — the mapInPandas batch shape). */
+  /** Batched feature extraction over the payload column, dispatched on
+    * `meta.kind`: `image/…` runs the REAL ImageIO decoder
+    * ([[FeatureExtractor.imageFeatures]]); everything else takes the
+    * code-point path ([[FeatureExtractor.textFeatures]] — also the
+    * documented boundary for containers the JDK cannot decode). One
+    * decoder instance per partition, streaming through the iterator
+    * (no per-row setup cost — the mapInPandas batch shape). */
   def extractFeatures(df: DataFrame): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     val idIdx = df.schema.fieldIndex("media_id")
     val payloadIdx = df.schema.fieldIndex("payload")
+    val metaIdx = df.schema.fieldIndex("meta")
     df.mapPartitions { rows =>
       // per-partition decoder setup would go here (model load, codec init)
       rows.map { r =>
-        FeatureExtractor.decodeStub(r.getLong(idIdx), r.getAs[Array[Byte]](payloadIdx))
+        val kind = r.getStruct(metaIdx).getAs[String]("kind")
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (kind != null && kind.startsWith("image/"))
+          FeatureExtractor.imageFeatures(id, kind, payload)
+        else FeatureExtractor.textFeatures(id, kind, payload)
       }
     }
   }

@@ -1235,13 +1235,28 @@ object AnalyticsQueries {
 
   // ----------------------------------------------------------- multimodal
 
-  /** m01 — binary payload plumbing + batched feature-extraction stub. */
+  /** m01 — binary payload plumbing + batched feature extraction over a
+    * MIXED-KIND corpus: every document contributes a text payload AND a
+    * PNG payload (deterministic 8×8 synthesis, the m03/m04 trick), and
+    * one batched mapPartitions stage dispatches on `meta.kind` — the
+    * `image/png` rows run the REAL ImageIO decoder (width/height +
+    * pixel checksum the oracle recomputes arithmetically from the
+    * synthesis formula), the text rows the code-point path, which is
+    * also the documented boundary for containers the JDK cannot decode
+    * (`Multimodal.FeatureExtractor`). Narrow 1:1 stage, no shuffle. */
   def m01Multimodal(spark: SparkSession, dir: String): DataFrame = {
-    val payloads = Multimodal.asPayload(Tables.documents(spark, dir),
-      col("doc_id"), col("text"), col("source"))
-    Multimodal.extractFeatures(payloads).toDF()
-      .select(col("media_id"), col("byte_len"), col("first_cp"), col("checksum"))
-      .orderBy(col("media_id"))
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val textSide = Multimodal.asPayload(docs, col("doc_id"), col("text"), lit("text"))
+    val pngSide = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.synthPng(id, 8, 8))))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(lit("image/png").as("kind"),
+          length(col("payload")).as("declared_len")).as("meta"))
+    Multimodal.extractFeatures(textSide.unionByName(pngSide)).toDF()
+      .select(col("media_id"), col("kind"), col("byte_len"), col("feat"), col("checksum"))
+      .orderBy(col("media_id"), col("kind"))
   }
 
   /** m02 — frame sampling: 1 payload → ≤5 stride-2 sampled frames of
@@ -2224,12 +2239,26 @@ object AnalyticsQueries {
          |SELECT lang, batch_id, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tok) AS BIGINT) AS batch_tokens
          |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // image half: pixel (x,y) channel c of the synthetic 8x8 PNG is
+    // (id*7 + (y*8+x)*3 + c) % 256, and the (y, x, R-G-B) checksum walk
+    // visits exactly the linear sequence j = 0..191 of (id*7 + j) % 256
+    // — so the oracle recomputes the REAL ImageIO decode arithmetically
     "m01_multimodal" ->
-      s"""SELECT doc_id AS media_id,
-         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
-         |  CAST(unicode(substring(text, 1, 1)) AS INT) AS first_cp,
-         |  ${polyHash("text")} AS checksum
-         |FROM documents ORDER BY media_id""".stripMargin,
+      s"""SELECT media_id, kind, byte_len, feat, checksum FROM (
+         |  SELECT doc_id AS media_id, 'text' AS kind,
+         |    CAST(octet_length(encode(text)) AS INT) AS byte_len,
+         |    CAST(unicode(substring(text, 1, 1)) AS INT) AS feat,
+         |    ${polyHash("text")} AS checksum
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id AS media_id, 'image/png' AS kind,
+         |    CAST(192 AS INT) AS byte_len, CAST(8 * 65536 + 8 AS INT) AS feat,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(0, 192),
+         |        _mj -> CAST((doc_id * 7 + _mj) % 256 AS BIGINT))),
+         |      (_ma, _mb) -> (_ma * 31 + _mb) % 1000000007) AS checksum
+         |  FROM documents)
+         |ORDER BY media_id, kind""".stripMargin,
     "m02_frame_sample" ->
       s"""WITH f AS (SELECT doc_id, text,
          |    CAST(CEIL(LENGTH(text) / 64.0) AS BIGINT) AS n_frames FROM documents),

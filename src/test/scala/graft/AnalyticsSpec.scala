@@ -534,13 +534,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
-  test("multimodal: batched stub features match byte-level expectation") {
+  test("multimodal: batched features dispatch on kind — text codepoints, real image decode") {
     import spark.implicits._
     val df = Seq((7L, "abc")).toDF("doc_id", "text")
     val payloads = Multimodal.asPayload(df, col("doc_id"), col("text"), lit("text"))
     val f = Multimodal.extractFeatures(payloads).collect().head
-    assert(f.media_id == 7L && f.byte_len == 3 && f.first_cp == 'a'.toInt)
+    assert(f.media_id == 7L && f.kind == "text" && f.byte_len == 3 && f.feat == 'a'.toInt)
     assert(f.checksum == "abc".foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L))
+    // image-kind rows run the REAL ImageIO decoder: the checksum must fold
+    // the synthesis formula's pixels (id*7 + j) % 256 for j = 0..191
+    val png = Seq((7L, Multimodal.synthPng(7L, 8, 8))).toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(lit("image/png").as("kind"), length(col("payload")).as("declared_len")).as("meta"))
+    val g = Multimodal.extractFeatures(png).collect().head
+    assert(g.kind == "image/png" && g.byte_len == 8 * 8 * 3 && g.feat == ((8 << 16) | 8))
+    val want = (0 until 192).foldLeft(0L)((h, j) => (h * 31 + (7L * 7 + j) % 256) % 1000000007L)
+    assert(g.checksum == want)
   }
 
   test("multimodal frame sampling: stride/cap honored, code-point slicing") {
