@@ -82,6 +82,17 @@ object AnnStress {
     timed("a11 prebuilt search (2nd)")(
       queries.AnalyticsQueries.a11PqSearchPrebuilt(spark, stageDir))
     println(f"[stress] a11 recall@5 = ${recallOf(prebuilt)}%.3f")
+    // FAISS-style search-time sweep on the FIXED index: the shortlist
+    // size L is the one knob a query batch can turn without rebuilding
+    // anything — recall buys exact re-ranks linearly in L
+    Seq(total / 80, total / 40, total / 20, total / 10).map(_.toInt).distinct
+      .filter(_ > 0).foreach { l =>
+        val t0 = System.nanoTime()
+        val tops = topsOf(queries.AnalyticsQueries.pqSearchPrebuiltL(spark, stageDir, l))
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[stress] a11 sweep L=$l%6d (${100.0 * l / total}%4.1f%% of corpus): " +
+          f"recall@5 ${recallOf(tops)}%.3f, $wall%.1f s")
+      }
     spark.stop()
   }
 }

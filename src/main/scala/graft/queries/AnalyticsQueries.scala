@@ -773,12 +773,23 @@ object AnalyticsQueries {
     * split: build reported separately, amortized search ≪ one-shot
     * a09 and ≪ a01 at 10× corpus. */
   def a11PqSearchPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.read.parquet(s"${stagePqIndex(spark, dir)}/meta")
+      .head.getAs[Long]("n")
+    pqSearchPrebuiltL(spark, dir, math.max(PqL.toLong, n / 20).toInt)
+  }
+
+  /** a11's search with an EXPLICIT shortlist size — the FAISS-style
+    * search-time quality knob on a fixed index: larger L = more exact
+    * re-ranks = higher recall at higher cost, tunable per query batch
+    * WITHOUT touching the stored codes/codebooks (unlike the build
+    * knobs K/M/Lloyd iterations, which change the index itself).
+    * AnnStress sweeps this and pins the recall/latency trade; the
+    * gated a11 fixes L = max(PqL, n/20) so the oracle hash pins it. */
+  def pqSearchPrebuiltL(spark: SparkSession, dir: String, shortlistL: Int): DataFrame = {
     import graft.expressions.{QuantizeI8, TopKByScore}
     val stage = stagePqIndex(spark, dir)
     val codes = spark.read.parquet(s"$stage/codes")
     val cbAll = spark.read.parquet(s"$stage/codebooks")
-    val n = spark.read.parquet(s"$stage/meta").head.getAs[Long]("n")
-    val shortlistL = math.max(PqL.toLong, n / 20).toInt
     // query side: subcodes for the INCOMING batch only (vec_id < 20 is
     // the demo batch; the filter pushes to the scan) — queries are not
     // part of the index
