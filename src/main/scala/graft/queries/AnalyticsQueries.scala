@@ -538,16 +538,20 @@ object AnalyticsQueries {
     * index order, a01's parity), so the full top-5 table hash-gates.
     * Plan pinned in PlanAuditSpec; recall vs the float-exact a01
     * pinned in AnalyticsSpec at both unit and bench scale. */
-  def a09PqAnn(spark: SparkSession, dir: String): DataFrame = {
+  def a09PqAnn(spark: SparkSession, dir: String): DataFrame =
+    pqAdcSearch(spark, dir, buildPqIndex(spark, dir))
+
+  /** The a09 search stages over an already-built [[PqIndex]]: ADC
+    * scoring via broadcast LUT equi-joins, per-query top-L shortlist
+    * (bounded heap, ties on vec_id — lockstep with the oracle's
+    * ROW_NUMBER(d, vec_id)), exact-cosine re-rank. Shared by a09
+    * (inline build) and a12 (corpus-trained build). */
+  private def pqAdcSearch(spark: SparkSession, dir: String, ix: PqIndex): DataFrame = {
     import graft.expressions.TopKByScore
-    val ix = buildPqIndex(spark, dir)
     var scored = ix.corpus.join(broadcast(ix.luts(0)), Seq("cid0"))
     (1 until PqM).foreach { m =>
       scored = scored.join(broadcast(ix.luts(m)), Seq(s"cid$m", "query_id"))
     }
-    // stage 1: ADC shortlist — per-query top-L on the integer estimate,
-    // bounded heap, ties on vec_id (lockstep with the oracle's
-    // ROW_NUMBER(d, vec_id))
     val shortlist = scored.filter(col("query_id") =!= col("vec_id"))
       .withColumn("d", (0 until PqM).map(m => col(s"d$m")).reduce(_ + _))
       .groupBy(col("query_id"))
@@ -557,6 +561,24 @@ object AnalyticsQueries {
       .select(col("query_id"), col("c").getField("id").as("vec_id"))
     pqExactRerank(spark, dir, shortlist)
   }
+
+  /** a12 — INCREMENTAL PQ index update (the FAISS `add` path, and the
+    * ANN analogue of p10/d13's corpus-index increments): codebooks are
+    * trained on the CORPUS half only (even vec_ids — the stand-in for
+    * "yesterday's data", d13's convention), and the increment (odd
+    * vec_ids) is ENCODED against those frozen codebooks — no
+    * retraining, no corpus re-encode. This is the production shape at
+    * 100 TB: train once on a corpus sample, then every daily increment
+    * pays only M argmin-over-K assignments per row before appending
+    * its one-byte codes to the a11 index tables; the alternative
+    * (retrain per increment) re-touches the whole corpus. Search runs
+    * the full a09 ADC + re-rank over corpus∪increment codes, so the
+    * oracle hash pins that increment rows are findable through
+    * corpus-trained codebooks. Quantization drift (codebooks slowly
+    * going stale as the distribution shifts) is the documented
+    * trade — FAISS re-trains offline on a schedule, same here. */
+  def a12PqIndexUpdate(spark: SparkSession, dir: String): DataFrame =
+    pqAdcSearch(spark, dir, buildPqIndex(spark, dir, trainCorpusOnly = true))
 
   /** The integer ADC distance algebra shared by every quantized query:
     * `10⁸·q·q + mm·mm − 2·10⁴·q·mm` ∝ ‖10⁴·q − mm‖². */
@@ -572,9 +594,17 @@ object AnalyticsQueries {
   private final case class PqIndex(
       sub: DataFrame, cbs: Seq[DataFrame], corpus: DataFrame, luts: Seq[DataFrame])
 
-  private def buildPqIndex(spark: SparkSession, dir: String): PqIndex = {
+  private def buildPqIndex(spark: SparkSession, dir: String,
+      trainCorpusOnly: Boolean = false): PqIndex = {
     import graft.expressions.{QuantizeI8, TopKByScore}
     val M = PqM; val subDim = PqSubDim; val K = PqK
+    // a12's increment semantics: codebooks train on the corpus half
+    // (even vec_ids) only; init = the K lowest corpus ids (even ids
+    // below 2K — ids are dense from 0, the same assumption the vec_id<K
+    // init already makes). Encoding below always covers ALL rows.
+    val trainPred: Column =
+      if (trainCorpusOnly) col("vec_id") % 2 === 0 else lit(true)
+    val initCut: Long = if (trainCorpusOnly) 2L * K else K.toLong
     // per-subspace int8 codes; checkpointed once — training, encoding,
     // and query scoring all consume it
     val sub = Tables.embeddings(spark, dir)
@@ -587,11 +617,12 @@ object AnalyticsQueries {
         .groupBy(col("vec_id"))
         .agg(TopKByScore((-col("d")).cast("long"), col("cid").cast("long"), 1).as("top"))
         .select(col("vec_id"), col("top").getItem(0).getField("id").as("cid"))
-    // K-centroid codebook for subspace m: init = first K subcodes
-    // lifted to the 10⁴ domain, one integer-mean update (a08's step)
+    // K-centroid codebook for subspace m: init = first K TRAINING
+    // subcodes lifted to the 10⁴ domain, one integer-mean update
+    // (a08's step) over the training population
     def codebook(m: Int): DataFrame = {
-      val q = sub.select(col("vec_id"), col(s"q$m").as("q"))
-      val c0 = q.filter(col("vec_id") < K)
+      val q = sub.filter(trainPred).select(col("vec_id"), col(s"q$m").as("q"))
+      val c0 = q.filter(col("vec_id") < initCut)
         .select(col("vec_id").as("cid"), transform(col("q"), x => x * lit(10000)).as("mm"))
       argminAssign(q, c0).join(q, Seq("vec_id"))
         .select(col("cid"), posexplode(col("q")))
@@ -1521,6 +1552,7 @@ object AnalyticsQueries {
     "a09_pq_ann"        -> a09PqAnn _,
     "a10_ivfpq_ann"     -> a10IvfPqAnn _,
     "a11_pq_search_prebuilt" -> a11PqSearchPrebuilt _,
+    "a12_pq_index_update" -> a12PqIndexUpdate _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
@@ -1594,8 +1626,10 @@ object AnalyticsQueries {
     * Lloyd step → final assignment, ending in `aa$m(vec_id, cid)` and
     * codebook `cc$m(cid, mm)`. Lockstep with a09PqAnn's per-subspace
     * algebra (same floor rounding, same (dist, cid) argmin ties). */
-  private def pqSubspaceCtes(m: Int, subDim: Int, k: Int): String = {
+  private def pqSubspaceCtes(m: Int, subDim: Int, k: Int,
+      trainWhere: String = "TRUE", initCut: Int = -1): String = {
     val lo = m * subDim + 1; val hi = (m + 1) * subDim
+    val cut = if (initCut > 0) initCut else k
     s"""sl$m AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS e,
        |    list_max(list_transform(list_slice(embedding, $lo, $hi),
        |      _qx -> abs(CAST(_qx AS DOUBLE)))) AS maxabs
@@ -1605,15 +1639,16 @@ object AnalyticsQueries {
        |      _qy -> CAST(floor(CAST(_qy AS DOUBLE) * (127.0 / maxabs) + 0.5) AS BIGINT))
        |    ELSE list_transform(e, _qz -> CAST(0 AS BIGINT)) END AS q
        |  FROM sl$m),
+       |tq$m AS (SELECT * FROM qq$m WHERE $trainWhere),
        |c0$m AS (SELECT vec_id AS cid, list_transform(q, _c0 -> _c0 * 10000) AS mm
-       |  FROM qq$m WHERE vec_id < $k),
-       |d1$m AS (SELECT qq$m.vec_id, c0$m.cid, ${intDist(s"qq$m.q", s"c0$m.mm")} AS dist
-       |  FROM qq$m CROSS JOIN c0$m),
+       |  FROM tq$m WHERE vec_id < $cut),
+       |d1$m AS (SELECT tq$m.vec_id, c0$m.cid, ${intDist(s"tq$m.q", s"c0$m.mm")} AS dist
+       |  FROM tq$m CROSS JOIN c0$m),
        |a1$m AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1$m)
        |  WHERE rk = 1),
        |dims$m AS (SELECT a1$m.cid, u.dim AS dim, u.v AS v
-       |  FROM a1$m JOIN qq$m USING (vec_id),
+       |  FROM a1$m JOIN tq$m USING (vec_id),
        |  unnest(list_transform(range(1, len(q)+1), _di -> {'dim': _di, 'v': q[_di]})) AS t(u)),
        |bydim$m AS (SELECT cid, dim,
        |    CAST(floor(10000.0 * CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m4
@@ -1633,9 +1668,10 @@ object AnalyticsQueries {
     * the LUT holds exactly that distance per (query, cid) pair; the
     * exact-cosine re-rank over the top-L shortlist reuses the a01
     * fold-order-exact cosine. */
-  private def pqOracle(mCount: Int, subDim: Int, k: Int, l: Int): String = {
+  private def pqOracle(mCount: Int, subDim: Int, k: Int, l: Int,
+      trainWhere: String = "TRUE", initCut: Int = -1): String = {
     val ms = 0 until mCount
-    val ctes = ms.map(m => pqSubspaceCtes(m, subDim, k)).mkString(",\n")
+    val ctes = ms.map(m => pqSubspaceCtes(m, subDim, k, trainWhere, initCut)).mkString(",\n")
     val corpusJoins = ms.tail.map(m =>
       s"JOIN aa$m ON aa0.vec_id = aa$m.vec_id JOIN cc$m ON aa$m.cid = cc$m.cid")
       .mkString("\n  ")
@@ -2189,6 +2225,12 @@ object AnalyticsQueries {
     // exactly a09's; what differs is what execution touches (stored
     // codes/codebooks, not a rebuild).
     "a11_pq_search_prebuilt" -> pqOracle(PqM, PqSubDim, PqK, PqL),
+    // a12: same search algebra, but the codebook-training CTEs are
+    // restricted to the corpus half (even vec_ids; init = even ids
+    // below 2K = the K lowest corpus ids) — the increment is encoded
+    // by frozen corpus codebooks, and the hash pins exactly that.
+    "a12_pq_index_update" -> pqOracle(PqM, PqSubDim, PqK, PqL,
+      trainWhere = "vec_id % 2 = 0", initCut = 2 * PqK),
     "a10_ivfpq_ann" -> ivfPqOracle(PqM, PqSubDim, PqK, IvfPqProbes, PqL),
     "d12_semdedup" ->
       s"""WITH $kmeansCtes,

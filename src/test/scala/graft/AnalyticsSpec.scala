@@ -190,6 +190,26 @@ class AnalyticsSpec extends AnyFunSuite {
       rows(graft.queries.AnalyticsQueries.a09PqAnn(spark, dir)))
   }
 
+  // a12 trains codebooks on the corpus half only and encodes the
+  // increment against them — the result must still surface increment
+  // rows (odd ids) as neighbors, and recall vs the float-exact ranking
+  // must stay near a09's (quantization drift, not collapse).
+  test("a12 corpus-trained codebooks index the increment; recall holds") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.AnalyticsQueries.a12PqIndexUpdate(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect()
+    assert(got.exists(_._2 % 2 == 1), "no increment (odd-id) neighbor surfaced")
+    val exact = graft.queries.AnalyticsQueries.a01BruteForceTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq.map { q =>
+      (exact(q) & byQ.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+    }.sum / exact.size
+    assert(recall >= 0.6, s"a12 recall@5 collapsed to $recall")
+  }
+
   // a10 probes 3 of 8 coarse cells, so its recall trades against a09's
   // by exactly the unprobed-cell mass. Measured: 0.78 at sf0.001, 0.81
   // at sf0.01 (vs a09's 0.82/0.86); bounds leave noise headroom.
