@@ -173,9 +173,9 @@ object AdvancedQueries {
     * bucketed round-trip also goes through the correctness gate.
     * External-table paths keep the warehouse out of the repo tree. */
   def q31BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    stageQ31(spark, dir)
-    spark.table("graft_q31_lineitem_b")
-      .join(spark.table("graft_q31_orders_b"), Seq("o_orderkey"))
+    val (ordersT, lineitemT) = stageQ31(spark, dir)
+    spark.table(lineitemT)
+      .join(spark.table(ordersT), Seq("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("sum_price"))
@@ -186,27 +186,28 @@ object AdvancedQueries {
     * paid at write time, not a per-query cost; staging it once per
     * (session, source dir) makes the q31 timing reflect what the
     * operator exists to show: the steady-state exchange-free join.
-    * Guarded on both the catalog and the remembered dir so a fresh
-    * session (or a dir switch within one) rebuilds correctly. */
-  @volatile private var q31StagedDir: String = null
-  private def stageQ31(spark: SparkSession, dir: String): Unit = synchronized {
-    val have = q31StagedDir == dir &&
-      spark.catalog.tableExists("graft_q31_orders_b") &&
-      spark.catalog.tableExists("graft_q31_lineitem_b")
-    if (!have) {
+    * Table names carry the dir's digest so two sessions (or two dirs
+    * within one session) get DISTINCT catalog tables that coexist —
+    * with a shared name, one caller could drop/recreate the table
+    * while another session's q31 job was still reading it. */
+  private def stageQ31(spark: SparkSession, dir: String): (String, String) = synchronized {
+    val key = PipelineQueries.stagingKey(dir)
+    val ordersT = s"graft_q31_orders_b_$key"
+    val lineitemT = s"graft_q31_lineitem_b_$key"
+    if (!spark.catalog.tableExists(ordersT) || !spark.catalog.tableExists(lineitemT)) {
       val stage = PipelineQueries.staging("q31", dir)
       graft.Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderstatus"))
         .write.mode("overwrite").option("path", s"$stage/orders_b")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_q31_orders_b")
+        .saveAsTable(ordersT)
       graft.Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
         .write.mode("overwrite").option("path", s"$stage/lineitem_b")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_q31_lineitem_b")
-      q31StagedDir = dir
+        .saveAsTable(lineitemT)
     }
+    (ordersT, lineitemT)
   }
 
   /** q32 — Bloom-filter runtime join pruning, the explicit form of the

@@ -594,23 +594,87 @@ object AnalyticsQueries {
   private final case class PqIndex(
       sub: DataFrame, cbs: Seq[DataFrame], corpus: DataFrame, luts: Seq[DataFrame])
 
+  /** Per-subspace int8 subcodes `(vec_id, q0..qM-1)` of an embedding
+    * frame — the quantization every PQ stage shares (training input,
+    * corpus encoding, query-side LUT building). */
+  private def pqSubcodes(df: DataFrame): DataFrame = {
+    import graft.expressions.QuantizeI8
+    df.select(col("vec_id") +: (0 until PqM).map(m =>
+      QuantizeI8(slice(col("embedding"), lit(m * PqSubDim + 1), lit(PqSubDim))).as(s"q$m")): _*)
+  }
+
+  /** Encode subcode rows into M one-byte codes against a FROZEN
+    * codebook union `cbAll(m, cid, mm)` — melt to a row per (vector,
+    * subspace), argmin over the broadcast codebooks, pivot the M codes
+    * back to columns. This is the FAISS `add` path: NO training, one
+    * pass over exactly the input rows — what a daily increment pays
+    * (a12), and what the one-time corpus encode pays at build time
+    * (a09/a11's stage). Two tiny-row exchanges instead of M
+    * per-subspace joins stitched on vec_id. */
+  private def pqEncodeAgainst(sub: DataFrame, cbAll: DataFrame): DataFrame = {
+    import graft.expressions.TopKByScore
+    val assigned = sub
+      .select(col("vec_id"), posexplode(array((0 until PqM).map(m => col(s"q$m")): _*)))
+      .toDF("vec_id", "m", "q")
+      .join(broadcast(cbAll.select(col("m"), col("cid"), col("mm"))), Seq("m"))
+      .withColumn("d", pqDist(col("q"), col("mm")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(TopKByScore((-col("d")).cast("long"), col("cid").cast("long"), 1).as("top"))
+      .select(col("vec_id"), col("m"), col("top").getItem(0).getField("id").as("cid"))
+    val codeCols = (0 until PqM).map(m => max(when(col("m") === m, col("cid"))).as(s"cid$m"))
+    assigned.groupBy(col("vec_id")).agg(codeCols.head, codeCols.tail: _*)
+  }
+
+  /** Per-subspace broadcast ADC lookup tables from a codebook union
+    * table: queries×K integer distances per subspace, so scoring a
+    * code row is M hash-lookups + M adds. `qside` must carry
+    * `(query_id, q0..qM-1)`. */
+  private def pqLutsFrom(qside: DataFrame, cbAll: DataFrame): Seq[DataFrame] =
+    (0 until PqM).map { m =>
+      qside.select(col("query_id"), col(s"q$m").as("qq"))
+        .join(broadcast(cbAll.filter(col("m") === m).select(col("cid"), col("mm"))), lit(true))
+        .select(col("query_id"), col("cid").as(s"cid$m"),
+          pqDist(col("qq"), col("mm")).as(s"d$m"))
+    }
+
+  /** The shared ADC search tail: LUT equi-joins over a code table
+    * (optionally pre-joined with a probe list that already carries
+    * `query_id` — a13's IVF case), per-query top-L shortlist (bounded
+    * heap, ties on vec_id), exact-cosine re-rank. */
+  private def pqAdcTail(spark: SparkSession, dir: String, codes: DataFrame,
+      luts: Seq[DataFrame], shortlistL: Int): DataFrame = {
+    import graft.expressions.TopKByScore
+    val firstKeys =
+      if (codes.columns.contains("query_id")) Seq("cid0", "query_id") else Seq("cid0")
+    var scored = codes.join(broadcast(luts(0)), firstKeys)
+    (1 until PqM).foreach { m =>
+      scored = scored.join(broadcast(luts(m)), Seq(s"cid$m", "query_id"))
+    }
+    val shortlist = scored.filter(col("query_id") =!= col("vec_id"))
+      .withColumn("d", (0 until PqM).map(m => col(s"d$m")).reduce(_ + _))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore((-col("d")).cast("long"), col("vec_id"), shortlistL).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c").getField("id").as("vec_id"))
+    pqExactRerank(spark, dir, shortlist)
+  }
+
   private def buildPqIndex(spark: SparkSession, dir: String,
       trainCorpusOnly: Boolean = false): PqIndex = {
-    import graft.expressions.{QuantizeI8, TopKByScore}
-    val M = PqM; val subDim = PqSubDim; val K = PqK
+    import graft.expressions.TopKByScore
+    val M = PqM; val K = PqK
     // a12's increment semantics: codebooks train on the corpus half
     // (even vec_ids) only; init = the K lowest corpus ids (even ids
     // below 2K — ids are dense from 0, the same assumption the vec_id<K
-    // init already makes). Encoding below always covers ALL rows.
+    // init already makes). Encoding covers ALL rows here (a09's
+    // stateless inline form); the append-only split stages even-id
+    // codes once and encodes odd ids per call — see stageA12Index.
     val trainPred: Column =
       if (trainCorpusOnly) col("vec_id") % 2 === 0 else lit(true)
     val initCut: Long = if (trainCorpusOnly) 2L * K else K.toLong
     // per-subspace int8 codes; checkpointed once — training, encoding,
     // and query scoring all consume it
-    val sub = Tables.embeddings(spark, dir)
-      .select(col("vec_id") +: (0 until M).map(m =>
-        QuantizeI8(slice(col("embedding"), lit(m * subDim + 1), lit(subDim))).as(s"q$m")): _*)
-      .localCheckpoint()
+    val sub = pqSubcodes(Tables.embeddings(spark, dir)).localCheckpoint()
     def argminAssign(q: DataFrame, cent: DataFrame): DataFrame =
       q.join(broadcast(cent), lit(true))
         .withColumn("d", pqDist(col("q"), col("mm")))
@@ -633,25 +697,14 @@ object AnalyticsQueries {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m4")))),
           x => x.getField("m4").cast("int")).as("mm"))
     }
-    // corpus → M one-byte codes in ONE corpus pass: melt to a row per
-    // (vector, subspace), argmin against the broadcast union of all M
-    // codebooks keyed by the subspace index, pivot the M codes back to
-    // columns — two tiny-row exchanges instead of M per-subspace joins
-    // stitched on vec_id. Scoring never touches centroid arrays again;
-    // it goes through the per-query ADC lookup table.
+    // corpus → M one-byte codes in ONE corpus pass against the frozen
+    // union of all M codebooks ([[pqEncodeAgainst]]). Scoring never
+    // touches centroid arrays again; it goes through the per-query ADC
+    // lookup table.
     val cbs = (0 until M).map(m => codebook(m).localCheckpoint())
     val cbAll = cbs.zipWithIndex
       .map { case (cb, m) => cb.withColumn("m", lit(m)) }.reduce(_ union _)
-    val assigned = sub
-      .select(col("vec_id"), posexplode(array((0 until M).map(m => col(s"q$m")): _*)))
-      .toDF("vec_id", "m", "q")
-      .join(broadcast(cbAll), Seq("m"))
-      .withColumn("d", pqDist(col("q"), col("mm")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(TopKByScore((-col("d")).cast("long"), col("cid").cast("long"), 1).as("top"))
-      .select(col("vec_id"), col("m"), col("top").getItem(0).getField("id").as("cid"))
-    val codeCols = (0 until M).map(m => max(when(col("m") === m, col("cid"))).as(s"cid$m"))
-    val corpus = assigned.groupBy(col("vec_id")).agg(codeCols.head, codeCols.tail: _*)
+    val corpus = pqEncodeAgainst(sub, cbAll)
     // ADC lookup tables: queries×K rows per subspace (here 20×16), each
     // the exact integer distance from a query subcode to a centroid —
     // broadcast, so scoring a corpus row is M hash-lookups + M adds
@@ -768,12 +821,18 @@ object AnalyticsQueries {
     *   meta(n)                      — corpus size, so search derives
     *                                  the corpus-scaled shortlist
     *                                  without rescanning the corpus
-    * Built once per (source dir); the staging path is keyed on the dir
-    * (testdata is immutable — a changed corpus is a new dir). `force`
-    * rebuilds unconditionally (AnnStress uses it to time the build). */
+    * Built once per (source dir, INPUT CONTENT, staging format
+    * version): the staging key folds in a (name, size, mtime)
+    * fingerprint of the embeddings parquet, so a corpus rewritten in
+    * place under the same path (AnnStress's stress dir) or a bumped
+    * [[PipelineQueries.StagingFormatVersion]] keys a fresh stage
+    * instead of silently serving a stale index against a fresh oracle.
+    * `force` rebuilds unconditionally (AnnStress uses it to time the
+    * build). */
   private def stagePqIndex(spark: SparkSession, dir: String,
       force: Boolean = false): String = synchronized {
-    val stage = PipelineQueries.staging("a11pq", dir)
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/embeddings.parquet")
+    val stage = PipelineQueries.staging("a11pq", s"$dir#$fp")
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // meta is written LAST — its presence marks a complete index

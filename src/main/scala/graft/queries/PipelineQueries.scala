@@ -13,10 +13,90 @@ import graft.sources.Partitions
   * sessionization (the batch form of stateful stream processing). */
 object PipelineQueries {
 
+  /** Staged-fixture FORMAT VERSION, folded into every staging key
+    * (paths, cross-JVM markers, q31's catalog table suffixes). Bump it
+    * whenever any staged layout changes shape: dirs/markers/tables
+    * written by older code then key differently and are never reused —
+    * without this, a cross-JVM marker from an old commit would silently
+    * serve an old-layout fixture to new code. */
+  val StagingFormatVersion = 2
+
+  /** Full-width digest key for a staging identity. Replaces the old
+    * 32-bit `String.hashCode`, which can collide two distinct dirs —
+    * harmless while every run rebuilt its staging, but with memoized
+    * staging (stageOnce / stagePqIndex) a collision would permanently
+    * serve one dir's fixture to queries over the other. */
+  def stagingKey(id: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"v$StagingFormatVersion:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+
   /** Shared temp-staging convention (also used by PlanAuditSpec — keep
     * in one place so the pruning pin can't drift from the writer). */
   def staging(tag: String, dir: String): String =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft_${tag}_${math.abs(dir.hashCode)}").toString
+    Paths.get(sys.props("java.io.tmpdir"), s"graft_${tag}_${stagingKey(dir)}").toString
+
+  /** Content fingerprint of an input path: the recursive (name, size,
+    * mtime) listing, digested. Folding this into a staging key makes a
+    * memoized fixture self-invalidating when its INPUT changes in
+    * place — the "testdata is immutable" assumption is real for
+    * /root/testdata but violated by e.g. AnnStress's rewritten stress
+    * corpus, and a stale persisted index searched against a fresh
+    * oracle is a silent wrong answer. One FS listing per call; no data
+    * is read. */
+  def contentFingerprint(spark: SparkSession, path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else Seq(s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      }
+    val listed =
+      if (fs.getFileStatus(root).isFile)
+        Seq(s"${root.getName}:${fs.getFileStatus(root).getLen}:" +
+          s"${fs.getFileStatus(root).getModificationTime}")
+      else walk(root)
+    stagingKey(listed.mkString("\n"))
+  }
+
+  /** Build an immutable input fixture exactly once per (tag, dir,
+    * [[StagingFormatVersion]]) — memoized per JVM, across JVMs via an
+    * on-disk marker written only AFTER a successful build, and across
+    * CONCURRENT JVMs via an exclusive file lock held for the build (two
+    * processes can otherwise both build, one streaming a dir the other
+    * is mid-overwriting). When the marker is absent, `dataDirs` are
+    * deleted first so a crashed half-build can never be served. Mutable
+    * per-run state (s12's upsert ledger) must NOT go through this —
+    * only inputs that are deterministic functions of the source dir. */
+  private val stagedFixtures = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def stageOnce(tag: String, dir: String, dataDirs: Seq[String] = Nil)(
+      build: => Unit): Unit = {
+    val key = s"graft_${tag}_${stagingKey(dir)}_staged"
+    if (stagedFixtures.contains(key)) return
+    synchronized {
+      if (!stagedFixtures.contains(key)) {
+        val tmp = Paths.get(sys.props("java.io.tmpdir"))
+        val marker = tmp.resolve(key)
+        val ch = java.nio.channels.FileChannel.open(tmp.resolve(key + ".lock"),
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lk = ch.lock()
+          try {
+            if (!java.nio.file.Files.exists(marker)) {
+              dataDirs.foreach { d =>
+                val p = new org.apache.hadoop.fs.Path(d)
+                p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+              }
+              build
+              java.nio.file.Files.createFile(marker)
+            }
+          } finally lk.release()
+        } finally ch.close()
+        stagedFixtures.add(key)
+      }
+    }
+  }
 
   /** (name, bytes) of every parquet data file directly under `dir`,
     * listed through the Hadoop [[org.apache.hadoop.fs.FileSystem]] API

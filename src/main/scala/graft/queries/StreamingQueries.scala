@@ -29,28 +29,16 @@ object StreamingQueries {
 
   /** Streaming INPUT fixtures (staged parquet files a file-source
     * stream admits batch by batch) are deterministic functions of the
-    * immutable testdata dir, so they are built once per (tag, dir) —
-    * memoized per JVM here, across JVMs via an on-disk marker written
-    * only AFTER a successful build (a crashed staging rebuilds
-    * cleanly). The operator's timed cost is then the STREAM — source
-    * admission, state-store commits, drain — not re-writing its own
-    * input files: the same layout-vs-query split q31 applies to
-    * storage. Mutable per-run state (s12's upsert ledger) must NOT go
-    * through this — only inputs. */
-  private val stagedFixtures = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def stageOnce(tag: String, dir: String)(build: => Unit): Unit = {
-    val key = s"graft_${tag}_${math.abs(dir.hashCode)}_staged"
-    if (!stagedFixtures.contains(key)) synchronized {
-      if (!stagedFixtures.contains(key)) {
-        val marker = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), key)
-        if (!java.nio.file.Files.exists(marker)) {
-          build
-          java.nio.file.Files.createFile(marker)
-        }
-        stagedFixtures.add(key)
-      }
-    }
-  }
+    * immutable testdata dir, so they are built once per (tag, dir) via
+    * [[PipelineQueries.stageOnce]] (versioned + locked + crash-clean).
+    * The operator's timed cost is then the STREAM — source admission,
+    * state-store commits, drain — not re-writing its own input files:
+    * the same layout-vs-query split q31 applies to storage. Mutable
+    * per-run state (s12's upsert ledger) must NOT go through this —
+    * only inputs. */
+  private def stageOnce(tag: String, dir: String, dataDirs: Seq[String] = Nil)(
+      build: => Unit): Unit =
+    PipelineQueries.stageOnce(tag, dir, dataDirs)(build)
 
   /** s01 — T1/T2/T3/T4 + K3: replay the events table (timestamp-grouped,
     * ascending) into the in-memory keyed sink, then read the sink back.
@@ -104,8 +92,7 @@ object StreamingQueries {
     // table into a per-sf temp dir. Copy unconditionally — a staged
     // file from an earlier run must not be served stale if the source
     // table changed under the same path.
-    val staged = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_s02_${math.abs(dir.hashCode)}")
+    val staged = java.nio.file.Paths.get(PipelineQueries.staging("s02", dir))
     java.nio.file.Files.createDirectories(staged)
     java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
       staged.resolve("events.parquet"),
@@ -278,8 +265,7 @@ object StreamingQueries {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType)))
-    val staged = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_s06_${math.abs(dir.hashCode)}")
+    val staged = java.nio.file.Paths.get(PipelineQueries.staging("s06", dir))
     java.nio.file.Files.createDirectories(staged)
     java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "documents.parquet"),
       staged.resolve("documents.parquet"),
@@ -314,9 +300,8 @@ object StreamingQueries {
     // aggregate state provably round-trips through the state store
     // between micro-batches (a single batch would eval the buffer it
     // just built and never exercise restore+merge)
-    val staged = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_s07_${math.abs(dir.hashCode)}")
-    stageOnce("s07", dir) {
+    val staged = java.nio.file.Paths.get(PipelineQueries.staging("s07", dir))
+    stageOnce("s07", dir, Seq(staged.toString)) {
       val docs = Tables.documents(spark, dir)
       val median = docs.count() / 2
       def stageHalf(half: DataFrame, name: String): Unit = {
@@ -379,7 +364,7 @@ object StreamingQueries {
     // stripped from the data files, so the stream schema is unchanged)
     val clickDir = staged.resolve("clicks").toString
     val purchDir = staged.resolve("purchases").toString
-    stageOnce("s08", dir) {
+    stageOnce("s08", dir, Seq(staged.toString)) {
       val stageTmp = staged.resolve("_stage")
       ev.filter(col("event_type").isin("click", "purchase"))
         .withColumn("half", (col("event_id") % 2).cast("int"))
@@ -465,7 +450,7 @@ object StreamingQueries {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val staged = java.nio.file.Paths.get(PipelineQueries.staging("s09", dir))
-    stageOnce("s09", dir) {
+    stageOnce("s09", dir, Seq(staged.toString)) {
       java.nio.file.Files.createDirectories(staged)
       java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
         staged.resolve("events.parquet"),
@@ -518,7 +503,7 @@ object StreamingQueries {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val staged = java.nio.file.Paths.get(PipelineQueries.staging("s10", dir))
-    stageOnce("s10", dir) {
+    stageOnce("s10", dir, Seq(staged.toString)) {
       java.nio.file.Files.createDirectories(staged)
       val dataFile = staged.resolve("events.parquet")
       java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
@@ -584,8 +569,7 @@ object StreamingQueries {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val staged = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_s11_${math.abs(dir.hashCode)}")
+    val staged = java.nio.file.Paths.get(PipelineQueries.staging("s11", dir))
     java.nio.file.Files.createDirectories(staged)
     java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
       staged.resolve("events.parquet"),
@@ -634,13 +618,12 @@ object StreamingQueries {
   }
 
   private def s12Impl(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_s12_${math.abs(dir.hashCode)}")
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s12", dir))
     val staged = root.resolve("in")
     // input fixture staged once; the upsert STATE is per-run mutable
     // (merge is cumulative across batches) so it is deleted fresh —
     // deliberately outside stageOnce
-    stageOnce("s12in", dir) {
+    stageOnce("s12in", dir, Seq(staged.toString)) {
       Tables.events(spark, dir)
         .select(col("event_type"), col("value"))
         .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
