@@ -562,23 +562,71 @@ object AnalyticsQueries {
     pqExactRerank(spark, dir, shortlist)
   }
 
-  /** a12 — INCREMENTAL PQ index update (the FAISS `add` path, and the
-    * ANN analogue of p10/d13's corpus-index increments): codebooks are
-    * trained on the CORPUS half only (even vec_ids — the stand-in for
-    * "yesterday's data", d13's convention), and the increment (odd
-    * vec_ids) is ENCODED against those frozen codebooks — no
-    * retraining, no corpus re-encode. This is the production shape at
-    * 100 TB: train once on a corpus sample, then every daily increment
-    * pays only M argmin-over-K assignments per row before appending
-    * its one-byte codes to the a11 index tables; the alternative
-    * (retrain per increment) re-touches the whole corpus. Search runs
-    * the full a09 ADC + re-rank over corpus∪increment codes, so the
-    * oracle hash pins that increment rows are findable through
-    * corpus-trained codebooks. Quantization drift (codebooks slowly
-    * going stale as the distribution shifts) is the documented
-    * trade — FAISS re-trains offline on a schedule, same here. */
-  def a12PqIndexUpdate(spark: SparkSession, dir: String): DataFrame =
-    pqAdcSearch(spark, dir, buildPqIndex(spark, dir, trainCorpusOnly = true))
+  /** The a12 CORPUS index: the persisted artifact an increment appends
+    * to — codebooks trained on the corpus half only (even vec_ids —
+    * the stand-in for "yesterday's data", d13's convention), the
+    * corpus half's one-byte codes encoded against them, and meta(n)
+    * written LAST as the completeness marker (n = the FULL table count,
+    * so search sizes its shortlist without a rescan). Same
+    * content-fingerprint keying as [[stagePqIndex]]. */
+  private def stageA12Index(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/embeddings.parquet")
+    val stage = PipelineQueries.staging("a12pq", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val ix = buildPqIndex(spark, dir, trainCorpusOnly = true)
+      ix.corpus.filter(col("vec_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$stage/codes")
+      ix.cbs.zipWithIndex
+        .map { case (cb, m) => cb.withColumn("m", lit(m)) }
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$stage/codebooks")
+      Tables.embeddings(spark, dir).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the a12 corpus-index staging path (AnalyticsSpec pins
+    * that an update run leaves the stored corpus codes byte-identical
+    * and that the stored half covers even ids only). */
+  def a12CorpusIndexStage(spark: SparkSession, dir: String): String =
+    stageA12Index(spark, dir)
+
+  /** a12 — INCREMENTAL PQ index update, append-only (the FAISS `add`
+    * path, and the ANN analogue of p10/d13's corpus-index increments):
+    * the CORPUS half lives in a persisted index ([[stageA12Index]] —
+    * stored one-byte codes + frozen codebooks trained on the corpus
+    * only), and the increment (odd vec_ids) is ENCODED at update time
+    * against those frozen codebooks — [[pqEncodeAgainst]], M
+    * argmin-over-K assignments per increment row — then UNIONED with
+    * the stored corpus codes. No retraining, and the corpus is never
+    * re-encoded: the stored code rows are read, not recomputed
+    * (pinned byte-identical across updates in AnalyticsSpec; the plan
+    * contains no training checkpoints, pinned in PlanAuditSpec).
+    * That is the 100 TB cost model for real: a daily increment pays
+    * O(increment), not O(corpus). Search runs the full a09 ADC +
+    * re-rank over corpus∪increment codes, so the oracle hash pins
+    * that increment rows are findable through corpus-trained
+    * codebooks. Quantization drift (codebooks slowly going stale as
+    * the distribution shifts) is the documented trade — FAISS
+    * re-trains offline on a schedule, same here. */
+  def a12PqIndexUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageA12Index(spark, dir)
+    val corpusCodes = spark.read.parquet(s"$stage/codes")
+    val cbAll = spark.read.parquet(s"$stage/codebooks")
+    val n = spark.read.parquet(s"$stage/meta").head.getAs[Long]("n")
+    val emb = Tables.embeddings(spark, dir)
+    val incCodes = pqEncodeAgainst(
+      pqSubcodes(emb.filter(col("vec_id") % 2 === 1)), cbAll)
+    val codes = corpusCodes.unionByName(incCodes)
+    val qside = pqSubcodes(emb.filter(col("vec_id") < 20))
+      .withColumnRenamed("vec_id", "query_id")
+    pqAdcTail(spark, dir, codes, pqLutsFrom(qside, cbAll),
+      math.max(PqL.toLong, n / 20).toInt)
+  }
 
   /** The integer ADC distance algebra shared by every quantized query:
     * `10⁸·q·q + mm·mm − 2·10⁴·q·mm` ∝ ‖10⁴·q − mm‖². */
@@ -758,38 +806,13 @@ object AnalyticsQueries {
     * vs a01 trades against a09 by exactly the unprobed-cell mass;
     * pinned in AnalyticsSpec. */
   def a10IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
-    import graft.expressions.{QuantizeI8, TopKByScore}
-    // coarse quantizer = a08's corpus-scaled integer k-means, re-derived
-    // here in lockstep with the shared kmeansCtes oracle (init first-k,
-    // one integer-mean Lloyd step, argmin ties → lower cid)
+    // coarse quantizer = a08's corpus-scaled integer k-means
+    // ([[buildCoarseQuantizer]]): cell list per corpus vector
+    // (build-time full pass + one build-time join onto the code index
+    // below); probe list per query vector
     val k = scaledK(spark, dir)
-    val q = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), QuantizeI8(col("embedding")).as("q"))
-    val c0 = q.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), transform(col("q"), x => x * lit(10000)).as("mm"))
-    def assignTop(cent: DataFrame, n: Int): DataFrame =
-      q.join(broadcast(cent), lit(true))
-        .withColumn("d", pqDist(col("q"), col("mm")))
-        .groupBy(col("vec_id"))
-        .agg(TopKByScore((-col("d")).cast("long"), col("cid").cast("long"), n).as("top"))
-    def top1(assigned: DataFrame): DataFrame = assigned
-      .select(col("vec_id"), col("top").getItem(0).getField("id").as("cid"))
-    val c1 = top1(assignTop(c0, 1)).join(q, Seq("vec_id"))
-      .select(col("cid"), posexplode(col("q")))
-      .groupBy(col("cid"), col("pos"))
-      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-      .withColumn("m4", floor(lit(10000.0) * col("s") / col("n")).cast("long"))
-      .groupBy(col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m4")))),
-        x => x.getField("m4").cast("int")).as("mm"))
-      .localCheckpoint()
-    // cell list per corpus vector (build-time full pass + one build-time
-    // join onto the code index below); probe list per query vector
-    val cells = top1(assignTop(c1, 1)).withColumnRenamed("cid", "cell")
-    val probes = assignTop(c1, scaledProbes(k))
-      .filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), explode(col("top")).as("c"))
-      .select(col("query_id"), col("c").getField("id").as("cell"))
+    val (c1, cells) = buildCoarseQuantizer(spark, dir, k)
+    val probes = ivfProbes(spark, dir, c1, scaledProbes(k))
     val ix = buildPqIndex(spark, dir)
     // candidate set: only (corpus row, query) pairs whose cell the
     // query probes — the probe table is queries×P rows, broadcast
@@ -799,6 +822,7 @@ object AnalyticsQueries {
     (1 until PqM).foreach { m =>
       scored = scored.join(broadcast(ix.luts(m)), Seq(s"cid$m", "query_id"))
     }
+    import graft.expressions.TopKByScore
     val shortlist = scored.filter(col("query_id") =!= col("vec_id"))
       .withColumn("d", (0 until PqM).map(m => col(s"d$m")).reduce(_ + _))
       .groupBy(col("query_id"))
@@ -876,42 +900,148 @@ object AnalyticsQueries {
     * AnnStress sweeps this and pins the recall/latency trade; the
     * gated a11 fixes L = max(PqL, n/20) so the oracle hash pins it. */
   def pqSearchPrebuiltL(spark: SparkSession, dir: String, shortlistL: Int): DataFrame = {
-    import graft.expressions.{QuantizeI8, TopKByScore}
     val stage = stagePqIndex(spark, dir)
     val codes = spark.read.parquet(s"$stage/codes")
     val cbAll = spark.read.parquet(s"$stage/codebooks")
     // query side: subcodes for the INCOMING batch only (vec_id < 20 is
     // the demo batch; the filter pushes to the scan) — queries are not
     // part of the index
-    val qside = Tables.embeddings(spark, dir).filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id") +: (0 until PqM).map(m =>
-        QuantizeI8(slice(col("embedding"), lit(m * PqSubDim + 1), lit(PqSubDim)))
-          .as(s"q$m")): _*)
-    // per-subspace ADC lookup tables from the STORED codebooks:
-    // queries×K integer distances, broadcast
-    val luts = (0 until PqM).map { m =>
-      qside.select(col("query_id"), col(s"q$m").as("qq"))
-        .join(broadcast(cbAll.filter(col("m") === m).select(col("cid"), col("mm"))), lit(true))
-        .select(col("query_id"), col("cid").as(s"cid$m"),
-          pqDist(col("qq"), col("mm")).as(s"d$m"))
-    }
-    var scored = codes.join(broadcast(luts(0)), Seq("cid0"))
-    (1 until PqM).foreach { m =>
-      scored = scored.join(broadcast(luts(m)), Seq(s"cid$m", "query_id"))
-    }
-    val shortlist = scored.filter(col("query_id") =!= col("vec_id"))
-      .withColumn("d", (0 until PqM).map(m => col(s"d$m")).reduce(_ + _))
-      .groupBy(col("query_id"))
-      .agg(TopKByScore((-col("d")).cast("long"), col("vec_id"), shortlistL).as("top"))
-      .select(col("query_id"), explode(col("top")).as("c"))
-      .select(col("query_id"), col("c").getField("id").as("vec_id"))
-    pqExactRerank(spark, dir, shortlist)
+    val qside = pqSubcodes(Tables.embeddings(spark, dir).filter(col("vec_id") < 20))
+      .withColumnRenamed("vec_id", "query_id")
+    pqAdcTail(spark, dir, codes, pqLutsFrom(qside, cbAll), shortlistL)
   }
 
   /** AnnStress hook: rebuild the persisted PQ index unconditionally and
     * return its path — isolates build cost from search cost. */
   def rebuildPqIndexStage(spark: SparkSession, dir: String): String =
     stagePqIndex(spark, dir, force = true)
+
+  /** The a10/a13 coarse quantizer — a08's corpus-scaled integer
+    * k-means re-derived in lockstep with the shared kmeansCtes oracle
+    * (init first-k, one integer-mean Lloyd step, argmin ties → lower
+    * cid). Returns the centroid table `c1(cid, mm)` (checkpointed —
+    * both consumers iterate it) and the corpus cell assignment
+    * `cells(vec_id, cell)`. */
+  private def buildCoarseQuantizer(spark: SparkSession, dir: String,
+      k: Int): (DataFrame, DataFrame) = {
+    import graft.expressions.{QuantizeI8, TopKByScore}
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), QuantizeI8(col("embedding")).as("q"))
+    val c0 = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), transform(col("q"), x => x * lit(10000)).as("mm"))
+    def top1(cent: DataFrame): DataFrame =
+      q.join(broadcast(cent), lit(true))
+        .withColumn("d", pqDist(col("q"), col("mm")))
+        .groupBy(col("vec_id"))
+        .agg(TopKByScore((-col("d")).cast("long"), col("cid").cast("long"), 1).as("top"))
+        .select(col("vec_id"), col("top").getItem(0).getField("id").as("cid"))
+    val c1 = top1(c0).join(q, Seq("vec_id"))
+      .select(col("cid"), posexplode(col("q")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m4", floor(lit(10000.0) * col("s") / col("n")).cast("long"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m4")))),
+        x => x.getField("m4").cast("int")).as("mm"))
+      .localCheckpoint()
+    (c1, top1(c1).withColumnRenamed("cid", "cell"))
+  }
+
+  /** Top-P probe cells per query vector against a (stored or inline)
+    * coarse centroid table — the query-side half of IVF: queries×P
+    * rows, broadcastable onto any cell-keyed index. */
+  private def ivfProbes(spark: SparkSession, dir: String, coarse: DataFrame,
+      p: Int): DataFrame = {
+    import graft.expressions.{QuantizeI8, TopKByScore}
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id"), QuantizeI8(col("embedding")).as("q"))
+      .join(broadcast(coarse), lit(true))
+      .withColumn("d", pqDist(col("q"), col("mm")))
+      .groupBy(col("vec_id"))
+      .agg(TopKByScore((-col("d")).cast("long"), col("cid").cast("long"), p).as("top"))
+      .select(col("vec_id").as("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c").getField("id").as("cell"))
+  }
+
+  /** Persisted IVF-PQ index (a13), staged beside (and built FROM) the
+    * a11 PQ tables —
+    *   codes_cells(cell, vec_id, cid0..cidM-1)
+    *                     — the stored a11 code table joined onto its
+    *                       coarse cell assignment ONCE at build time:
+    *                       FAISS's inverted-list layout, so search
+    *                       needs zero corpus-side joins — probes hit
+    *                       the cell column directly
+    *   coarse(cid, mm)   — the k = ⌈√n⌉-clamped centroid table (tiny;
+    *                       search broadcasts it for probing)
+    *   meta(n, k)        — written LAST as the completeness marker, so
+    *                       search derives the shortlist size and probe
+    *                       count without rescanning the corpus
+    * The build consumes the persisted a11 codes (production shape:
+    * the IVF index is derived from the existing PQ artifact, the
+    * corpus is re-read only for the coarse k-means). Same
+    * content-fingerprint keying as [[stagePqIndex]]: an in-place
+    * corpus rewrite or a format-version bump keys a fresh stage. */
+  private def stageIvfIndex(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/embeddings.parquet")
+    val stage = PipelineQueries.staging("a13ivf", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val k = scaledK(spark, dir)
+      val (c1, cells) = buildCoarseQuantizer(spark, dir, k)
+      val codes = spark.read.parquet(s"${stagePqIndex(spark, dir)}/codes")
+      codes.join(cells, Seq("vec_id"))
+        .write.mode("overwrite").parquet(s"$stage/codes_cells")
+      c1.write.mode("overwrite").parquet(s"$stage/coarse")
+      Tables.embeddings(spark, dir).agg(count(lit(1)).as("n"))
+        .withColumn("k", lit(k))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** a13 — IVF-PQ search over PERSISTED artifacts only: the
+    * billion-scale serving shape (FAISS IVFPQ after `train`+`add`).
+    * a11 split build from search for the FLAT PQ scan; a13 completes
+    * the split for the composed index a10 demonstrates inline — search
+    * reads four stored tables (codebooks from the a11 stage; the
+    * cell-keyed inverted-list code table, coarse centroids, and meta
+    * from the a13 stage) and touches the float corpus only for the
+    * L-row re-rank. Per query batch the
+    * work is: probe assignment against the broadcast stored centroids
+    * (queries×k integer distances), ADC scoring of the probed cells'
+    * code rows (M adds each), exact re-rank of L rows. What never
+    * runs at search time: k-means, codebook training, corpus encoding,
+    * cell assignment — all one-time build cost amortized across every
+    * later batch ([[stageIvfIndex]]/[[stagePqIndex]]). Output is
+    * identical to a10 (same integer algebra over the same persisted
+    * artifacts the inline form derives), so a10's oracle hash-gates
+    * it; PlanAuditSpec pins the no-training property structurally. */
+  def a13IvfPqSearchPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val pqStage = stagePqIndex(spark, dir)
+    val ivfStage = stageIvfIndex(spark, dir)
+    val meta = spark.read.parquet(s"$ivfStage/meta").head
+    val n = meta.getAs[Long]("n")
+    val k = meta.getAs[Int]("k")
+    val codesCells = spark.read.parquet(s"$ivfStage/codes_cells")
+    val cbAll = spark.read.parquet(s"$pqStage/codebooks")
+    val coarse = spark.read.parquet(s"$ivfStage/coarse")
+    val probes = ivfProbes(spark, dir, coarse, scaledProbes(k))
+    val qside = pqSubcodes(Tables.embeddings(spark, dir).filter(col("vec_id") < 20))
+      .withColumnRenamed("vec_id", "query_id")
+    // candidate set: only (code row, query) pairs whose cell the query
+    // probes — probes broadcast onto the stored inverted-list layout;
+    // no corpus-side join exists at search time at all
+    val candidates = codesCells.join(broadcast(probes), Seq("cell"))
+    pqAdcTail(spark, dir, candidates, pqLutsFrom(qside, cbAll),
+      math.max(PqL.toLong, n / 20).toInt)
+  }
+
+  /** AnnStress hook: rebuild the persisted coarse-quantizer stage
+    * unconditionally — isolates IVF build cost from search cost. */
+  def rebuildIvfIndexStage(spark: SparkSession, dir: String): String =
+    stageIvfIndex(spark, dir, force = true)
 
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
@@ -1612,6 +1742,7 @@ object AnalyticsQueries {
     "a10_ivfpq_ann"     -> a10IvfPqAnn _,
     "a11_pq_search_prebuilt" -> a11PqSearchPrebuilt _,
     "a12_pq_index_update" -> a12PqIndexUpdate _,
+    "a13_ivfpq_search_prebuilt" -> a13IvfPqSearchPrebuilt _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
@@ -2291,6 +2422,11 @@ object AnalyticsQueries {
     "a12_pq_index_update" -> pqOracle(PqM, PqSubDim, PqK, PqL,
       trainWhere = "vec_id % 2 = 0", initCut = 2 * PqK),
     "a10_ivfpq_ann" -> ivfPqOracle(PqM, PqSubDim, PqK, IvfPqProbes, PqL),
+    // a13 searches the persisted IVF-PQ artifacts built by the same
+    // deterministic integer algebra a10 derives inline, so its answer —
+    // and oracle — is a10's: the hash gate proves stored-index search ≡
+    // inline build+search
+    "a13_ivfpq_search_prebuilt" -> ivfPqOracle(PqM, PqSubDim, PqK, IvfPqProbes, PqL),
     "d12_semdedup" ->
       s"""WITH $kmeansCtes,
          |e AS (SELECT vec_id, cluster, embedding, ${normSq("embedding")} AS nsq

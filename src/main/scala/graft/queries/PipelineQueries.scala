@@ -18,8 +18,10 @@ object PipelineQueries {
     * whenever any staged layout changes shape: dirs/markers/tables
     * written by older code then key differently and are never reused —
     * without this, a cross-JVM marker from an old commit would silently
-    * serve an old-layout fixture to new code. */
-  val StagingFormatVersion = 2
+    * serve an old-layout fixture to new code. (v3: the a13 stage's
+    * cells table became the denormalized codes_cells inverted-list
+    * layout — a live demonstration of why this constant exists.) */
+  val StagingFormatVersion = 3
 
   /** Full-width digest key for a staging identity. Replaces the old
     * 32-bit `String.hashCode`, which can collide two distinct dirs —

@@ -210,6 +210,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"a12 recall@5 collapsed to $recall")
   }
 
+  // a12 is APPEND-ONLY: an update run reads the persisted corpus codes
+  // and encodes only the increment — it must leave the stored corpus
+  // half byte-identical, and the stored half must cover exactly the
+  // even (corpus) ids. A drift here means an update recomputed (or
+  // worse, rewrote) corpus state it claims never to touch.
+  test("a12 update leaves the stored corpus codes byte-identical") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val stage = graft.queries.AnalyticsQueries.a12CorpusIndexStage(spark, dir)
+    def snapshot(): Seq[(Long, Long, Long, Long, Long)] =
+      spark.read.parquet(s"$stage/codes")
+        .select(col("vec_id"), col("cid0"), col("cid1"), col("cid2"), col("cid3"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val before = snapshot()
+    assert(before.nonEmpty && before.forall(_._1 % 2 == 0),
+      "stored corpus codes must cover exactly the even ids")
+    graft.queries.AnalyticsQueries.a12PqIndexUpdate(spark, dir).collect()
+    assert(snapshot() == before, "an update run changed the stored corpus codes")
+  }
+
+  // a13 searches the persisted IVF-PQ artifacts; the algebra is
+  // deterministic integers end to end, so the full ranked table must be
+  // row-identical to a10's inline build+search.
+  test("a13 prebuilt IVF-PQ search == a10 inline build+search, row for row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank"), col("neighbor_id"))
+        .as[(Long, Int, Long)].collect().toSeq
+    assert(rows(graft.queries.AnalyticsQueries.a13IvfPqSearchPrebuilt(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.a10IvfPqAnn(spark, dir)))
+  }
+
   // a10 probes 3 of 8 coarse cells, so its recall trades against a09's
   // by exactly the unprobed-cell mass. Measured: 0.78 at sf0.001, 0.81
   // at sf0.01 (vs a09's 0.82/0.86); bounds leave noise headroom.

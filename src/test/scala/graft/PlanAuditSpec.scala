@@ -184,6 +184,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
   }
 
+  test("a13: prebuilt IVF-PQ search — stored artifacts only, no training, no joins but broadcasts") {
+    val p = planOf(graft.queries.AnalyticsQueries.a13IvfPqSearchPrebuilt(spark, dir))
+    // the serving shape: probes + ADC LUTs + re-rank shortlist all
+    // broadcast onto stored tables. The inverted-list layout
+    // (codes_cells) was joined at BUILD time, so unlike a10 not even
+    // one sort-merge join is allowed anywhere in the search plan
+    assert(!p.contains("SortMergeJoin"), s"prebuilt IVF-PQ search sort-merged:\n$p")
+    assert(!p.contains("CartesianProduct"), s"prebuilt IVF-PQ search went cartesian:\n$p")
+    // training (k-means, codebooks, corpus encode) runs through eager
+    // localCheckpoints that surface as ExistingRDD scans — a search
+    // plan containing one has rebuilt an index instead of reading it
+    assert(!p.contains("ExistingRDD"), s"search plan contains build-time work:\n$p")
+    assert(p.contains("graft_a13ivf"), s"search must scan the persisted IVF stage:\n$p")
+    assert(p.contains("graft_a11pq"), s"search must scan the persisted PQ codebooks:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe/LUT joins:\n$p")
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+  }
+
+  test("a12: append-only update — stored corpus codes read, never retrained") {
+    val p = planOf(graft.queries.AnalyticsQueries.a12PqIndexUpdate(spark, dir))
+    // the increment encode (odd ids against frozen broadcast codebooks)
+    // is the only corpus-table work; codebook training and the corpus
+    // encode live in the persisted stage. Training's eager
+    // localCheckpoints surface as ExistingRDD — none may appear.
+    assert(!p.contains("ExistingRDD"), s"update plan contains training checkpoints:\n$p")
+    assert(p.contains("graft_a12pq"), s"update must read the persisted corpus index:\n$p")
+    assert(!p.contains("CartesianProduct"), s"update went cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"codes must stream past broadcast LUTs:\n$p")
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+  }
+
   test("a10: IVF-PQ search path is all-broadcast; only the build join may sort-merge") {
     val p = planOf(graft.queries.AnalyticsQueries.a10IvfPqAnn(spark, dir))
     assert(!p.contains("CartesianProduct"), s"IVF-PQ search went cartesian:\n$p")
