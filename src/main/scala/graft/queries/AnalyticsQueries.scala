@@ -991,7 +991,14 @@ object AnalyticsQueries {
       val k = scaledK(spark, dir)
       val (c1, cells) = buildCoarseQuantizer(spark, dir, k)
       val codes = spark.read.parquet(s"${stagePqIndex(spark, dir)}/codes")
+      // the filterable metadata attribute is DENORMALIZED into the
+      // stored code rows (the attribute-filtered-search layout real
+      // vector stores use): a14's predicate then prunes the index
+      // parquet scan itself instead of joining a corpus-sized
+      // attribute table at search time
       codes.join(cells, Seq("vec_id"))
+        .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+          Seq("vec_id"))
         .write.mode("overwrite").parquet(s"$stage/codes_cells")
       c1.write.mode("overwrite").parquet(s"$stage/coarse")
       Tables.embeddings(spark, dir).agg(count(lit(1)).as("n"))
@@ -1053,6 +1060,46 @@ object AnalyticsQueries {
     * unconditionally — isolates IVF build cost from search cost. */
   def rebuildIvfIndexStage(spark: SparkSession, dir: String): String =
     stageIvfIndex(spark, dir, force = true)
+
+  /** a14's metadata predicate: corpus labels below this survive. A
+    * plain comparison (not an expression) so the predicate reaches the
+    * parquet row-group stats of the STORED INDEX scan — PlanAuditSpec
+    * pins the pushdown. */
+  private val FilteredAnnLabelMax = 5
+
+  /** a14 — attribute-FILTERED ANN over the prebuilt IVF-PQ index: the
+    * filtered-vector-search serving shape ("nearest neighbors among
+    * documents WHERE <metadata predicate>"). The build denormalized the
+    * filterable attribute into the stored code rows
+    * ([[stageIvfIndex]]), so the predicate is evaluated as a pushed
+    * parquet filter ON THE INDEX SCAN itself — PRE-filtering, the shape
+    * that keeps recall under selective predicates (post-filtering a
+    * fixed top-k can return < k survivors), with zero search-time joins
+    * against any attribute table. Everything downstream of the filter
+    * is a13's search verbatim: broadcast probes onto the inverted-list
+    * layout, ADC scoring of surviving code rows, bounded-heap top-L,
+    * exact re-rank. At 100 TB the filter prunes row groups before
+    * decode (min/max stats on the attribute column), so a selective
+    * predicate makes search CHEAPER, not costlier — the failure mode
+    * this shape avoids is the join-then-filter plan that scores the
+    * whole corpus first. Queries are unfiltered; only corpus rows are
+    * constrained, mirroring "search the licensed subset" semantics. */
+  def a14FilteredAnnPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val pqStage = stagePqIndex(spark, dir)
+    val ivfStage = stageIvfIndex(spark, dir)
+    val meta = spark.read.parquet(s"$ivfStage/meta").head
+    val codesCells = spark.read.parquet(s"$ivfStage/codes_cells")
+      .filter(col("label") < FilteredAnnLabelMax)
+      .drop("label")
+    val cbAll = spark.read.parquet(s"$pqStage/codebooks")
+    val coarse = spark.read.parquet(s"$ivfStage/coarse")
+    val probes = ivfProbes(spark, dir, coarse, scaledProbes(meta.getAs[Int]("k")))
+    val qside = pqSubcodes(Tables.embeddings(spark, dir).filter(col("vec_id") < 20))
+      .withColumnRenamed("vec_id", "query_id")
+    val candidates = codesCells.join(broadcast(probes), Seq("cell"))
+    pqAdcTail(spark, dir, candidates, pqLutsFrom(qside, cbAll),
+      math.max(PqL.toLong, meta.getAs[Long]("n") / 20).toInt)
+  }
 
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
@@ -1764,6 +1811,7 @@ object AnalyticsQueries {
     "a11_pq_search_prebuilt" -> a11PqSearchPrebuilt _,
     "a12_pq_index_update" -> a12PqIndexUpdate _,
     "a13_ivfpq_search_prebuilt" -> a13IvfPqSearchPrebuilt _,
+    "a14_filtered_ann_prebuilt" -> a14FilteredAnnPrebuilt _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
@@ -1917,7 +1965,8 @@ object AnalyticsQueries {
     * probes), the a09 subspace chains supply codes and codebooks, and
     * candidate scoring is restricted to (corpus row, query) pairs
     * whose cell the query probes. Same ADC fold + re-rank as a09. */
-  private def ivfPqOracle(mCount: Int, subDim: Int, k: Int, p: Int, l: Int): String = {
+  private def ivfPqOracle(mCount: Int, subDim: Int, k: Int, p: Int, l: Int,
+      corpusWhere: String = "TRUE"): String = {
     val ms = 0 until mCount
     val ctes = ms.map(m => pqSubspaceCtes(m, subDim, k)).mkString(",\n")
     val corpusJoins = ms.tail.map(m =>
@@ -1925,6 +1974,11 @@ object AnalyticsQueries {
       .mkString("\n  ")
     val qsJoins = ms.tail.map(m => s"JOIN qq$m ON qq0.vec_id = qq$m.vec_id")
       .mkString("\n  ")
+    // a14's metadata filter: constrain corpus rows by their attribute
+    // (the oracle's analog of the pushed parquet filter on codes_cells)
+    val corpusFilter =
+      if (corpusWhere == "TRUE") ""
+      else s"\n  JOIN embeddings _fl ON aa0.vec_id = _fl.vec_id WHERE $corpusWhere"
     s"""WITH $kmeansCtes,
        |$ctes,
        |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
@@ -1937,7 +1991,7 @@ object AnalyticsQueries {
        |    ${ms.map(m => s"cc$m.mm AS mm$m").mkString(", ")}
        |  FROM aa0 JOIN cc0 ON aa0.cid = cc0.cid
        |  $corpusJoins
-       |  JOIN asg ON aa0.vec_id = asg.vec_id),
+       |  JOIN asg ON aa0.vec_id = asg.vec_id$corpusFilter),
        |qs AS (SELECT qq0.vec_id AS query_id, ${ms.map(m => s"qq$m.q AS query$m").mkString(", ")}
        |  FROM qq0 $qsJoins WHERE qq0.vec_id < 20),
        |pp AS (SELECT qs.query_id, corpus.vec_id AS neighbor_id,
@@ -2448,6 +2502,12 @@ object AnalyticsQueries {
     // and oracle — is a10's: the hash gate proves stored-index search ≡
     // inline build+search
     "a13_ivfpq_search_prebuilt" -> ivfPqOracle(PqM, PqSubDim, PqK, IvfPqProbes, PqL),
+    // a14: a13's search algebra over the corpus rows satisfying the
+    // metadata predicate — the filter applies BEFORE ADC shortlisting
+    // (pre-filtering), exactly where the pushed parquet filter sits in
+    // the Spark plan, so the hash pins the pre- vs post-filter choice.
+    "a14_filtered_ann_prebuilt" -> ivfPqOracle(PqM, PqSubDim, PqK, IvfPqProbes, PqL,
+      corpusWhere = "_fl.label < 5"),
     "d12_semdedup" ->
       s"""WITH $kmeansCtes,
          |e AS (SELECT vec_id, cluster, embedding, ${normSq("embedding")} AS nsq

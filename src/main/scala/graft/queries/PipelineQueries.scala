@@ -20,8 +20,10 @@ object PipelineQueries {
     * without this, a cross-JVM marker from an old commit would silently
     * serve an old-layout fixture to new code. (v3: the a13 stage's
     * cells table became the denormalized codes_cells inverted-list
-    * layout — a live demonstration of why this constant exists.) */
-  val StagingFormatVersion = 3
+    * layout — a live demonstration of why this constant exists.
+    * v4: codes_cells gained the filterable `label` attribute column
+    * for a14's metadata-filtered search.) */
+  val StagingFormatVersion = 4
 
   /** Full-width digest key for a staging identity. Replaces the old
     * 32-bit `String.hashCode`, which can collide two distinct dirs —

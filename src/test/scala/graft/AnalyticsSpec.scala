@@ -243,6 +243,43 @@ class AnalyticsSpec extends AnyFunSuite {
       rows(graft.queries.AnalyticsQueries.a10IvfPqAnn(spark, dir)))
   }
 
+  // a14 searches the same stored index under a metadata predicate.
+  // Two properties make filtered search correct: every returned
+  // neighbor satisfies the predicate (pre-filtering guarantees it
+  // structurally; post-filtering would not), and recall vs the
+  // float-exact ranking OVER THE FILTERED CORPUS holds — the filter
+  // must shrink the candidate space, not the answer quality.
+  test("a14 filtered search honors the predicate; filtered recall holds") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.AnalyticsQueries.a14FilteredAnnPrebuilt(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect()
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    assert(got.nonEmpty && got.forall(r => labels(r._2) < 5),
+      "a neighbor outside the metadata predicate surfaced")
+    // float-exact filtered ground truth (double math is fine for a
+    // recall bound; the hash gate pins exact fold order elsewhere)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    val corpus = vecs.filter(_._3 < 5)
+    val exact = vecs.filter(_._1 < 20).map { case (q, qe, _) =>
+      q -> corpus.filter(_._1 != q)
+        .map { case (id, ce, _) => (cos(qe, ce), id) }
+        .sortBy { case (s, id) => (-s, id) }.take(5).map(_._2).toSet
+    }.toMap
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq.map { q =>
+      (exact(q) & byQ.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+    }.sum / exact.size
+    assert(recall >= 0.6, s"a14 filtered recall@5 collapsed to $recall")
+  }
+
   // a10 probes 3 of 8 coarse cells, so its recall trades against a09's
   // by exactly the unprobed-cell mass. Measured: 0.78 at sf0.001, 0.81
   // at sf0.01 (vs a09's 0.82/0.86); bounds leave noise headroom.

@@ -202,6 +202,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
   }
 
+  test("a14: filtered search — predicate PUSHED to the stored index scan, no training") {
+    val p = planOf(graft.queries.AnalyticsQueries.a14FilteredAnnPrebuilt(spark, dir))
+    // the filtered-vector-search shape: the metadata predicate is a
+    // pushed parquet filter on the codes_cells scan (row-group min/max
+    // pruning at 100 TB), NOT a search-time join against an attribute
+    // table and NOT a post-filter on the top-k output
+    assert(p.contains("LessThan(label,5)"),
+      s"metadata predicate not pushed to the stored index scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"filtered search shuffled into a sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"filtered search went cartesian:\n$p")
+    assert(!p.contains("ExistingRDD"), s"search plan contains build-time work:\n$p")
+    assert(p.contains("graft_a13ivf"), s"search must scan the persisted IVF stage:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe/LUT joins:\n$p")
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+  }
+
   test("a12: append-only update — stored corpus codes read, never retrained") {
     val p = planOf(graft.queries.AnalyticsQueries.a12PqIndexUpdate(spark, dir))
     // the increment encode (odd ids against frozen broadcast codebooks)
