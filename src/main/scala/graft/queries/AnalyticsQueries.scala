@@ -499,7 +499,7 @@ object AnalyticsQueries {
     * DuckDB oracle so the two can never drift: M subspaces of subDim
     * dims each (M·subDim = the embedding dim), K centroids per
     * subspace — K^M = 65536 addressable cells. */
-  private val PqM = 4; private val PqSubDim = 16; private val PqK = 16
+  private[queries] val PqM = 4; private val PqSubDim = 16; private val PqK = 16
   /** ADC shortlist FLOOR per query before the exact re-rank. The
     * effective size scales with the corpus — `max(PqL, n/20)`, i.e.
     * at least 5% of corpus rows — because a fixed shortlist's recall
@@ -507,7 +507,7 @@ object AnalyticsQueries {
     * 0.86 → 0.46 at 10× with a hard L=100). Both engines compute the
     * same size: Spark from `count()`, the oracle from a
     * `GREATEST(L, (SELECT COUNT(*) ...) // 20)` scalar subquery. */
-  private val PqL = 100
+  private[queries] val PqL = 100
   private def pqShortlistSize(spark: SparkSession, dir: String): Int =
     math.max(PqL.toLong, Tables.embeddings(spark, dir).count() / 20).toInt
   /** a10: coarse cells probed per query (of the 8 k-means cells). */
@@ -645,7 +645,7 @@ object AnalyticsQueries {
   /** Per-subspace int8 subcodes `(vec_id, q0..qM-1)` of an embedding
     * frame — the quantization every PQ stage shares (training input,
     * corpus encoding, query-side LUT building). */
-  private def pqSubcodes(df: DataFrame): DataFrame = {
+  private[queries] def pqSubcodes(df: DataFrame): DataFrame = {
     import graft.expressions.QuantizeI8
     df.select(col("vec_id") +: (0 until PqM).map(m =>
       QuantizeI8(slice(col("embedding"), lit(m * PqSubDim + 1), lit(PqSubDim))).as(s"q$m")): _*)
@@ -659,7 +659,7 @@ object AnalyticsQueries {
     * (a12), and what the one-time corpus encode pays at build time
     * (a09/a11's stage). Two tiny-row exchanges instead of M
     * per-subspace joins stitched on vec_id. */
-  private def pqEncodeAgainst(sub: DataFrame, cbAll: DataFrame): DataFrame = {
+  private[queries] def pqEncodeAgainst(sub: DataFrame, cbAll: DataFrame): DataFrame = {
     import graft.expressions.TopKByScore
     val assigned = sub
       .select(col("vec_id"), posexplode(array((0 until PqM).map(m => col(s"q$m")): _*)))
@@ -677,7 +677,7 @@ object AnalyticsQueries {
     * table: queries×K integer distances per subspace, so scoring a
     * code row is M hash-lookups + M adds. `qside` must carry
     * `(query_id, q0..qM-1)`. */
-  private def pqLutsFrom(qside: DataFrame, cbAll: DataFrame): Seq[DataFrame] =
+  private[queries] def pqLutsFrom(qside: DataFrame, cbAll: DataFrame): Seq[DataFrame] =
     (0 until PqM).map { m =>
       qside.select(col("query_id"), col(s"q$m").as("qq"))
         .join(broadcast(cbAll.filter(col("m") === m).select(col("cid"), col("mm"))), lit(true))
@@ -689,7 +689,7 @@ object AnalyticsQueries {
     * (optionally pre-joined with a probe list that already carries
     * `query_id` — a13's IVF case), per-query top-L shortlist (bounded
     * heap, ties on vec_id), exact-cosine re-rank. */
-  private def pqAdcTail(spark: SparkSession, dir: String, codes: DataFrame,
+  private[queries] def pqAdcTail(spark: SparkSession, dir: String, codes: DataFrame,
       luts: Seq[DataFrame], shortlistL: Int): DataFrame = {
     import graft.expressions.TopKByScore
     val firstKeys =

@@ -722,7 +722,69 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** s14 — STREAMING ANN-index ingest: a12's append-only update run as
+    * a micro-batched stream, the shape of a vector store's continuous
+    * write path (new embeddings arrive → encode → append to the
+    * serving index; FAISS `add` per batch). The increment (odd
+    * vec_ids, d13's "today" convention) streams in four micro-batches
+    * (maxFilesPerTrigger=1); each batch encodes ITS OWN rows against
+    * the frozen corpus-trained codebooks ([[AnalyticsQueries
+    * .pqEncodeAgainst]] — M argmin assignments per row, the only
+    * per-batch cost) and writes the one-byte codes to a
+    * batch-id-keyed directory with overwrite semantics, so a
+    * checkpoint replay of a batch after a crash rewrites the same
+    * files instead of duplicating codes — idempotence by path, the
+    * same exactly-once argument as s12's ledger but cheaper (no read
+    * side). The persisted corpus index is never touched. The final
+    * search — stored corpus codes ∪ streamed increment codes through
+    * the a09 ADC + exact re-rank — is algebraically a12's, so the
+    * oracle hash pins that micro-batched ingest ≡ one-shot update:
+    * batch boundaries must not leak into the index contents. At
+    * 100 TB each batch's work is O(batch)×M with everything joined
+    * broadcast; the index grows by appended parquet files, no
+    * rewrite, no shuffle of existing codes. */
+  def s14StreamAnnIngest(spark: SparkSession, dir: String): DataFrame = {
+    val stage = AnalyticsQueries.a12CorpusIndexStage(spark, dir)
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s14", dir))
+    val staged = root.resolve("in")
+    stageOnce("s14in", dir, Seq(staged.toString)) {
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 2 === 1)
+        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    // per-run ingest target: mutable across batches, so outside stageOnce
+    val ingestDir = root.resolve("codes").toString
+    val hfs = new org.apache.hadoop.fs.Path(ingestDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(ingestDir), true) // fresh run
+    val cbAll = spark.read.parquet(s"$stage/codebooks")
+    val inSchema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          AnalyticsQueries.pqEncodeAgainst(AnalyticsQueries.pqSubcodes(batch), cbAll)
+            .write.mode("overwrite").parquet(s"$ingestDir/batch=$id")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    val corpusCodes = spark.read.parquet(s"$stage/codes")
+    val incCodes = spark.read.parquet(ingestDir)
+      .select(corpusCodes.columns.map(col).toIndexedSeq: _*) // drop the batch partition col
+    val n = spark.read.parquet(s"$stage/meta").head.getAs[Long]("n")
+    val emb = Tables.embeddings(spark, dir)
+    val qside = AnalyticsQueries.pqSubcodes(emb.filter(col("vec_id") < 20))
+      .withColumnRenamed("vec_id", "query_id")
+    AnalyticsQueries.pqAdcTail(spark, dir, corpusCodes.unionByName(incCodes),
+      AnalyticsQueries.pqLutsFrom(qside, cbAll),
+      math.max(AnalyticsQueries.PqL.toLong, n / 20).toInt)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_stream_ann_ingest" -> s14StreamAnnIngest _,
     "s13_transform_with_state" -> s13TransformWithState _,
     "s12_foreachbatch_upsert" -> s12ForeachBatchUpsert _,
     "s11_stream_static_join" -> s11StreamStaticJoin _,
@@ -739,6 +801,10 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // s14's search over corpus∪streamed-increment codes is
+    // algebraically a12's one-shot update: the SAME oracle hash pins
+    // that micro-batch boundaries leave no trace in the index
+    "s14_stream_ann_ingest" -> AnalyticsQueries.oracleSql("a12_pq_index_update"),
     // max_value is a raw stored double (no arithmetic), so the hash
     // compare is exact
     "s13_transform_with_state" ->

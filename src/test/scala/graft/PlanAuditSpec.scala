@@ -231,6 +231,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
   }
 
+  test("s14: post-ingest search reads stored corpus codes + streamed codes, never retrains") {
+    val p = planOf(graft.queries.StreamingQueries.s14StreamAnnIngest(spark, dir))
+    // same contract as a12's pin: the returned search must read the
+    // persisted corpus index and the streamed batch codes — training's
+    // eager localCheckpoints (ExistingRDD) may not appear
+    assert(!p.contains("ExistingRDD"), s"search plan contains training checkpoints:\n$p")
+    assert(p.contains("graft_a12pq"), s"search must read the persisted corpus index:\n$p")
+    assert(p.contains("graft_s14"), s"search must read the streamed ingest codes:\n$p")
+    assert(!p.contains("CartesianProduct"), s"search went cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"codes must stream past broadcast LUTs:\n$p")
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+  }
+
   test("a10: IVF-PQ search path is all-broadcast; only the build join may sort-merge") {
     val p = planOf(graft.queries.AnalyticsQueries.a10IvfPqAnn(spark, dir))
     assert(!p.contains("CartesianProduct"), s"IVF-PQ search went cartesian:\n$p")

@@ -521,6 +521,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(m.get("behindRows") == "0" && m.get("behindGroups") == "0",
       s"drained stream still reports backlog: $m")
   }
+
+  // s14 streams the increment into the index in four micro-batches;
+  // the one-shot a12 update is the ground truth. Equality pins that
+  // batch boundaries leave no trace in the index (same codes, same
+  // search answer); the coverage check pins exactly-once ingest (a
+  // duplicated or dropped batch would surface as a dup/missing id).
+  test("s14: streamed ANN ingest ≡ one-shot a12 update; increment ingested exactly once") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.s14StreamAnnIngest(spark, dir).collect().toSeq
+    val oneShot = graft.queries.AnalyticsQueries.a12PqIndexUpdate(spark, dir).collect().toSeq
+    assert(got == oneShot, "micro-batched ingest diverged from the one-shot update")
+    val codes = spark.read.parquet(
+      graft.queries.PipelineQueries.staging("s14", dir) + "/codes")
+    val ids = codes.select(col("vec_id")).as[Long].collect().sorted.toSeq
+    val odd = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 1).select(col("vec_id")).as[Long].collect().sorted.toSeq
+    assert(ids == odd, "ingested codes must cover the increment exactly once")
+    // four staged files → the ingest really was micro-batched
+    assert(codes.select(col("batch")).distinct().count() == 4,
+      "expected the increment to arrive over four micro-batches")
+  }
 }
 
 /** Tasks/writers run in executor threads (same JVM in local mode) with
