@@ -119,6 +119,43 @@ object AnnStress {
       println(f"[stress] a13 sweep probes=$p%3d/$k L=$l%6d: " +
         f"recall@5 ${recallOf(tops)}%.3f, $wall%.1f s")
     }
+    // a14: the SAME stored index under the metadata pre-filter
+    // (label < 5, ~50% selectivity). The pushed parquet filter prunes
+    // code rows BEFORE ADC scoring, so filtered search must come in
+    // at-or-under unfiltered a13 — the claim the denormalized
+    // pre-filter layout exists to make true. Recall is judged against
+    // the float-exact ranking OVER THE FILTERED CORPUS (queries stay
+    // unfiltered, matching the operator's semantics).
+    {
+      import graft.expressions.{DoubleSortKey, TopKByScore}
+      val eAll = spark.read.parquet(s"$stageDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"),
+          functions.Vectors.normSq(col("embedding")).as("nsq"), col("label"))
+      val fq = eAll.filter(col("vec_id") < 20).drop("label")
+        .toDF("query_id", "qe", "qn")
+      val fc = eAll.filter(col("label") < 5).drop("label")
+        .toDF("neighbor_id", "ce", "cn")
+      val survivors = fc.count()
+      println(f"[stress] a14 predicate keeps $survivors of $total vectors " +
+        f"(${100.0 * survivors / total}%4.1f%%)")
+      val fExact = topsOf(timed("a14 filtered exact ground truth")(
+        fc.join(broadcast(fq), col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim",
+            functions.Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn")))
+          .groupBy(col("query_id"))
+          .agg(TopKByScore(DoubleSortKey(col("sim")), col("neighbor_id"), 5).as("top"))
+          .select(col("query_id"), explode(col("top")).as("c"))
+          .select(col("query_id"), col("c").getField("id").as("neighbor_id"))))
+      def recallVs(truth: Map[Long, Set[Long]])(m: Map[Long, Set[Long]]): Double =
+        truth.keys.toSeq.map { q =>
+          (truth(q) & m.getOrElse(q, Set.empty)).size.toDouble / truth(q).size
+        }.sum / truth.size
+      val filt = topsOf(timed("a14 filtered prebuilt search (1st)")(
+        queries.AnalyticsQueries.a14FilteredAnnPrebuilt(spark, stageDir)))
+      timed("a14 filtered prebuilt search (2nd)")(
+        queries.AnalyticsQueries.a14FilteredAnnPrebuilt(spark, stageDir))
+      println(f"[stress] a14 filtered recall@5 = ${recallVs(fExact)(filt)}%.3f")
+    }
     spark.stop()
   }
 }
