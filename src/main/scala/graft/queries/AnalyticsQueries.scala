@@ -1101,6 +1101,76 @@ object AnalyticsQueries {
       math.max(PqL.toLong, meta.getAs[Long]("n") / 20).toInt)
   }
 
+  /** The a15 compaction stage: starts from the a12 CORPUS index, adds
+    * the accumulated increment deltas (odd ids encoded against the
+    * frozen codebooks, written as four small delta files — the state
+    * s14's streamed ingest leaves behind), then COMPACTS corpus+delta
+    * into one vec_id-range-partitioned code table of two files. Meta
+    * written last as the completeness marker; file counts before/after
+    * recorded in meta so the spec can pin the compaction actually
+    * shrank the file population. */
+  private def stageA15Compacted(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/embeddings.parquet")
+    val stage = PipelineQueries.staging("a15pq", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val a12 = stageA12Index(spark, dir)
+      val cbAll = spark.read.parquet(s"$a12/codebooks")
+      pqEncodeAgainst(
+        pqSubcodes(Tables.embeddings(spark, dir).filter(col("vec_id") % 2 === 1)), cbAll)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$stage/delta")
+      val corpusCodes = spark.read.parquet(s"$a12/codes")
+      val deltaCodes = spark.read.parquet(s"$stage/delta")
+      def dataFiles(p: String): Long = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+        var n = 0L
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+      val before = dataFiles(s"$a12/codes") + dataFiles(s"$stage/delta")
+      corpusCodes.unionByName(deltaCodes)
+        .repartitionByRange(2, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$stage/codes")
+      cbAll.write.mode("overwrite").parquet(s"$stage/codebooks")
+      Tables.embeddings(spark, dir).agg(count(lit(1)).as("n"))
+        .withColumn("files_before", lit(before))
+        .withColumn("files_after", lit(dataFiles(s"$stage/codes")))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the a15 compacted-index staging path. */
+  def a15CompactedStage(spark: SparkSession, dir: String): String =
+    stageA15Compacted(spark, dir)
+
+  /** a15 — ANN index COMPACTION, the lifecycle step after append-only
+    * updates (a12) and streamed ingest (s14): accumulated small delta
+    * files are merged with the stored corpus codes into one
+    * vec_id-range-partitioned, sorted code table, and search reads
+    * ONLY the compacted table — no union of corpus+delta scans, no
+    * re-encode, no retraining (codebooks are copied frozen). This is
+    * the Lucene segment-merge / FAISS merge_into economics: compaction
+    * costs one linear rewrite of code bytes (4 B/vector here), paid
+    * once, and buys every subsequent search fewer files, larger row
+    * groups, and a clustered sort order. The search result is
+    * hash-gated ≡ a12's (same codes, same algebra), pinning that
+    * compaction is a pure LAYOUT change — contents untouched. */
+  def a15CompactedSearch(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageA15Compacted(spark, dir)
+    val codes = spark.read.parquet(s"$stage/codes")
+    val cbAll = spark.read.parquet(s"$stage/codebooks")
+    val n = spark.read.parquet(s"$stage/meta").head.getAs[Long]("n")
+    val qside = pqSubcodes(Tables.embeddings(spark, dir).filter(col("vec_id") < 20))
+      .withColumnRenamed("vec_id", "query_id")
+    pqAdcTail(spark, dir, codes, pqLutsFrom(qside, cbAll),
+      math.max(PqL.toLong, n / 20).toInt)
+  }
+
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
     * dedup tractable at corpus scale. Pairwise cosine is computed only
@@ -1783,7 +1853,47 @@ object AnalyticsQueries {
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("lang"))
 
+  /** p16 — domain-mixture sampling (the DoReMi/Pile-style "hit a
+    * target token mixture" op): given a target mixture (uniform over
+    * the L languages here) and a global token budget (40% of the
+    * corpus), derive each domain's sampling rate and take a
+    * DETERMINISTIC hash-slice of its documents at that rate —
+    * p06's membership rule, per-domain rates. Over-represented
+    * domains are downsampled toward their budget share; domains under
+    * their share keep everything (rate clamps at 100%). All mixture
+    * arithmetic is integer basis points (DIV, no floats), so rates —
+    * and therefore exact membership — are engine-stable and the hash
+    * gate pins the whole pipeline, not just counts. Shape at 100 TB:
+    * one map-side-combined per-domain token count (shuffle = L rows),
+    * the tiny rate table broadcast back onto a second corpus scan,
+    * filter, final L-row agg — no corpus shuffle anywhere. */
+  def p16DomainMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TF.tokenCount(col("text")).as("toks"))
+    val perLang = docs.groupBy(col("lang")).agg(sum(col("toks")).as("lang_tokens"))
+    val tot = perLang.agg(sum(col("lang_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_langs"))
+    val rates = perLang.crossJoin(broadcast(tot))
+      .withColumn("budget_l", expr("(total_tokens * 4) DIV (10 * n_langs)"))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr("(budget_l * 10000) DIV lang_tokens")))
+      .select(col("lang"), col("lang_tokens"), col("rate_bp"))
+    val h = TF.polyHash(col("doc_id").cast("string"))
+    // polyHash of short digit strings never wraps mod P, so it is a
+    // LINEAR form in the digits and lands on a lattice mod 10⁴ (measured:
+    // ~60% kept at an 18% rate). Squaring mod P before the bucket is the
+    // cheapest nonlinearity both engines fold identically in int64
+    // (h² < 10¹⁸): realized per-domain rates land within binomial noise.
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(pmod((h * h + h) % lit(1000000007L), lit(10000)) < col("rate_bp"))
+      .groupBy(col("lang"), col("lang_tokens"), col("rate_bp"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("toks")).as("kept_tokens"))
+      .select(col("lang"), col("rate_bp"), col("kept_docs"), col("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_domain_mixture" -> p16DomainMixture _,
     "d01_exact_dedup"   -> d01ExactDedup _,
     "d02_ngram_jaccard" -> d02NgramJaccard _,
     "d03_minhash_lsh"   -> d03MinhashLsh _,
@@ -1812,6 +1922,7 @@ object AnalyticsQueries {
     "a12_pq_index_update" -> a12PqIndexUpdate _,
     "a13_ivfpq_search_prebuilt" -> a13IvfPqSearchPrebuilt _,
     "a14_filtered_ann_prebuilt" -> a14FilteredAnnPrebuilt _,
+    "a15_compacted_search" -> a15CompactedSearch _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
@@ -2496,6 +2607,10 @@ object AnalyticsQueries {
     // by frozen corpus codebooks, and the hash pins exactly that.
     "a12_pq_index_update" -> pqOracle(PqM, PqSubDim, PqK, PqL,
       trainWhere = "vec_id % 2 = 0", initCut = 2 * PqK),
+    // a15: same codes, same algebra as a12 — the hash pins compaction
+    // as a pure layout change (search over the MERGED table only)
+    "a15_compacted_search" -> pqOracle(PqM, PqSubDim, PqK, PqL,
+      trainWhere = "vec_id % 2 = 0", initCut = 2 * PqK),
     "a10_ivfpq_ann" -> ivfPqOracle(PqM, PqSubDim, PqK, IvfPqProbes, PqL),
     // a13 searches the persisted IVF-PQ artifacts built by the same
     // deterministic integer algebra a10 derives inline, so its answer —
@@ -2662,6 +2777,23 @@ object AnalyticsQueries {
          |FROM documents
          |WHERE ${polyHash("CAST(doc_id AS VARCHAR)")} % 10 = 0
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // p16's mixture arithmetic is all integer basis points (// = DuckDB
+    // integer division, mirroring Spark's DIV), so membership — not
+    // just counts — is pinned engine-exactly
+    "p16_domain_mixture" ->
+      s"""WITH tk AS (SELECT doc_id, lang, len(${words("text")}) AS toks,
+         |    ${polyHash("CAST(doc_id AS VARCHAR)")} AS ph FROM documents),
+         |pl AS (SELECT lang, SUM(toks) AS lang_tokens FROM tk GROUP BY lang),
+         |tot AS (SELECT SUM(lang_tokens) AS total_tokens, COUNT(*) AS n_langs FROM pl),
+         |rates AS (SELECT lang, lang_tokens,
+         |    LEAST(10000, (((total_tokens * 4) // (10 * n_langs)) * 10000) // lang_tokens)
+         |      AS rate_bp
+         |  FROM pl CROSS JOIN tot)
+         |SELECT r.lang, CAST(r.rate_bp AS BIGINT) AS rate_bp, COUNT(*) AS kept_docs,
+         |  CAST(SUM(tk.toks) AS BIGINT) AS kept_tokens
+         |FROM tk JOIN rates r ON tk.lang = r.lang
+         |WHERE ((tk.ph * tk.ph + tk.ph) % 1000000007) % 10000 < r.rate_bp
+         |GROUP BY r.lang, r.rate_bp ORDER BY r.lang""".stripMargin,
     // ranking by ascending hash == ranking by descending negated hash
     "p09_stratified_sample" ->
       s"""WITH h AS (SELECT lang, doc_id,

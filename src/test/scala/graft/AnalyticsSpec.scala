@@ -669,4 +669,47 @@ class AnalyticsSpec extends AnyFunSuite {
       .select(TF.langId(col("t"))).as[String].collect().toSeq
     assert(got == Seq("en", "de", "und"))
   }
+
+  // a15: compaction is a pure layout change — same answer as the
+  // pre-compaction index (a12), fewer files, full row coverage.
+  test("a15: compacted search ≡ a12; compaction shrank the file population") {
+    val dir = "/root/testdata/sf0.001"
+    val a15 = graft.queries.AnalyticsQueries.a15CompactedSearch(spark, dir).collect().toSeq
+    val a12 = graft.queries.AnalyticsQueries.a12PqIndexUpdate(spark, dir).collect().toSeq
+    assert(a15 == a12, "compaction changed the search answer")
+    val stage = graft.queries.AnalyticsQueries.a15CompactedStage(spark, dir)
+    val meta = spark.read.parquet(s"$stage/meta").head
+    assert(meta.getAs[Long]("files_after") < meta.getAs[Long]("files_before"),
+      s"compaction did not shrink files: ${meta}")
+    assert(spark.read.parquet(s"$stage/codes").count() == meta.getAs[Long]("n"),
+      "compacted table must cover corpus + increment exactly")
+  }
+
+  // p16's contract: rates clamp at 100% for domains under their budget
+  // share, downsample the over-represented ones, and realized kept
+  // token mass lands near rate_bp/10000 of the domain (hash slices are
+  // uniform, so a wide tolerance suffices — exact membership is the
+  // oracle hash's job, this pins the mixture SEMANTICS).
+  test("p16: over-budget domains downsampled, under-budget kept whole, rates realized") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val mix = graft.queries.AnalyticsQueries.p16DomainMixture(spark, dir)
+      .select(col("lang"), col("rate_bp"), col("kept_tokens")).collect()
+    val totals = graft.queries.AnalyticsQueries.t01TokenStats(spark, dir)
+      .select(col("lang"), col("total_tokens"))
+      .as[(String, Long)].collect().toMap
+    assert(mix.nonEmpty)
+    assert(mix.exists(_.getLong(1) < 10000), "no domain was downsampled")
+    mix.foreach { r =>
+      val (lang, bp, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val expected = totals(lang) * bp / 10000.0
+      assert(math.abs(kept - expected) <= 0.25 * expected + 50,
+        s"$lang: kept $kept vs expected ~$expected at rate $bp bp")
+    }
+    // global: the realized mixture lands within tolerance of the 40% budget
+    val keptTotal = mix.map(_.getLong(2)).sum.toDouble
+    val budget = totals.values.sum * 0.4
+    assert(keptTotal <= totals.values.sum, "kept more than the corpus")
+    assert(keptTotal < budget * 1.3, s"kept $keptTotal vs budget $budget")
+  }
 }

@@ -231,6 +231,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
   }
 
+  test("a15: compacted search scans the merged table only — no delta union, no training") {
+    val p = planOf(graft.queries.AnalyticsQueries.a15CompactedSearch(spark, dir))
+    assert(p.contains("graft_a15pq"), s"search must read the compacted stage:\n$p")
+    assert(!p.contains("graft_a12pq"), s"search still reads the pre-compaction index:\n$p")
+    assert(!p.contains("Union"), s"compacted search must be ONE code scan, not a union:\n$p")
+    assert(!p.contains("ExistingRDD"), s"search plan contains training checkpoints:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"codes must stream past broadcast LUTs:\n$p")
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+  }
+
+  test("p16: mixture rates broadcast back onto the corpus scan; no corpus shuffle join") {
+    val p = planOf(graft.queries.AnalyticsQueries.p16DomainMixture(spark, dir))
+    // the corpus is scanned twice (token totals, then membership) but
+    // never shuffled for a join: the L-row rate table broadcasts
+    assert(p.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled into a sort-merge join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"mixture derivation went cartesian:\n$p")
+    // both aggregations are two-phase (map-side partial)
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"expected partial+final aggregates on both passes:\n$p")
+  }
+
   test("s14: post-ingest search reads stored corpus codes + streamed codes, never retrains") {
     val p = planOf(graft.queries.StreamingQueries.s14StreamAnnIngest(spark, dir))
     // same contract as a12's pin: the returned search must read the
