@@ -1171,6 +1171,81 @@ object AnalyticsQueries {
       math.max(PqL.toLong, n / 20).toInt)
   }
 
+  /** The a16 delete stage: a tombstone id table (vec_id ≡ 3 mod 7 —
+    * the stand-in for "these documents were retracted") persisted
+    * beside the index, plus the PURGED code table a delete-applying
+    * compaction would produce (a15's compacted codes minus tombstoned
+    * rows, re-range-partitioned). Meta written last; live/deleted
+    * counts recorded so the spec can pin coverage. */
+  private def stageA16Deletes(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/embeddings.parquet")
+    val stage = PipelineQueries.staging("a16del", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val a15 = stageA15Compacted(spark, dir)
+      Tables.embeddings(spark, dir)
+        .filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/tombstones")
+      val tombs = spark.read.parquet(s"$stage/tombstones")
+      spark.read.parquet(s"$a15/codes")
+        .join(tombs, Seq("vec_id"), "left_anti")
+        .repartitionByRange(2, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$stage/purged")
+      Tables.embeddings(spark, dir).agg(count(lit(1)).as("n"))
+        .crossJoin(tombs.agg(count(lit(1)).as("n_tomb")))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the a16 delete-stage path (tombstones + purged table). */
+  def a16DeleteStage(spark: SparkSession, dir: String): String =
+    stageA16Deletes(spark, dir)
+
+  /** Test hook: the a16 search algebra over the PURGED code table (the
+    * post-compaction form — no anti-join in the plan). The spec pins it
+    * row-identical to [[a16TombstoneSearch]]. */
+  def a16PurgedSearch(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageA16Deletes(spark, dir)
+    val a15 = stageA15Compacted(spark, dir)
+    val cbAll = spark.read.parquet(s"$a15/codebooks")
+    val n = spark.read.parquet(s"$a15/meta").head.getAs[Long]("n")
+    val qside = pqSubcodes(Tables.embeddings(spark, dir).filter(col("vec_id") < 20))
+      .withColumnRenamed("vec_id", "query_id")
+    pqAdcTail(spark, dir, spark.read.parquet(s"$stage/purged"),
+      pqLutsFrom(qside, cbAll), math.max(PqL.toLong, n / 20).toInt)
+  }
+
+  /** a16 — tombstone DELETES on the stored ANN index, completing the
+    * lifecycle (build a11 → append a12 → stream-ingest s14 → compact
+    * a15 → delete a16): a retracted-document id list is persisted as a
+    * tombstone table beside the index, and search consults it as a
+    * broadcast anti-join on the code scan — deleted vectors can never
+    * be candidates, with NO rewrite of the stored codes at delete time.
+    * This is Lucene's live-docs bitmap / FAISS remove_ids economics:
+    * a delete costs one id-row append, search pays one broadcast
+    * Bloom-sized probe per code row, and the next compaction purges
+    * physically ([[a16PurgedSearch]] — pinned row-identical, so the
+    * soft-delete window is provably invisible to results). At 100 TB
+    * the tombstone set is ids-only (8 B/delete), always broadcastable;
+    * the full-corpus rewrite happens once per compaction cycle, not
+    * per delete. */
+  def a16TombstoneSearch(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageA16Deletes(spark, dir)
+    val a15 = stageA15Compacted(spark, dir)
+    val codes = spark.read.parquet(s"$a15/codes")
+      .join(broadcast(spark.read.parquet(s"$stage/tombstones")), Seq("vec_id"), "left_anti")
+    val cbAll = spark.read.parquet(s"$a15/codebooks")
+    val n = spark.read.parquet(s"$a15/meta").head.getAs[Long]("n")
+    val qside = pqSubcodes(Tables.embeddings(spark, dir).filter(col("vec_id") < 20))
+      .withColumnRenamed("vec_id", "query_id")
+    pqAdcTail(spark, dir, codes, pqLutsFrom(qside, cbAll),
+      math.max(PqL.toLong, n / 20).toInt)
+  }
+
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
     * dedup tractable at corpus scale. Pairwise cosine is computed only
@@ -1923,6 +1998,7 @@ object AnalyticsQueries {
     "a13_ivfpq_search_prebuilt" -> a13IvfPqSearchPrebuilt _,
     "a14_filtered_ann_prebuilt" -> a14FilteredAnnPrebuilt _,
     "a15_compacted_search" -> a15CompactedSearch _,
+    "a16_tombstone_search" -> a16TombstoneSearch _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
@@ -2039,7 +2115,8 @@ object AnalyticsQueries {
     * exact-cosine re-rank over the top-L shortlist reuses the a01
     * fold-order-exact cosine. */
   private def pqOracle(mCount: Int, subDim: Int, k: Int, l: Int,
-      trainWhere: String = "TRUE", initCut: Int = -1): String = {
+      trainWhere: String = "TRUE", initCut: Int = -1,
+      corpusWhere: String = "TRUE"): String = {
     val ms = 0 until mCount
     val ctes = ms.map(m => pqSubspaceCtes(m, subDim, k, trainWhere, initCut)).mkString(",\n")
     val corpusJoins = ms.tail.map(m =>
@@ -2047,10 +2124,13 @@ object AnalyticsQueries {
       .mkString("\n  ")
     val qsJoins = ms.tail.map(m => s"JOIN qq$m ON qq0.vec_id = qq$m.vec_id")
       .mkString("\n  ")
+    // a16's tombstones: corpus rows excluded from candidacy (the
+    // oracle analog of the broadcast anti-join on the delete set)
+    val corpusFilter = if (corpusWhere == "TRUE") "" else s"\n  WHERE $corpusWhere"
     s"""WITH $ctes,
        |corpus AS (SELECT aa0.vec_id, ${ms.map(m => s"cc$m.mm AS mm$m").mkString(", ")}
        |  FROM aa0 JOIN cc0 ON aa0.cid = cc0.cid
-       |  $corpusJoins),
+       |  $corpusJoins$corpusFilter),
        |qs AS (SELECT qq0.vec_id AS query_id, ${ms.map(m => s"qq$m.q AS query$m").mkString(", ")}
        |  FROM qq0 $qsJoins WHERE qq0.vec_id < 20),
        |p AS (SELECT qs.query_id, corpus.vec_id AS neighbor_id,
@@ -2611,6 +2691,12 @@ object AnalyticsQueries {
     // as a pure layout change (search over the MERGED table only)
     "a15_compacted_search" -> pqOracle(PqM, PqSubDim, PqK, PqL,
       trainWhere = "vec_id % 2 = 0", initCut = 2 * PqK),
+    // a16: a15's index with tombstoned rows (vec_id ≡ 3 mod 7) barred
+    // from candidacy — the hash pins that deletes are search-invisible
+    // EXACTLY (not merely down-weighted), while codes stay in place
+    "a16_tombstone_search" -> pqOracle(PqM, PqSubDim, PqK, PqL,
+      trainWhere = "vec_id % 2 = 0", initCut = 2 * PqK,
+      corpusWhere = "aa0.vec_id % 7 <> 3"),
     "a10_ivfpq_ann" -> ivfPqOracle(PqM, PqSubDim, PqK, IvfPqProbes, PqL),
     // a13 searches the persisted IVF-PQ artifacts built by the same
     // deterministic integer algebra a10 derives inline, so its answer —

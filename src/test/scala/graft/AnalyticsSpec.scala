@@ -685,6 +685,26 @@ class AnalyticsSpec extends AnyFunSuite {
       "compacted table must cover corpus + increment exactly")
   }
 
+  // a16: soft delete (tombstone anti-join) and hard delete (purged
+  // table) return the SAME answer; no tombstoned id ever surfaces as a
+  // neighbor; the purged table drops exactly the tombstoned code rows.
+  test("a16: tombstone search ≡ purged search; deletes are invisible to results") {
+    val dir = "/root/testdata/sf0.001"
+    val soft = graft.queries.AnalyticsQueries.a16TombstoneSearch(spark, dir).collect().toSeq
+    val hard = graft.queries.AnalyticsQueries.a16PurgedSearch(spark, dir).collect().toSeq
+    assert(soft == hard, "purging compaction changed the search answer")
+    assert(soft.nonEmpty)
+    soft.foreach { r =>
+      assert(r.getLong(2) % 7 != 3, s"tombstoned vector surfaced as neighbor: $r")
+    }
+    val stage = graft.queries.AnalyticsQueries.a16DeleteStage(spark, dir)
+    val meta = spark.read.parquet(s"$stage/meta").head
+    val purged = spark.read.parquet(s"$stage/purged").count()
+    assert(meta.getAs[Long]("n_tomb") > 0, "fixture produced no tombstones")
+    assert(purged == meta.getAs[Long]("n") - meta.getAs[Long]("n_tomb"),
+      s"purged table must drop exactly the tombstoned rows: $meta vs $purged")
+  }
+
   // p16's contract: rates clamp at 100% for domains under their budget
   // share, downsample the over-represented ones, and realized kept
   // token mass lands near rate_bp/10000 of the domain (hash slices are

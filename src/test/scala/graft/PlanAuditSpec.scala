@@ -241,6 +241,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
   }
 
+  test("a16: delete set broadcast-anti-joined onto the stored code scan; no rewrite, no training") {
+    val p = planOf(graft.queries.AnalyticsQueries.a16TombstoneSearch(spark, dir))
+    assert(p.contains("graft_a15pq"), s"search must read the compacted stage:\n$p")
+    assert(p.contains("graft_a16del"), s"search must consult the tombstone table:\n$p")
+    assert(p.contains("LeftAnti"), s"deletes must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"tombstones shuffled the code scan:\n$p")
+    assert(!p.contains("ExistingRDD"), s"search plan contains training checkpoints:\n$p")
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+  }
+
   test("p16: mixture rates broadcast back onto the corpus scan; no corpus shuffle join") {
     val p = planOf(graft.queries.AnalyticsQueries.p16DomainMixture(spark, dir))
     // the corpus is scanned twice (token totals, then membership) but
