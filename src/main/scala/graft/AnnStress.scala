@@ -156,6 +156,42 @@ object AnnStress {
         queries.AnalyticsQueries.a14FilteredAnnPrebuilt(spark, stageDir))
       println(f"[stress] a14 filtered recall@5 = ${recallVs(fExact)(filt)}%.3f")
     }
+    // the lifecycle tail (a15 compaction, a16 deletes): one-time
+    // compaction cost, then what a search pays (a) over the compacted
+    // table, (b) with the tombstone anti-join live (soft delete), and
+    // (c) over the purged table (post-compaction hard delete). The
+    // interesting number is b minus c — the standing rent of an
+    // unpurged delete set on every search.
+    {
+      val tc = System.nanoTime()
+      queries.AnalyticsQueries.a15CompactedStage(spark, stageDir)
+      println(f"[stress] a15 compaction took ${(System.nanoTime() - tc) / 1e9}%.1f s (one-time)")
+      val compacted = topsOf(timed("a15 compacted search (1st)")(
+        queries.AnalyticsQueries.a15CompactedSearch(spark, stageDir)))
+      timed("a15 compacted search (2nd)")(
+        queries.AnalyticsQueries.a15CompactedSearch(spark, stageDir))
+      println(f"[stress] a15 recall@5 = ${recallOf(compacted)}%.3f")
+      val td = System.nanoTime()
+      queries.AnalyticsQueries.a16DeleteStage(spark, stageDir)
+      println(f"[stress] a16 delete stage took ${(System.nanoTime() - td) / 1e9}%.1f s (one-time)")
+      // ground truth over the LIVE corpus: tombstoned ids can't be
+      // neighbors (queries stay unfiltered, matching the operator)
+      val liveExact = exact.map { case (q, ns) => q -> ns.filter(_ % 7 != 3) }
+      def liveRecall(m: Map[Long, Set[Long]]): Double =
+        liveExact.collect { case (q, ns) if ns.nonEmpty =>
+          (ns & m.getOrElse(q, Set.empty).filter(_ % 7 != 3)).size.toDouble / ns.size
+        }.sum / liveExact.count(_._2.nonEmpty)
+      val soft = topsOf(timed("a16 soft-delete search (1st)")(
+        queries.AnalyticsQueries.a16TombstoneSearch(spark, stageDir)))
+      timed("a16 soft-delete search (2nd)")(
+        queries.AnalyticsQueries.a16TombstoneSearch(spark, stageDir))
+      val hard = topsOf(timed("a16 purged search (1st)")(
+        queries.AnalyticsQueries.a16PurgedSearch(spark, stageDir)))
+      timed("a16 purged search (2nd)")(
+        queries.AnalyticsQueries.a16PurgedSearch(spark, stageDir))
+      println(f"[stress] a16 soft live-recall@5 = ${liveRecall(soft)}%.3f, " +
+        f"purged live-recall@5 = ${liveRecall(hard)}%.3f")
+    }
     spark.stop()
   }
 }

@@ -783,7 +783,62 @@ object StreamingQueries {
       math.max(AnalyticsQueries.PqL.toLong, n / 20).toInt)
   }
 
+  /** s15 — streaming DELETES against the stored ANN index (the
+    * retraction feed: a GDPR/takedown id stream, the delete half of
+    * s14's ingest): tombstone ids arrive over four micro-batches, each
+    * appended to the persisted tombstone set as a batch-id-keyed file
+    * (idempotent overwrite per batch — checkpoint replay rewrites the
+    * same file, so at-least-once delivery yields an exactly-once
+    * delete set), and the post-stream search bars the accumulated set
+    * from the a15 compacted index via a16's broadcast anti-join. The
+    * oracle hash is a16's: however the deletes arrived — one shot or
+    * streamed, whatever the batch boundaries — the search must be
+    * EXACTLY the same, and no code row is rewritten at delete time.
+    * At 100 TB the delete stream is ids-only (8 B/row); each batch's
+    * work is one tiny file append, and the standing cost is the
+    * broadcast anti-join probe a16 already prices. */
+  def s15StreamDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val a15 = AnalyticsQueries.a15CompactedStage(spark, dir)
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s15", dir))
+    val staged = root.resolve("in")
+    stageOnce("s15in", dir, Seq(staged.toString)) {
+      Tables.embeddings(spark, dir).filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id"))
+        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    // per-run tombstone target: mutable across batches, so outside stageOnce
+    val tombDir = root.resolve("tombstones").toString
+    val hfs = new org.apache.hadoop.fs.Path(tombDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(tombDir), true) // fresh run
+    val inSchema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$tombDir/batch=$id")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    val codes = spark.read.parquet(s"$a15/codes")
+      .join(broadcast(spark.read.parquet(tombDir).select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
+    val cbAll = spark.read.parquet(s"$a15/codebooks")
+    val n = spark.read.parquet(s"$a15/meta").head.getAs[Long]("n")
+    val qside = AnalyticsQueries.pqSubcodes(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 20))
+      .withColumnRenamed("vec_id", "query_id")
+    AnalyticsQueries.pqAdcTail(spark, dir, codes,
+      AnalyticsQueries.pqLutsFrom(qside, cbAll),
+      math.max(AnalyticsQueries.PqL.toLong, n / 20).toInt)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_stream_deletes" -> s15StreamDeletes _,
     "s14_stream_ann_ingest" -> s14StreamAnnIngest _,
     "s13_transform_with_state" -> s13TransformWithState _,
     "s12_foreachbatch_upsert" -> s12ForeachBatchUpsert _,
@@ -805,6 +860,10 @@ object StreamingQueries {
     // algebraically a12's one-shot update: the SAME oracle hash pins
     // that micro-batch boundaries leave no trace in the index
     "s14_stream_ann_ingest" -> AnalyticsQueries.oracleSql("a12_pq_index_update"),
+    // s15's post-stream search is algebraically a16's soft-delete
+    // search: the SAME oracle hash pins that delete batch boundaries
+    // leave no trace in what search can see
+    "s15_stream_deletes" -> AnalyticsQueries.oracleSql("a16_tombstone_search"),
     // max_value is a raw stored double (no arithmetic), so the hash
     // compare is exact
     "s13_transform_with_state" ->

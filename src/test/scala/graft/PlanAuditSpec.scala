@@ -276,6 +276,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
   }
 
+  test("s15: post-stream search anti-joins streamed tombstones onto stored codes, never retrains") {
+    val p = planOf(graft.queries.StreamingQueries.s15StreamDeletes(spark, dir))
+    assert(p.contains("graft_a15pq"), s"search must read the compacted stage:\n$p")
+    assert(p.contains("graft_s15"), s"search must consult the streamed tombstones:\n$p")
+    assert(p.contains("LeftAnti"), s"deletes must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"tombstones shuffled the code scan:\n$p")
+    assert(!p.contains("ExistingRDD"), s"search plan contains training checkpoints:\n$p")
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+  }
+
   test("a10: IVF-PQ search path is all-broadcast; only the build join may sort-merge") {
     val p = planOf(graft.queries.AnalyticsQueries.a10IvfPqAnn(spark, dir))
     assert(!p.contains("CartesianProduct"), s"IVF-PQ search went cartesian:\n$p")

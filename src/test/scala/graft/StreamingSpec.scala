@@ -543,6 +543,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(codes.select(col("batch")).distinct().count() == 4,
       "expected the increment to arrive over four micro-batches")
   }
+
+  // s15 streams the delete set in four micro-batches; the one-shot
+  // a16 soft-delete search is the ground truth. Equality pins that
+  // delete batch boundaries leave no trace in what search sees; the
+  // coverage check pins an exactly-once delete set (a dropped batch
+  // would leave deleted ids findable).
+  test("s15: streamed deletes ≡ one-shot a16 search; delete set applied exactly once") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.s15StreamDeletes(spark, dir).collect().toSeq
+    val oneShot = graft.queries.AnalyticsQueries.a16TombstoneSearch(spark, dir).collect().toSeq
+    assert(got == oneShot, "streamed deletes diverged from the one-shot soft-delete search")
+    val tombs = spark.read.parquet(
+      graft.queries.PipelineQueries.staging("s15", dir) + "/tombstones")
+    val ids = tombs.select(col("vec_id")).as[Long].collect().sorted.toSeq
+    val expected = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 7 === 3).select(col("vec_id")).as[Long].collect().sorted.toSeq
+    assert(ids == expected, "streamed tombstones must cover the delete set exactly once")
+    assert(tombs.select(col("batch")).distinct().count() == 4,
+      "expected the delete set to arrive over four micro-batches")
+  }
 }
 
 /** Tasks/writers run in executor threads (same JVM in local mode) with
