@@ -1967,8 +1967,88 @@ object AnalyticsQueries {
       .orderBy(col("lang"))
   }
 
+  /** p17 — temperature-flattened domain mixture (the mT5/XLM-R
+    * α-sampling scheme, α = 1/2): where p16 targets the UNIFORM
+    * mixture (α = 0, every domain the same budget share), p17 targets
+    * share ∝ (natural share)^α — rare domains are boosted relative to
+    * their natural share but big domains still dominate, the standard
+    * compromise for multilingual training mixes. Flattened weight
+    * w = ⌊√lang_tokens⌋: IEEE sqrt is correctly rounded and
+    * lang_tokens ≪ 2⁵², so the floor is engine-identical and the
+    * whole rate derivation stays in exact integer arithmetic —
+    * membership hash-gates, same as p16. Same 100 TB shape: L-row
+    * aggregates, broadcast rate table, no corpus shuffle. */
+  def p17TemperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TF.tokenCount(col("text")).as("toks"))
+    val perLang = docs.groupBy(col("lang")).agg(sum(col("toks")).as("lang_tokens"))
+      .withColumn("w", expr("CAST(FLOOR(SQRT(CAST(lang_tokens AS DOUBLE))) AS BIGINT)"))
+    val tot = perLang.agg(sum(col("lang_tokens")).as("total_tokens"), sum(col("w")).as("sw"))
+    val rates = perLang.crossJoin(broadcast(tot))
+      .withColumn("budget_l", expr("(total_tokens * 4 * w) DIV (10 * sw)"))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr("(budget_l * 10000) DIV lang_tokens")))
+      .select(col("lang"), col("rate_bp"))
+    val h = TF.polyHash(col("doc_id").cast("string"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(pmod((h * h + h) % lit(1000000007L), lit(10000)) < col("rate_bp"))
+      .groupBy(col("lang"), col("rate_bp"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("toks")).as("kept_tokens"))
+      .select(col("lang"), col("rate_bp"), col("kept_docs"), col("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** p18 — deterministic shuffled sharding (the "global shuffle"
+    * every training export needs): each document's shard and its
+    * position within the shard derive from the square-mixed hash of
+    * its id — a pseudorandom permutation that is REPRODUCIBLE
+    * (re-running the export yields byte-identical shards, and two
+    * engines agree on it exactly — the checksum below hash-gates the
+    * full permutation, not just shard counts). Physically: one
+    * shuffle to co-locate each shard, files sorted by (h2, doc_id)
+    * within it (the written order is pinned by a spec reading files
+    * back unsorted). The per-shard ordered FOLD checksum
+    * (h = 31·h + doc_id mod P over ids in permutation order) is
+    * order-sensitive, so a single transposition anywhere breaks the
+    * gate. At 100 TB: one hash-range shuffle, shard count scales
+    * freely, and balance is whatever the hash gives — measured, not
+    * assumed (the spec bounds shard skew). */
+  def p18ShuffledShards(spark: SparkSession, dir: String): DataFrame = {
+    val stage = PipelineQueries.staging("p18", dir)
+    // salt the id into a ≥11-char string BEFORE hashing: the polyhash
+    // fold then wraps mod P many times, scrambling the low bits the
+    // square mix needs (h²+h of an UNWRAPPED short-string hash is
+    // always even — bare ids left every odd shard empty)
+    val h = TF.polyHash(concat(lit("p18:"), col("doc_id").cast("string"), lit(":shard")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TF.tokenCount(col("text")).as("toks"))
+      .withColumn("h2", (h * h + h) % lit(1000000007L))
+      .withColumn("shard", pmod(col("h2"), lit(8)))
+      // hash-partition ON the shard key: a shard never spans two
+      // tasks, so each shard dir is ONE file holding its rows in
+      // (h2, doc_id) order — the property the read-back spec pins
+      .repartition(8, col("shard"))
+      .sortWithinPartitions(col("shard"), col("h2"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$stage/shards")
+    spark.read.parquet(s"$stage/shards")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        min(col("h2")).as("h2_min"), max(col("h2")).as("h2_max"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("h2"), col("doc_id")))),
+            x => x.getField("doc_id")),
+          lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(1000000007L)).as("checksum"))
+      .orderBy(col("shard"))
+  }
+
+  /** Test hook: the p18 shard layout root. */
+  def p18ShardStage(spark: SparkSession, dir: String): String =
+    PipelineQueries.staging("p18", dir) + "/shards"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_domain_mixture" -> p16DomainMixture _,
+    "p17_temperature_mixture" -> p17TemperatureMixture _,
+    "p18_shuffled_shards" -> p18ShuffledShards _,
     "d01_exact_dedup"   -> d01ExactDedup _,
     "d02_ngram_jaccard" -> d02NgramJaccard _,
     "d03_minhash_lsh"   -> d03MinhashLsh _,
@@ -2880,6 +2960,39 @@ object AnalyticsQueries {
          |FROM tk JOIN rates r ON tk.lang = r.lang
          |WHERE ((tk.ph * tk.ph + tk.ph) % 1000000007) % 10000 < r.rate_bp
          |GROUP BY r.lang, r.rate_bp ORDER BY r.lang""".stripMargin,
+    // p17: α=1/2 flattening via ⌊√lang_tokens⌋ — IEEE sqrt is
+    // correctly rounded, so the floor (and hence every rate and every
+    // membership decision) is engine-identical
+    "p17_temperature_mixture" ->
+      s"""WITH tk AS (SELECT doc_id, lang, len(${words("text")}) AS toks,
+         |    ${polyHash("CAST(doc_id AS VARCHAR)")} AS ph FROM documents),
+         |pl AS (SELECT lang, SUM(toks) AS lang_tokens FROM tk GROUP BY lang),
+         |plw AS (SELECT lang, lang_tokens,
+         |    CAST(FLOOR(SQRT(CAST(lang_tokens AS DOUBLE))) AS BIGINT) AS w FROM pl),
+         |tot AS (SELECT SUM(lang_tokens) AS total_tokens, SUM(w) AS sw FROM plw),
+         |rates AS (SELECT lang, lang_tokens,
+         |    LEAST(10000, (((total_tokens * 4 * w) // (10 * sw)) * 10000) // lang_tokens)
+         |      AS rate_bp
+         |  FROM plw CROSS JOIN tot)
+         |SELECT r.lang, CAST(r.rate_bp AS BIGINT) AS rate_bp, COUNT(*) AS kept_docs,
+         |  CAST(SUM(tk.toks) AS BIGINT) AS kept_tokens
+         |FROM tk JOIN rates r ON tk.lang = r.lang
+         |WHERE ((tk.ph * tk.ph + tk.ph) % 1000000007) % 10000 < r.rate_bp
+         |GROUP BY r.lang, r.rate_bp ORDER BY r.lang""".stripMargin,
+    // p18: the ordered fold checksum (31·acc + doc_id mod P over ids
+    // in (h2, doc_id) order) pins the full permutation — membership,
+    // shard assignment, AND order — not just counts
+    "p18_shuffled_shards" ->
+      s"""WITH tk AS (SELECT doc_id, lang, len(${words("text")}) AS toks,
+         |    ${polyHash("'p18:' || CAST(doc_id AS VARCHAR) || ':shard'")} AS ph FROM documents),
+         |s AS (SELECT doc_id, toks, ((ph * ph + ph) % 1000000007) AS h2 FROM tk)
+         |SELECT h2 % 8 AS shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |  MIN(h2) AS h2_min, MAX(h2) AS h2_max,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list(doc_id ORDER BY h2, doc_id)),
+         |    (_ca, _cb) -> (_ca * 31 + _cb) % 1000000007) AS checksum
+         |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
     // ranking by ascending hash == ranking by descending negated hash
     "p09_stratified_sample" ->
       s"""WITH h AS (SELECT lang, doc_id,

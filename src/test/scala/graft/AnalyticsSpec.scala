@@ -705,6 +705,51 @@ class AnalyticsSpec extends AnyFunSuite {
       s"purged table must drop exactly the tombstoned rows: $meta vs $purged")
   }
 
+  // p17's contract vs p16: α=1/2 sits BETWEEN natural sampling and
+  // p16's uniform target — big domains keep a higher rate than under
+  // uniform (they get more than an equal share), small domains keep a
+  // higher rate than their natural share would give (boosted), and
+  // rates still clamp at 100%.
+  test("p17: temperature flattening sits between natural and uniform mixtures") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val t = graft.queries.AnalyticsQueries.p17TemperatureMixture(spark, dir)
+      .select(col("lang"), col("rate_bp")).as[(String, Long)].collect().toMap
+    val u = graft.queries.AnalyticsQueries.p16DomainMixture(spark, dir)
+      .select(col("lang"), col("rate_bp")).as[(String, Long)].collect().toMap
+    assert(t.keySet == u.keySet)
+    assert(t.exists(_._2 < 10000), "no domain was downsampled under temperature flattening")
+    // en is the over-represented domain in this corpus: uniform
+    // downsamples it hardest; α=1/2 must sit strictly above that rate
+    // and at or below the biggest boosted-small-domain rate
+    val big = u.minBy(_._2)._1
+    assert(t(big) > u(big),
+      s"flattened rate for the big domain must exceed uniform's: $t vs $u")
+  }
+
+  // p18: the written layout really is shuffled shards — each shard dir
+  // holds its rows in (h2, doc_id) order as written (read back without
+  // sorting), shards are hash-balanced, and every doc lands in exactly
+  // one shard.
+  test("p18: shard files sorted by mixed hash as written; shards balanced and complete") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    graft.queries.AnalyticsQueries.p18ShuffledShards(spark, dir).collect()
+    val root = graft.queries.AnalyticsQueries.p18ShardStage(spark, dir)
+    val sizes = (0 until 8).map { s =>
+      val rows = spark.read.parquet(s"$root/shard=$s")
+        .select(col("h2"), col("doc_id")).as[(Long, Long)].collect().toSeq
+      assert(rows == rows.sortBy(identity),
+        s"shard $s not written in (h2, doc_id) order")
+      rows.foreach { case (h2, _) => assert(h2 % 8 == s, s"row in wrong shard $s") }
+      rows.size
+    }
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(sizes.sum == total, "sharding lost or duplicated documents")
+    assert(sizes.max < 2.5 * sizes.min,
+      s"hash balance out of bounds: $sizes")
+  }
+
   // p16's contract: rates clamp at 100% for domains under their budget
   // share, downsample the over-represented ones, and realized kept
   // token mass lands near rate_bp/10000 of the domain (hash slices are
