@@ -2015,23 +2015,38 @@ object AnalyticsQueries {
     * assumed (the spec bounds shard skew). */
   def p18ShuffledShards(spark: SparkSession, dir: String): DataFrame = {
     val stage = PipelineQueries.staging("p18", dir)
-    // salt the id into a ≥11-char string BEFORE hashing: the polyhash
-    // fold then wraps mod P many times, scrambling the low bits the
-    // square mix needs (h²+h of an UNWRAPPED short-string hash is
-    // always even — bare ids left every odd shard empty)
+    // the salt in [[shardFrame]] matters: the polyhash fold must wrap
+    // mod P many times to scramble the low bits the square mix needs
+    // (h²+h of an UNWRAPPED short-string hash is always even — bare
+    // ids left every odd shard empty).
+    // hash-partition ON the shard key: a shard never spans two tasks,
+    // so each shard dir is ONE file holding its rows in (h2, doc_id)
+    // order — the property the read-back spec pins
+    shardFrame(spark, dir)
+      .repartition(8, col("shard"))
+      .sortWithinPartitions(col("shard"), col("h2"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$stage/shards")
+    shardStats(spark.read.parquet(s"$stage/shards"))
+  }
+
+  /** Test hook: the p18 shard layout root. */
+  def p18ShardStage(spark: SparkSession, dir: String): String =
+    PipelineQueries.staging("p18", dir) + "/shards"
+
+  /** The shared p18/p19 shard frame: every document with its salted
+    * square-mixed hash `h2` and `shard = h2 mod 8`. */
+  private def shardFrame(spark: SparkSession, dir: String): DataFrame = {
     val h = TF.polyHash(concat(lit("p18:"), col("doc_id").cast("string"), lit(":shard")))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), TF.tokenCount(col("text")).as("toks"))
       .withColumn("h2", (h * h + h) % lit(1000000007L))
       .withColumn("shard", pmod(col("h2"), lit(8)))
-      // hash-partition ON the shard key: a shard never spans two
-      // tasks, so each shard dir is ONE file holding its rows in
-      // (h2, doc_id) order — the property the read-back spec pins
-      .repartition(8, col("shard"))
-      .sortWithinPartitions(col("shard"), col("h2"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$stage/shards")
-    spark.read.parquet(s"$stage/shards")
-      .groupBy(col("shard").cast("long").as("shard"))
+  }
+
+  /** The per-shard stats + ordered fold checksum both p18 and p19
+    * report — the permutation-pinning read side. */
+  private def shardStats(df: DataFrame): DataFrame =
+    df.groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
         min(col("h2")).as("h2_min"), max(col("h2")).as("h2_max"),
         aggregate(
@@ -2039,16 +2054,48 @@ object AnalyticsQueries {
             x => x.getField("doc_id")),
           lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(1000000007L)).as("checksum"))
       .orderBy(col("shard"))
-  }
 
-  /** Test hook: the p18 shard layout root. */
-  def p18ShardStage(spark: SparkSession, dir: String): String =
-    PipelineQueries.staging("p18", dir) + "/shards"
+  /** Test hook: the p19 layout root (base/delta/compacted). */
+  def p19ShardStage(spark: SparkSession, dir: String): String =
+    PipelineQueries.staging("p19", dir)
+
+  /** p19 — INCREMENTAL shard maintenance (a15's segment-merge
+    * economics applied to the training export): the standing shard
+    * layout was built from the base corpus (doc_id ≢ 3 mod 4); a new
+    * increment (doc_id ≡ 3 mod 4, "today's crawl") is hashed with the
+    * SAME salted mix and appended as one small delta file per shard —
+    * base files untouched, O(increment) work. Compaction then merges
+    * base + delta back to one file per shard in full permutation
+    * order. The registered result reads ONLY the compacted layout and
+    * must hash-equal p18's from-scratch build over the whole corpus
+    * (same oracle SQL): append + compact ≡ rebuild, the invariant
+    * that lets a 100 TB export stay current by rewriting only what a
+    * compaction cycle touches instead of re-sharding the corpus per
+    * increment. */
+  def p19IncrementalShards(spark: SparkSession, dir: String): DataFrame = {
+    val stage = PipelineQueries.staging("p19", dir)
+    val all = shardFrame(spark, dir)
+    all.filter(pmod(col("doc_id"), lit(4)) =!= 3)
+      .repartition(8, col("shard"))
+      .sortWithinPartitions(col("shard"), col("h2"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$stage/base")
+    all.filter(pmod(col("doc_id"), lit(4)) === 3)
+      .repartition(8, col("shard"))
+      .sortWithinPartitions(col("shard"), col("h2"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$stage/delta")
+    spark.read.parquet(s"$stage/base")
+      .unionByName(spark.read.parquet(s"$stage/delta"))
+      .repartition(8, col("shard"))
+      .sortWithinPartitions(col("shard"), col("h2"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$stage/compacted")
+    shardStats(spark.read.parquet(s"$stage/compacted"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_domain_mixture" -> p16DomainMixture _,
     "p17_temperature_mixture" -> p17TemperatureMixture _,
     "p18_shuffled_shards" -> p18ShuffledShards _,
+    "p19_incremental_shards" -> p19IncrementalShards _,
     "d01_exact_dedup"   -> d01ExactDedup _,
     "d02_ngram_jaccard" -> d02NgramJaccard _,
     "d03_minhash_lsh"   -> d03MinhashLsh _,
@@ -2284,6 +2331,22 @@ object AnalyticsQueries {
        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Shared by p18 (from-scratch) and p19 (append + compact): the
+    * per-shard stats + ordered fold checksum of the salted
+    * square-mixed permutation. One SQL text, two layouts — equality of
+    * the hash is the append+compact ≡ rebuild pin. */
+  private lazy val shardOracle: String =
+    s"""WITH tk AS (SELECT doc_id, lang, len(${Sql.words("text")}) AS toks,
+       |    ${Sql.polyHash("'p18:' || CAST(doc_id AS VARCHAR) || ':shard'")} AS ph FROM documents),
+       |s AS (SELECT doc_id, toks, ((ph * ph + ph) % 1000000007) AS h2 FROM tk)
+       |SELECT h2 % 8 AS shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |  MIN(h2) AS h2_min, MAX(h2) AS h2_max,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list(doc_id ORDER BY h2, doc_id)),
+       |    (_ca, _cb) -> (_ca * 31 + _cb) % 1000000007) AS checksum
+       |FROM s GROUP BY 1 ORDER BY shard""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -2982,17 +3045,10 @@ object AnalyticsQueries {
     // p18: the ordered fold checksum (31·acc + doc_id mod P over ids
     // in (h2, doc_id) order) pins the full permutation — membership,
     // shard assignment, AND order — not just counts
-    "p18_shuffled_shards" ->
-      s"""WITH tk AS (SELECT doc_id, lang, len(${words("text")}) AS toks,
-         |    ${polyHash("'p18:' || CAST(doc_id AS VARCHAR) || ':shard'")} AS ph FROM documents),
-         |s AS (SELECT doc_id, toks, ((ph * ph + ph) % 1000000007) AS h2 FROM tk)
-         |SELECT h2 % 8 AS shard, COUNT(*) AS n_docs,
-         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
-         |  MIN(h2) AS h2_min, MAX(h2) AS h2_max,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list(doc_id ORDER BY h2, doc_id)),
-         |    (_ca, _cb) -> (_ca * 31 + _cb) % 1000000007) AS checksum
-         |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
+    "p18_shuffled_shards" -> shardOracle,
+    // p19 reports the SAME stats over its append-then-compact layout:
+    // sharing p18's oracle hash pins append + compact ≡ rebuild
+    "p19_incremental_shards" -> shardOracle,
     // ranking by ascending hash == ranking by descending negated hash
     "p09_stratified_sample" ->
       s"""WITH h AS (SELECT lang, doc_id,

@@ -750,6 +750,30 @@ class AnalyticsSpec extends AnyFunSuite {
       s"hash balance out of bounds: $sizes")
   }
 
+  // p19: append + compact ≡ rebuild — the incremental layout's stats
+  // and permutation checksum equal p18's from-scratch build; the delta
+  // holds exactly the increment; the compacted layout is one sorted
+  // file per shard.
+  test("p19: incremental shard append + compaction ≡ from-scratch reshard") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val inc = graft.queries.AnalyticsQueries.p19IncrementalShards(spark, dir).collect().toSeq
+    val scratch = graft.queries.AnalyticsQueries.p18ShuffledShards(spark, dir).collect().toSeq
+    assert(inc == scratch, "append+compact diverged from the from-scratch reshard")
+    val stage = graft.queries.AnalyticsQueries.p19ShardStage(spark, dir)
+    val deltaIds = spark.read.parquet(s"$stage/delta")
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 4 === 3).select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(deltaIds == expected, "delta must hold exactly the increment")
+    (0 until 8).foreach { s =>
+      val rows = spark.read.parquet(s"$stage/compacted/shard=$s")
+        .select(col("h2"), col("doc_id")).as[(Long, Long)].collect().toSeq
+      assert(rows == rows.sortBy(identity),
+        s"compacted shard $s not in (h2, doc_id) order")
+    }
+  }
+
   // p16's contract: rates clamp at 100% for domains under their budget
   // share, downsample the over-represented ones, and realized kept
   // token mass lands near rate_bp/10000 of the domain (hash slices are
