@@ -22,16 +22,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS, ntz), which Spark's reader
-    * rejects; read the raw nanos as long and rebuild a TIMESTAMP_NTZ at
-    * micro precision (integer DIV — same floor-truncation DuckDB applies
-    * when it narrows ns → µs). */
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations: TIMESTAMP(NANOS, ntz) — which Spark's reader rejects
+    * unless nanosAsLong maps it to BIGINT — and plain TIMESTAMP(MICROS,
+    * ntz). Normalize both to TIMESTAMP_NTZ at micro precision. For the
+    * nanos encoding the integer DIV applies the same floor-truncation
+    * DuckDB uses when it narrows ns → µs, so both engines agree. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr(
-          "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      case TimestampNTZType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -191,7 +191,10 @@ object AdvancedQueries {
     * with a shared name, one caller could drop/recreate the table
     * while another session's q31 job was still reading it. */
   private def stageQ31(spark: SparkSession, dir: String): (String, String) = synchronized {
-    val key = PipelineQueries.stagingKey(dir)
+    // fingerprinted like stageOnce: a source dir regenerated in place
+    // must not keep serving the old bucketed layout
+    val key = PipelineQueries.stagingKey(
+      dir + "\n" + PipelineQueries.contentFingerprint(dir))
     val ordersT = s"graft_q31_orders_b_$key"
     val lineitemT = s"graft_q31_lineitem_b_$key"
     if (!spark.catalog.tableExists(ordersT) || !spark.catalog.tableExists(lineitemT)) {

@@ -48,9 +48,15 @@ object PipelineQueries {
     * corpus, and a stale persisted index searched against a fresh
     * oracle is a silent wrong answer. One FS listing per call; no data
     * is read. */
-  def contentFingerprint(spark: SparkSession, path: String): String = {
+  def contentFingerprint(spark: SparkSession, path: String): String =
+    contentFingerprint(path)
+
+  /** SparkSession-free variant — a plain Hadoop conf resolves local and
+    * hdfs/s3a paths the same way here, and stageOnce must be callable
+    * before any session config is inspected. */
+  def contentFingerprint(path: String): String = {
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
     def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
       fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { st =>
         if (st.isDirectory) walk(st.getPath)
@@ -72,11 +78,16 @@ object PipelineQueries {
     * is mid-overwriting). When the marker is absent, `dataDirs` are
     * deleted first so a crashed half-build can never be served. Mutable
     * per-run state (s12's upsert ledger) must NOT go through this —
-    * only inputs that are deterministic functions of the source dir. */
+    * only inputs that are deterministic functions of the source dir.
+    * The key folds in a content fingerprint of the SOURCE dir, so a
+    * source regenerated in place (new testdata generation, AnnStress's
+    * rewritten corpus) invalidates every fixture derived from it
+    * instead of silently serving the old bytes. */
   private val stagedFixtures = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def stageOnce(tag: String, dir: String, dataDirs: Seq[String] = Nil)(
       build: => Unit): Unit = {
-    val key = s"graft_${tag}_${stagingKey(dir)}_staged"
+    val key =
+      s"graft_${tag}_${stagingKey(dir + "\n" + contentFingerprint(dir))}_staged"
     if (stagedFixtures.contains(key)) return
     synchronized {
       if (!stagedFixtures.contains(key)) {

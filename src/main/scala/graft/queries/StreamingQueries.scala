@@ -40,6 +40,36 @@ object StreamingQueries {
       build: => Unit): Unit =
     PipelineQueries.stageOnce(tag, dir, dataDirs)(build)
 
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations (see [[graft.Tables.events]]): TIMESTAMP(NANOS, ntz),
+    * readable only as BIGINT under the nanosAsLong legacy conf, and
+    * plain TIMESTAMP(MICROS, ntz). File-stream sources declare their
+    * schema up front, so probe the footer once (metadata-only) and
+    * derive (declared ts type, ts-normalizer SQL, replay-millis SQL)
+    * from what the file actually holds — both encodings then run the
+    * identical downstream plan on identical values. */
+  private def eventsTsIsLong(spark: SparkSession, dir: String): Boolean = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
+  }
+
+  private def eventsStreamSchema(tsIsLong: Boolean): StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", if (tsIsLong) LongType else TimestampNTZType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** SQL normalizing the declared ts column to TIMESTAMP (session-tz
+    * UTC everywhere in this library, so ntz → ltz is the identity on
+    * the underlying micros). Nanos floor-truncate to micros — the same
+    * narrowing DuckDB applies. */
+  private def tsNormExpr(tsIsLong: Boolean): String =
+    if (tsIsLong) "timestamp_micros(ts DIV 1000)" else "CAST(ts AS TIMESTAMP)"
+
+  /** SQL yielding epoch millis for the replay source's schedule. */
+  private def tsMillisExpr(tsIsLong: Boolean): String =
+    if (tsIsLong) "ts DIV 1000000" else "unix_millis(CAST(ts AS TIMESTAMP))"
+
   /** s01 — T1/T2/T3/T4 + K3: replay the events table (timestamp-grouped,
     * ascending) into the in-memory keyed sink, then read the sink back.
     * One replay per event_type mirrors the reference's
@@ -84,10 +114,8 @@ object StreamingQueries {
   }
 
   private def s02StreamWindowImpl(spark: SparkSession, dir: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val tsIsLong = eventsTsIsLong(spark, dir)
+    val schema = eventsStreamSchema(tsIsLong)
     // the file stream source wants a directory: stage the single-file
     // table into a per-sf temp dir. Copy unconditionally — a staged
     // file from an earlier run must not be served stale if the source
@@ -98,7 +126,7 @@ object StreamingQueries {
       staged.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val stream = spark.readStream.schema(schema).parquet(staged.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", expr(tsNormExpr(tsIsLong)))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -164,7 +192,7 @@ object StreamingQueries {
     val stream = spark.readStream.format("graft-replay")
       .option("path", s"$dir/events.parquet")
       .option("nanosAsLong", "true") // scoped to the source's staging read
-      .option("tsMillisExpr", "ts DIV 1000000") // nanos → replay millis
+      .option("tsMillisExpr", tsMillisExpr(eventsTsIsLong(spark, dir)))
       // drain cap: bound batches by DATA size, not group count — 100k
       // single-row groups at sf0.1 in 10k-group batches would pay 10
       // micro-batch fixed costs (~1.5s each) for no added coverage;
@@ -222,7 +250,7 @@ object StreamingQueries {
     val stream = spark.readStream.format("graft-replay")
       .option("path", s"$dir/events.parquet")
       .option("nanosAsLong", "true")
-      .option("tsMillisExpr", "ts DIV 1000000")
+      .option("tsMillisExpr", tsMillisExpr(eventsTsIsLong(spark, dir)))
       .option("keyExpr", "event_type")
       .option("payloadExpr", "props")
       .option("maxGroupsPerTrigger", "1000000")
@@ -445,10 +473,8 @@ object StreamingQueries {
   }
 
   private def s09Impl(spark: SparkSession, dir: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val tsIsLong = eventsTsIsLong(spark, dir)
+    val schema = eventsStreamSchema(tsIsLong)
     val staged = java.nio.file.Paths.get(PipelineQueries.staging("s09", dir))
     stageOnce("s09", dir, Seq(staged.toString)) {
       java.nio.file.Files.createDirectories(staged)
@@ -457,7 +483,7 @@ object StreamingQueries {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     val stream = spark.readStream.schema(schema).parquet(staged.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", expr(tsNormExpr(tsIsLong)))
       .withWatermark("ts", "3650 days")
       .dropDuplicatesWithinWatermark("event_type", "user_id")
     val agg = stream.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
@@ -498,10 +524,8 @@ object StreamingQueries {
 
   private def s10Impl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val tsIsLong = eventsTsIsLong(spark, dir)
+    val schema = eventsStreamSchema(tsIsLong)
     val staged = java.nio.file.Paths.get(PipelineQueries.staging("s10", dir))
     stageOnce("s10", dir, Seq(staged.toString)) {
       java.nio.file.Files.createDirectories(staged)
@@ -512,12 +536,19 @@ object StreamingQueries {
       // that cannot occur. Staged as a SECOND file with a LATER mtime so
       // maxFilesPerTrigger=1 processes data first, sentinel second —
       // sentinel-first would mark all real data late and drop it
-      val maxTsNs = spark.read.schema(schema).parquet(dataFile.toString)
-        .agg(max(col("ts"))).head.getLong(0)
       val flushTmp = staged.resolve("_flush_tmp")
-      Seq((-1L, maxTsNs + 86400L * 1000000000L, -1L, "flush", 0.0, ""))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(flushTmp.toString)
+      val maxTsRow = spark.read.schema(schema).parquet(dataFile.toString)
+        .agg(max(col("ts"))).head
+      val sentinel =
+        if (tsIsLong)
+          Seq((-1L, maxTsRow.getLong(0) + 86400L * 1000000000L,
+            -1L, "flush", 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        else
+          Seq((-1L, maxTsRow.getAs[java.time.LocalDateTime](0).plusDays(1),
+            -1L, "flush", 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      sentinel.coalesce(1).write.mode("overwrite").parquet(flushTmp.toString)
       val part = PipelineQueries.parquetFileSizes(spark, flushTmp.toString).head._1
       java.nio.file.Files.move(flushTmp.resolve(part), staged.resolve("zz_flush.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -528,7 +559,7 @@ object StreamingQueries {
     }
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staged.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", expr(tsNormExpr(tsIsLong)))
       .withWatermark("ts", "1 second")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
@@ -565,10 +596,7 @@ object StreamingQueries {
   }
 
   private def s11Impl(spark: SparkSession, dir: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = eventsStreamSchema(eventsTsIsLong(spark, dir))
     val staged = java.nio.file.Paths.get(PipelineQueries.staging("s11", dir))
     java.nio.file.Files.createDirectories(staged)
     java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
