@@ -1246,6 +1246,77 @@ object AnalyticsQueries {
       math.max(PqL.toLong, n / 20).toInt)
   }
 
+  /** a17 — HYBRID retrieval (keyword ⊕ vector) with reciprocal-rank
+    * fusion, the production search-serving shape (the "hybrid mode"
+    * every retrieval stack converged on; RRF: Cormack et al.,
+    * SIGIR'09): two independent channels each retrieve top-20
+    * candidates per query — an inverted-index keyword channel scored
+    * by tf·idf impact (t06's engine-stable fixed-point idf
+    * ⌊10⁴·N/df⌋), and an embedding channel scored by exact cosine
+    * (a01's bounded-heap top-k) — then fusion merges them by RANK,
+    * not score: fused = Σ_channels ⌊10⁶/(60+rank)⌋ (60 = the standard
+    * RRF damping constant), integer division on both engines so the
+    * fusion is integer-exact. Ranks crossing the channel boundary is
+    * the point of RRF — the two channels' score scales are
+    * incomparable and never need calibrating. Scale shape: the query
+    * side of BOTH channels broadcasts (10 query docs); the keyword
+    * channel probes the corpus term index with an equi-join on term
+    * (Σ_t df(t) candidate pairs — linear in corpus size, never
+    * all-pairs), the vector channel is a01's broadcast-NLJ scan; each
+    * channel's top-k is a [[graft.expressions.TopKByScore]] bounded
+    * heap (shuffle = queries×k, map-side reduced); fusion full-outer
+    * joins two 20-row-per-query sets — metadata-scale. At 100 TB the
+    * term index and the ANN index are the persisted artifacts (p15 /
+    * a13 show those lifecycles); the fusion plan is unchanged. */
+  def a17HybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{DoubleSortKey, TopKByScore}
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    // keyword channel: corpus term index (doc, term, tf·idf impact)
+    val tf = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idx = tf.join(dfTerm, Seq("term"))
+      .withColumn("impact",
+        col("tf") * floor(lit(10000.0) * nDocs / col("df")).cast("long"))
+    val qTerms = idx.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("term")).distinct()
+    val kwTop = idx.join(broadcast(qTerms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("impact")).as("kw_score"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore(col("kw_score"), col("doc_id"), 20).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("kw_rank"),
+        col("col.id").as("doc_id"))
+    // vector channel: exact cosine over the doc embeddings (vec_id
+    // aligns with doc_id; ids past the doc count are not documents)
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < nDocs)
+      .select(col("vec_id"), col("embedding"), Vectors.normSq(col("embedding")).as("nsq"))
+    val qv = e.filter(col("vec_id") < 10).toDF("query_id", "qe", "qn")
+    val vecTop = e.toDF("doc_id", "ce", "cn")
+      .join(broadcast(qv), col("query_id") =!= col("doc_id"))
+      .withColumn("sim", Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn")))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore(DoubleSortKey(col("sim")), col("doc_id"), 20).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("vec_rank"),
+        col("col.id").as("doc_id"))
+    // reciprocal-rank fusion: integer division keeps it engine-exact
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    kwTop.join(vecTop, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score", expr(
+        "CAST(coalesce(1000000 DIV (60 + kw_rank), 0) + " +
+          "coalesce(1000000 DIV (60 + vec_rank), 0) AS BIGINT)"))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("kw_rank"), col("vec_rank"), col("rrf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
     * dedup tractable at corpus scale. Pairwise cosine is computed only
@@ -2126,6 +2197,7 @@ object AnalyticsQueries {
     "a14_filtered_ann_prebuilt" -> a14FilteredAnnPrebuilt _,
     "a15_compacted_search" -> a15CompactedSearch _,
     "a16_tombstone_search" -> a16TombstoneSearch _,
+    "a17_hybrid_search" -> a17HybridSearch _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
@@ -2852,6 +2924,44 @@ object AnalyticsQueries {
     // the Spark plan, so the hash pins the pre- vs post-filter choice.
     "a14_filtered_ann_prebuilt" -> ivfPqOracle(PqM, PqSubDim, PqK, IvfPqProbes, PqL,
       corpusWhere = "_fl.label < 5"),
+    "a17_hybrid_search" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |idx AS (SELECT tf.doc_id, tf.term,
+         |    tf.tf * CAST(floor(10000.0 * n.n / dft.df) AS BIGINT) AS impact
+         |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+         |kw AS (SELECT qt.query_id, idx.doc_id, SUM(idx.impact) AS kw_score
+         |  FROM idx JOIN qt USING (term) WHERE idx.doc_id <> qt.query_id
+         |  GROUP BY 1, 2),
+         |kwt AS (SELECT query_id, doc_id, kw_rank FROM (
+         |  SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank
+         |  FROM kw) WHERE kw_rank <= 20),
+         |e AS (SELECT vec_id, embedding, ${normSq("embedding")} AS nsq
+         |  FROM embeddings WHERE vec_id < (SELECT n FROM n)),
+         |vp AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    ${cosine(dot("q.embedding", "c.embedding"), "q.nsq", "c.nsq")} AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |vt AS (SELECT query_id, doc_id, vec_rank FROM (
+         |  SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, doc_id) AS INT) AS vec_rank
+         |  FROM vp) WHERE vec_rank <= 20),
+         |f AS (SELECT COALESCE(kwt.query_id, vt.query_id) AS query_id,
+         |    COALESCE(kwt.doc_id, vt.doc_id) AS doc_id, kwt.kw_rank, vt.vec_rank,
+         |    COALESCE(1000000 // (60 + kwt.kw_rank), 0) +
+         |      COALESCE(1000000 // (60 + vt.vec_rank), 0) AS rrf_score
+         |  FROM kwt FULL OUTER JOIN vt
+         |    ON kwt.query_id = vt.query_id AND kwt.doc_id = vt.doc_id),
+         |r AS (SELECT query_id, doc_id, kw_rank, vec_rank,
+         |    CAST(rrf_score AS BIGINT) AS rrf_score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+         |  FROM f)
+         |SELECT query_id, rank, doc_id, kw_rank, vec_rank, rrf_score FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "d12_semdedup" ->
       s"""WITH $kmeansCtes,
          |e AS (SELECT vec_id, cluster, embedding, ${normSq("embedding")} AS nsq

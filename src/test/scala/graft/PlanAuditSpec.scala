@@ -444,6 +444,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "the narrow dimension fell out of the curve (normalization broken)")
   }
 
+  test("a17: both hybrid channels broadcast the query side; top-k is " +
+    "bounded-heap agg; no cartesian anywhere") {
+    val p = planOf(graft.queries.AnalyticsQueries.a17HybridSearch(spark, dir))
+    // vector channel: 10-query side is the NLJ build side (a01's pin)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"vector-channel query side must broadcast:\n$p")
+    // keyword channel: the query-terms probe into the corpus term
+    // index must be a broadcast hash join on term, never a shuffle of
+    // the index or a cartesian
+    assert(p.contains("BroadcastHashJoin"),
+      s"keyword-channel term probe must be a broadcast equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in hybrid plan:\n$p")
+    // each channel's per-query top-20 is the bounded heap (partial +
+    // final per channel); the only window is the fusion ranking over
+    // <=40 fused rows per query — metadata-scale by construction
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 4,
+      s"expected bounded-heap top-k in both channels:\n$p")
+  }
+
   test("whole-stage codegen covers the native hash expression") {
     val df = Tables.documents(spark, dir)
       .select(graft.expressions.PolyHash(col("text")).as("fp"))
