@@ -409,4 +409,77 @@ object Multimodal {
       }
     }
   }
+
+  final case class ImageHash(media_id: Long, width: Int, height: Int,
+      hash_hi: Long, hash_lo: Long)
+
+  /** REAL perceptual hash (aHash, the mean-threshold member of the
+    * pHash family): `ImageIO.read` each payload, integer grayscale
+    * `(r+g+b)/3` per pixel, box-mean downsample to an 8×8 block grid
+    * (floor division — exact in any engine), threshold each block at
+    * the floor-mean of the 64 blocks, and pack the 64 bits MSB-first
+    * in (row, col) order. The hash is carried as TWO 32-bit halves
+    * (`hash_hi` = blocks 0–31, `hash_lo` = blocks 32–63) in
+    * non-negative longs: a single 64-bit word would put bit 0 in the
+    * sign position, where cross-engine shift semantics and DuckDB's
+    * checked arithmetic both bite; two unsigned halves keep every
+    * downstream operation (band split by div/mod, xor, popcount) in
+    * the engines' common, overflow-free integer algebra. Every step
+    * is integer, so the oracle recomputes the hash arithmetically
+    * from the synthesis formula — m04's codec-proof trick. Narrow 1:1
+    * mapPartitions stage; decode is the only cost. */
+  def aHash8(df: DataFrame): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](payloadIdx)))
+        require(img != null, s"media $id: payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        require(w % 8 == 0 && h % 8 == 0,
+          s"media $id: ${w}x$h does not tile into an 8x8 block grid")
+        val bw = w / 8
+        val bh = h / 8
+        val blocks = new Array[Long](64)
+        var my = 0
+        while (my < 8) {
+          var mx = 0
+          while (mx < 8) {
+            var s = 0L
+            var y = my * bh
+            while (y < (my + 1) * bh) {
+              var x = mx * bw
+              while (x < (mx + 1) * bw) {
+                val rgb = img.getRGB(x, y)
+                s += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            blocks(my * 8 + mx) = s / (bw * bh)
+            mx += 1
+          }
+          my += 1
+        }
+        var sum = 0L
+        var i = 0
+        while (i < 64) { sum += blocks(i); i += 1 }
+        val mean = sum / 64
+        var hi = 0L
+        var lo = 0L
+        i = 0
+        while (i < 64) {
+          val bit = if (blocks(i) >= mean) 1L else 0L
+          if (i < 32) hi = hi * 2 + bit else lo = lo * 2 + bit
+          i += 1
+        }
+        ImageHash(id, w, h, hi, lo)
+      }
+    }
+  }
 }

@@ -49,6 +49,23 @@ object AnalyticsQueries {
     def cosine(dotE: String, na: String, nb: String): String =
       s"$dotE / (sqrt($na) * sqrt($nb))"
 
+    /** m07's arithmetic mirror of the decoded synthPng(16,16) pixels:
+      * integer gray of source pixel (x, y) — channel c is
+      * (id·7 + (y·16+x)·3 + c) mod 256, gray = floor(mean of 3). */
+    def m07Gray(x: String, y: String): String = {
+      val base = s"(doc_id*7 + (($y)*16 + ($x))*3)"
+      s"((($base) % 256 + (($base) + 1) % 256 + (($base) + 2) % 256) // 3)"
+    }
+
+    /** aHash block `_pi` (0–63): floor-mean gray of the 2×2 source
+      * block at (2·(_pi mod 8), 2·(_pi div 8)). */
+    def m07Block: String = {
+      val mx = "(_pi % 8)"
+      val my = "(_pi // 8)"
+      s"((${m07Gray(s"2*$mx", s"2*$my")} + ${m07Gray(s"2*$mx + 1", s"2*$my")} + " +
+        s"${m07Gray(s"2*$mx", s"2*$my + 1")} + ${m07Gray(s"2*$mx + 1", s"2*$my + 1")}) // 4)"
+    }
+
     /** a06/a08's exact integer distance algebra between an int8 code
       * list `q` and a 10⁴ fixed-point centroid list `m`:
       * `10⁸·q·q + m·m − 2·10⁴·q·m` (∝ squared Euclidean distance). */
@@ -1896,6 +1913,52 @@ object AnalyticsQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** m07 — perceptual-hash image NEAR-dedup: the image-side twin of
+    * d04/d06's SimHash text dedup, run over REAL decoded pixels. Each
+    * payload is ImageIO-decoded and aHashed ([[Multimodal.aHash8]]:
+    * gray → 8×8 box means → mean-threshold bits, carried as two
+    * unsigned 32-bit halves). Stage 1 is EXACT perceptual dedup: group
+    * by the full hash, keep the lowest media_id per cluster — byte-
+    * different re-encodes of the same picture collapse here without
+    * any pair comparison. Stage 2 is banded NEAR-dup over the DISTINCT
+    * hashes only: 4×16-bit bands (div/mod — no shift-semantics
+    * ambiguity), candidates share ≥1 exact band, verified at Hamming
+    * ≤ 6 via xor+popcount. Banding the representatives, not the
+    * corpus, is what scales: bucket sizes track distinct content, so
+    * a billion copies of one meme cost one cluster row, and the
+    * pair-verify term is quadratic only in per-band DISTINCT-hash
+    * collisions. Output: near-dup cluster pairs (representative ids,
+    * member counts, distance). The oracle recomputes hash, clusters,
+    * banding, and popcount arithmetically from the synthesis formula —
+    * the whole pipeline hash-gates, decode included. */
+  def m07ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = stagedMediaFixture(spark, dir, "mpng16")(
+      id => Multimodal.synthPng(id, 16, 16))
+    val clusters = Multimodal.aHash8(payloads).toDF()
+      .groupBy(col("hash_hi"), col("hash_lo"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_members"))
+    val banded = clusters
+      .select(col("hash_hi"), col("hash_lo"), col("keep_id"), col("n_members"),
+        explode(expr("array(0, 1, 2, 3)")).as("band"))
+      .withColumn("key", expr(
+        """CASE WHEN band = 0 THEN hash_hi DIV 65536
+          |     WHEN band = 1 THEN hash_hi % 65536
+          |     WHEN band = 2 THEN hash_lo DIV 65536
+          |     ELSE hash_lo % 65536 END""".stripMargin))
+    val a = banded.toDF("hi_a", "lo_a", "keep_i", "n_i", "band", "key")
+    val b = banded.toDF("hi_b", "lo_b", "keep_j", "n_j", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col("keep_i") < col("keep_j"))
+      .select(col("keep_i"), col("keep_j"), col("hi_a"), col("lo_a"),
+        col("hi_b"), col("lo_b"), col("n_i"), col("n_j"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("hamming", expr(
+        "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS INT)"))
+      .filter(col("hamming") <= 6)
+      .select(col("keep_i"), col("keep_j"), col("n_i"), col("n_j"), col("hamming"))
+      .orderBy(col("keep_i"), col("keep_j"))
+  }
+
   /** p10 — INCREMENTAL dedup, the production shape: yesterday's corpus
     * is already deduplicated and must not be rescanned or re-clustered
     * when today's increment lands. The increment (odd doc_ids — a
@@ -2219,6 +2282,7 @@ object AnalyticsQueries {
     "m04_image_decode"  -> m04ImageDecode _,
     "m05_audio_energy"  -> m05AudioEnergy _,
     "m06_keyframes"     -> m06KeyFrames _,
+    "m07_image_neardup" -> m07ImageNearDup _,
     "p06_hash_sample"   -> p06HashSample _,
     "p07_data_prep"     -> p07DataPrep _,
     "p09_stratified_sample" -> p09StratifiedSample _,
@@ -3111,6 +3175,42 @@ object AnalyticsQueries {
          |  FROM fr)
          |SELECT media_id, frame_idx, diff, diff > 3000 AS is_keyframe
          |FROM d ORDER BY media_id, frame_idx""".stripMargin,
+    // arithmetic mirror of the full perceptual-dedup pipeline: block
+    // grays from the synthesis formula, MSB-first bit fold into two
+    // 32-bit halves, exact-hash clustering, 16-bit band join over the
+    // distinct hashes, xor+popcount Hamming verify
+    "m07_image_neardup" ->
+      s"""WITH blk AS (SELECT doc_id, list_transform(range(0, 64),
+         |    _pi -> CAST($m07Block AS BIGINT)) AS blocks FROM documents),
+         |mh AS (SELECT doc_id, blocks,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), blocks),
+         |      (_ma, _mb) -> _ma + _mb) // 64 AS mean FROM blk),
+         |hh AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32),
+         |      _pi -> CASE WHEN blocks[_pi + 1] >= mean THEN CAST(1 AS BIGINT)
+         |                  ELSE CAST(0 AS BIGINT) END)),
+         |      (_ma, _mb) -> _ma * 2 + _mb) AS hash_hi,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(32, 64),
+         |      _pi -> CASE WHEN blocks[_pi + 1] >= mean THEN CAST(1 AS BIGINT)
+         |                  ELSE CAST(0 AS BIGINT) END)),
+         |      (_ma, _mb) -> _ma * 2 + _mb) AS hash_lo
+         |  FROM mh),
+         |cl AS (SELECT hash_hi, hash_lo, MIN(doc_id) AS keep_id,
+         |    COUNT(*) AS n_members FROM hh GROUP BY 1, 2),
+         |bd AS (SELECT hash_hi, hash_lo, keep_id, n_members, _bd AS band,
+         |    CASE WHEN _bd = 0 THEN hash_hi // 65536 WHEN _bd = 1 THEN hash_hi % 65536
+         |         WHEN _bd = 2 THEN hash_lo // 65536 ELSE hash_lo % 65536 END AS key
+         |  FROM cl CROSS JOIN unnest(range(0, 4)) AS t(_bd)),
+         |pr AS (SELECT DISTINCT a.keep_id AS keep_i, b.keep_id AS keep_j,
+         |    a.hash_hi AS hi_a, a.hash_lo AS lo_a, b.hash_hi AS hi_b,
+         |    b.hash_lo AS lo_b, a.n_members AS n_i, b.n_members AS n_j
+         |  FROM bd a JOIN bd b
+         |    ON a.band = b.band AND a.key = b.key AND a.keep_id < b.keep_id),
+         |f AS (SELECT keep_i, keep_j, n_i, n_j,
+         |    CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
+         |      AS hamming FROM pr)
+         |SELECT keep_i, keep_j, n_i, n_j, hamming FROM f
+         |WHERE hamming <= 6 ORDER BY keep_i, keep_j""".stripMargin,
     "p06_hash_sample" ->
       s"""SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM documents

@@ -801,4 +801,48 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(keptTotal <= totals.values.sum, "kept more than the corpus")
     assert(keptTotal < budget * 1.3, s"kept $keptTotal vs budget $budget")
   }
+
+  // m07's kernel contract: the ImageIO-decoded aHash must equal the
+  // arithmetic hash computed straight from the synthesis formula (the
+  // same independence check the oracle runs in SQL — here as a scalar
+  // recomputation so a kernel bug is pinpointed to the kernel, not
+  // debugged through the whole banded pipeline), and the banded output
+  // must respect its own invariants.
+  test("m07: aHash kernel matches the synthesis formula; pair invariants hold") {
+    import spark.implicits._
+    def refHash(id: Long): (Long, Long) = {
+      def gray(x: Int, y: Int): Long = {
+        val base = id * 7 + (y * 16 + x) * 3
+        (base % 256 + (base + 1) % 256 + (base + 2) % 256) / 3
+      }
+      val blocks = (0 until 64).map { pi =>
+        val mx = pi % 8; val my = pi / 8
+        (gray(2 * mx, 2 * my) + gray(2 * mx + 1, 2 * my) +
+          gray(2 * mx, 2 * my + 1) + gray(2 * mx + 1, 2 * my + 1)) / 4
+      }
+      val mean = blocks.sum / 64
+      val bits = blocks.map(b => if (b >= mean) 1L else 0L)
+      (bits.take(32).foldLeft(0L)((a, b) => a * 2 + b),
+        bits.drop(32).foldLeft(0L)((a, b) => a * 2 + b))
+    }
+    val ids = Seq(0L, 1L, 37L, 255L, 256L, 499L)
+    val payloads = ids.map(id => (id, Multimodal.synthPng(id, 16, 16)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.aHash8(payloads).collect()
+      .map(h => h.media_id -> (h.hash_hi, h.hash_lo)).toMap
+    ids.foreach { id =>
+      assert(got(id) == refHash(id), s"aHash($id): ${got(id)} != ${refHash(id)}")
+    }
+    // ids 0 and 256 render identical pixels (id*7 mod 256 repeats) —
+    // exact perceptual dup, must land in one cluster
+    assert(got(0L) == got(256L), "identical images hashed differently")
+    val pairs = graft.queries.AnalyticsQueries
+      .m07ImageNearDup(spark, "/root/testdata/sf0.001").collect()
+    assert(pairs.nonEmpty, "fixture has near-dup structure; none found")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not ordered keep_i < keep_j")
+      val hm = r.getInt(4)
+      assert(hm >= 1 && hm <= 6, s"hamming $hm outside (0, 6]")
+    }
+  }
 }
