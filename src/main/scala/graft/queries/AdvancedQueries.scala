@@ -282,7 +282,55 @@ object AdvancedQueries {
           .as("p95_within_1pct"))
       .orderBy(col("l_returnflag"))
 
+  /** Bucket width of q35's banded interval decomposition — 6 h in µs.
+    * Kept in sync with the oracle SQL's literal. */
+  private val Q35WindowUs = 21600000000L
+
+  /** q35 — banded RANGE join (anchor-context extraction): for every
+    * `error` event, count and value-sum the same user's events in the
+    * preceding 6 hours. Spark has no native range-join strategy — the
+    * naive `a.us - W <= b.us AND b.us < a.us` condition keeps the
+    * interval predicate out of the join key, so every anchor meets the
+    * user's ENTIRE history (years of it, at 100 TB) before the filter
+    * runs. The banded decomposition puts time INTO the equi-key: both
+    * sides bucket `us DIV W`, each anchor probes its own and the
+    * preceding bucket (a window of width W spans at most 2 W-aligned
+    * buckets), and the exact interval check runs only within
+    * co-bucketed pairs — candidates per anchor are bounded by the
+    * user's activity in 2W of wall-clock, independent of history
+    * length. A candidate's bucket matches at most one of the anchor's
+    * two probes, so no dedup step is needed. This is the standard
+    * range-join rewrite (Databricks' RANGE_JOIN hint, Flink's interval
+    * join) expressed in plain DataFrame algebra; the plan is pinned to
+    * a shuffled equi-join — no BNLJ, no cartesian. The oracle runs the
+    * plain inequality join: same answer, different physics. */
+  def q35RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = Q35WindowUs
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+    val cand = ev.select(col("user_id"), col("us").as("c_us"),
+      col("value").as("c_value"), expr(s"us DIV $W").as("bucket"))
+    val anchors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("anchor_id"), col("user_id"), col("us").as("a_us"))
+    val probes = anchors.withColumn("bucket",
+      explode(array(expr(s"a_us DIV $W - 1"), expr(s"a_us DIV $W"))))
+    val ctx = probes.join(cand, Seq("user_id", "bucket"))
+      .filter(col("c_us") >= col("a_us") - W && col("c_us") < col("a_us"))
+      .groupBy(col("anchor_id"))
+      .agg(count(lit(1)).as("n_prior"),
+        sum(col("c_value").cast("decimal(18,4)")).as("sv"))
+    anchors.select(col("anchor_id"), col("user_id"))
+      .join(ctx, Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("user_id"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        round(coalesce(col("sv"), lit(0).cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_value"))
+      .orderBy(col("anchor_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_range_join"      -> q35RangeJoin _,
     "q34_quantile_bounds" -> q34QuantileBounds _,
     "q33_exists_subquery" -> q33ExistsSubquery _,
     "q32_bloom_prune"     -> q32BloomPrune _,
@@ -299,6 +347,19 @@ object AdvancedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the banded rewrite must equal the plain inequality join
+    "q35_range_join" ->
+      """WITH a AS (SELECT event_id AS anchor_id, user_id, ts FROM events
+        |  WHERE event_type = 'error'),
+        |j AS (SELECT a.anchor_id, COUNT(*) AS n_prior,
+        |    SUM(CAST(b.value AS DECIMAL(18,4))) AS sv
+        |  FROM a JOIN events b ON a.user_id = b.user_id
+        |    AND epoch_us(b.ts) >= epoch_us(a.ts) - 21600000000
+        |    AND epoch_us(b.ts) < epoch_us(a.ts)
+        |  GROUP BY 1)
+        |SELECT a.anchor_id, a.user_id, COALESCE(j.n_prior, 0) AS n_prior,
+        |  CAST(ROUND(COALESCE(j.sv, 0), 2) AS DOUBLE) AS sum_value
+        |FROM a LEFT JOIN j USING (anchor_id) ORDER BY anchor_id""".stripMargin,
     "q34_quantile_bounds" ->
       """SELECT l_returnflag, TRUE AS p50_within_1pct, TRUE AS p95_within_1pct
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,

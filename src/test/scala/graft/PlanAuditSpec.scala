@@ -463,6 +463,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected bounded-heap top-k in both channels:\n$p")
   }
 
+  test("q35: banded range join plans as an equi-join — the interval " +
+    "predicate must not degrade to BNLJ") {
+    val p = planOf(graft.queries.AdvancedQueries.q35RangeJoin(spark, dir))
+    // the whole rewrite exists to put time into the join key: the
+    // context join must hash/sort-merge on (user_id, bucket), with the
+    // exact interval check as a residual condition inside it
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval predicate fell out of the join key (BNLJ):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in range join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on (user_id, bucket):\n$p")
+  }
+
   test("whole-stage codegen covers the native hash expression") {
     val df = Tables.documents(spark, dir)
       .select(graft.expressions.PolyHash(col("text")).as("fp"))
