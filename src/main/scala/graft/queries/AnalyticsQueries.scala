@@ -2193,6 +2193,62 @@ object AnalyticsQueries {
   def p19ShardStage(spark: SparkSession, dir: String): String =
     PipelineQueries.staging("p19", dir)
 
+  /** Test hook: the p20 export root (data/ + manifest/). */
+  def p20ExportStage(spark: SparkSession, dir: String): String =
+    PipelineQueries.staging("p20", dir)
+
+  /** p20 — atomic export COMMIT: the manifest-last protocol that makes
+    * a multi-file export all-or-nothing for its consumers. The export
+    * writes the p18 shard layout under `data/`, then derives per-shard
+    * (row count, token sum, ordered fold checksum) FROM THE WRITTEN
+    * FILES and lands them as `manifest/` — strictly last, the same
+    * completeness-marker discipline as a11's meta table and s12's
+    * commit ledger, here applied to the producer side of a dataset
+    * hand-off. A crash at ANY earlier point leaves no manifest, and
+    * the read path refuses manifest-less data loudly ([[p20Validate]])
+    * instead of serving a torn export. The registered query is the
+    * CONSUMER's acceptance check: re-derive the stats from `data/` and
+    * reconcile against the manifest row by row — `manifest_ok` must be
+    * uniformly true, and the oracle pins that by emitting literal TRUE
+    * beside independently recomputed stats, so any drift between
+    * written bytes and commit record breaks the hash gate. At 100 TB
+    * the manifest is shards×1 rows (metadata-scale) and validation
+    * reads data once, map-side aggregated — the cost of the scan a
+    * consumer was about to do anyway. */
+  def p20ExportManifest(spark: SparkSession, dir: String): DataFrame = {
+    val stage = PipelineQueries.staging("p20", dir)
+    PipelineQueries.stageOnce("p20", dir, Seq(stage)) {
+      shardFrame(spark, dir)
+        .repartition(8, col("shard"))
+        .sortWithinPartitions(col("shard"), col("h2"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$stage/data")
+      // the commit record: derived from what actually landed on disk,
+      // written only after every data file is complete
+      shardStats(spark.read.parquet(s"$stage/data"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("checksum"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/manifest")
+    }
+    p20Validate(spark, stage)
+  }
+
+  /** The consumer side of p20's contract: refuse an uncommitted (torn)
+    * export, then reconcile manifest against re-derived data stats. */
+  def p20Validate(spark: SparkSession, stage: String): DataFrame = {
+    val hpath = new org.apache.hadoop.fs.Path(s"$stage/manifest")
+    val hfs = hpath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(hfs.exists(hpath),
+      s"$stage: no manifest — export is uncommitted (torn); refusing to read")
+    val manifest = spark.read.parquet(s"$stage/manifest")
+      .select(col("shard"), col("n_docs").as("m_docs"),
+        col("n_tokens").as("m_tokens"), col("checksum").as("m_checksum"))
+    shardStats(spark.read.parquet(s"$stage/data"))
+      .join(manifest, Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("checksum"),
+        (col("n_docs") === col("m_docs") && col("n_tokens") === col("m_tokens") &&
+          col("checksum") === col("m_checksum")).as("manifest_ok"))
+      .orderBy(col("shard"))
+  }
+
   /** p19 — INCREMENTAL shard maintenance (a15's segment-merge
     * economics applied to the training export): the standing shard
     * layout was built from the base corpus (doc_id ≢ 3 mod 4); a new
@@ -2230,6 +2286,7 @@ object AnalyticsQueries {
     "p17_temperature_mixture" -> p17TemperatureMixture _,
     "p18_shuffled_shards" -> p18ShuffledShards _,
     "p19_incremental_shards" -> p19IncrementalShards _,
+    "p20_export_manifest" -> p20ExportManifest _,
     "d01_exact_dedup"   -> d01ExactDedup _,
     "d02_ngram_jaccard" -> d02NgramJaccard _,
     "d03_minhash_lsh"   -> d03MinhashLsh _,
@@ -3259,6 +3316,19 @@ object AnalyticsQueries {
     // p19 reports the SAME stats over its append-then-compact layout:
     // sharing p18's oracle hash pins append + compact ≡ rebuild
     "p19_incremental_shards" -> shardOracle,
+    // manifest reconciliation: stats recomputed independently; the
+    // literal TRUE pins that written bytes and commit record agree
+    "p20_export_manifest" ->
+      s"""WITH tk AS (SELECT doc_id, lang, len(${Sql.words("text")}) AS toks,
+         |    ${Sql.polyHash("'p18:' || CAST(doc_id AS VARCHAR) || ':shard'")} AS ph FROM documents),
+         |s AS (SELECT doc_id, toks, ((ph * ph + ph) % 1000000007) AS h2 FROM tk)
+         |SELECT h2 % 8 AS shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list(doc_id ORDER BY h2, doc_id)),
+         |    (_ca, _cb) -> (_ca * 31 + _cb) % 1000000007) AS checksum,
+         |  TRUE AS manifest_ok
+         |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
     // ranking by ascending hash == ranking by descending negated hash
     "p09_stratified_sample" ->
       s"""WITH h AS (SELECT lang, doc_id,

@@ -802,6 +802,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(keptTotal < budget * 1.3, s"kept $keptTotal vs budget $budget")
   }
 
+  // p20's commit contract: a torn export (data without manifest) must
+  // be refused loudly, a committed one must reconcile clean, and the
+  // export must not be rewritten on re-validation (stageOnce).
+  test("p20: manifest-less export refused; committed export reconciles; " +
+    "re-run does not rewrite") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.AnalyticsQueries.p20ExportManifest(spark, dir).collect()
+    assert(rows.length == 8 && rows.forall(_.getBoolean(4)),
+      "committed export must reconcile on every shard")
+    val stage = graft.queries.AnalyticsQueries.p20ExportStage(spark, dir)
+    // torn copy: data present, manifest absent → consumer refuses
+    val torn = java.nio.file.Files.createTempDirectory("p20torn").toString
+    val hconf = spark.sessionState.newHadoopConf()
+    org.apache.hadoop.fs.FileUtil.copy(
+      new org.apache.hadoop.fs.Path(s"$stage/data").getFileSystem(hconf),
+      new org.apache.hadoop.fs.Path(s"$stage/data"),
+      new org.apache.hadoop.fs.Path(s"$torn/data").getFileSystem(hconf),
+      new org.apache.hadoop.fs.Path(s"$torn/data"), false, hconf)
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.AnalyticsQueries.p20Validate(spark, torn)
+    }
+    assert(e.getMessage.contains("uncommitted"), s"wrong refusal: ${e.getMessage}")
+    // resumability: a second run validates without rebuilding the files
+    def mtimes(): Map[String, Long] = {
+      val fs = new org.apache.hadoop.fs.Path(stage).getFileSystem(hconf)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(stage), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val st = it.next(); b += st.getPath.toString -> st.getModificationTime }
+      b.result()
+    }
+    val before = mtimes()
+    val again = graft.queries.AnalyticsQueries.p20ExportManifest(spark, dir).collect()
+    assert(again.toSeq == rows.toSeq, "re-validation changed the answer")
+    assert(mtimes() == before, "re-run rewrote committed export files")
+  }
+
   // m07's kernel contract: the ImageIO-decoded aHash must equal the
   // arithmetic hash computed straight from the synthesis formula (the
   // same independence check the oracle runs in SQL — here as a scalar
