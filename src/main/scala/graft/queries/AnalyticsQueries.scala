@@ -1263,6 +1263,36 @@ object AnalyticsQueries {
       math.max(PqL.toLong, n / 20).toInt)
   }
 
+  /** a18 — ANN recall EVALUATION harness, the measurement every index
+    * deployment runs before (and after) switching serving to a new
+    * build: recall@5 of the stored IVF-PQ index (a13 — the amortized
+    * serving path) against exact brute-force ground truth (a01), per
+    * query and in integer basis points. This is the cross-pipeline
+    * consistency gate the family was missing: a13's own oracle proves
+    * stored-search ≡ inline algebra, a01's proves the ground truth —
+    * a18's proves the INTERSECTION of the two rankings, so a drift in
+    * either pipeline (or in how they tie-break) surfaces as a recall
+    * delta the hash gate catches. Scale shape: ground truth runs over
+    * a SAMPLED query set (here the 20-query eval slice — at 100 TB you
+    * sample, you never brute-force the corpus per query uncached), the
+    * index side is the already-amortized stored search, and the
+    * reconciliation is a 100-row join. Output: per-query hit count +
+    * recall_bp (hits·2000 — exact integers, no float recall). */
+  def a18AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val idx = a13IvfPqSearchPrebuilt(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = a01BruteForceTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(idx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(5).as("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) * 2000).as("recall_bp"))
+      .orderBy(col("query_id"))
+  }
+
   /** a17 — HYBRID retrieval (keyword ⊕ vector) with reciprocal-rank
     * fusion, the production search-serving shape (the "hybrid mode"
     * every retrieval stack converged on; RRF: Cormack et al.,
@@ -2318,6 +2348,7 @@ object AnalyticsQueries {
     "a15_compacted_search" -> a15CompactedSearch _,
     "a16_tombstone_search" -> a16TombstoneSearch _,
     "a17_hybrid_search" -> a17HybridSearch _,
+    "a18_ann_recall"    -> a18AnnRecall _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
@@ -2476,7 +2507,11 @@ object AnalyticsQueries {
     * probes), the a09 subspace chains supply codes and codebooks, and
     * candidate scoring is restricted to (corpus row, query) pairs
     * whose cell the query probes. Same ADC fold + re-rank as a09. */
-  private def ivfPqOracle(mCount: Int, subDim: Int, k: Int, p: Int, l: Int,
+  /** The IVF-PQ oracle pipeline up to and including the ranked CTE
+    * `r` (query_id, neighbor_id, rank) — shared by the search oracles
+    * and a18's recall harness, which joins `r` against an exact
+    * brute-force ranking instead of selecting it directly. */
+  private def ivfPqRankedCtes(mCount: Int, subDim: Int, k: Int, p: Int, l: Int,
       corpusWhere: String = "TRUE"): String = {
     val ms = 0 until mCount
     val ctes = ms.map(m => pqSubspaceCtes(m, subDim, k)).mkString(",\n")
@@ -2520,10 +2555,14 @@ object AnalyticsQueries {
        |  JOIN ev cv ON s.neighbor_id = cv.vec_id),
        |r AS (SELECT query_id, neighbor_id,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-       |  FROM rr)
+       |  FROM rr)""".stripMargin
+  }
+
+  private def ivfPqOracle(mCount: Int, subDim: Int, k: Int, p: Int, l: Int,
+      corpusWhere: String = "TRUE"): String =
+    s"""${ivfPqRankedCtes(mCount, subDim, k, p, l, corpusWhere)}
        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-  }
 
   /** Shared by p18 (from-scratch) and p19 (append + compact): the
     * per-shard stats + ordered fold checksum of the salted
@@ -3045,6 +3084,24 @@ object AnalyticsQueries {
     // the Spark plan, so the hash pins the pre- vs post-filter choice.
     "a14_filtered_ann_prebuilt" -> ivfPqOracle(PqM, PqSubDim, PqK, IvfPqProbes, PqL,
       corpusWhere = "_fl.label < 5"),
+    // recall@5 of the stored IVF-PQ ranking (CTE `r`, identical to
+    // a13's oracle) against exact brute-force ground truth — integer
+    // basis points, no float recall
+    "a18_ann_recall" ->
+      s"""${ivfPqRankedCtes(PqM, PqSubDim, PqK, IvfPqProbes, PqL)},
+         |idx AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+         |ex0 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosine(dot("q.embedding", "c.embedding"), "q.nsq", "c.nsq")} AS sim
+         |  FROM ev q JOIN ev c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+         |  FROM ex0) WHERE rk <= 5),
+         |h AS (SELECT e.query_id, COUNT(i.neighbor_id) AS n_hits
+         |  FROM ex e LEFT JOIN idx i
+         |    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |  GROUP BY 1)
+         |SELECT query_id, 5 AS k, n_hits, n_hits * 2000 AS recall_bp
+         |FROM h ORDER BY query_id""".stripMargin,
     "a17_hybrid_search" ->
       s"""WITH t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
