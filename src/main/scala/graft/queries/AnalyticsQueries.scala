@@ -2223,6 +2223,55 @@ object AnalyticsQueries {
   def p19ShardStage(spark: SparkSession, dir: String): String =
     PipelineQueries.staging("p19", dir)
 
+  /** p21 — fixed-point PageRank over the customer⇄supplier trade
+    * graph: the crawl-frontier prioritization op of a web-scale data
+    * pipeline (crawlers rank hosts exactly like this to decide what to
+    * fetch next; centrality over a bipartite interaction graph is the
+    * same computation). All arithmetic is scaled integer (ranks in
+    * 10⁻⁹ units, per-edge contribution `r DIV outdeg`, damping
+    * `0.15 + 0.85·inflow` as `150e6 + (85·inflow) DIV 100`), so three
+    * Jacobi iterations are bit-identical in both engines and the
+    * oracle unrolls them as three CTEs — no float mass anywhere.
+    * Node ids disambiguate the two id spaces arithmetically (customer
+    * c → 2c, supplier s → 2s+1). Scale shape: the canonical
+    * distributed PageRank — per iteration one equi-join of the rank
+    * table (1 row/node) onto the edge list plus one map-side-combined
+    * sum; edges never leave their partitioning, no driver-side state,
+    * rounds = a constant. Output: top-10 nodes per kind — the frontier
+    * a scheduler would actually consume. */
+  def p21PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      // materialize: three iterations + deg all reuse this edge list —
+      // at scale it is the persisted graph table, this is the demo analog
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    var rank = deg.select(col("src").as("id"), lit(1000000000L).as("r"))
+    for (_ <- 1 to 3) {
+      rank = edges
+        .join(rank, edges("src") === rank("id"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("r DIV d").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("inflow"))
+        .select(col("dst").as("id"),
+          expr("CAST(150000000 + (85 * inflow) DIV 100 AS BIGINT)").as("r"))
+    }
+    val w = Window.partitionBy(col("kind")).orderBy(col("r").desc, col("orig_id"))
+    rank
+      .select(when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+        expr("id DIV 2").as("orig_id"), col("r"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= 10)
+      .select(col("kind"), col("pos"), col("orig_id"), col("r").as("rank_fp"))
+      .orderBy(col("kind"), col("pos"))
+  }
+
   /** Test hook: the p20 export root (data/ + manifest/). */
   def p20ExportStage(spark: SparkSession, dir: String): String =
     PipelineQueries.staging("p20", dir)
@@ -2317,6 +2366,7 @@ object AnalyticsQueries {
     "p18_shuffled_shards" -> p18ShuffledShards _,
     "p19_incremental_shards" -> p19IncrementalShards _,
     "p20_export_manifest" -> p20ExportManifest _,
+    "p21_pagerank"      -> p21PageRank _,
     "d01_exact_dedup"   -> d01ExactDedup _,
     "d02_ngram_jaccard" -> d02NgramJaccard _,
     "d03_minhash_lsh"   -> d03MinhashLsh _,
@@ -3386,6 +3436,30 @@ object AnalyticsQueries {
          |    (_ca, _cb) -> (_ca * 31 + _cb) % 1000000007) AS checksum,
          |  TRUE AS manifest_ok
          |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
+    // three Jacobi iterations unrolled — every step scaled-integer, so
+    // the ranks (not just the ordering) are bit-identical
+    "p21_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT src AS id, CAST(1000000000 AS BIGINT) AS r FROM deg),
+        |r1 AS (SELECT e.dst AS id,
+        |    CAST(150000000 + (85 * SUM(r0.r // deg.d)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r2 AS (SELECT e.dst AS id,
+        |    CAST(150000000 + (85 * SUM(r1.r // deg.d)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r3 AS (SELECT e.dst AS id,
+        |    CAST(150000000 + (85 * SUM(r2.r // deg.d)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        |k AS (SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        |    id // 2 AS orig_id, r FROM r3),
+        |t AS (SELECT kind, orig_id, r,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY kind ORDER BY r DESC, orig_id) AS INT) AS pos
+        |  FROM k)
+        |SELECT kind, pos, orig_id, r AS rank_fp FROM t
+        |WHERE pos <= 10 ORDER BY kind, pos""".stripMargin,
     // ranking by ascending hash == ranking by descending negated hash
     "p09_stratified_sample" ->
       s"""WITH h AS (SELECT lang, doc_id,
