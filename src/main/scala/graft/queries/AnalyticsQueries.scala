@@ -1516,6 +1516,50 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** t14 — BPE merge INDUCTION (tokenizer training, Sennrich et al.
+    * ACL'16): the op that produces the merge table t05's tokenizer
+    * consumes. Words are exploded to symbol sequences (initially
+    * characters, space-joined with sentinel padding); each round
+    * counts adjacent symbol pairs corpus-wide, takes the global argmax
+    * (count desc, then lexicographic — fully deterministic), and
+    * greedily merges its occurrences via leftmost non-overlapping
+    * string replacement, which both engines implement with identical
+    * contract. Three rounds emit the first three merge rules with
+    * their support counts; the oracle unrolls the identical rounds as
+    * CTEs, so the WHOLE training loop hash-gates — pair stats, argmax
+    * tie-break, and the merge rewriting each round feeds the next.
+    * Scale shape: per round one explode + one map-side-combined pair
+    * count + a 1-row argmax to the driver (metadata — the merge RULE
+    * is the output) + one narrow per-row rewrite; corpus never
+    * shuffles except the pair hash-agg. At 100 TB you sample words by
+    * frequency first (p06's slice) — the loop is unchanged. */
+  def t14BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var words = Tables.documents(spark, dir)
+      .select(explode(TF.words(col("text"))).as("w"))
+      .select(concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")).as("s"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to 3) {
+      val best = words.select(split(trim(col("s")), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(explode(sequence(lit(1), size(col("a")) - 1)).as("i"), col("a"))
+        .select(element_at(col("a"), col("i")).as("lhs"),
+          element_at(col("a"), col("i") + 1).as("rhs"))
+        .groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1).head()
+      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      // symbols are corpus word characters and their concatenations —
+      // guard the invariant the inlined replace pattern relies on
+      require((l + r).forall(c => c.isLetterOrDigit), s"unsafe symbol: '$l$r'")
+      merges += ((step, l, r, n))
+      words = words
+        .select(expr(s"replace(s, ' $l $r ', ' $l$r ')").as("s"))
+        .localCheckpoint()
+    }
+    merges.result().toDF("step", "lhs", "rhs", "n").orderBy(col("step"))
+  }
+
   /** d09 — train/eval contamination check (the "is my benchmark in the
     * training set" sweep every LLM data pipeline runs): eval docs =
     * reproducible 10% hash slice by doc_id, train = the rest; an eval
@@ -2414,6 +2458,7 @@ object AnalyticsQueries {
     "t11_seq_pack"      -> t11SeqPack _,
     "t12_boilerplate_removal" -> t12BoilerplateRemoval _,
     "t13_bigram_lm"     -> t13BigramLm _,
+    "t14_bpe_merges"    -> t14BpeMerges _,
     "m01_multimodal"    -> m01Multimodal _,
     "m02_frame_sample"  -> m02FrameSample _,
     "m03_resize"        -> m03Resize _,
@@ -3225,6 +3270,31 @@ object AnalyticsQueries {
          |SELECT doc_id, n_bigrams, CAST(sum_w // n_bigrams AS BIGINT) AS lm_score,
          |  (sum_w // n_bigrams) < 33000 AS suspect_incoherent
          |FROM s ORDER BY doc_id""".stripMargin,
+    // the identical 3-round BPE loop unrolled: chars → pair counts →
+    // argmax (count desc, lexicographic) → leftmost non-overlapping
+    // merge → repeat; each round's rewrite feeds the next
+    "t14_bpe_merges" ->
+      s"""WITH t AS (SELECT unnest(${words("text")}) AS w FROM documents),
+         |w0 AS (SELECT ' ' || array_to_string(list_transform(
+         |    range(1, length(w)+1), _i -> substr(w, _i, 1)), ' ') || ' ' AS s FROM t),
+         |a1 AS (SELECT string_split(trim(s), ' ') AS a FROM w0),
+         |p1 AS (SELECT a[_i] AS lhs, a[_i+1] AS rhs, COUNT(*) AS n
+         |  FROM a1, unnest(range(1, len(a))) tt(_i) GROUP BY 1, 2),
+         |b1 AS (SELECT lhs, rhs, n FROM p1 ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |w1 AS (SELECT replace(s, ' ' || b1.lhs || ' ' || b1.rhs || ' ',
+         |    ' ' || b1.lhs || b1.rhs || ' ') AS s FROM w0 CROSS JOIN b1),
+         |a2 AS (SELECT string_split(trim(s), ' ') AS a FROM w1),
+         |p2 AS (SELECT a[_i] AS lhs, a[_i+1] AS rhs, COUNT(*) AS n
+         |  FROM a2, unnest(range(1, len(a))) tt(_i) GROUP BY 1, 2),
+         |b2 AS (SELECT lhs, rhs, n FROM p2 ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |w2 AS (SELECT replace(s, ' ' || b2.lhs || ' ' || b2.rhs || ' ',
+         |    ' ' || b2.lhs || b2.rhs || ' ') AS s FROM w1 CROSS JOIN b2),
+         |a3 AS (SELECT string_split(trim(s), ' ') AS a FROM w2),
+         |p3 AS (SELECT a[_i] AS lhs, a[_i+1] AS rhs, COUNT(*) AS n
+         |  FROM a3, unnest(range(1, len(a))) tt(_i) GROUP BY 1, 2),
+         |b3 AS (SELECT lhs, rhs, n FROM p3 ORDER BY n DESC, lhs, rhs LIMIT 1)
+         |SELECT 1 AS step, * FROM b1 UNION ALL SELECT 2, * FROM b2
+         |UNION ALL SELECT 3, * FROM b3 ORDER BY step""".stripMargin,
     // per-lang greedy packing state machine — the x10 recursive-CTE
     // parity encoding, partitioned by the shard key
     "t11_seq_pack" ->
