@@ -477,6 +477,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected an equi-join on (user_id, bucket):\n$p")
   }
 
+  test("m07/p21/t14: the session's batch additions never plan a cartesian; " +
+    "their joins stay equi-joins") {
+    // m07: band-bucket self-join over distinct hashes; p21: three
+    // rank⋈edges iterations; t14: pair-count aggregation rounds. A
+    // cartesian in any of them is the quadratic the design exists to
+    // avoid; the join keys (band,key) / (src) must survive as
+    // hash/sort-merge/broadcast equi-joins.
+    Seq(
+      graft.queries.AnalyticsQueries.m07ImageNearDup(spark, dir),
+      graft.queries.AnalyticsQueries.p21PageRank(spark, dir),
+      graft.queries.AnalyticsQueries.t14BpeMerges(spark, dir)
+    ).foreach { df =>
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the native hash expression") {
     val df = Tables.documents(spark, dir)
       .select(graft.expressions.PolyHash(col("text")).as("fp"))
