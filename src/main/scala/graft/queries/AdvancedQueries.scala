@@ -329,7 +329,31 @@ object AdvancedQueries {
       .orderBy(col("anchor_id"))
   }
 
+  /** q36 — correlated LATERAL subquery through the SQL entry point
+    * (the modern top-N-per-outer-row construct; q25's front-door
+    * companion): for each region, the top-3 customers by account
+    * balance across its nations. Catalyst decorrelates the lateral
+    * into a ranked join — no per-row re-execution — which is exactly
+    * why the construct is usable at scale; the oracle runs the
+    * identical SQL text in DuckDB. Raw column values only (no float
+    * arithmetic), so doubles compare exactly. */
+  def q36LateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    Tables.region(spark, dir).createOrReplaceTempView("region_v")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT r.r_name AS region, l.c_name, l.c_acctbal
+        |FROM region_v r, LATERAL (
+        |  SELECT c_name, c_acctbal
+        |  FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+        |  WHERE n_regionkey = r.r_regionkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 3
+        |) l
+        |ORDER BY region, c_acctbal DESC, c_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_lateral_topn"    -> q36LateralTopN _,
     "q35_range_join"      -> q35RangeJoin _,
     "q34_quantile_bounds" -> q34QuantileBounds _,
     "q33_exists_subquery" -> q33ExistsSubquery _,
@@ -347,6 +371,15 @@ object AdvancedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q36_lateral_topn" ->
+      """SELECT r.r_name AS region, l.c_name, l.c_acctbal
+        |FROM region r, LATERAL (
+        |  SELECT c_name, c_acctbal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_regionkey = r.r_regionkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 3
+        |) l
+        |ORDER BY region, c_acctbal DESC, c_name""".stripMargin,
     // the banded rewrite must equal the plain inequality join
     "q35_range_join" ->
       """WITH a AS (SELECT event_id AS anchor_id, user_id, ts FROM events
