@@ -352,7 +352,35 @@ object AdvancedQueries {
         |ORDER BY region, c_acctbal DESC, c_name""".stripMargin)
   }
 
+  /** q37 — RECURSIVE CTE through the SQL entry point (Spark 4's
+    * `WITH RECURSIVE`, UNION ALL form): flatten a dimension hierarchy
+    * by walking every node's ancestor chain to the root and reporting
+    * the depth distribution — the category-tree rollup every catalog
+    * pipeline runs. The parent relation is the arithmetic heap tree
+    * `parent(k) = k DIV 2` over the part keys (a deterministic
+    * stand-in for a parent column; the recursion neither knows nor
+    * cares that the edge is computed). Tree recursion keeps UNION ALL
+    * safe — ancestor paths are unique, so no dedup is needed and the
+    * iteration count is the tree depth (⌊log₂ maxkey⌋, ~17 at sf0.1),
+    * far under the engine's recursion limit. The oracle runs the same
+    * recursion in DuckDB; agreement pins Spark's recursive-CTE
+    * iteration semantics against an independent implementation. */
+  def q37RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part_v")
+    spark.sql(
+      """WITH RECURSIVE walk(id, anc, depth) AS (
+        |  SELECT p_partkey, p_partkey DIV 2, 1 FROM part_v WHERE p_partkey > 1
+        |  UNION ALL
+        |  SELECT w.id, w.anc DIV 2, w.depth + 1 FROM walk w WHERE w.anc > 1
+        |)
+        |SELECT depth_to_root, COUNT(*) AS n_nodes,
+        |  MIN(id) AS min_key, MAX(id) AS max_key
+        |FROM (SELECT id, MAX(depth) AS depth_to_root FROM walk GROUP BY id)
+        |GROUP BY depth_to_root ORDER BY depth_to_root""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_recursive_cte"   -> q37RecursiveCte _,
     "q36_lateral_topn"    -> q36LateralTopN _,
     "q35_range_join"      -> q35RangeJoin _,
     "q34_quantile_bounds" -> q34QuantileBounds _,
@@ -371,6 +399,17 @@ object AdvancedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the same recursion, DuckDB syntax (// for integer division)
+    "q37_recursive_cte" ->
+      """WITH RECURSIVE walk(id, anc, depth) AS (
+        |  SELECT p_partkey, p_partkey // 2, 1 FROM part WHERE p_partkey > 1
+        |  UNION ALL
+        |  SELECT w.id, w.anc // 2, w.depth + 1 FROM walk w WHERE w.anc > 1
+        |)
+        |SELECT depth_to_root, COUNT(*) AS n_nodes,
+        |  MIN(id) AS min_key, MAX(id) AS max_key
+        |FROM (SELECT id, MAX(depth) AS depth_to_root FROM walk GROUP BY id)
+        |GROUP BY depth_to_root ORDER BY depth_to_root""".stripMargin,
     "q36_lateral_topn" ->
       """SELECT r.r_name AS region, l.c_name, l.c_acctbal
         |FROM region r, LATERAL (
