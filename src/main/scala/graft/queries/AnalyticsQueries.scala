@@ -2355,7 +2355,12 @@ object AnalyticsQueries {
   }
 
   /** The consumer side of p20's contract: refuse an uncommitted (torn)
-    * export, then reconcile manifest against re-derived data stats. */
+    * export, then reconcile manifest against re-derived data stats.
+    * The reconciliation is a FULL OUTER join: a shard present in only
+    * one side (a data file lost after commit, or data the manifest
+    * never recorded) must surface as a `manifest_ok = false` row — an
+    * inner join would silently drop exactly the rows the check exists
+    * to catch. */
   def p20Validate(spark: SparkSession, stage: String): DataFrame = {
     val hpath = new org.apache.hadoop.fs.Path(s"$stage/manifest")
     val hfs = hpath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -2365,9 +2370,13 @@ object AnalyticsQueries {
       .select(col("shard"), col("n_docs").as("m_docs"),
         col("n_tokens").as("m_tokens"), col("checksum").as("m_checksum"))
     shardStats(spark.read.parquet(s"$stage/data"))
-      .join(manifest, Seq("shard"))
-      .select(col("shard"), col("n_docs"), col("n_tokens"), col("checksum"),
-        (col("n_docs") === col("m_docs") && col("n_tokens") === col("m_tokens") &&
+      .join(manifest, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_docs"), lit(-1L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(-1L)).as("n_tokens"),
+        coalesce(col("checksum"), lit(-1L)).as("checksum"),
+        (col("n_docs").isNotNull && col("m_docs").isNotNull &&
+          col("n_docs") === col("m_docs") && col("n_tokens") === col("m_tokens") &&
           col("checksum") === col("m_checksum")).as("manifest_ok"))
       .orderBy(col("shard"))
   }

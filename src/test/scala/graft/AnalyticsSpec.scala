@@ -836,6 +836,23 @@ class AnalyticsSpec extends AnyFunSuite {
     val again = graft.queries.AnalyticsQueries.p20ExportManifest(spark, dir).collect()
     assert(again.toSeq == rows.toSeq, "re-validation changed the answer")
     assert(mtimes() == before, "re-run rewrote committed export files")
+    // lost-shard window: manifest committed but a data shard vanished
+    // afterwards — the reconciliation must FLAG it (manifest_ok false),
+    // not silently drop the shard's row
+    val lost = java.nio.file.Files.createTempDirectory("p20lost").toString
+    Seq("data", "manifest").foreach { part =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        new org.apache.hadoop.fs.Path(s"$stage/$part").getFileSystem(hconf),
+        new org.apache.hadoop.fs.Path(s"$stage/$part"),
+        new org.apache.hadoop.fs.Path(s"$lost/$part").getFileSystem(hconf),
+        new org.apache.hadoop.fs.Path(s"$lost/$part"), false, hconf)
+    }
+    val lostFs = new org.apache.hadoop.fs.Path(lost).getFileSystem(hconf)
+    assert(lostFs.delete(new org.apache.hadoop.fs.Path(s"$lost/data/shard=3"), true))
+    val flagged = graft.queries.AnalyticsQueries.p20Validate(spark, lost).collect()
+    assert(flagged.length == 8, "lost shard must still appear in the reconciliation")
+    val bad = flagged.filter(!_.getBoolean(4)).map(_.getLong(0)).toSeq
+    assert(bad == Seq(3L), s"expected exactly shard 3 flagged, got $bad")
   }
 
   // m07's kernel contract: the ImageIO-decoded aHash must equal the
