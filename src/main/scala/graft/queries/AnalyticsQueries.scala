@@ -2243,9 +2243,15 @@ object AnalyticsQueries {
 
   /** The shared p18/p19 shard frame: every document with its salted
     * square-mixed hash `h2` and `shard = h2 mod 8`. */
-  private def shardFrame(spark: SparkSession, dir: String): DataFrame = {
+  private def shardFrame(spark: SparkSession, dir: String): DataFrame =
+    shardFrameOf(Tables.documents(spark, dir))
+
+  /** The same frame over an arbitrary documents slice — s16 shards
+    * each micro-batch with exactly this function, so the streamed
+    * export is row-identical to the batch one. */
+  private[queries] def shardFrameOf(docs: DataFrame): DataFrame = {
     val h = TF.polyHash(concat(lit("p18:"), col("doc_id").cast("string"), lit(":shard")))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("lang"), TF.tokenCount(col("text")).as("toks"))
       .withColumn("h2", (h * h + h) % lit(1000000007L))
       .withColumn("shard", pmod(col("h2"), lit(8)))
@@ -2253,7 +2259,7 @@ object AnalyticsQueries {
 
   /** The per-shard stats + ordered fold checksum both p18 and p19
     * report — the permutation-pinning read side. */
-  private def shardStats(df: DataFrame): DataFrame =
+  private[queries] def shardStats(df: DataFrame): DataFrame =
     df.groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
         min(col("h2")).as("h2_min"), max(col("h2")).as("h2_max"),

@@ -865,7 +865,58 @@ object StreamingQueries {
       math.max(AnalyticsQueries.PqL.toLong, n / 20).toInt)
   }
 
+  /** s16 — STREAMING export with an atomic final commit: p20's
+    * manifest-last protocol driven by a stream (the export twin of
+    * s14's streamed index ingest — together they close the
+    * ingest/export symmetry: p15/s14 in, p20/s16 out). Documents
+    * arrive in four micro-batches; each batch is sharded with exactly
+    * the batch export's salted hash ([[AnalyticsQueries.shardFrameOf]])
+    * and lands as a batch-id-keyed file set (idempotent overwrite per
+    * batch — checkpoint replay of a batch re-lands the same bytes
+    * instead of duplicating them). The manifest is derived from ALL
+    * landed batches and written strictly last, AFTER the stream
+    * drains: a crash at any earlier point — mid-batch, between
+    * batches, before the manifest — leaves no commit record, and the
+    * consumer path refuses the torn export. The registered result is
+    * the consumer's reconciliation, hash-gated with p20's own oracle:
+    * batch boundaries leave no trace in what the consumer accepts. */
+  def s16StreamExport(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s16", dir))
+    val staged = root.resolve("in")
+    stageOnce("s16in", dir, Seq(staged.toString)) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    // per-run export target: mutable across batches, so outside stageOnce
+    val export = root.resolve("export").toString
+    val hfs = new org.apache.hadoop.fs.Path(export)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(export), true) // fresh run
+    val inSchema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          AnalyticsQueries.shardFrameOf(batch)
+            .write.mode("overwrite").partitionBy("shard")
+            .parquet(s"$export/data/batch=$id")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    // the commit record: derived from every landed batch, written last
+    AnalyticsQueries.shardStats(spark.read.parquet(s"$export/data"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("checksum"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$export/manifest")
+    AnalyticsQueries.p20Validate(spark, export)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_stream_export" -> s16StreamExport _,
     "s15_stream_deletes" -> s15StreamDeletes _,
     "s14_stream_ann_ingest" -> s14StreamAnnIngest _,
     "s13_transform_with_state" -> s13TransformWithState _,
@@ -892,6 +943,9 @@ object StreamingQueries {
     // search: the SAME oracle hash pins that delete batch boundaries
     // leave no trace in what search can see
     "s15_stream_deletes" -> AnalyticsQueries.oracleSql("a16_tombstone_search"),
+    // the streamed export must reconcile exactly like the batch one:
+    // batch boundaries leave no trace in what the consumer accepts
+    "s16_stream_export" -> AnalyticsQueries.oracleSql("p20_export_manifest"),
     // max_value is a raw stored double (no arithmetic), so the hash
     // compare is exact
     "s13_transform_with_state" ->

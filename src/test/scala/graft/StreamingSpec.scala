@@ -564,6 +564,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(tombs.select(col("batch")).distinct().count() == 4,
       "expected the delete set to arrive over four micro-batches")
   }
+
+  test("s16: streamed export ≡ batch export; shards arrive over four " +
+    "batches and cover the corpus exactly once") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.s16StreamExport(spark, dir).collect().toSeq
+    val batch = graft.queries.AnalyticsQueries.p20ExportManifest(spark, dir).collect().toSeq
+    assert(got == batch, "streamed export reconciliation diverged from the batch export")
+    assert(got.forall(_.getBoolean(4)), "streamed export must reconcile clean")
+    val data = spark.read.parquet(
+      graft.queries.PipelineQueries.staging("s16", dir) + "/export/data")
+    assert(data.select(col("batch")).distinct().count() == 4,
+      "expected the export to land over four micro-batches")
+    val ids = data.select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(ids == expected, "streamed export must cover the corpus exactly once")
+  }
 }
 
 /** Tasks/writers run in executor threads (same JVM in local mode) with
