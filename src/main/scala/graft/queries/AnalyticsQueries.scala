@@ -1364,6 +1364,128 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The a19 inverted-index BUILD stage — the keyword channel's
+    * build/search split (the a09→a11 economics replayed on text: a17
+    * recomputes tf/df from the corpus on every call; a19 reads a
+    * persisted term-impact index). One corpus pass writes the standard
+    * impact-ordered inverted-index layout the WAND/MaxScore family
+    * (Broder et al. CIKM'03; Ding & Suel SIGIR'11 — public) assumes:
+    *
+    *  - `terms` (term, term_id, df, idf, max_impact): the dictionary.
+    *    term_id is the dense lexicographic rank — strings never cross
+    *    the search-time wire; df drives static pruning; max_impact
+    *    (max-tf · idf) is the per-term score upper bound dynamic
+    *    WAND pruning would consume. The dictionary is vocabulary-
+    *    sized (Heaps' law: ~√corpus), so its build window sort and
+    *    its search-time broadcast are both sub-corpus-scale.
+    *  - `postings` (term_id, doc_id, impact): fixed-point tf·idf
+    *    impacts under t06's engine-exact ⌊10⁴·N/df⌋ law,
+    *    range-partitioned and SORTED by term_id so a query's IN-list
+    *    predicate prunes parquet row groups to exactly the probed
+    *    posting lists — the columnar analog of seeking to a term's
+    *    posting list, and the property that makes search cost track
+    *    Σ df(kept terms) instead of corpus tokens.
+    *  - `meta` (n): written last as the completeness marker.
+    *
+    * Keyed by a content fingerprint of documents.parquet, so an
+    * in-place-regenerated corpus invalidates the stage. */
+  private def stageKeywordIndex(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("a19kw", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val docs = Tables.documents(spark, dir)
+      val n = docs.count()
+      val tf = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"))
+        .withColumn("term_id",
+          row_number().over(Window.orderBy(col("term"))).cast("long"))
+        .withColumn("idf", floor(lit(10000.0) * n / col("df")).cast("long"))
+        .select(col("term"), col("term_id"), col("df"), col("idf"),
+          (col("max_tf") * col("idf")).as("max_impact"))
+        .write.mode("overwrite").parquet(s"$stage/terms")
+      val terms = spark.read.parquet(s"$stage/terms")
+      tf.join(terms.select(col("term"), col("term_id"), col("idf")), Seq("term"))
+        .select(col("term_id"), col("doc_id"), (col("tf") * col("idf")).as("impact"))
+        .repartitionByRange(4, col("term_id"))
+        .sortWithinPartitions(col("term_id"), col("impact").desc, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$stage/postings")
+      docs.agg(count(lit(1)).as("n")).write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Stress hook: rebuild the persisted keyword index unconditionally —
+    * isolates inverted-index build cost from search cost. */
+  def rebuildKeywordIndexStage(spark: SparkSession, dir: String): String =
+    stageKeywordIndex(spark, dir, force = true)
+
+  /** a19's per-query kept-term budget: of a query's distinct terms,
+    * only the KwKeepTerms RAREST (lowest df = highest idf upper bound)
+    * are probed — MaxScore-flavor STATIC impact ordering. High-df
+    * stopwords are exactly the terms whose posting lists dominate the
+    * probe cost (Σ df) while contributing the least-discriminative
+    * impacts, so the pruning cuts cost superlinearly on Zipfian
+    * vocabularies while leaving the informative tail intact. */
+  private[queries] val KwKeepTerms = 8
+
+  /** a19 — KEYWORD search over the PERSISTED inverted index with
+    * impact-ordered term pruning: the text twin of a13's serving
+    * shape, closing the one measured scale hazard of round 7 (a17's
+    * inline keyword channel re-derived tf/df per call and probed with
+    * EVERY query term — 32 s at ×100 on the stress corpus).
+    *
+    * Search-time work, in order: (1) tokenize the 10 query docs — a
+    * doc_id<10 PUSHED scan of the corpus table, metadata-scale; (2)
+    * look the query terms up in the broadcast-joined stored dictionary
+    * and keep the [[KwKeepTerms]] rarest per query (bounded-heap
+    * [[graft.expressions.TopKByScore]] on score −df, ties → lower
+    * term_id = lexicographic — no window); (3) probe: the kept
+    * term_ids become an IN-list predicate pushed onto the
+    * term_id-sorted stored postings scan (row-group pruning = posting-
+    * list seeks; PlanAuditSpec pins the pushdown), broadcast-joined
+    * back to (query_id, term_id) to attach query ids; (4) per-(query,
+    * doc) impact sum, bounded-heap top-20. What never runs at search
+    * time: corpus tokenization, tf/df aggregation, dictionary
+    * construction — all one-time build cost in [[stageKeywordIndex]].
+    * Scale: probe cost is Σ df over ≤ queries×KwKeepTerms terms —
+    * independent of corpus token count; every search-time join
+    * broadcasts the (tiny) query side. */
+  def a19KeywordSearchPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.TopKByScore
+    val stage = stageKeywordIndex(spark, dir)
+    val terms = spark.read.parquet(s"$stage/terms")
+    val qt = Tables.documents(spark, dir).filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), explode(TF.words(col("text"))).as("term"))
+      .distinct()
+    val kept = terms.join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore(-col("df"), col("term_id"), KwKeepTerms).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("term_id"))
+    // the IN-list is driver-built from the kept set — ≤ queries ×
+    // KwKeepTerms longs (metadata-scale, like a13's meta read); it is
+    // what turns the probe into a pushed filter instead of a join
+    // against the whole postings table
+    val keptIds = kept.select(col("term_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    spark.read.parquet(s"$stage/postings")
+      .filter(col("term_id").isin(keptIds: _*))
+      .join(broadcast(kept), Seq("term_id"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("impact")).as("kw_score"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore(col("kw_score"), col("doc_id"), 20).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("kw_rank"),
+        col("col.id").as("doc_id"), col("col.score").as("kw_score"))
+      .orderBy(col("query_id"), col("kw_rank"))
+  }
+
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
     * dedup tractable at corpus scale. Pairwise cosine is computed only
@@ -1533,29 +1655,65 @@ object AnalyticsQueries {
     * is the output) + one narrow per-row rewrite; corpus never
     * shuffles except the pair hash-agg. At 100 TB you sample words by
     * frequency first (p06's slice) — the loop is unchanged. */
-  def t14BpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    var words = Tables.documents(spark, dir)
+  /** One round's corpus-wide adjacent-pair counts over the symbol
+    * column `s` — extracted so PlanAuditSpec can audit the plan of the
+    * job t14 actually runs per round (the collected merge table itself
+    * is a driver-built LocalRelation with a trivial plan). */
+  private[graft] def t14PairCounts(words: DataFrame): DataFrame =
+    words.select(split(trim(col("s")), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(explode(sequence(lit(1), size(col("a")) - 1)).as("i"), col("a"))
+      .select(element_at(col("a"), col("i")).as("lhs"),
+        element_at(col("a"), col("i") + 1).as("rhs"))
+      .groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("n"))
+
+  /** t14's round-0 symbol table: every corpus word exploded to its
+    * space-joined character sequence (sentinel-padded). Test hook for
+    * the per-round plan audit. */
+  private[graft] def t14InitialSymbols(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(explode(TF.words(col("text"))).as("w"))
       .select(concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")).as("s"))
-      .localCheckpoint()
+
+  /** Canonical BPE merge of pair (l, r) over the symbol column `s`: a
+    * left fold over the symbol array merging LEFTMOST NON-OVERLAPPING
+    * occurrences (Sennrich et al. ACL'16's greedy rewrite). A string
+    * replace of " l r "→" lr " is NOT equivalent — consecutive matches
+    * share the delimiter space, so in a run like "a a a a" (or an
+    * abutting chain "l r l r") Java/DuckDB `replace` skips every
+    * second occurrence and under-merges; the fold carries a one-symbol
+    * pending state instead: merge when (pending, x) = (l, r), else
+    * commit pending and carry x. Still a narrow per-row expression —
+    * no shuffle, the corpus scan shape is unchanged. */
+  private[graft] def bpeMergeRound(df: DataFrame, l: String, r: String): DataFrame = {
+    val empty = array().cast("array<string>")
+    val nul = lit(null).cast("string")
+    def closed(acc: Column): Column =
+      when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(array_append(acc.getField("out"), acc.getField("pend")))
+    val folded = aggregate(
+      split(trim(col("s")), " "),
+      struct(empty.as("out"), nul.as("pend")),
+      (acc, x) => when(acc.getField("pend") === lit(l) && x === lit(r),
+        struct(array_append(acc.getField("out"), lit(l + r)).as("out"), nul.as("pend")))
+        .otherwise(struct(closed(acc).as("out"), x.as("pend"))),
+      acc => closed(acc))
+    df.select(concat(lit(" "), array_join(folded, " "), lit(" ")).as("s"))
+  }
+
+  def t14BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var words = t14InitialSymbols(spark, dir).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (step <- 1 to 3) {
-      val best = words.select(split(trim(col("s")), " ").as("a"))
-        .filter(size(col("a")) >= 2)
-        .select(explode(sequence(lit(1), size(col("a")) - 1)).as("i"), col("a"))
-        .select(element_at(col("a"), col("i")).as("lhs"),
-          element_at(col("a"), col("i") + 1).as("rhs"))
-        .groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("n"))
+      val best = t14PairCounts(words)
         .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1).head()
       val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
       // symbols are corpus word characters and their concatenations —
-      // guard the invariant the inlined replace pattern relies on
+      // guard the invariant the merged-symbol literal relies on
       require((l + r).forall(c => c.isLetterOrDigit), s"unsafe symbol: '$l$r'")
       merges += ((step, l, r, n))
-      words = words
-        .select(expr(s"replace(s, ' $l $r ', ' $l$r ')").as("s"))
-        .localCheckpoint()
+      words = bpeMergeRound(words, l, r).localCheckpoint()
     }
     merges.result().toDF("step", "lhs", "rhs", "n").orderBy(col("step"))
   }
@@ -2458,6 +2616,7 @@ object AnalyticsQueries {
     "a16_tombstone_search" -> a16TombstoneSearch _,
     "a17_hybrid_search" -> a17HybridSearch _,
     "a18_ann_recall"    -> a18AnnRecall _,
+    "a19_keyword_search_prebuilt" -> a19KeywordSearchPrebuilt _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
@@ -2487,6 +2646,37 @@ object AnalyticsQueries {
   )
 
   import Sql._
+
+  /** One canonical-BPE training round as DuckDB CTEs: pair counts over
+    * w{i-1}, argmax b$i, then the LEFTMOST NON-OVERLAPPING merge
+    * rewrite producing w$i — the positional twin of the Spark side's
+    * pending-symbol fold ([[bpeMergeRound]]). DuckDB's list_reduce
+    * can't carry a struct accumulator, so the fold is expressed
+    * positionally instead: a position is a merge START iff it heads a
+    * candidate pair (a[i]=l ∧ a[i+1]=r) at ODD distance from the last
+    * non-candidate position — within a run of consecutive candidates
+    * (only possible when l=r) the leftmost-greedy scan takes every
+    * other one, which is exactly streak-parity; a position is DROPPED
+    * iff its predecessor was taken (it is the right half of a merge). */
+  private def bpeRoundCtes(i: Int): String =
+    s"""a$i AS (SELECT wid, string_split(trim(s), ' ') AS a FROM w${i - 1}),
+       |p$i AS (SELECT a[_i] AS lhs, a[_i+1] AS rhs, COUNT(*) AS n
+       |  FROM a$i, unnest(range(1, len(a))) tt(_i) GROUP BY 1, 2),
+       |b$i AS (SELECT lhs, rhs, n FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1),
+       |u$i AS (SELECT wid, _i, a[_i] AS sym,
+       |    (_i < len(a) AND a[_i] = b$i.lhs AND a[_i+1] = b$i.rhs) AS cand
+       |  FROM a$i CROSS JOIN b$i, unnest(range(1, len(a)+1)) tt(_i)),
+       |v$i AS (SELECT wid, _i, sym, cand AND (
+       |    (_i - COALESCE(MAX(CASE WHEN NOT cand THEN _i END) OVER (
+       |      PARTITION BY wid ORDER BY _i ROWS UNBOUNDED PRECEDING), 0)) % 2 = 1
+       |    ) AS taken FROM u$i),
+       |n$i AS (SELECT v.wid, v._i,
+       |    CASE WHEN v.taken THEN b$i.lhs || b$i.rhs ELSE v.sym END AS osym,
+       |    COALESCE(LAG(v.taken) OVER (PARTITION BY v.wid ORDER BY v._i),
+       |      FALSE) AS dropped
+       |  FROM v$i v CROSS JOIN b$i),
+       |w$i AS (SELECT wid, ' ' || string_agg(osym, ' ' ORDER BY _i) || ' ' AS s
+       |  FROM n$i WHERE NOT dropped GROUP BY wid)""".stripMargin
 
   private val shingleCte =
     s"""w AS (SELECT doc_id, ${shingles("text", 4)} AS sh FROM documents),
@@ -3250,6 +3440,35 @@ object AnalyticsQueries {
          |  FROM f)
          |SELECT query_id, rank, doc_id, kw_rank, vec_rank, rrf_score FROM r
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // the whole index math (tf/df/impact), the per-query top-8-rarest
+    // term pruning (df asc, term asc — a19's score=-df / id=term_id
+    // heap order, term_id being the dense lexicographic rank), and the
+    // top-20 scoring recomputed inline: the oracle proves the stored
+    // index + pruned probe ≡ the inline definition
+    "a19_keyword_search_prebuilt" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |idf AS (SELECT term, df,
+         |    CAST(floor(10000.0 * n.n / df) AS BIGINT) AS idf
+         |  FROM dft CROSS JOIN n),
+         |idx AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS impact
+         |  FROM tf JOIN idf USING (term)),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+         |qk AS (SELECT query_id, term FROM (
+         |  SELECT qt.query_id, qt.term, ROW_NUMBER() OVER (
+         |      PARTITION BY qt.query_id ORDER BY idf.df ASC, qt.term ASC) AS trk
+         |  FROM qt JOIN idf USING (term)) WHERE trk <= $KwKeepTerms),
+         |kw AS (SELECT qk.query_id, idx.doc_id,
+         |    CAST(SUM(idx.impact) AS BIGINT) AS kw_score
+         |  FROM idx JOIN qk USING (term) WHERE idx.doc_id <> qk.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, kw_rank, doc_id, kw_score FROM (
+         |  SELECT query_id, doc_id, kw_score, CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank
+         |  FROM kw) WHERE kw_rank <= 20
+         |ORDER BY query_id, kw_rank""".stripMargin,
     "d12_semdedup" ->
       s"""WITH $kmeansCtes,
          |e AS (SELECT vec_id, cluster, embedding, ${normSq("embedding")} AS nsq
@@ -3286,28 +3505,17 @@ object AnalyticsQueries {
          |  (sum_w // n_bigrams) < 33000 AS suspect_incoherent
          |FROM s ORDER BY doc_id""".stripMargin,
     // the identical 3-round BPE loop unrolled: chars → pair counts →
-    // argmax (count desc, lexicographic) → leftmost non-overlapping
-    // merge → repeat; each round's rewrite feeds the next
+    // argmax (count desc, lexicographic) → CANONICAL leftmost
+    // non-overlapping merge (streak-parity positional rewrite,
+    // bpeRoundCtes) → repeat; each round's rewrite feeds the next
     "t14_bpe_merges" ->
       s"""WITH t AS (SELECT unnest(${words("text")}) AS w FROM documents),
-         |w0 AS (SELECT ' ' || array_to_string(list_transform(
+         |w0 AS (SELECT ROW_NUMBER() OVER () AS wid,
+         |    ' ' || array_to_string(list_transform(
          |    range(1, length(w)+1), _i -> substr(w, _i, 1)), ' ') || ' ' AS s FROM t),
-         |a1 AS (SELECT string_split(trim(s), ' ') AS a FROM w0),
-         |p1 AS (SELECT a[_i] AS lhs, a[_i+1] AS rhs, COUNT(*) AS n
-         |  FROM a1, unnest(range(1, len(a))) tt(_i) GROUP BY 1, 2),
-         |b1 AS (SELECT lhs, rhs, n FROM p1 ORDER BY n DESC, lhs, rhs LIMIT 1),
-         |w1 AS (SELECT replace(s, ' ' || b1.lhs || ' ' || b1.rhs || ' ',
-         |    ' ' || b1.lhs || b1.rhs || ' ') AS s FROM w0 CROSS JOIN b1),
-         |a2 AS (SELECT string_split(trim(s), ' ') AS a FROM w1),
-         |p2 AS (SELECT a[_i] AS lhs, a[_i+1] AS rhs, COUNT(*) AS n
-         |  FROM a2, unnest(range(1, len(a))) tt(_i) GROUP BY 1, 2),
-         |b2 AS (SELECT lhs, rhs, n FROM p2 ORDER BY n DESC, lhs, rhs LIMIT 1),
-         |w2 AS (SELECT replace(s, ' ' || b2.lhs || ' ' || b2.rhs || ' ',
-         |    ' ' || b2.lhs || b2.rhs || ' ') AS s FROM w1 CROSS JOIN b2),
-         |a3 AS (SELECT string_split(trim(s), ' ') AS a FROM w2),
-         |p3 AS (SELECT a[_i] AS lhs, a[_i+1] AS rhs, COUNT(*) AS n
-         |  FROM a3, unnest(range(1, len(a))) tt(_i) GROUP BY 1, 2),
-         |b3 AS (SELECT lhs, rhs, n FROM p3 ORDER BY n DESC, lhs, rhs LIMIT 1)
+         |${bpeRoundCtes(1)},
+         |${bpeRoundCtes(2)},
+         |${bpeRoundCtes(3)}
          |SELECT 1 AS step, * FROM b1 UNION ALL SELECT 2, * FROM b2
          |UNION ALL SELECT 3, * FROM b3 ORDER BY step""".stripMargin,
     // per-lang greedy packing state machine — the x10 recursive-CTE

@@ -93,7 +93,15 @@ object PipelineQueries {
       if (!stagedFixtures.contains(key)) {
         val tmp = Paths.get(sys.props("java.io.tmpdir"))
         val marker = tmp.resolve(key)
-        val ch = java.nio.channels.FileChannel.open(tmp.resolve(key + ".lock"),
+        // the cross-JVM lock is keyed by (tag, dir) WITHOUT the content
+        // fingerprint: two JVMs observing different fingerprints of an
+        // in-place-regenerated source must still serialize their
+        // delete/rebuild of the same dataDirs (fingerprint-keyed locks
+        // would let one delete a dir the other is mid-streaming). Only
+        // the marker — written after a successful build — carries the
+        // fingerprint, so staleness detection is unchanged.
+        val lockKey = s"graft_${tag}_${stagingKey(dir)}_staged.lock"
+        val ch = java.nio.channels.FileChannel.open(tmp.resolve(lockKey),
           java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
         try {
           val lk = ch.lock()

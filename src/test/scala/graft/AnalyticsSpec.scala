@@ -230,6 +230,59 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(snapshot() == before, "an update run changed the stored corpus codes")
   }
 
+  // bpeMergeRound must be CANONICAL leftmost non-overlapping merging —
+  // the exact cases where the old " l r "→" lr " string replace
+  // under-merged: runs of repeated symbols (consecutive matches share
+  // the delimiter space) and abutting l≠r chains.
+  test("t14 merge round: canonical leftmost non-overlapping, repeated runs included") {
+    import spark.implicits._
+    def round(in: Seq[String], l: String, r: String): Seq[String] =
+      graft.queries.AnalyticsQueries
+        .bpeMergeRound(in.toDF("s"), l, r).as[String].collect().toSeq
+    assert(round(Seq(" a a a a "), "a", "a") == Seq(" aa aa "))
+    assert(round(Seq(" a a a "), "a", "a") == Seq(" aa a "))
+    assert(round(Seq(" a a a a a "), "a", "a") == Seq(" aa aa a "))
+    assert(round(Seq(" l r l r "), "l", "r") == Seq(" lr lr "))
+    assert(round(Seq(" x l r y "), "l", "r") == Seq(" x lr y "))
+    assert(round(Seq(" x y "), "l", "r") == Seq(" x y "))
+    assert(round(Seq(" q "), "l", "r") == Seq(" q "))
+  }
+
+  // a19 searches the PERSISTED inverted index with per-query
+  // top-8-rarest term pruning; scoring is integer tf·idf end to end,
+  // so the ranked table must be row-identical to an inline
+  // window-based recompute of the same definition — a path independent
+  // of both the stored artifacts and the TopKByScore heap.
+  test("a19 prebuilt keyword search == inline pruned tf-idf recompute, row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idx = tf.join(dft, Seq("term"))
+      .withColumn("impact", col("tf") * floor(lit(10000.0) * n / col("df")).cast("long"))
+    val qt = tf.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("term")).distinct()
+    val wprune = Window.partitionBy("query_id").orderBy(col("df").asc, col("term").asc)
+    val qk = qt.join(dft, Seq("term"))
+      .withColumn("trk", row_number().over(wprune)).filter(col("trk") <= 8)
+      .select("query_id", "term")
+    val wrank = Window.partitionBy("query_id")
+      .orderBy(col("kw_score").desc, col("doc_id").asc)
+    val want = idx.join(qk, Seq("term")).filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(sum("impact").as("kw_score"))
+      .withColumn("kw_rank", row_number().over(wrank).cast("int"))
+      .filter(col("kw_rank") <= 20)
+      .select(col("query_id"), col("kw_rank"), col("doc_id"), col("kw_score"))
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    val got = graft.queries.AnalyticsQueries.a19KeywordSearchPrebuilt(spark, dir)
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty && got == want)
+  }
+
   // a13 searches the persisted IVF-PQ artifacts; the algebra is
   // deterministic integers end to end, so the full ranked table must be
   // row-identical to a10's inline build+search.

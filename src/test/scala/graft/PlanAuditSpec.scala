@@ -218,6 +218,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
   }
 
+  test("a19: prebuilt keyword search — kept-term IN-list pushed to stored postings, no corpus rebuild") {
+    val p = planOf(graft.queries.AnalyticsQueries.a19KeywordSearchPrebuilt(spark, dir))
+    // the serving shape: the pruned kept-term set is an IN-list parquet
+    // filter on the term_id-sorted stored postings (row-group pruning =
+    // posting-list seeks), the dictionary lookup and the probe both
+    // broadcast the tiny query side, and the ONLY corpus scan is the
+    // pushed doc_id<10 query-tokenization slice — a second documents
+    // scan would mean the search plan re-derived tf/df inline (a17's
+    // unamortized shape, the round-7 measured scale hazard)
+    assert(p.contains("graft_a19kw"), s"search must scan the persisted keyword index:\n$p")
+    assert(p.contains("In(term_id"), s"kept-term IN-list not pushed to the postings scan:\n$p")
+    assert(p.contains("LessThan(doc_id,10)"),
+      s"query tokenization must be a pushed doc_id slice:\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).length == 1,
+      s"corpus scanned more than once — inline tf/df rebuild detected:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"keyword search shuffled into a sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"keyword search went cartesian:\n$p")
+    assert(!p.contains("ExistingRDD"), s"search plan contains build-time work:\n$p")
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast query-side joins:\n$p")
+  }
+
   test("a12: append-only update — stored corpus codes read, never retrained") {
     val p = planOf(graft.queries.AnalyticsQueries.a12PqIndexUpdate(spark, dir))
     // the increment encode (odd ids against frozen broadcast codebooks)
@@ -477,22 +499,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected an equi-join on (user_id, bucket):\n$p")
   }
 
-  test("m07/p21/t14: the session's batch additions never plan a cartesian; " +
+  test("m07/p21: the batch additions never plan a cartesian; " +
     "their joins stay equi-joins") {
     // m07: band-bucket self-join over distinct hashes; p21: three
-    // rank⋈edges iterations; t14: pair-count aggregation rounds. A
-    // cartesian in any of them is the quadratic the design exists to
-    // avoid; the join keys (band,key) / (src) must survive as
-    // hash/sort-merge/broadcast equi-joins.
+    // rank⋈edges iterations. A cartesian in either is the quadratic
+    // the design exists to avoid; the join keys (band,key) / (src)
+    // must survive as hash/sort-merge/broadcast equi-joins.
     Seq(
       graft.queries.AnalyticsQueries.m07ImageNearDup(spark, dir),
-      graft.queries.AnalyticsQueries.p21PageRank(spark, dir),
-      graft.queries.AnalyticsQueries.t14BpeMerges(spark, dir)
+      graft.queries.AnalyticsQueries.p21PageRank(spark, dir)
     ).foreach { df =>
       val p = planOf(df)
       assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$p")
     }
+  }
+
+  test("t14: a training round's pair-count job is a two-phase hash-agg " +
+    "over a narrow explode — no join, no window, no driver state") {
+    // t14BpeMerges itself returns a driver-built LocalRelation (the
+    // merge table IS the output), so auditing ITS plan is vacuous —
+    // audit the job each round actually runs instead: pair counts over
+    // the current symbol table.
+    val words = graft.queries.AnalyticsQueries.t14InitialSymbols(spark, dir)
+    val p = planOf(graft.queries.AnalyticsQueries.t14PairCounts(words))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"pair count must be partial+final hash aggregate:\n$p")
+    assert(!p.contains("Join"), s"pair counting must not join:\n$p")
+    assert(!p.contains("Window"), s"pair counting must not window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 
   test("whole-stage codegen covers the native hash expression") {
