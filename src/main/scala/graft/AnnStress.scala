@@ -155,6 +155,48 @@ object AnnStress {
       timed("a14 filtered prebuilt search (2nd)")(
         queries.AnalyticsQueries.a14FilteredAnnPrebuilt(spark, stageDir))
       println(f"[stress] a14 filtered recall@5 = ${recallVs(fExact)(filt)}%.3f")
+
+      // selectivity sweep: PRE-filtering (a14's pushed predicate on the
+      // stored code rows) vs POST-filtering (unfiltered a13 top-10,
+      // predicate applied after). Post-filtering a fixed shortlist
+      // under-fills as the predicate tightens — the structural failure
+      // the denormalized pre-filter layout exists to avoid. Label is
+      // uniform on 0..9, so labelMax ∈ {5, 2, 1} sweeps 50%→20%→10%
+      // selectivity (the layout's filter-column granularity is the
+      // sweep floor). Recall judged against the float-exact ranking
+      // over each FILTERED corpus.
+      val labels = eAll.select(col("vec_id"), col("label").cast("int").as("label"))
+      val unfiltered = queries.AnalyticsQueries
+        .a13IvfPqSearchPrebuilt(spark, stageDir)
+        .join(labels, col("neighbor_id") === col("vec_id"))
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("label"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._2))
+      for (labelMax <- Seq(5, 2, 1)) {
+        val truth = topsOf(
+          fc.join(broadcast(fq), col("query_id") =!= col("neighbor_id"))
+            .join(labels, col("neighbor_id") === col("vec_id"))
+            .filter(col("label") < labelMax)
+            .withColumn("sim",
+              functions.Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn")))
+            .groupBy(col("query_id"))
+            .agg(TopKByScore(DoubleSortKey(col("sim")), col("neighbor_id"), 5).as("top"))
+            .select(col("query_id"), explode(col("top")).as("c"))
+            .select(col("query_id"), col("c").getField("id").as("neighbor_id")))
+        val t0 = System.nanoTime()
+        val pre = topsOf(
+          queries.AnalyticsQueries.a14FilteredAnnTuned(spark, stageDir, labelMax))
+        val preWall = (System.nanoTime() - t0) / 1e9
+        val postByQ = unfiltered.filter(_._4 < labelMax)
+          .groupBy(_._1).view.mapValues(_.map(_._3).take(5).toSet).toMap
+        val post = postByQ.map { case (q, ns) => q -> ns }
+        val avgPost = if (postByQ.isEmpty) 0.0
+          else postByQ.values.map(_.size).sum.toDouble / truth.size
+        println(f"[stress] a14 sweep labelMax=$labelMax (~${labelMax * 10}%d%% kept): " +
+          f"pre recall@5 ${recallVs(truth)(pre)}%.3f ($preWall%.1f s), " +
+          f"post recall@5 ${recallVs(truth)(post)}%.3f " +
+          f"(avg ${avgPost}%.1f of 5 filled)")
+      }
     }
     // the lifecycle tail (a15 compaction, a16 deletes): one-time
     // compaction cost, then what a search pays (a) over the compacted

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dev measurement: the ITERATIVE graph families (rounds × shuffle
+  * cost model — asserted since round 5, measured here for the first
+  * time): p21's fixed-point PageRank and d07/d11's large-star/
+  * small-star connected components, each on the sf edge set
+  * replicated ×copies under disjoint id spaces (src/dst + copy·span —
+  * AnnStress's replication trick applied to edges).
+  *
+  * Disjoint replication multiplies per-round shuffle VOLUME by
+  * ×copies while leaving graph STRUCTURE (diameter, component sizes,
+  * degree distribution) unchanged — so wall-time scaling isolates the
+  * shuffle cost model: PageRank runs a FIXED 3 Jacobi rounds
+  * regardless of scale (convergence depends on damping and diameter,
+  * not node count — replicas converge identically by construction),
+  * and CC's round count stays O(log diameter), unchanged under
+  * replication. The numbers to watch: wall-time per round should grow
+  * ~linearly in copies; superlinear growth means a shuffle spilled or
+  * a join stopped being map-side-combinable. Results in PERF.md.
+  *
+  * Usage: runMain graft.GraphStress [sfDir] [copies]
+  */
+object GraphStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val out = body
+      println(f"[stress] $label took ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      out
+    }
+
+    // --- p21: fixed-point PageRank, 3 Jacobi rounds -------------------
+    val baseEdges = graft.queries.AnalyticsQueries.p21Edges(spark, sfDir)
+    val span = baseEdges.agg(greatest(max(col("src")), max(col("dst"))))
+      .head.getLong(0) + 1
+    val nE = baseEdges.count()
+    Seq(("1x", 1), (s"${copies}x", copies)).foreach { case (tag, c) =>
+      val edges = baseEdges.crossJoin(spark.range(c).toDF("copy"))
+        .select((col("src") + col("copy") * span).as("src"),
+          (col("dst") + col("copy") * span).as("dst"))
+        .localCheckpoint()
+      val n = edges.count()
+      // eager checkpoint INSIDE the timed block: materializes the
+      // 3-round lineage exactly once; the convergence probe below
+      // reads the materialized ranks instead of re-running the loop
+      // (which at ×100 doubled memory pressure into AGGREGATE_OOM)
+      val ranks = timed(f"p21 pagerank 3 rounds $tag ($n%,d edges)") {
+        graft.queries.AnalyticsQueries.pageRankRanks(edges, 3).localCheckpoint()
+      }
+      println(s"[stress] p21 $tag ranked ${ranks.count()} nodes")
+      // convergence probe: replicas of one graph must rank identically
+      // copy-to-copy — any drift means an iteration mixed id spaces
+      if (c > 1) {
+        val perCopy = ranks
+          .groupBy(expr(s"id DIV $span").as("copy"))
+          .agg(sum(expr("r % 1000000007")).as("cksum"))
+          .select(countDistinct(col("cksum")).as("k")).head.getLong(0)
+        println(s"[stress] p21 $tag per-copy rank checksums distinct=$perCopy (want 1)")
+        ranks.unpersist()
+      }
+    }
+
+    // --- d07: connected components over near-dup pairs ----------------
+    val basePairs = Dedup.jaccardPairs(
+        StressFixtures.zipfDocs(spark, 2000).crossJoin(spark.range(5).toDF("copy"))
+          .select((col("doc_id") + col("copy") * 2000).as("doc_id"),
+            when(col("copy") === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" zc"), col("copy"))).as("text")),
+        col("doc_id"), col("text"), 4, 0.5)
+      .select(col("i"), col("j")).localCheckpoint()
+    val pSpan = basePairs.agg(greatest(max(col("i")), max(col("j"))))
+      .head.getLong(0) + 1
+    Seq(("1x", 1), (s"${copies}x", copies)).foreach { case (tag, c) =>
+      val pairs = basePairs.crossJoin(spark.range(c).toDF("copy"))
+        .select((col("i") + col("copy") * pSpan).as("i"),
+          (col("j") + col("copy") * pSpan).as("j"))
+        .localCheckpoint()
+      val n = pairs.count()
+      timed(f"d07 connected components $tag ($n%,d pairs)") {
+        Dedup.dupClusters(pairs).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -3,15 +3,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev measurement: HYBRID retrieval scale stress — the documents AND
-  * embeddings corpora replicated ×N under fresh ids (texts suffixed
-  * with their copy index so replicas are near- but not exact-dups;
-  * embeddings cyclically rotated per copy, AnnStress's trick), then
-  * a17 (hybrid keyword⊕vector RRF) and a18's exact side timed on the
-  * grown corpus. What the fixed-SF bench can't show: the keyword
-  * channel's term-join grows with corpus TOKENS (Σ_t df(t) candidate
-  * pairs), the vector channel with corpus ROWS — both linear, and the
-  * fusion cost is constant (queries×k). Results recorded in PERF.md.
+/** Dev measurement: retrieval scale stress — the a10/a13 build-vs-
+  * search economics measured on the TEXT channel.
+  *
+  * Corpus: [[StressFixtures.zipfDocs]] synthetic documents (Zipf(1.0)
+  * vocabulary — round 7's replicated ~30-word-vocab fixture made every
+  * query term a corpus-wide stopword, so the keyword probe was
+  * measured only at its degenerate upper bound and df-based pruning
+  * would have emptied the channel; on a Zipfian vocabulary posting
+  * lists have the real heavy-head/long-tail shape). Embeddings: the
+  * base table's first nBase vectors replicated ×copies under
+  * vec_id + copy·nBase (ALIGNED with the doc id space — replica
+  * vec_ids previously offset by copy·nVecs, which pairs rotated
+  * vectors with unrelated documents whenever nVecs ≠ nDocs), each
+  * copy cyclically rotated so replicas are near- but not exact-dups.
+  *
+  * Timed, at 1× and ×copies:
+  *  - a17 inline hybrid (rebuilds tf/df per call — the unamortized
+  *    baseline, round 7's measured 32 s scale hazard);
+  *  - a19 index BUILD (one-time cost, forced rebuild);
+  *  - a19 pruned search over the persisted index (the serving path —
+  *    cold = first call after build, warm = repeat).
+  * Results recorded in PERF.md.
   *
   * Usage: runMain graft.RetrievalStress [sfDir] [copies]
   */
@@ -27,22 +40,16 @@ object RetrievalStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = Tables.documents(spark, sfDir)
-    val emb = Tables.embeddings(spark, sfDir)
-    val nDocs = docs.count()
-    val nVecs = emb.count()
+    val nBase = Tables.documents(spark, sfDir).count()
     val dim = 64
     val stageDir = "/tmp/graft_retrieval_stress"
-    docs.crossJoin(spark.range(copies).toDF("copy"))
-      .select((col("doc_id") + col("copy") * nDocs).as("doc_id"),
-        // copy 0 keeps the original text (the query docs live there);
-        // replicas get a distinguishing suffix token
-        when(col("copy") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" copytag"), col("copy"))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+    StressFixtures.zipfDocs(spark, nBase * copies)
       .write.mode("overwrite").parquet(s"$stageDir/documents.parquet")
-    emb.crossJoin(spark.range(copies).toDF("copy"))
-      .select((col("vec_id") + col("copy") * nVecs).as("vec_id"),
+    // vectors aligned 1:1 with the doc id space: base slice vec_id <
+    // nBase, replica ids offset by copy*nBase, rotated per copy
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") < nBase)
+      .crossJoin(spark.range(copies).toDF("copy"))
+      .select((col("vec_id") + col("copy") * nBase).as("vec_id"),
         when(col("copy") === 0, col("embedding")).otherwise(
           concat(
             slice(col("embedding"), (col("copy") % dim).cast("int") + 1,
@@ -52,21 +59,26 @@ object RetrievalStress {
         col("label"))
       .write.mode("overwrite").parquet(s"$stageDir/embeddings.parquet")
     val totD = spark.read.parquet(s"$stageDir/documents.parquet").count()
-    println(s"[stress] corpus = $totD docs (${copies}x of $nDocs), " +
-      s"${copies * nVecs} vectors")
+    val totV = spark.read.parquet(s"$stageDir/embeddings.parquet").count()
+    println(s"[stress] corpus = $totD zipf docs, $totV vectors (${copies}x of $nBase)")
 
     def timed(label: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = body
       println(f"[stress] $label rows=$rows took ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    // warm-up pass then measured pass, both at 1x and Nx
     Seq(("1x", sfDir), (s"${copies}x", stageDir)).foreach { case (tag, dir) =>
-      timed(s"a17 hybrid RRF    $tag") {
+      timed(s"a17 inline hybrid        $tag") {
         graft.queries.AnalyticsQueries.a17HybridSearch(spark, dir).count()
       }
-      timed(s"a17 hybrid (warm) $tag") {
-        graft.queries.AnalyticsQueries.a17HybridSearch(spark, dir).count()
+      timed(s"a19 index build          $tag") {
+        graft.queries.AnalyticsQueries.rebuildKeywordIndexStage(spark, dir); 1L
+      }
+      timed(s"a19 pruned search (cold) $tag") {
+        graft.queries.AnalyticsQueries.a19KeywordSearchPrebuilt(spark, dir).count()
+      }
+      timed(s"a19 pruned search (warm) $tag") {
+        graft.queries.AnalyticsQueries.a19KeywordSearchPrebuilt(spark, dir).count()
       }
     }
     spark.stop()

@@ -1101,12 +1101,21 @@ object AnalyticsQueries {
     * this shape avoids is the join-then-filter plan that scores the
     * whole corpus first. Queries are unfiltered; only corpus rows are
     * constrained, mirroring "search the licensed subset" semantics. */
-  def a14FilteredAnnPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+  def a14FilteredAnnPrebuilt(spark: SparkSession, dir: String): DataFrame =
+    a14FilteredAnnTuned(spark, dir, FilteredAnnLabelMax)
+
+  /** a14's search with an EXPLICIT label ceiling — the predicate is a
+    * search-time knob on the fixed stored index (like a13's (probes,
+    * L)): AnnStress sweeps selectivity 50%→10% against a post-filtered
+    * a13 baseline to measure where post-filtering under-fills. The
+    * gated a14 pins labelMax = [[FilteredAnnLabelMax]]. */
+  def a14FilteredAnnTuned(spark: SparkSession, dir: String,
+      labelMax: Int): DataFrame = {
     val pqStage = stagePqIndex(spark, dir)
     val ivfStage = stageIvfIndex(spark, dir)
     val meta = spark.read.parquet(s"$ivfStage/meta").head
     val codesCells = spark.read.parquet(s"$ivfStage/codes_cells")
-      .filter(col("label") < FilteredAnnLabelMax)
+      .filter(col("label") < labelMax)
       .drop("label")
     val cbAll = spark.read.parquet(s"$pqStage/codebooks")
     val coarse = spark.read.parquet(s"$ivfStage/coarse")
@@ -2447,20 +2456,15 @@ object AnalyticsQueries {
     * sum; edges never leave their partitioning, no driver-side state,
     * rounds = a constant. Output: top-10 nodes per kind — the frontier
     * a scheduler would actually consume. */
-  def p21PageRank(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      // materialize: three iterations + deg all reuse this edge list —
-      // at scale it is the persisted graph table, this is the demo analog
-      .localCheckpoint()
+  /** The p21 Jacobi core over an arbitrary (src, dst) edge list —
+    * extracted so GraphStress can replicate the edge set ×N and time
+    * the iteration loop in isolation. Returns (id, r) scaled-integer
+    * ranks after `iters` rounds; each round is one equi-join of the
+    * rank table onto the edges plus one map-side-combined sum. */
+  private[graft] def pageRankRanks(edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     var rank = deg.select(col("src").as("id"), lit(1000000000L).as("r"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to iters) {
       rank = edges
         .join(rank, edges("src") === rank("id"))
         .join(deg, Seq("src"))
@@ -2470,6 +2474,26 @@ object AnalyticsQueries {
         .select(col("dst").as("id"),
           expr("CAST(150000000 + (85 * inflow) DIV 100 AS BIGINT)").as("r"))
     }
+    rank
+  }
+
+  /** The p21 trade-graph edge list (customer c → 2c, supplier s →
+    * 2s+1, symmetrized) — shared by the gated query and GraphStress. */
+  private[graft] def p21Edges(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  def p21PageRank(spark: SparkSession, dir: String): DataFrame = {
+    // materialize: three iterations + deg all reuse this edge list —
+    // at scale it is the persisted graph table, this is the demo analog
+    val edges = p21Edges(spark, dir).localCheckpoint()
+    val rank = pageRankRanks(edges, 3)
     val w = Window.partitionBy(col("kind")).orderBy(col("r").desc, col("orig_id"))
     rank
       .select(when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
