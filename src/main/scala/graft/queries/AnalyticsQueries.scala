@@ -1463,25 +1463,29 @@ object AnalyticsQueries {
     * Scale: probe cost is Σ df over ≤ queries×KwKeepTerms terms —
     * independent of corpus token count; every search-time join
     * broadcasts the (tiny) query side. */
-  def a19KeywordSearchPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared pruned-search tail over an inverted index: per-query
+    * top-[[KwKeepTerms]] rarest terms from `dict` (term, term_id, df —
+    * heap order (−df, term_id)), kept ids as a driver-built IN-list on
+    * `postings` (≤ queries×KwKeepTerms longs, metadata-scale like
+    * a13's meta read — it is what turns the probe into a PUSHED parquet
+    * filter instead of a join against the whole postings table), then
+    * per-(query, doc) impact sums and a bounded-heap top-20. Shared by
+    * a19 (stored index), a20 (stored ∪ increment) and s17 (stored ∪
+    * streamed landings). */
+  private[queries] def kwPrunedSearch(spark: SparkSession, dir: String,
+      dict: DataFrame, postings: DataFrame): DataFrame = {
     import graft.expressions.TopKByScore
-    val stage = stageKeywordIndex(spark, dir)
-    val terms = spark.read.parquet(s"$stage/terms")
     val qt = Tables.documents(spark, dir).filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"), explode(TF.words(col("text"))).as("term"))
       .distinct()
-    val kept = terms.join(broadcast(qt), Seq("term"))
+    val kept = dict.join(broadcast(qt), Seq("term"))
       .groupBy(col("query_id"))
       .agg(TopKByScore(-col("df"), col("term_id"), KwKeepTerms).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t.id").as("term_id"))
-    // the IN-list is driver-built from the kept set — ≤ queries ×
-    // KwKeepTerms longs (metadata-scale, like a13's meta read); it is
-    // what turns the probe into a pushed filter instead of a join
-    // against the whole postings table
     val keptIds = kept.select(col("term_id")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    spark.read.parquet(s"$stage/postings")
+    postings
       .filter(col("term_id").isin(keptIds: _*))
       .join(broadcast(kept), Seq("term_id"))
       .filter(col("doc_id") =!= col("query_id"))
@@ -1493,6 +1497,120 @@ object AnalyticsQueries {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("kw_rank"),
         col("col.id").as("doc_id"), col("col.score").as("kw_score"))
       .orderBy(col("query_id"), col("kw_rank"))
+  }
+
+  /** The segment-local OOV dictionary over increment term-vector rows
+    * (doc_id, term, tf): per-term df within the segment, term_ids
+    * appended lexicographically ABOVE the frozen range, idf under the
+    * frozen corpus size. Collected to the driver — the in-writer term
+    * table every index writer holds (segment-VOCABULARY-sized, Heaps'
+    * law ~√segment, not corpus-sized). Shared by a20 and s17. */
+  private[queries] def kwOovDict(spark: SparkSession, oovTf: DataFrame,
+      nCorpus: Long, maxTermId: Long): DataFrame = {
+    import spark.implicits._
+    oovTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .zipWithIndex.map { case ((t, df), i) =>
+        (t, maxTermId + i + 1, df, math.floor(10000.0 * nCorpus / df).toLong)
+      }.toSeq.toDF("term", "term_id", "df", "idf")
+  }
+
+  def a19KeywordSearchPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageKeywordIndex(spark, dir)
+    kwPrunedSearch(spark, dir,
+      spark.read.parquet(s"$stage/terms").select(col("term"), col("term_id"), col("df")),
+      spark.read.parquet(s"$stage/postings"))
+  }
+
+  /** The a20 CORPUS-HALF keyword index stage — a19's layout built
+    * from the even doc_ids only, the frozen base an append-only text
+    * index updates against (the a12 even/odd protocol replayed on the
+    * inverted index). Same three tables as [[stageKeywordIndex]]
+    * (terms / term_id-sorted postings / meta); meta additionally
+    * records max_term_id so increment-only vocabulary can be assigned
+    * ids ABOVE the frozen dictionary without renumbering it. */
+  private def stageA20CorpusKwIndex(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("a20kw", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val docs = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
+      val n = docs.count()
+      val tf = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"))
+        .withColumn("term_id",
+          row_number().over(Window.orderBy(col("term"))).cast("long"))
+        .withColumn("idf", floor(lit(10000.0) * n / col("df")).cast("long"))
+        .select(col("term"), col("term_id"), col("df"), col("idf"),
+          (col("max_tf") * col("idf")).as("max_impact"))
+        .write.mode("overwrite").parquet(s"$stage/terms")
+      val terms = spark.read.parquet(s"$stage/terms")
+      tf.join(terms.select(col("term"), col("term_id"), col("idf")), Seq("term"))
+        .select(col("term_id"), col("doc_id"), (col("tf") * col("idf")).as("impact"))
+        .repartitionByRange(4, col("term_id"))
+        .sortWithinPartitions(col("term_id"), col("impact").desc, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$stage/postings")
+      val maxId = terms.agg(max(col("term_id"))).head.getLong(0)
+      docs.agg(count(lit(1)).as("n")).withColumn("max_term_id", lit(maxId))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the a20 frozen corpus-index staging path. */
+  def a20CorpusKwIndexStage(spark: SparkSession, dir: String): String =
+    stageA20CorpusKwIndex(spark, dir)
+
+  /** a20 — APPEND-ONLY keyword-index update + search: the segment
+    * model every production text index uses (Lucene's new-segment
+    * path), a12's protocol replayed on the inverted index. The
+    * increment (odd doc_ids) is tokenized and encoded against the
+    * FROZEN corpus artifacts: terms already in the stored dictionary
+    * keep their frozen (df, idf) — idf drift from the growing corpus
+    * is absorbed until the next rebuild/merge, the standard
+    * incremental-indexing approximation — while increment-only terms
+    * form a SEGMENT-LOCAL dictionary (per-segment df/idf, Lucene
+    * semantics) with term_ids appended above the frozen range, so the
+    * stored dictionary is never renumbered. Search is a19's pruned
+    * probe over the merged dictionary and corpus ∪ increment
+    * postings: per query the 8 rarest terms by dictionary df (ties →
+    * lower term_id, i.e. frozen-dictionary-first then lexicographic —
+    * the oracle mirrors this ordering explicitly), IN-list pushed onto
+    * the stored postings scan. What never runs: corpus re-tokenization
+    * (only the doc_id<10 query slice and the odd-id increment are
+    * scanned), dictionary rebuild, any rewrite of stored rows —
+    * AnalyticsSpec pins the stored postings byte-identical across
+    * updates. */
+  def a20KeywordIndexUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageA20CorpusKwIndex(spark, dir)
+    val terms = spark.read.parquet(s"$stage/terms")
+    val meta = spark.read.parquet(s"$stage/meta").head
+    val (nCorpus, maxTermId) = (meta.getAs[Long]("n"), meta.getAs[Long]("max_term_id"))
+    val tfInc = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // increment-only vocabulary: the driver-built segment dictionary
+    // ([[kwOovDict]] — ids above the frozen range, lexicographic, so
+    // the (df, term_id) tie order search prunes by = frozen dict
+    // first then OOV by term; the oracle mirrors it as (df, oov,
+    // term)). This eager collect plus the one encode join below keep
+    // the increment tokenization to exactly two passes, no checkpoint.
+    val oovLocal = kwOovDict(spark,
+      tfInc.join(broadcast(terms.select(col("term"))), Seq("term"), "left_anti"),
+      nCorpus, maxTermId)
+    val dict = terms.select(col("term"), col("term_id"), col("df"), col("idf"))
+      .unionByName(oovLocal)
+    // one encode pass: every increment posting keyed and weighted by
+    // the merged dictionary (frozen idf for known terms, segment idf
+    // for OOV), which broadcasts (vocabulary-sized)
+    val incPost = tfInc.join(broadcast(dict), Seq("term"))
+      .select(col("term_id"), col("doc_id"), (col("tf") * col("idf")).as("impact"))
+    kwPrunedSearch(spark, dir,
+      dict.select(col("term"), col("term_id"), col("df")),
+      spark.read.parquet(s"$stage/postings").unionByName(incPost))
   }
 
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
@@ -2641,6 +2759,7 @@ object AnalyticsQueries {
     "a17_hybrid_search" -> a17HybridSearch _,
     "a18_ann_recall"    -> a18AnnRecall _,
     "a19_keyword_search_prebuilt" -> a19KeywordSearchPrebuilt _,
+    "a20_keyword_index_update" -> a20KeywordIndexUpdate _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
@@ -3484,6 +3603,40 @@ object AnalyticsQueries {
          |  SELECT qt.query_id, qt.term, ROW_NUMBER() OVER (
          |      PARTITION BY qt.query_id ORDER BY idf.df ASC, qt.term ASC) AS trk
          |  FROM qt JOIN idf USING (term)) WHERE trk <= $KwKeepTerms),
+         |kw AS (SELECT qk.query_id, idx.doc_id,
+         |    CAST(SUM(idx.impact) AS BIGINT) AS kw_score
+         |  FROM idx JOIN qk USING (term) WHERE idx.doc_id <> qk.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, kw_rank, doc_id, kw_score FROM (
+         |  SELECT query_id, doc_id, kw_score, CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank
+         |  FROM kw) WHERE kw_rank <= 20
+         |ORDER BY query_id, kw_rank""".stripMargin,
+    // the segment model recomputed inline: frozen corpus-half df/idf
+    // for known terms, segment-local stats for increment-only terms,
+    // pruning tie order (df, oov, term) mirroring a20's term_id
+    // assignment (frozen dictionary first, then OOV, each by term)
+    "a20_keyword_index_update" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |n AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 2 = 0),
+         |cdf AS (SELECT term, COUNT(*) AS df FROM tf WHERE doc_id % 2 = 0 GROUP BY 1),
+         |cd AS (SELECT term, df,
+         |    CAST(floor(10000.0 * n.n / df) AS BIGINT) AS idf, FALSE AS oov
+         |  FROM cdf CROSS JOIN n),
+         |odf AS (SELECT term, COUNT(*) AS df FROM tf
+         |  WHERE doc_id % 2 = 1 AND term NOT IN (SELECT term FROM cdf) GROUP BY 1),
+         |od AS (SELECT term, df,
+         |    CAST(floor(10000.0 * n.n / df) AS BIGINT) AS idf, TRUE AS oov
+         |  FROM odf CROSS JOIN n),
+         |d AS (SELECT * FROM cd UNION ALL SELECT * FROM od),
+         |idx AS (SELECT tf.doc_id, tf.term, tf.tf * d.idf AS impact
+         |  FROM tf JOIN d USING (term)),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+         |qk AS (SELECT query_id, term FROM (
+         |  SELECT qt.query_id, qt.term, ROW_NUMBER() OVER (
+         |      PARTITION BY qt.query_id ORDER BY d.df ASC, d.oov ASC, qt.term ASC) AS trk
+         |  FROM qt JOIN d USING (term)) WHERE trk <= $KwKeepTerms),
          |kw AS (SELECT qk.query_id, idx.doc_id,
          |    CAST(SUM(idx.impact) AS BIGINT) AS kw_score
          |  FROM idx JOIN qk USING (term) WHERE idx.doc_id <> qk.query_id

@@ -915,7 +915,83 @@ object StreamingQueries {
     AnalyticsQueries.p20Validate(spark, export)
   }
 
+  /** s17 — STREAMING keyword-index ingest: s14's protocol on the text
+    * index (together with a19/a20 the keyword channel now has the full
+    * lifecycle the ANN family got in rounds 6–7: build → pruned search
+    * → append-only update → streamed ingest). The increment (odd
+    * doc_ids) arrives over four micro-batches; each batch is tokenized
+    * ONCE and lands two batch-id-keyed artifacts (idempotent overwrite
+    * per batch — checkpoint replay re-lands the same bytes): postings
+    * for frozen-dictionary terms encoded at ingest (term_id, doc_id,
+    * impact — the amortized path), and raw term-vector rows for
+    * out-of-vocabulary terms (doc_id, term, tf — per-segment stats
+    * can only be finalized once the segment is complete, so OOV
+    * encoding happens at search over the accumulated landings, exactly
+    * a20's segment-local math). The post-stream search reads stored
+    * corpus postings ∪ landed known postings ∪ OOV-encoded landings
+    * and is hash-gated with a20's ORACLE: however the increment
+    * arrived — one shot or streamed, whatever the batch boundaries —
+    * the merged search is exactly the same. */
+  def s17StreamKeywordIngest(spark: SparkSession, dir: String): DataFrame = {
+    val stage = AnalyticsQueries.a20CorpusKwIndexStage(spark, dir)
+    val terms = spark.read.parquet(s"$stage/terms")
+    val meta = spark.read.parquet(s"$stage/meta").head
+    val (nCorpus, maxTermId) = (meta.getAs[Long]("n"), meta.getAs[Long]("max_term_id"))
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s17", dir))
+    val staged = root.resolve("in")
+    stageOnce("s17in", dir, Seq(staged.toString)) {
+      Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    // per-run ingest target: mutable across batches, so outside stageOnce
+    val ingest = root.resolve("landed").toString
+    val hfs = new org.apache.hadoop.fs.Path(ingest)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(ingest), true) // fresh run
+    val inSchema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val dictB = broadcast(terms.select(col("term"), col("term_id"), col("idf")))
+    val termsOnly = broadcast(terms.select(col("term")))
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val tfB = batch
+            .select(col("doc_id"),
+              explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+            .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+            .localCheckpoint() // one tokenize per batch, two landings
+          tfB.join(dictB, Seq("term"))
+            .select(col("term_id"), col("doc_id"),
+              (col("tf") * col("idf")).as("impact"))
+            .write.mode("overwrite").parquet(s"$ingest/known/batch=$id")
+          tfB.join(termsOnly, Seq("term"), "left_anti")
+            .write.mode("overwrite").parquet(s"$ingest/oov/batch=$id")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    val landedKnown = spark.read.parquet(s"$ingest/known")
+      .select(col("term_id"), col("doc_id"), col("impact"))
+    val landedOov = spark.read.parquet(s"$ingest/oov")
+      .select(col("doc_id"), col("term"), col("tf"))
+    val oovLocal = AnalyticsQueries.kwOovDict(spark, landedOov, nCorpus, maxTermId)
+    val oovPost = landedOov
+      .join(broadcast(oovLocal.select(col("term"), col("term_id"), col("idf"))),
+        Seq("term"))
+      .select(col("term_id"), col("doc_id"), (col("tf") * col("idf")).as("impact"))
+    AnalyticsQueries.kwPrunedSearch(spark, dir,
+      terms.select(col("term"), col("term_id"), col("df"))
+        .unionByName(oovLocal.select(col("term"), col("term_id"), col("df"))),
+      spark.read.parquet(s"$stage/postings").unionByName(landedKnown)
+        .unionByName(oovPost))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_stream_keyword_ingest" -> s17StreamKeywordIngest _,
     "s16_stream_export" -> s16StreamExport _,
     "s15_stream_deletes" -> s15StreamDeletes _,
     "s14_stream_ann_ingest" -> s14StreamAnnIngest _,
@@ -939,6 +1015,10 @@ object StreamingQueries {
     // algebraically a12's one-shot update: the SAME oracle hash pins
     // that micro-batch boundaries leave no trace in the index
     "s14_stream_ann_ingest" -> AnalyticsQueries.oracleSql("a12_pq_index_update"),
+    // s17 must be indistinguishable from the one-shot a20 update: same
+    // frozen-dictionary impacts, same segment-local OOV stats, same
+    // pruned search — batch boundaries leave no trace
+    "s17_stream_keyword_ingest" -> AnalyticsQueries.oracleSql("a20_keyword_index_update"),
     // s15's post-stream search is algebraically a16's soft-delete
     // search: the SAME oracle hash pins that delete batch boundaries
     // leave no trace in what search can see

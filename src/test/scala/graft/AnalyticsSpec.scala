@@ -283,6 +283,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(want.nonEmpty && got == want)
   }
 
+  // a20 is APPEND-ONLY on the text index: an update run reads the
+  // persisted corpus postings and encodes only the increment — it must
+  // leave the stored postings byte-identical, cover exactly the even
+  // (corpus-half) doc_ids, and still surface increment (odd-id)
+  // neighbors in the merged search.
+  test("a20 update leaves stored keyword postings byte-identical; increment searchable") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val stage = graft.queries.AnalyticsQueries.a20CorpusKwIndexStage(spark, dir)
+    def snapshot(): Seq[(Long, Long, Long)] =
+      spark.read.parquet(s"$stage/postings")
+        .select(col("term_id"), col("doc_id"), col("impact"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    val before = snapshot()
+    assert(before.nonEmpty && before.forall(_._2 % 2 == 0),
+      "stored corpus postings must cover exactly the even doc ids")
+    val got = graft.queries.AnalyticsQueries.a20KeywordIndexUpdate(spark, dir)
+      .select(col("query_id"), col("doc_id")).as[(Long, Long)].collect()
+    assert(got.exists(_._2 % 2 == 1), "no increment (odd-id) neighbor surfaced")
+    assert(snapshot() == before, "an update run changed the stored corpus postings")
+  }
+
+  // s17 streams the increment in four batches; a20 applies it one-shot.
+  // Same frozen dictionary, same segment-local OOV stats, same pruned
+  // search — the ranked tables must be row-identical (batch boundaries
+  // leave no trace).
+  test("s17 streamed keyword ingest == one-shot a20 update, row for row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long)].collect().toSeq
+    assert(rows(graft.queries.StreamingQueries.s17StreamKeywordIngest(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.a20KeywordIndexUpdate(spark, dir)))
+  }
+
   // a13 searches the persisted IVF-PQ artifacts; the algebra is
   // deterministic integers end to end, so the full ranked table must be
   // row-identical to a10's inline build+search.

@@ -240,6 +240,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast query-side joins:\n$p")
   }
 
+  test("a20: append-only keyword update — stored postings read, corpus never re-tokenized") {
+    val p = planOf(graft.queries.AnalyticsQueries.a20KeywordIndexUpdate(spark, dir))
+    // the segment shape: stored corpus postings + dictionary are READ
+    // (never rebuilt); the OOV segment dictionary is a driver-built
+    // LocalRelation (materialized before this plan, increment-
+    // vocabulary-sized), so the only documents scans are the pushed
+    // doc_id<10 query slice and the single odd-id increment encode
+    // pass — a third scan would mean the corpus half was re-tokenized
+    assert(p.contains("graft_a20kw"), s"update must read the persisted corpus index:\n$p")
+    assert(p.contains("In(term_id"), s"kept-term IN-list not pushed to stored postings:\n$p")
+    assert(p.contains("LessThan(doc_id,10)"),
+      s"query tokenization must be a pushed doc_id slice:\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).length == 2,
+      s"expected exactly query-slice + one increment encode scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"update shuffled into a sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"update went cartesian:\n$p")
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+    assert(!p.contains("ExistingRDD"), s"update plan contains build-time work:\n$p")
+  }
+
   test("a12: append-only update — stored corpus codes read, never retrained") {
     val p = planOf(graft.queries.AnalyticsQueries.a12PqIndexUpdate(spark, dir))
     // the increment encode (odd ids against frozen broadcast codebooks)
