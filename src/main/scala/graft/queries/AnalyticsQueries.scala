@@ -1613,6 +1613,50 @@ object AnalyticsQueries {
       spark.read.parquet(s"$stage/postings").unionByName(incPost))
   }
 
+  /** a21 — hybrid retrieval SERVED FROM THE PERSISTED INDEXES: a17's
+    * keyword ⊕ vector fusion with both channels re-expressed over
+    * their stored serving artifacts — the keyword channel is a19's
+    * pruned search of the persisted impact-ordered inverted index
+    * (top-20 per query, [[KwKeepTerms]]-rarest-term probing), the
+    * vector channel is a13's IVF-PQ search of the stored inverted-list
+    * layout (top-5 per query after exact re-rank), and reciprocal-rank
+    * fusion (Cormack et al. SIGIR'09; fused = Σ ⌊10⁶/(60+rank)⌋,
+    * integer-exact on both engines) merges them by RANK so the
+    * channels' incomparable score scales never need calibrating.
+    *
+    * This is the production hybrid-serving shape: a17 DEFINES the
+    * semantics but rebuilds the term index and scans the full corpus
+    * cosine per call; a21 runs the same fusion where every per-call
+    * cost is search-time only — broadcast query-side joins, a pushed
+    * IN-list probe of the stored postings, broadcast probes onto the
+    * stored code cells, zero training and zero corpus tokenization in
+    * the plan (PlanAuditSpec pins both, inheriting a19's and a13's
+    * pins through composition). Queries are the doc_ids < 10 (the
+    * set with both a text and an embedding row — vec_id aligns with
+    * doc_id, TESTDATA.md); each channel keeps its native depth
+    * (keyword 20, vector 5), so a vector-only hit can still win on
+    * fused score — the multimodal-corpus semantics where not every
+    * retrievable item has text. */
+  def a21HybridSearchPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val kw = a19KeywordSearchPrebuilt(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("kw_rank"))
+    val vec = a13IvfPqSearchPrebuilt(spark, dir)
+      .filter(col("query_id") < 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    kw.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score", expr(
+        "CAST(coalesce(1000000 DIV (60 + kw_rank), 0) + " +
+          "coalesce(1000000 DIV (60 + vec_rank), 0) AS BIGINT)"))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("kw_rank"), col("vec_rank"), col("rrf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
     * dedup tractable at corpus scale. Pairwise cosine is computed only
@@ -2749,6 +2793,7 @@ object AnalyticsQueries {
     "a18_ann_recall"    -> a18AnnRecall _,
     "a19_keyword_search_prebuilt" -> a19KeywordSearchPrebuilt _,
     "a20_keyword_index_update" -> a20KeywordIndexUpdate _,
+    "a21_hybrid_search_prebuilt" -> a21HybridSearchPrebuilt _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
@@ -3635,6 +3680,50 @@ object AnalyticsQueries {
          |      PARTITION BY query_id ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank
          |  FROM kw) WHERE kw_rank <= 20
          |ORDER BY query_id, kw_rank""".stripMargin,
+    // both serving channels recomputed inline from their definitions —
+    // the a19 pruned keyword chain and the a13 IVF-PQ chain (the same
+    // parameterized CTEs those oracles use) — then the identical
+    // integer RRF fusion: the oracle proves fusion-over-stored-indexes
+    // ≡ fusion-over-the-definitions
+    "a21_hybrid_search_prebuilt" ->
+      s"""${ivfPqRankedCtes(PqM, PqSubDim, PqK, IvfPqProbes, PqL)},
+         |t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |idf AS (SELECT term, df,
+         |    CAST(floor(10000.0 * n.n / df) AS BIGINT) AS idf
+         |  FROM dft CROSS JOIN n),
+         |idx AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS impact
+         |  FROM tf JOIN idf USING (term)),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+         |qk AS (SELECT query_id, term FROM (
+         |  SELECT qt.query_id, qt.term, ROW_NUMBER() OVER (
+         |      PARTITION BY qt.query_id ORDER BY idf.df ASC, qt.term ASC) AS trk
+         |  FROM qt JOIN idf USING (term)) WHERE trk <= $KwKeepTerms),
+         |kw AS (SELECT qk.query_id, idx.doc_id,
+         |    CAST(SUM(idx.impact) AS BIGINT) AS kw_score
+         |  FROM idx JOIN qk USING (term) WHERE idx.doc_id <> qk.query_id
+         |  GROUP BY 1, 2),
+         |kwt AS (SELECT query_id, doc_id, kw_rank FROM (
+         |  SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank
+         |  FROM kw) WHERE kw_rank <= 20),
+         |vt AS (SELECT query_id, neighbor_id AS doc_id, CAST(rank AS INT) AS vec_rank
+         |  FROM r WHERE rank <= 5 AND query_id < 10),
+         |f AS (SELECT COALESCE(kwt.query_id, vt.query_id) AS query_id,
+         |    COALESCE(kwt.doc_id, vt.doc_id) AS doc_id, kwt.kw_rank, vt.vec_rank,
+         |    COALESCE(1000000 // (60 + kwt.kw_rank), 0) +
+         |      COALESCE(1000000 // (60 + vt.vec_rank), 0) AS rrf_score
+         |  FROM kwt FULL OUTER JOIN vt
+         |    ON kwt.query_id = vt.query_id AND kwt.doc_id = vt.doc_id),
+         |z AS (SELECT query_id, doc_id, kw_rank, vec_rank,
+         |    CAST(rrf_score AS BIGINT) AS rrf_score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+         |  FROM f)
+         |SELECT query_id, rank, doc_id, kw_rank, vec_rank, rrf_score FROM z
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "d12_semdedup" ->
       s"""WITH $kmeansCtes,
          |e AS (SELECT vec_id, cluster, embedding, ${normSq("embedding")} AS nsq

@@ -283,6 +283,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(want.nonEmpty && got == want)
   }
 
+  // a21 is PURE COMPOSITION: its channel ranks must be exactly a19's
+  // and a13's served ranks, its fused score the integer RRF of them,
+  // and each query must fill all 10 fused slots. A drift here means
+  // the fused plan re-derived a channel instead of composing the
+  // stored-index searches.
+  test("a21 fuses exactly the served a19/a13 ranks under integer RRF") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val kw = graft.queries.AnalyticsQueries.a19KeywordSearchPrebuilt(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("kw_rank"))
+      .as[(Long, Long, Int)].collect().map { case (q, d, r) => (q, d) -> r }.toMap
+    val vec = graft.queries.AnalyticsQueries.a13IvfPqSearchPrebuilt(spark, dir)
+      .filter(col("query_id") < 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().map { case (q, d, r) => (q, d) -> r }.toMap
+    val fused = graft.queries.AnalyticsQueries.a21HybridSearchPrebuilt(spark, dir)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("kw_rank"), col("vec_rank"), col("rrf_score"))
+      .as[(Long, Int, Long, Option[Int], Option[Int], Long)].collect().toSeq
+    assert(fused.map(r => (r._1, r._2)).toSet ==
+      (0L until 10L).flatMap(q => (1 to 10).map(r => (q, r))).toSet,
+      "every query must fill fused ranks 1..10 exactly once")
+    fused.foreach { case (q, _, d, kwR, vecR, score) =>
+      assert(kwR == kw.get((q, d)), s"kw_rank drift at ($q, $d)")
+      assert(vecR == vec.get((q, d)), s"vec_rank drift at ($q, $d)")
+      val expected = kwR.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        vecR.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(score == expected, s"rrf_score drift at ($q, $d)")
+    }
+    assert(fused.exists(r => r._4.isEmpty || r._5.isEmpty),
+      "fusion should surface at least one single-channel hit on this corpus")
+  }
+
   // a20 is APPEND-ONLY on the text index: an update run reads the
   // persisted corpus postings and encodes only the increment — it must
   // leave the stored postings byte-identical, cover exactly the even

@@ -260,6 +260,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ExistingRDD"), s"update plan contains build-time work:\n$p")
   }
 
+  test("a21: prebuilt hybrid search — both channels read stored indexes, no build work") {
+    val p = planOf(graft.queries.AnalyticsQueries.a21HybridSearchPrebuilt(spark, dir))
+    // composition must INHERIT the serving shapes: the keyword channel
+    // scans the persisted a19 index with the kept-term IN-list pushed,
+    // the vector channel scans the persisted a13 inverted-list layout
+    // plus the a11 codebooks, and nothing in the fused plan retrains or
+    // re-tokenizes — the only corpus scan is the pushed doc_id<10
+    // query slice. (The fusion's full-outer join and final rank window
+    // run over ≤ 25 rows per query — metadata-scale, like a17's.)
+    assert(p.contains("graft_a19kw"), s"keyword channel must scan the stored index:\n$p")
+    assert(p.contains("graft_a13ivf"), s"vector channel must scan the stored IVF stage:\n$p")
+    assert(p.contains("graft_a11pq"), s"vector channel must scan the stored codebooks:\n$p")
+    assert(p.contains("In(term_id"), s"kept-term IN-list not pushed to stored postings:\n$p")
+    assert(p.contains("LessThan(doc_id,10)"),
+      s"query tokenization must be a pushed doc_id slice:\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).length == 1,
+      s"corpus scanned more than once — an inline channel rebuild detected:\n$p")
+    assert(!p.contains("ExistingRDD"), s"fused plan contains build-time work:\n$p")
+    assert(!p.contains("CartesianProduct"), s"fused search went cartesian:\n$p")
+  }
+
   test("a12: append-only update — stored corpus codes read, never retrained") {
     val p = planOf(graft.queries.AnalyticsQueries.a12PqIndexUpdate(spark, dir))
     // the increment encode (odd ids against frozen broadcast codebooks)
