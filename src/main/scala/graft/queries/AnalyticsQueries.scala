@@ -1878,6 +1878,74 @@ object AnalyticsQueries {
     merges.result().toDF("step", "lhs", "rhs", "n").orderBy(col("step"))
   }
 
+  /** The t15 merge-table stage: t14's trained merge rules persisted
+    * once per corpus fingerprint — the tokenizer artifact every
+    * training-data pipeline ships to its encode fleet (the merges.txt
+    * of a BPE tokenizer). `meta` is written last as the completeness
+    * marker, mirroring [[stageKeywordIndex]]; an in-place corpus
+    * rewrite keys a fresh train. */
+  private def stageBpeMerges(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("t15bpe", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      t14BpeMerges(spark, dir).write.mode("overwrite").parquet(s"$stage/merges")
+      spark.read.parquet(s"$stage/merges").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Stress hook: retrain the persisted merge table unconditionally —
+    * isolates tokenizer-training cost from encode cost. */
+  def rebuildBpeMergesStage(spark: SparkSession, dir: String): String =
+    stageBpeMerges(spark, dir, force = true)
+
+  /** t15 — BPE ENCODE (tokenizer APPLY): the train/apply split of the
+    * tokenizer family, closing the lifecycle t14 opened (the a19→a20
+    * / a11→a12 economics replayed on tokenization: t14 is the
+    * expensive corpus-wide training loop; t15 is the per-document
+    * encode fleet that consumes its frozen artifact). The staged
+    * merge rules ([[stageBpeMerges]] — 3 rows, metadata-scale) are
+    * collected to the driver and applied IN TRAINING ORDER to every
+    * word occurrence as a chain of codegen'd
+    * [[graft.expressions.BpeMergePair]] rewrites — exactly how a
+    * production tokenizer replays merges.txt over a shard.
+    *
+    * Scale shape: encoding is embarrassingly parallel scan work — ONE
+    * corpus pass, zero joins, zero training in the plan (PlanAuditSpec
+    * pins one documents scan, two-phase agg, no pair-count rebuild);
+    * the only shuffle is the map-side-combined per-doc stat aggregate.
+    * A distinct-vocabulary encode (dedupe words, encode each once,
+    * broadcast back) was considered and rejected: it trades the
+    * shuffle-free scan for a corpus-wide distinct EXCHANGE, the wrong
+    * side of the trade at 100 TB where encode is CPU-light and the
+    * vocabulary join would re-shuffle every token. Output: per-doc
+    * token accounting (words, post-merge subword tokens, chars) — the
+    * compression the 3 learned rules buy, the curriculum/packing
+    * planner's input (t11 packs on exactly these counts). */
+  def t15BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageBpeMerges(spark, dir)
+    val merges = spark.read.parquet(s"$stage/merges").orderBy(col("step"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+      .withColumn("s",
+        concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")))
+    val encoded = merges.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("s", graft.expressions.BpeMergePair(col("s"), l, r))
+    }
+    encoded
+      .select(col("doc_id"), length(col("w")).cast("long").as("n_chars"),
+        size(split(trim(col("s")), " ")).cast("long").as("n_sub"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d09 — train/eval contamination check (the "is my benchmark in the
     * training set" sweep every LLM data pipeline runs): eval docs =
     * reproducible 10% hash slice by doc_id, train = the rest; an eval
@@ -2810,6 +2878,7 @@ object AnalyticsQueries {
     "t12_boilerplate_removal" -> t12BoilerplateRemoval _,
     "t13_bigram_lm"     -> t13BigramLm _,
     "t14_bpe_merges"    -> t14BpeMerges _,
+    "t15_bpe_encode"    -> t15BpeEncode _,
     "m01_multimodal"    -> m01Multimodal _,
     "m02_frame_sample"  -> m02FrameSample _,
     "m03_resize"        -> m03Resize _,
@@ -3773,6 +3842,28 @@ object AnalyticsQueries {
          |${bpeRoundCtes(3)}
          |SELECT 1 AS step, * FROM b1 UNION ALL SELECT 2, * FROM b2
          |UNION ALL SELECT 3, * FROM b3 ORDER BY step""".stripMargin,
+    // the whole train→apply path recomputed inline: the identical
+    // 3-round training chain (t14's CTEs, whose per-round rewrite
+    // already encodes every word occurrence), then per-doc accounting
+    // over the final rewrite w3 — wid ties each occurrence back to its
+    // doc. The oracle proves encode-over-the-stored-merge-table ≡
+    // encode-under-the-training-loop.
+    "t15_bpe_encode" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${words("text")}) AS w FROM documents),
+         |tw AS (SELECT doc_id, w, ROW_NUMBER() OVER () AS wid FROM t),
+         |w0 AS (SELECT wid,
+         |    ' ' || array_to_string(list_transform(
+         |    range(1, length(w)+1), _i -> substr(w, _i, 1)), ' ') || ' ' AS s FROM tw),
+         |${bpeRoundCtes(1)},
+         |${bpeRoundCtes(2)},
+         |${bpeRoundCtes(3)},
+         |enc AS (SELECT wid,
+         |    CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sub FROM w3)
+         |SELECT tw.doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(enc.n_sub) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(length(tw.w)) AS BIGINT) AS n_chars
+         |FROM tw JOIN enc USING (wid)
+         |GROUP BY tw.doc_id ORDER BY tw.doc_id""".stripMargin,
     // per-lang greedy packing state machine — the x10 recursive-CTE
     // parity encoding, partitioned by the shard key
     "t11_seq_pack" ->

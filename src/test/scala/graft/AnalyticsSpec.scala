@@ -316,6 +316,33 @@ class AnalyticsSpec extends AnyFunSuite {
       "fusion should surface at least one single-channel hit on this corpus")
   }
 
+  // t15 consumes t14's artifact: the staged merge table must be byte-
+  // identical to a fresh training run, and the per-doc accounting must
+  // respect the tokenizer invariants — chars ≥ tokens ≥ words (each
+  // merge only ever shrinks a word's symbol count, to no less than 1),
+  // with the learned merges actually compressing at least one doc.
+  test("t15 encode: staged merges == t14 training; per-doc token accounting sane") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val staged = {
+      val stage = graft.queries.AnalyticsQueries.rebuildBpeMergesStage(spark, dir)
+      spark.read.parquet(s"$stage/merges")
+        .as[(Int, String, String, Long)].collect().toSeq.sorted
+    }
+    val trained = graft.queries.AnalyticsQueries.t14BpeMerges(spark, dir)
+      .as[(Int, String, String, Long)].collect().toSeq.sorted
+    assert(staged == trained && staged.size == 3)
+    val rows = graft.queries.AnalyticsQueries.t15BpeEncode(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nWords, nTokens, nChars) =>
+      assert(nWords >= 1 && nTokens >= nWords && nChars >= nTokens,
+        s"invariant broke at doc $id: words=$nWords tokens=$nTokens chars=$nChars")
+    }
+    assert(rows.exists { case (_, _, nTokens, nChars) => nTokens < nChars },
+      "three learned merges should compress at least one document")
+  }
+
   // a20 is APPEND-ONLY on the text index: an update run reads the
   // persisted corpus postings and encodes only the increment — it must
   // leave the stored postings byte-identical, cover exactly the even

@@ -281,6 +281,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"fused search went cartesian:\n$p")
   }
 
+  test("t15: BPE encode — one corpus scan, no joins, no training in the plan") {
+    val p = planOf(graft.queries.AnalyticsQueries.t15BpeEncode(spark, dir))
+    // the tokenizer-apply shape: the frozen merge table is driver-side
+    // metadata (3 rules, collected before this plan exists), so encode
+    // is ONE pushed corpus scan of pure codegen'd rewrites feeding one
+    // map-side-combined per-doc aggregate — a second corpus scan or
+    // any aggregate beyond the partial+final pair would mean the plan
+    // re-ran pair counting (t14's training loop)
+    assert("documents\\.parquet".r.findAllIn(p).length == 1,
+      s"encode must scan the corpus exactly once:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length == 2,
+      s"expected exactly partial+final per-doc aggregate:\n$p")
+    assert(p.contains("graft_bpe_merge_pair"),
+      s"encode must apply the codegen'd merge expression:\n$p")
+    assert(!p.contains("Join"), s"encode plan must be join-free:\n$p")
+    assert(!p.contains("Window"), s"encode plan must be window-free:\n$p")
+    assert(!p.contains("ExistingRDD"), s"encode plan contains training work:\n$p")
+  }
+
   test("a12: append-only update — stored corpus codes read, never retrained") {
     val p = planOf(graft.queries.AnalyticsQueries.a12PqIndexUpdate(spark, dir))
     // the increment encode (odd ids against frozen broadcast codebooks)
