@@ -343,6 +343,25 @@ class AnalyticsSpec extends AnyFunSuite {
       "three learned merges should compress at least one document")
   }
 
+  // t16 must LEARN, not relabel: the fixed-point GD boundary has to
+  // agree with the weak labels well above chance while predicting both
+  // classes — a degenerate model (all-keep / all-reject) would still
+  // hash-gate, so the learning itself needs a pin.
+  test("t16 trained classifier: boundary beats chance, predicts both classes") {
+    import spark.implicits._
+    val rows = graft.queries.AnalyticsQueries
+      .t16QualityClassifier(spark, "/root/testdata/sf0.001")
+      .select(col("pred_keep"), col("label_keep"), col("correct"))
+      .as[(Boolean, Boolean, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    val acc = rows.count(_._3).toDouble / rows.size
+    assert(acc >= 0.85, s"label agreement $acc below the learned floor")
+    assert(rows.exists(_._1) && rows.exists(!_._1),
+      "model must predict both classes")
+    assert(rows.exists(_._2) && rows.exists(!_._2),
+      "weak labels must cover both classes (fixture drift otherwise)")
+  }
+
   // a20 is APPEND-ONLY on the text index: an update run reads the
   // persisted corpus postings and encodes only the increment — it must
   // leave the stored postings byte-identical, cover exactly the even
