@@ -1973,9 +1973,17 @@ object AnalyticsQueries {
     * rounds as CTE chains, so the WHOLE training trajectory
     * hash-gates — features, every gradient, every floor, the final
     * decision boundary. */
-  def t16QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  /** t16/t17's engine-exact feature projection: five small-integer
+    * signals + t09's rule verdict as the 10⁴-scaled weak label. One
+    * narrow per-row projection — no aggregation, no state. */
+  private[queries] def qualityFeatures(spark: SparkSession, dir: String): DataFrame =
+    qualityFeaturesOf(Tables.documents(spark, dir))
+
+  /** The same projection over an arbitrary (doc_id, text, …) frame —
+    * s18 scores streaming micro-batches through it. */
+  private[queries] def qualityFeaturesOf(docs: DataFrame): DataFrame = {
     val stopwords = array(Seq("the", "and", "of", "is", "a").map(lit): _*)
-    val ft = Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         TF.tokenCount(col("text")).cast("long").as("n_words"),
         TF.avgWordLen4(col("text")).as("avg_wlen4"),
@@ -1993,25 +2001,98 @@ object AnalyticsQueries {
           col("avg_wlen4") < 30000 || col("avg_wlen4") > 100000 ||
           col("n_alpha") * 5 < col("n_words") * 4 || col("stop_hits") < 2,
           lit(0L)).otherwise(lit(10000L)).as("y4"))
-      .localCheckpoint()
-    val n = ft.count()
-    def p4(w: Array[Long]): Column =
-      (0 to 4).map(j => lit(w(j)) * col(s"f$j")).reduce(_ + _)
+  }
+
+  /** The model's scoring form: p₄ = Σ wⱼ·fⱼ with the weights as
+    * literals — a codegen'd per-row dot product against driver-held
+    * model state. */
+  private[queries] def gdScore(w: Array[Long]): Column =
+    (0 to 4).map(j => lit(w(j)) * col(s"f$j")).reduce(_ + _)
+
+  /** The shared scoring tail over a feature frame: score4 under the
+    * frozen weights, decision at the 5000 midpoint, agreement flag.
+    * Unordered — callers add their presentation sort. Shared by
+    * t16/t17/s18. */
+  private[queries] def scoreQuality(ft: DataFrame, w: Array[Long]): DataFrame =
+    ft.select(col("doc_id"), gdScore(w).as("score4"),
+        (gdScore(w) >= 5000).as("pred_keep"), (col("y4") === 10000).as("label_keep"))
+      .withColumn("correct", col("pred_keep") === col("label_keep"))
+
+  /** The staged t17 model's path (building it if absent) — s18's
+    * frozen-model source, mirroring [[a20CorpusKwIndexStage]]. */
+  def qualityModelStage(spark: SparkSession, dir: String): String =
+    stageQualityModel(spark, dir)
+
+  /** The t16 training loop over an already-materialized feature table:
+    * five full-batch squared-loss GD rounds in fixed-point integers —
+    * per round ONE map-side-combined 5-sum aggregate, driver state =
+    * five longs. */
+  private def gdTrainWeights(ft: DataFrame, n: Long): Array[Long] = {
     var w = Array.fill(5)(0L)
     for (_ <- 1 to 5) {
       val g = ft.agg(
-        sum(col("f0") * (col("y4") - p4(w))),
-        sum(col("f1") * (col("y4") - p4(w))),
-        sum(col("f2") * (col("y4") - p4(w))),
-        sum(col("f3") * (col("y4") - p4(w))),
-        sum(col("f4") * (col("y4") - p4(w)))).head()
+        sum(col("f0") * (col("y4") - gdScore(w))),
+        sum(col("f1") * (col("y4") - gdScore(w))),
+        sum(col("f2") * (col("y4") - gdScore(w))),
+        sum(col("f3") * (col("y4") - gdScore(w))),
+        sum(col("f4") * (col("y4") - gdScore(w)))).head()
       w = w.zipWithIndex.map { case (wj, j) =>
         wj + math.floor(6.0 * g.getLong(j) / (1000.0 * n)).toLong
       }
     }
-    ft.select(col("doc_id"), p4(w).as("score4"),
-        (p4(w) >= 5000).as("pred_keep"), (col("y4") === 10000).as("label_keep"))
-      .withColumn("correct", col("pred_keep") === col("label_keep"))
+    w
+  }
+
+  def t16QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val ft = qualityFeatures(spark, dir).localCheckpoint()
+    val w = gdTrainWeights(ft, ft.count())
+    scoreQuality(ft, w).orderBy(col("doc_id"))
+  }
+
+  /** The t17 model stage: weights trained ONCE on the corpus half
+    * (even doc_ids — the a12/a20 increment protocol replayed on the
+    * classifier), persisted per corpus fingerprint. The model table is
+    * five (j, w) rows — the smallest stored artifact in the repo, and
+    * the whole point: training cost amortizes to zero per scoring
+    * fleet, and the frozen boundary is what makes scores comparable
+    * across shards and days. */
+  private def stageQualityModel(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    import spark.implicits._
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("t17model", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val ft = qualityFeatures(spark, dir)
+        .filter(col("doc_id") % 2 === 0).localCheckpoint()
+      val w = gdTrainWeights(ft, ft.count())
+      w.toSeq.zipWithIndex.map { case (wj, j) => (j.toLong, wj) }
+        .toDF("j", "w").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/model")
+      ft.agg(count(lit(1)).as("n")).write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Stress hook: retrain the persisted model unconditionally. */
+  def rebuildQualityModelStage(spark: SparkSession, dir: String): String =
+    stageQualityModel(spark, dir, force = true)
+
+  /** t17 — classifier APPLY on UNSEEN data: the staged model (trained
+    * on the even corpus half, [[stageQualityModel]]) scores the odd
+    * half it never saw — train/serve generalization, not relabeling
+    * (the unit spec pins out-of-sample agreement ≥ 0.85). The five
+    * weights are driver metadata; scoring is ONE corpus scan of a
+    * codegen'd dot product — no aggregate, no join, no training in
+    * the plan (PlanAuditSpec pins all three). This is the filter
+    * fleet's steady state at 100 TB: the model is bytes, the corpus
+    * streams through embarrassingly parallel. */
+  def t17ClassifierApply(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageQualityModel(spark, dir)
+    val w = spark.read.parquet(s"$stage/model").orderBy(col("j"))
+      .collect().map(_.getAs[Long]("w"))
+    scoreQuality(qualityFeatures(spark, dir).filter(col("doc_id") % 2 === 1), w)
       .orderBy(col("doc_id"))
   }
 
@@ -2949,6 +3030,7 @@ object AnalyticsQueries {
     "t14_bpe_merges"    -> t14BpeMerges _,
     "t15_bpe_encode"    -> t15BpeEncode _,
     "t16_quality_classifier" -> t16QualityClassifier _,
+    "t17_classifier_apply" -> t17ClassifierApply _,
     "m01_multimodal"    -> m01Multimodal _,
     "m02_frame_sample"  -> m02FrameSample _,
     "m03_resize"        -> m03Resize _,
@@ -2993,6 +3075,27 @@ object AnalyticsQueries {
        |  FROM v$i v CROSS JOIN b$i),
        |w$i AS (SELECT wid, ' ' || string_agg(osym, ' ' ORDER BY _i) || ' ' AS s
        |  FROM n$i WHERE NOT dropped GROUP BY wid)""".stripMargin
+
+  /** t16/t17's shared feature CTEs — ends in `ftall(doc_id, f0..f4,
+    * y4)`, the DuckDB twin of [[qualityFeatures]]. */
+  private lazy val qualityFtCtes: String =
+    s"""s AS (SELECT doc_id,
+       |    CAST(len(${words("text")}) AS BIGINT) AS n_words,
+       |    CAST(floor(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) * 10000
+       |      / len(${words("text")})) AS BIGINT) AS avg_wlen4,
+       |    CAST(len(list_filter(${words("text")}, _qw -> regexp_matches(_qw, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_intersect(list_distinct(${words("text")}), ['the','and','of','is','a'])) AS BIGINT) AS stop_hits
+       |  FROM documents),
+       |ftall AS (SELECT doc_id, CAST(1 AS BIGINT) AS f0,
+       |    LEAST(n_words // 10, 10) AS f1,
+       |    LEAST(avg_wlen4 // 10000, 10) AS f2,
+       |    stop_hits AS f3,
+       |    (10 * n_alpha) // GREATEST(n_words, 1) AS f4,
+       |    CASE WHEN n_words < 50 OR n_words > 100000
+       |         OR avg_wlen4 < 30000 OR avg_wlen4 > 100000
+       |         OR n_alpha * 5 < n_words * 4 OR stop_hits < 2
+       |      THEN CAST(0 AS BIGINT) ELSE CAST(10000 AS BIGINT) END AS y4
+       |  FROM s)""".stripMargin
 
   /** One t16 gradient-descent round as DuckDB CTEs: score every row
     * under w{i-1}, fold the five per-feature gradient sums, emit w$i
@@ -3958,23 +4061,8 @@ object AnalyticsQueries {
     // gradient and every floor hash-gates alongside the decision
     // boundary
     "t16_quality_classifier" ->
-      s"""WITH s AS (SELECT doc_id,
-         |    CAST(len(${words("text")}) AS BIGINT) AS n_words,
-         |    CAST(floor(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) * 10000
-         |      / len(${words("text")})) AS BIGINT) AS avg_wlen4,
-         |    CAST(len(list_filter(${words("text")}, _qw -> regexp_matches(_qw, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-         |    CAST(len(list_intersect(list_distinct(${words("text")}), ['the','and','of','is','a'])) AS BIGINT) AS stop_hits
-         |  FROM documents),
-         |ft AS (SELECT doc_id, CAST(1 AS BIGINT) AS f0,
-         |    LEAST(n_words // 10, 10) AS f1,
-         |    LEAST(avg_wlen4 // 10000, 10) AS f2,
-         |    stop_hits AS f3,
-         |    (10 * n_alpha) // GREATEST(n_words, 1) AS f4,
-         |    CASE WHEN n_words < 50 OR n_words > 100000
-         |         OR avg_wlen4 < 30000 OR avg_wlen4 > 100000
-         |         OR n_alpha * 5 < n_words * 4 OR stop_hits < 2
-         |      THEN CAST(0 AS BIGINT) ELSE CAST(10000 AS BIGINT) END AS y4
-         |  FROM s),
+      s"""WITH $qualityFtCtes,
+         |ft AS (SELECT * FROM ftall),
          |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ft),
          |w0 AS (SELECT ${(0 to 4).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
          |${gdRoundCtes(1)},
@@ -3985,6 +4073,27 @@ object AnalyticsQueries {
          |pf AS (SELECT ft.doc_id,
          |    w5.w0*f0 + w5.w1*f1 + w5.w2*f2 + w5.w3*f3 + w5.w4*f4 AS score4,
          |    y4 FROM ft CROSS JOIN w5)
+         |SELECT doc_id, score4, score4 >= 5000 AS pred_keep,
+         |  y4 = 10000 AS label_keep,
+         |  (score4 >= 5000) = (y4 = 10000) AS correct
+         |FROM pf ORDER BY doc_id""".stripMargin,
+    // the train/serve split recomputed inline: the identical 5 GD
+    // rounds over the EVEN corpus half only, the frozen w5 then scores
+    // the odd half it never saw — stored-model apply ≡ the definition
+    "t17_classifier_apply" ->
+      s"""WITH $qualityFtCtes,
+         |ft AS (SELECT * FROM ftall WHERE doc_id % 2 = 0),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ft),
+         |w0 AS (SELECT ${(0 to 4).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
+         |${gdRoundCtes(1)},
+         |${gdRoundCtes(2)},
+         |${gdRoundCtes(3)},
+         |${gdRoundCtes(4)},
+         |${gdRoundCtes(5)},
+         |fo AS (SELECT * FROM ftall WHERE doc_id % 2 = 1),
+         |pf AS (SELECT fo.doc_id,
+         |    w5.w0*f0 + w5.w1*f1 + w5.w2*f2 + w5.w3*f3 + w5.w4*f4 AS score4,
+         |    y4 FROM fo CROSS JOIN w5)
          |SELECT doc_id, score4, score4 >= 5000 AS pred_keep,
          |  y4 = 10000 AS label_keep,
          |  (score4 >= 5000) = (y4 = 10000) AS correct

@@ -990,7 +990,57 @@ object StreamingQueries {
         .unionByName(oovPost))
   }
 
+  /** s18 — streamed classifier scoring through the FROZEN t17 model:
+    * the filter fleet's steady state as a stream. The staged model
+    * (trained once on the even corpus half) is read before the stream
+    * starts — five longs, never touched again; each micro-batch of
+    * unseen odd-id documents is feature-projected and scored by the
+    * codegen'd dot product (a stateless 1:1 transform — T5's shape
+    * with a real model inside) and landed under a batch-id-keyed path,
+    * so a crash-replayed batch overwrites its own landing
+    * idempotently. The post-stream readback is hash-gated with t17's
+    * ORACLE: whether the unseen half arrives as one scan or as four
+    * micro-batches, the scored output is exactly the same — batch
+    * boundaries leave no trace, and no gradient ever runs inside the
+    * stream. */
+  def s18StreamClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val stage = AnalyticsQueries.qualityModelStage(spark, dir)
+    val w = spark.read.parquet(s"$stage/model").orderBy(col("j"))
+      .collect().map(_.getAs[Long]("w"))
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s18", dir))
+    val staged = root.resolve("in")
+    stageOnce("s18in", dir, Seq(staged.toString)) {
+      Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    val scored = root.resolve("scored").toString
+    val hfs = new org.apache.hadoop.fs.Path(scored)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(scored), true) // fresh run
+    val inSchema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          AnalyticsQueries
+            .scoreQuality(AnalyticsQueries.qualityFeaturesOf(batch), w)
+            .write.mode("overwrite").parquet(s"$scored/batch=$id")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.read.parquet(scored)
+      .select(col("doc_id"), col("score4"), col("pred_keep"),
+        col("label_keep"), col("correct"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_stream_classifier" -> s18StreamClassifier _,
     "s17_stream_keyword_ingest" -> s17StreamKeywordIngest _,
     "s16_stream_export" -> s16StreamExport _,
     "s15_stream_deletes" -> s15StreamDeletes _,
@@ -1019,6 +1069,10 @@ object StreamingQueries {
     // frozen-dictionary impacts, same segment-local OOV stats, same
     // pruned search — batch boundaries leave no trace
     "s17_stream_keyword_ingest" -> AnalyticsQueries.oracleSql("a20_keyword_index_update"),
+    // s18's streamed scoring must equal t17's one-shot apply: the SAME
+    // oracle hash pins that micro-batch boundaries leave no trace in
+    // the scores the frozen model serves
+    "s18_stream_classifier" -> AnalyticsQueries.oracleSql("t17_classifier_apply"),
     // s15's post-stream search is algebraically a16's soft-delete
     // search: the SAME oracle hash pins that delete batch boundaries
     // leave no trace in what search can see

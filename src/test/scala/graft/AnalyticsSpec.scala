@@ -362,6 +362,23 @@ class AnalyticsSpec extends AnyFunSuite {
       "weak labels must cover both classes (fixture drift otherwise)")
   }
 
+  // t17 must GENERALIZE: the model never saw an odd doc_id, so
+  // out-of-sample agreement ≥ 0.85 pins that the even-half boundary
+  // transfers — and the served rows must cover exactly the unseen half.
+  test("t17 apply: even-half model generalizes to the unseen odd half") {
+    import spark.implicits._
+    val rows = graft.queries.AnalyticsQueries
+      .t17ClassifierApply(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("pred_keep"), col("correct"))
+      .as[(Long, Boolean, Boolean)].collect().toSeq
+    assert(rows.nonEmpty && rows.forall(_._1 % 2 == 1),
+      "apply must score exactly the odd (unseen) doc ids")
+    val acc = rows.count(_._3).toDouble / rows.size
+    assert(acc >= 0.85, s"out-of-sample agreement $acc below the floor")
+    assert(rows.exists(_._2) && rows.exists(!_._2),
+      "served predictions must cover both classes")
+  }
+
   // a20 is APPEND-ONLY on the text index: an update run reads the
   // persisted corpus postings and encodes only the increment — it must
   // leave the stored postings byte-identical, cover exactly the even
@@ -395,6 +412,19 @@ class AnalyticsSpec extends AnyFunSuite {
       df.as[(Long, Int, Long, Long)].collect().toSeq
     assert(rows(graft.queries.StreamingQueries.s17StreamKeywordIngest(spark, dir)) ==
       rows(graft.queries.AnalyticsQueries.a20KeywordIndexUpdate(spark, dir)))
+  }
+
+  // s18 streams the unseen half through the frozen model in four
+  // micro-batches; t17 scores it in one scan. Same staged weights,
+  // same dot product — the scored tables must be row-identical (batch
+  // boundaries leave no trace, and no gradient ran in the stream).
+  test("s18 streamed scoring == one-shot t17 apply, row for row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(rows(graft.queries.StreamingQueries.s18StreamClassifier(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.t17ClassifierApply(spark, dir)))
   }
 
   // a13 searches the persisted IVF-PQ artifacts; the algebra is

@@ -300,6 +300,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ExistingRDD"), s"encode plan contains training work:\n$p")
   }
 
+  test("t17: classifier apply — one scan, zero aggregates, no training in the plan") {
+    val p = planOf(graft.queries.AnalyticsQueries.t17ClassifierApply(spark, dir))
+    // the filter-fleet steady state: the frozen model is five driver
+    // longs, so scoring is scan → codegen'd dot-product projection →
+    // presentation sort. ANY aggregate in this plan means a gradient
+    // round leaked into serving; any ExistingRDD means the feature
+    // checkpoint (training-side machinery) leaked in.
+    assert("documents\\.parquet".r.findAllIn(p).length == 1,
+      s"apply must scan the corpus exactly once:\n$p")
+    assert(!p.contains("HashAggregate"), s"apply plan must be aggregate-free:\n$p")
+    assert(!p.contains("Join"), s"apply plan must be join-free:\n$p")
+    assert(!p.contains("ExistingRDD"), s"apply plan contains training work:\n$p")
+    assert(!p.contains("Window"), s"apply plan must be window-free:\n$p")
+  }
+
   test("a12: append-only update — stored corpus codes read, never retrained") {
     val p = planOf(graft.queries.AnalyticsQueries.a12PqIndexUpdate(spark, dir))
     // the increment encode (odd ids against frozen broadcast codebooks)
