@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   *    baseline, round 7's measured 32 s scale hazard);
   *  - a19 index BUILD (one-time cost, forced rebuild);
   *  - a19 pruned search over the persisted index (the serving path —
-  *    cold = first call after build, warm = repeat).
+  *    cold = first call after build, warm = repeat);
+  *  - a13 vector search (cold = stages the IVF-PQ index for the dir,
+  *    warm = pure serving) and a21, the fused hybrid served from both
+  *    persisted indexes — the full production retrieval stack.
   * Results recorded in PERF.md.
   *
   * Usage: runMain graft.RetrievalStress [sfDir] [copies]
@@ -79,6 +82,21 @@ object RetrievalStress {
       }
       timed(s"a19 pruned search (warm) $tag") {
         graft.queries.AnalyticsQueries.a19KeywordSearchPrebuilt(spark, dir).count()
+      }
+      // vector channel: first a13 call stages the IVF-PQ index for this
+      // dir (build+search), the repeat is the pure serving cost
+      timed(s"a13 vector search (cold=build+search) $tag") {
+        graft.queries.AnalyticsQueries.a13IvfPqSearchPrebuilt(spark, dir).count()
+      }
+      timed(s"a13 vector search (warm) $tag") {
+        graft.queries.AnalyticsQueries.a13IvfPqSearchPrebuilt(spark, dir).count()
+      }
+      // the fused serving path over both persisted indexes (warm)
+      timed(s"a21 prebuilt hybrid      $tag") {
+        graft.queries.AnalyticsQueries.a21HybridSearchPrebuilt(spark, dir).count()
+      }
+      timed(s"a21 prebuilt hybrid rep  $tag") {
+        graft.queries.AnalyticsQueries.a21HybridSearchPrebuilt(spark, dir).count()
       }
     }
     spark.stop()

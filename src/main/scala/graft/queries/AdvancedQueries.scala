@@ -379,7 +379,56 @@ object AdvancedQueries {
         |GROUP BY depth_to_root ORDER BY depth_to_root""".stripMargin)
   }
 
+  /** q38 — KMV (k-minimum-values) distinct sketch, engine-exact: the
+    * MERGEABLE approximate-distinct shape (Bar-Yossef et al. 2002, the
+    * same family as HyperLogLog but deterministic given the hash, so
+    * the whole sketch — kth minimum AND the estimate — hash-gates
+    * across engines, where q23 could only gate a boolean error bound
+    * around Spark's opaque HLL++). Per event_type: hash each distinct
+    * user to the shared 31-base polynomial hash (uniform on [0, P)),
+    * keep the k=64 smallest via [[graft.expressions.TopKByScore]]
+    * (score = −h, so best-first = ascending h), estimate
+    * distinct ≈ (k−1)·P / h₍ₖ₎ in integer DIV — exact in both engines.
+    * The hashed string is the id plus a 26-char salt suffix: a bare
+    * 1–4 digit id never exceeds 31⁴·57 ≪ P, so its hash occupies a
+    * tiny prefix of the key space and the kth minimum wildly
+    * over-estimates; the salt forces ≥ 26 fold steps past the modulus,
+    * mixing the value over all of [0, P) (KMV's uniformity
+    * precondition, Bar-Yossef §2).
+    * Scale shape: the min-k heap is a partial-aggregable
+    * TypedImperativeAggregate, so every map task reduces its slice to
+    * ≤ k longs per group before the exchange — shuffle volume is
+    * groups×k, the defining property that lets one sketch summarize a
+    * 100 TB column; sketches from disjoint shards union by re-merging
+    * heaps (the same `merge` the partial aggregation already
+    * exercises). The upstream distinct is demo bookkeeping so exact
+    * and estimate read off one frame; a production sketch-only pass
+    * dedups inside the heap instead. */
+  def q38KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val P = graft.functions.TextFunctions.HashP
+    val d = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        graft.functions.TextFunctions.polyHash(
+          concat(col("user_id").cast("string"), lit("-kmv-0123456789abcdef")))
+          .as("h"))
+      .distinct()
+    d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"),
+        graft.expressions.TopKByScore(-col("h"), col("h"), k).as("mk"))
+      .select(col("event_type"), col("n_exact"),
+        when(size(col("mk")) < k, col("n_exact"))
+          .otherwise(expr(s"(CAST(${k - 1} AS BIGINT) * CAST($P AS BIGINT)) DIV element_at(mk, $k).id"))
+          .as("kmv_est"))
+      .withColumn("err4",
+        floor(lit(10000.0) * abs(col("kmv_est") - col("n_exact")) / col("n_exact"))
+          .cast("long"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_kmv_distinct"    -> q38KmvDistinct _,
     "q37_recursive_cte"   -> q37RecursiveCte _,
     "q36_lateral_topn"    -> q36LateralTopN _,
     "q35_range_join"      -> q35RangeJoin _,
@@ -398,7 +447,31 @@ object AdvancedQueries {
     "q26_cube"            -> q26Cube _,
   )
 
+  /** DuckDB mirror of [[graft.expressions.PolyHash]] — same 31-base
+    * codepoint fold mod 1e9+7 as AnalyticsQueries' oracle DSL. */
+  private def duckPolyHash(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($s)+1), _pc -> unicode(substring($s, _pc, 1)))), " +
+      s"(_pa,_pb) -> (_pa*31+_pb) % 1000000007)"
+
   val oracleSql: Map[String, String] = Map(
+    // min-k over the same hash; rn=64's h is the kth minimum, the
+    // estimate is the same integer DIV, lateral alias reuse for err4
+    "q38_kmv_distinct" ->
+      s"""WITH d AS (SELECT DISTINCT event_type,
+         |    ${duckPolyHash("CAST(user_id AS VARCHAR) || '-kmv-0123456789abcdef'")} AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nex FROM d),
+         |b AS (SELECT event_type, CAST(MAX(nex) AS BIGINT) AS n_exact
+         |  FROM r GROUP BY event_type),
+         |kth AS (SELECT event_type, h AS h_k FROM r WHERE rn = 64)
+         |SELECT b.event_type, b.n_exact,
+         |  CAST(CASE WHEN kth.h_k IS NULL THEN b.n_exact
+         |       ELSE (63 * CAST(1000000007 AS BIGINT)) // kth.h_k END AS BIGINT) AS kmv_est,
+         |  CAST(floor(10000.0 * abs(kmv_est - b.n_exact) / b.n_exact) AS BIGINT) AS err4
+         |FROM b LEFT JOIN kth USING (event_type) ORDER BY event_type""".stripMargin,
     // the same recursion, DuckDB syntax (// for integer division)
     "q37_recursive_cte" ->
       """WITH RECURSIVE walk(id, anc, depth) AS (

@@ -156,6 +156,54 @@ object AnalyticsQueries {
       .orderBy(col("lang"))
   }
 
+  /** p22 — leakage-safe train/val/test split (the eval-integrity op
+    * every training pipeline needs BEFORE it splits: Lee ACL'22 §5
+    * showed near-dups straddling a naive random split leak test
+    * answers into training): near-dup pairs (d02's 4-gram
+    * Jaccard ≥ 0.5) → connected components (d07's large/small-star) →
+    * every document follows its CLUSTER REPRESENTATIVE into the split,
+    * so a near-dup family lands wholly in train, val, or test. The
+    * assignment is rep % 20 → test(0) / val(1) / train(rest) — a
+    * deterministic 5/5/90 hash split on the cluster key, the standard
+    * trick so re-runs and increments route identically. Emits per
+    * split (n_docs, n_clusters, n_tokens) plus two global audit
+    * columns: leaky_clusters (clusters straddling splits under THIS
+    * assignment — structurally 0, the invariant the gate pins) and
+    * leaky_clusters_naive (the same count under a doc_id % 20 split —
+    * the leak a cluster-blind split would have shipped). Scale shape:
+    * the pair + CC machinery is d07's audited O(log n)-round path; the
+    * apply adds one broadcast-sized left join and two hash-aggs, and
+    * the leak audit aggregates cluster-count-sized data. */
+  def p22LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+      n = 4, minJaccard = 0.5).select(col("i"), col("j"))
+    def splitOf(key: Column): Column =
+      when(pmod(key, lit(20)) === 0, lit("test"))
+        .when(pmod(key, lit(20)) === 1, lit("val"))
+        .otherwise(lit("train"))
+    // checkpoint: the labeled frame feeds both the split accounting and
+    // the leak audit — the LSH+CC pipeline above must not run twice
+    val labeled = docs.join(Dedup.dupClusters(pairs), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split", splitOf(col("rep")))
+      .withColumn("naive_split", splitOf(col("doc_id")))
+      .select(col("doc_id"), col("text"), col("rep"), col("split"),
+        col("naive_split"))
+      .localCheckpoint()
+    val leak = labeled.groupBy(col("rep"))
+      .agg(countDistinct(col("split")).as("ns"),
+        countDistinct(col("naive_split")).as("nn"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leaky_clusters"),
+        sum(when(col("nn") > 1, 1L).otherwise(0L)).as("leaky_clusters_naive"))
+    labeled.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .crossJoin(leak)
+      .orderBy(col("split"))
+  }
+
   /** d06 — SimHash near-dup pairs: 60-bit shingle-hash simhash, 6
     * bands × 10 bits (sound for Hamming ≤ 3), exact Hamming verify. */
   def d06SimhashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -1981,7 +2029,7 @@ object AnalyticsQueries {
 
   /** The same projection over an arbitrary (doc_id, text, …) frame —
     * s18 scores streaming micro-batches through it. */
-  private[queries] def qualityFeaturesOf(docs: DataFrame): DataFrame = {
+  private[graft] def qualityFeaturesOf(docs: DataFrame): DataFrame = {
     val stopwords = array(Seq("the", "and", "of", "is", "a").map(lit): _*)
     docs
       .select(col("doc_id"),
@@ -2013,7 +2061,7 @@ object AnalyticsQueries {
     * frozen weights, decision at the 5000 midpoint, agreement flag.
     * Unordered — callers add their presentation sort. Shared by
     * t16/t17/s18. */
-  private[queries] def scoreQuality(ft: DataFrame, w: Array[Long]): DataFrame =
+  private[graft] def scoreQuality(ft: DataFrame, w: Array[Long]): DataFrame =
     ft.select(col("doc_id"), gdScore(w).as("score4"),
         (gdScore(w) >= 5000).as("pred_keep"), (col("y4") === 10000).as("label_keep"))
       .withColumn("correct", col("pred_keep") === col("label_keep"))
@@ -2027,7 +2075,7 @@ object AnalyticsQueries {
     * five full-batch squared-loss GD rounds in fixed-point integers —
     * per round ONE map-side-combined 5-sum aggregate, driver state =
     * five longs. */
-  private def gdTrainWeights(ft: DataFrame, n: Long): Array[Long] = {
+  private[graft] def gdTrainWeights(ft: DataFrame, n: Long): Array[Long] = {
     var w = Array.fill(5)(0L)
     for (_ <- 1 to 5) {
       val g = ft.agg(
@@ -2094,6 +2142,41 @@ object AnalyticsQueries {
       .collect().map(_.getAs[Long]("w"))
     scoreQuality(qualityFeatures(spark, dir).filter(col("doc_id") % 2 === 1), w)
       .orderBy(col("doc_id"))
+  }
+
+  /** t18 — sliding-window document chunking (the RAG/passage-indexing
+    * preprocessing op, and the 1→N dual of t11's N→1 packing): each
+    * document becomes ⌈len/S⌉ overlapping chunks of up to W=32
+    * whitespace tokens at stride S=24 (an 8-token overlap, the
+    * standard retrieval-chunking shape so no passage boundary splits
+    * an answer span). Emits (doc_id, chunk_idx, start_tok, n_tok,
+    * chunk_hash) with chunk_hash = polyHash of the space-rejoined
+    * chunk text — the chunk IDENTITY a downstream passage index (a19)
+    * or chunk-level dedup keys on, without shipping the text twice.
+    * Scale shape: one scan, tokenize once per row, posexplode of a
+    * row-local start list (fan-out ⌈len/S⌉, bounded by doc length —
+    * never corpus-sized), zero joins, zero aggregates; the only
+    * shuffle is the presentation sort. At 100 TB chunking is
+    * embarrassingly parallel and this plan keeps it that way
+    * (PlanAuditSpec pins no-join/no-agg). Hash-exact across engines:
+    * token boundaries are t01's shared `\s+` contract and the hash is
+    * the shared 31-base polynomial ([[graft.expressions.PolyHash]]). */
+  def t18Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val W = 32
+    val S = 24
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TF.words(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(S)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(W), size(col("toks")) - col("start_tok") + 1)
+          .cast("long").as("n_tok"),
+        TF.polyHash(array_join(slice(col("toks"), col("start_tok"), lit(W)), " "))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   /** d09 — train/eval contamination check (the "is my benchmark in the
@@ -2977,6 +3060,7 @@ object AnalyticsQueries {
     "p19_incremental_shards" -> p19IncrementalShards _,
     "p20_export_manifest" -> p20ExportManifest _,
     "p21_pagerank"      -> p21PageRank _,
+    "p22_leakage_safe_split" -> p22LeakageSafeSplit _,
     "d01_exact_dedup"   -> d01ExactDedup _,
     "d02_ngram_jaccard" -> d02NgramJaccard _,
     "d03_minhash_lsh"   -> d03MinhashLsh _,
@@ -3031,6 +3115,7 @@ object AnalyticsQueries {
     "t15_bpe_encode"    -> t15BpeEncode _,
     "t16_quality_classifier" -> t16QualityClassifier _,
     "t17_classifier_apply" -> t17ClassifierApply _,
+    "t18_chunking"      -> t18Chunking _,
     "m01_multimodal"    -> m01Multimodal _,
     "m02_frame_sample"  -> m02FrameSample _,
     "m03_resize"        -> m03Resize _,
@@ -3376,6 +3461,44 @@ object AnalyticsQueries {
          |  CAST(SUM(kept) AS BIGINT) AS n_kept,
          |  CAST(SUM(CASE WHEN kept = 1 THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens
          |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    // d11's CC chain, then both split assignments + the leak audit
+    "p22_leakage_safe_split" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |ex AS (SELECT doc_id, n, unnest(sh) AS s FROM ws),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, a.n AS ni, b.n AS nj, COUNT(*) AS shared
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.5),
+         |e AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+         |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |m AS (SELECT d.doc_id,
+         |    CAST(len(${words("d.text")}) AS BIGINT) AS toks,
+         |    COALESCE(lab.cluster_id, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+         |s AS (SELECT doc_id, toks, rep,
+         |    CASE WHEN rep % 20 = 0 THEN 'test'
+         |         WHEN rep % 20 = 1 THEN 'val' ELSE 'train' END AS split,
+         |    CASE WHEN doc_id % 20 = 0 THEN 'test'
+         |         WHEN doc_id % 20 = 1 THEN 'val' ELSE 'train' END AS naive_split
+         |  FROM m),
+         |lk AS (SELECT
+         |    CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaky_clusters,
+         |    CAST(SUM(CASE WHEN nn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaky_clusters_naive
+         |  FROM (SELECT rep, COUNT(DISTINCT split) AS ns,
+         |      COUNT(DISTINCT naive_split) AS nn FROM s GROUP BY rep))
+         |SELECT split, COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |  lk.leaky_clusters, lk.leaky_clusters_naive
+         |FROM s CROSS JOIN lk
+         |GROUP BY split, lk.leaky_clusters, lk.leaky_clusters_naive
+         |ORDER BY split""".stripMargin,
     "p10_incremental_dedup" ->
       s"""WITH f AS (SELECT doc_id, lang, ${polyHash("lower(trim(text))")} AS fp,
          |    doc_id % 2 = 0 AS is_corpus FROM documents),
@@ -4098,6 +4221,24 @@ object AnalyticsQueries {
          |  y4 = 10000 AS label_keep,
          |  (score4 >= 5000) = (y4 = 10000) AS correct
          |FROM pf ORDER BY doc_id""".stripMargin,
+    // sliding-window chunking: starts at 1, 1+24, … (⌈len/24⌉ chunks);
+    // DuckDB list slice is inclusive-both-ends, so [s : s+31] is the
+    // 32-token window matching Spark's slice(toks, s, 32)
+    "t18_chunking" ->
+      s"""WITH w AS (SELECT doc_id, ${words("text")} AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(range(0, (len(toks) + 23) // 24)) AS chunk_idx FROM w),
+         |s AS (SELECT doc_id, toks, chunk_idx,
+         |    1 + chunk_idx * 24 AS start_tok FROM c),
+         |ch AS (SELECT doc_id, chunk_idx, start_tok,
+         |    least(32, len(toks) - start_tok + 1) AS n_tok,
+         |    array_to_string(toks[CAST(start_tok AS BIGINT):CAST(start_tok + 31 AS BIGINT)], ' ') AS chunk
+         |  FROM s)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(n_tok AS BIGINT) AS n_tok,
+         |  ${polyHash("chunk")} AS chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     // per-lang greedy packing state machine — the x10 recursive-CTE
     // parity encoding, partitioned by the shard key
     "t11_seq_pack" ->

@@ -458,9 +458,16 @@ object PipelineQueries {
       .withColumn("z", zValue(zBucket(col("l_partkey"), col("mp")),
         zBucket(col("l_suppkey"), col("ms"))))
       .drop("mp", "ms")
-      .repartitionByRange(8, col("z"))
-      .sortWithinPartitions(col("z"))
-      .write.mode("overwrite").parquet(s"$stage/li_zorder")
+      // explicit curve split, not repartitionByRange: sampled range
+      // boundaries move run to run (and AQE can re-coalesce them), so
+      // the physical boxes weren't reproducible — zfile pins each file
+      // to one 8192-wide z slice (z is 16 bits, so the 8 slices are
+      // the top 3 interleaved bits: partkey's two coarse bits AND
+      // suppkey's one — both dimensions participate by construction)
+      .withColumn("zfile", expr("z DIV 8192"))
+      .repartition(col("zfile"))
+      .sortWithinPartitions(col("zfile"), col("z"))
+      .write.partitionBy("zfile").mode("overwrite").parquet(s"$stage/li_zorder")
     spark.read.parquet(s"$stage/li_zorder")
       .filter(col("l_partkey").between(50, 80) && col("l_suppkey").between(2, 5))
       .groupBy(shiftright(col("z"), 4).as("z_bucket"))

@@ -1039,7 +1039,71 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** s19 — streamed distribution-drift monitor (the data-quality watch
+    * a production ingest runs continuously: "has the language mix of
+    * what we're ingesting moved away from the corpus we trained on?").
+    * The corpus lang distribution is the FROZEN baseline; the stream
+    * carries the same documents tagged into 4 monitoring windows
+    * (w = doc_id % 4 — deterministic, so the oracle can reproduce
+    * window membership). Each micro-batch lands its per-(window, lang)
+    * counts keyed by batch id (idempotent — a replayed batch
+    * overwrites its own landing, s12's exactly-once discipline); after
+    * the drain, counts SUM across batch landings, so micro-batch
+    * boundaries leave no trace in the drift numbers. Per window:
+    * per-mille lang distribution (integer DIV — engine-exact), L1
+    * distance to baseline, and the alarm bit at 150‰ (≈2× the
+    * sampling noise of a 125-doc window over 4 langs, so the alarm
+    * discriminates instead of firing on every window). Scale shape:
+    * state is (windows × langs) counters — metadata-sized regardless
+    * of stream volume; the baseline is computed once and broadcast;
+    * nothing per-document survives the micro-batch beyond its counter
+    * increments. */
+  def s19DriftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s19", dir))
+    val staged = root.resolve("in")
+    stageOnce("s19in", dir, Seq(staged.toString)) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), pmod(col("doc_id"), lit(4)).as("w"))
+        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    val countsDir = root.resolve("counts").toString
+    val hfs = new org.apache.hadoop.fs.Path(countsDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(countsDir), true) // fresh run
+    val inSchema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.groupBy(col("w"), col("lang")).agg(count(lit(1)).as("cnt"))
+            .write.mode("overwrite").parquet(s"$countsDir/batch=$id")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    val docs = Tables.documents(spark, dir)
+    val tot = docs.count()
+    val base = docs.groupBy(col("lang")).agg(count(lit(1)).as("cb"))
+    val wc = spark.read.parquet(countsDir)
+      .groupBy(col("w"), col("lang")).agg(sum(col("cnt")).as("c"))
+    val wn = wc.groupBy(col("w")).agg(sum(col("c")).as("nw"))
+    wn.crossJoin(base)
+      .join(wc, Seq("w", "lang"), "left")
+      .withColumn("pmw", expr("(1000 * coalesce(c, CAST(0 AS BIGINT))) DIV nw"))
+      .withColumn("pmb", expr(s"(1000 * cb) DIV CAST($tot AS BIGINT)"))
+      .groupBy(col("w"))
+      .agg(max(col("nw")).as("n_docs"),
+        sum(abs(col("pmw") - col("pmb"))).as("l1_drift3"))
+      .select(col("w").cast("long").as("w"), col("n_docs"),
+        col("l1_drift3"), (col("l1_drift3") > 150).as("drifted"))
+      .orderBy(col("w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_drift_monitor" -> s19DriftMonitor _,
     "s18_stream_classifier" -> s18StreamClassifier _,
     "s17_stream_keyword_ingest" -> s17StreamKeywordIngest _,
     "s16_stream_export" -> s16StreamExport _,
@@ -1073,6 +1137,26 @@ object StreamingQueries {
     // oracle hash pins that micro-batch boundaries leave no trace in
     // the scores the frozen model serves
     "s18_stream_classifier" -> AnalyticsQueries.oracleSql("t17_classifier_apply"),
+    // the drift numbers summed across batch landings must equal the
+    // batch twin computed directly from the table — window membership
+    // (doc_id % 4) is deterministic, so the oracle reproduces it
+    "s19_drift_monitor" ->
+      """WITH d AS (SELECT doc_id % 4 AS w, lang FROM documents),
+        |base AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |wc AS (SELECT w, lang, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY w, lang),
+        |wn AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nw FROM d GROUP BY w),
+        |j AS (SELECT a.w, a.nw, a.lang,
+        |    (1000 * COALESCE(wc.c, 0)) // a.nw AS pmw,
+        |    (1000 * a.cb) // a.n AS pmb
+        |  FROM (SELECT wn.w, wn.nw, base.lang, base.cb, tot.n
+        |        FROM wn CROSS JOIN base CROSS JOIN tot) a
+        |  LEFT JOIN wc ON wc.w = a.w AND wc.lang = a.lang)
+        |SELECT CAST(w AS BIGINT) AS w, CAST(MAX(nw) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ABS(pmw - pmb)) AS BIGINT) AS l1_drift3,
+        |  CAST(SUM(ABS(pmw - pmb)) AS BIGINT) > 150 AS drifted
+        |FROM j GROUP BY w ORDER BY w""".stripMargin,
     // s15's post-stream search is algebraically a16's soft-delete
     // search: the SAME oracle hash pins that delete batch boundaries
     // leave no trace in what search can see

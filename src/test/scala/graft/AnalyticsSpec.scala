@@ -1095,4 +1095,74 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(hm >= 1 && hm <= 6, s"hamming $hm outside (0, 6]")
     }
   }
+
+  // t18's window arithmetic: every doc yields ⌈len/24⌉ chunks, the
+  // first starts at token 1, and the ends are nondecreasing up to
+  // exactly len — no token uncovered, no chunk past the end.
+  test("t18: chunks tile each document — ⌈len/24⌉ windows, exact coverage") {
+    val dir = "/root/testdata/sf0.001"
+    val chunks = graft.queries.AnalyticsQueries.t18Chunking(spark, dir)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TF.words(col("text"))).cast("long").as("len"))
+    val byDoc = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        min(col("start_tok")).as("first"),
+        max(col("start_tok") + col("n_tok") - 1).as("covered"),
+        min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .join(docs, Seq("doc_id"))
+    assert(byDoc.count() == docs.count(), "some doc produced no chunks")
+    assert(byDoc.filter(col("n_chunks") =!= floor((col("len") + 23) / 24)).count() == 0,
+      "chunk count != ceil(len/24)")
+    assert(byDoc.filter(col("first") =!= 1).count() == 0, "first chunk not at token 1")
+    assert(byDoc.filter(col("covered") =!= col("len")).count() == 0,
+      "chunk ends don't reach exactly len")
+    assert(byDoc.filter(col("max_tok") > 32 || col("min_tok") < 1).count() == 0,
+      "chunk size outside (0, 32]")
+  }
+
+  // q38's estimator quality: with k=64 minima the standard error is
+  // ~1/√(k−2) ≈ 12.7%; 30% is a ≥2σ envelope — a hash-uniformity or
+  // kth-minimum regression blows through it immediately (the unsalted
+  // hash over-estimated by 5 orders of magnitude).
+  test("q38: KMV estimate lands within 30% of exact distinct") {
+    val rows = graft.queries.AdvancedQueries
+      .q38KmvDistinct(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("err4") <= 3000,
+        s"KMV err ${r.getAs[Long]("err4")}‱ for ${r.getAs[String]("event_type")}")
+    }
+  }
+
+  // p22's whole point: zero clusters straddle the cluster-keyed split,
+  // while the doc-keyed naive split WOULD have leaked near-dup families
+  // across train/test — and the splits partition the corpus exactly.
+  test("p22: cluster-keyed split leaks nothing; naive split would") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.AnalyticsQueries.p22LeakageSafeSplit(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+    rows.foreach(r => assert(r.getAs[Long]("leaky_clusters") == 0L,
+      "a near-dup cluster straddles the split"))
+    assert(rows.head.getAs[Long]("leaky_clusters_naive") > 0L,
+      "fixture has no cross-split near-dup families; the audit is vacuous")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.Tables.documents(spark, dir).count(), "splits don't partition the corpus")
+  }
+
+  // s19 re-streams from scratch (fresh counter landings) — the drift
+  // table is a pure function of the documents table, so two runs must
+  // be row-identical and the windows must partition the corpus.
+  test("s19: drift monitor is deterministic across re-streams; windows partition") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Boolean)].collect().toSeq
+    val a = rows(graft.queries.StreamingQueries.s19DriftMonitor(spark, dir))
+    val b = rows(graft.queries.StreamingQueries.s19DriftMonitor(spark, dir))
+    assert(a == b, "re-stream changed the drift numbers")
+    assert(a.map(_._1).sorted == Seq(0L, 1L, 2L, 3L))
+    assert(a.map(_._2).sum == graft.Tables.documents(spark, dir).count())
+    assert(a.forall(_._3 >= 0L))
+  }
 }

@@ -500,8 +500,16 @@ class PlanAuditSpec extends AnyFunSuite {
       val fs = p.getFileSystem(conf)
       val files =
         if (fs.getFileStatus(p).isFile) Seq(p)
-        else fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
+        else {
+          // recurse: the z-ordered layout is zfile=N/part-*.parquet
+          val it = fs.listFiles(p, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+          while (it.hasNext) {
+            val f = it.next().getPath
+            if (f.getName.endsWith(".parquet")) buf += f
+          }
+          buf.toSeq
+        }
       files.flatMap { f =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
@@ -603,6 +611,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"pair counting must not join:\n$p")
     assert(!p.contains("Window"), s"pair counting must not window:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("t18: chunking is scan-local — no join, no aggregate, " +
+    "fan-out stays a row-local explode") {
+    // chunking at 100 TB must stay embarrassingly parallel: tokenize →
+    // posexplode of a row-local start list → project. The only
+    // exchange allowed is the presentation sort's.
+    val p = planOf(graft.queries.AnalyticsQueries.t18Chunking(spark, dir))
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    assert(!p.contains("Aggregate"), s"chunking must not aggregate:\n$p")
+    assert(p.contains("Generate"), s"expected a row-local explode:\n$p")
+  }
+
+  test("q38: min-k sketch is a partial+final aggregate — " +
+    "no window sort over the hash column") {
+    // the KMV heap must reduce map-side (shuffle = groups×k longs);
+    // a row_number window here would sort and shuffle every hash
+    val p = planOf(graft.queries.AdvancedQueries.q38KmvDistinct(spark, dir))
+    assert(!p.contains("Window"), s"sketch degraded to a window sort:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final min-k aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"sketch must not join:\n$p")
   }
 
   test("whole-stage codegen covers the native hash expression") {
