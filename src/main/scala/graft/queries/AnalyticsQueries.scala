@@ -1705,6 +1705,59 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** a22 — passage retrieval (the RAG serving shape: retrieve the
+    * CHUNK, not the document — Karpukhin et al. EMNLP'20's unit of
+    * retrieval, served here through the keyword channel): the corpus
+    * is split into t18's overlapping 32-token windows, each passage
+    * gets its own tf and the passage-level df drives the idf (the
+    * standard passage-index statistics — a long document no longer
+    * dilutes its matching span), and a17's query protocol (distinct
+    * terms of docs 0–9, self-doc excluded) scores passages by the
+    * same fixed-point impact Σ tf·⌊10⁴·nP/df⌋. Top-5 passages per
+    * query via the bounded-heap aggregate, reported as (doc_id,
+    * chunk_idx) — the span a RAG prompt would actually stuff.
+    * Passage ids pack as doc_id·1024 + chunk_idx (chunk counts are
+    * ⌈len/24⌉, orders of magnitude under 1024 at any corpus scale —
+    * a 24k-token document is still only 1k chunks).
+    * Scale shape: chunking is t18's row-local explode; tf/df are
+    * map-side-combined hash-aggs; the query side broadcasts
+    * (queries × vocabulary-sized); the heap keeps shuffle at
+    * groups×k. Like a17 this is the inline twin — a production
+    * passage index would persist tf/df exactly as a19 does for docs;
+    * the economics are already measured there. */
+  def a22PassageSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.TopKByScore
+    val docs = Tables.documents(spark, dir)
+    val chunks = docs
+      .select(col("doc_id"), TF.words(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(24)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select((col("doc_id") * 1024 + col("chunk_idx")).as("pid"), col("doc_id"),
+        slice(col("toks"), col("start_tok"), lit(32)).as("ptoks"))
+    val nP = chunks.count()
+    val tf = chunks.select(col("pid"), col("doc_id"), explode(col("ptoks")).as("term"))
+      .groupBy(col("pid"), col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfp = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qTerms = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), explode(TF.words(col("text"))).as("term"))
+      .distinct()
+    tf.join(dfp, Seq("term"))
+      .withColumn("impact", col("tf") * floor(lit(10000.0) * nP / col("df")).cast("long"))
+      .join(broadcast(qTerms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("pid"))
+      .agg(sum(col("impact")).as("p_score"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore(col("p_score"), col("pid"), 5).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        expr("col.id DIV 1024").as("doc_id"),
+        expr("col.id % 1024").as("chunk_idx"),
+        col("col.score").as("p_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
     * dedup tractable at corpus scale. Pairwise cosine is computed only
@@ -3096,6 +3149,7 @@ object AnalyticsQueries {
     "a19_keyword_search_prebuilt" -> a19KeywordSearchPrebuilt _,
     "a20_keyword_index_update" -> a20KeywordIndexUpdate _,
     "a21_hybrid_search_prebuilt" -> a21HybridSearchPrebuilt _,
+    "a22_passage_search" -> a22PassageSearch _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
@@ -4107,6 +4161,34 @@ object AnalyticsQueries {
          |  FROM f)
          |SELECT query_id, rank, doc_id, kw_rank, vec_rank, rrf_score FROM z
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // t18's chunk windows re-tokenized per passage; impact uses the
+    // PASSAGE-level df and passage count; heap tiebreak = lower pid
+    "a22_passage_search" ->
+      s"""WITH w AS (SELECT doc_id, ${words("text")} AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(range(0, (len(toks) + 23) // 24)) AS chunk_idx FROM w),
+         |p AS (SELECT doc_id * 1024 + chunk_idx AS pid, doc_id,
+         |    unnest(toks[CAST(1 + chunk_idx * 24 AS BIGINT):CAST(chunk_idx * 24 + 32 AS BIGINT)]) AS term
+         |  FROM c),
+         |tfp AS (SELECT pid, doc_id, term, COUNT(*) AS tf FROM p GROUP BY 1, 2, 3),
+         |np AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT pid FROM tfp)),
+         |dfp AS (SELECT term, COUNT(*) AS df FROM tfp GROUP BY 1),
+         |qe AS (SELECT doc_id AS query_id, unnest(${words("text")}) AS term
+         |  FROM documents WHERE doc_id < 10),
+         |qt AS (SELECT DISTINCT query_id, term FROM qe),
+         |sc AS (SELECT qt.query_id, tfp.pid,
+         |    CAST(SUM(tfp.tf * CAST(floor(10000.0 * np.n / dfp.df) AS BIGINT)) AS BIGINT)
+         |      AS p_score
+         |  FROM tfp JOIN dfp USING (term) JOIN qt USING (term) CROSS JOIN np
+         |  WHERE tfp.doc_id <> qt.query_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, pid, p_score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY p_score DESC, pid ASC) AS INT) AS rank
+         |  FROM sc)
+         |SELECT query_id, rank, pid // 1024 AS doc_id, pid % 1024 AS chunk_idx,
+         |  p_score
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "d12_semdedup" ->
       s"""WITH $kmeansCtes,
          |e AS (SELECT vec_id, cluster, embedding, ${normSq("embedding")} AS nsq

@@ -1150,6 +1150,27 @@ class AnalyticsSpec extends AnyFunSuite {
       graft.Tables.documents(spark, dir).count(), "splits don't partition the corpus")
   }
 
+  // a22 must point into t18's chunk table: every returned passage is a
+  // real (doc_id, chunk_idx) window, never the query's own document,
+  // ranked exactly 1..5 per query with positive impact scores.
+  test("a22: returned passages exist in t18's chunking; ranks dense; no self-hit") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.AnalyticsQueries.a22PassageSearch(spark, dir)
+    val chunks = graft.queries.AnalyticsQueries.t18Chunking(spark, dir)
+      .select(col("doc_id"), col("chunk_idx"))
+    assert(got.join(chunks, Seq("doc_id", "chunk_idx"), "left_anti").count() == 0,
+      "a passage hit is not a t18 chunk window")
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") != r.getAs[Long]("query_id"), "self-hit leaked")
+      assert(r.getAs[Long]("p_score") > 0L, "non-positive impact score")
+    }
+    val perQ = rows.groupBy(_.getAs[Long]("query_id")).values
+    assert(perQ.forall(_.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5)),
+      "ranks not dense 1..5 per query")
+  }
+
   // s19 re-streams from scratch (fresh counter landings) — the drift
   // table is a pure function of the documents table, so two runs must
   // be row-identical and the windows must partition the corpus.

@@ -636,6 +636,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sketch must not join:\n$p")
   }
 
+  test("a22: passage search broadcasts the query terms; top-k is the " +
+    "bounded heap; no cartesian") {
+    val p = planOf(graft.queries.AnalyticsQueries.a22PassageSearch(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$p")
+    assert(!p.contains("Window"), s"top-k degraded to a window sort:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final heap aggregate:\n$p")
+  }
+
   test("whole-stage codegen covers the native hash expression") {
     val df = Tables.documents(spark, dir)
       .select(graft.expressions.PolyHash(col("text")).as("fp"))
