@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -379,6 +379,55 @@ object AdvancedQueries {
         |GROUP BY depth_to_root ORDER BY depth_to_root""".stripMargin)
   }
 
+  /** q39 — mergeable quantile sketch, engine-exact: q38's bottom-k
+    * idea applied to QUANTILES. A bottom-k-by-hash row sample is a
+    * uniform sample without replacement (the hash imposes a random
+    * permutation of the rows; keeping the k smallest is the classic
+    * bottom-k sketch — Cohen & Kaplan PODS'07, public), and unlike a
+    * reservoir it is DETERMINISTIC given the hash and mergeable by
+    * heap union — which is what makes it a sketch: per group every map
+    * task reduces its slice to ≤ k (hash, key) pairs before the
+    * exchange (shuffle = groups×k), disjoint shards merge by
+    * re-merging heaps, and nearest-rank quantiles read off the sorted
+    * sample with error O(1/√k). The whole pipeline — hash, heap,
+    * sample membership, rank selection — is integer-deterministic, so
+    * the ESTIMATES hash-gate across engines (q34 could only gate an
+    * error-bound boolean around Spark's opaque approx_percentile).
+    * Per o_orderpriority: sample k=128 order keys by the salted
+    * 31-base polynomial hash (q38's uniformity lesson — a bare
+    * integer key never wraps the modulus), fetch the sampled rows'
+    * o_totalprice with a broadcast join of the (groups×k)-row key
+    * table against the orders scan, and report nearest-rank
+    * p25/p50/p75/p90 over the per-group sorted sample (index
+    * ⌈q·m⌉ = (q·100·m + 99) DIV 100, 1-based, integer in both
+    * engines). The values themselves pass through unchanged — no
+    * float arithmetic anywhere. */
+  def q39QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.TopKByScore
+    val k = 128
+    val orders = Tables.orders(spark, dir)
+    val base = orders.select(col("o_orderpriority").as("grp"), col("o_orderkey"),
+      graft.functions.TextFunctions.polyHash(
+        concat(col("o_orderkey").cast("string"), lit("-qsk-0123456789abcdef")))
+        .as("h"))
+    val agg = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_exact"),
+        TopKByScore(-col("h"), col("o_orderkey"), k).as("mk"))
+    val keys = agg.select(col("grp"), explode(col("mk")).as("t"))
+      .select(col("grp"), col("t.id").as("o_orderkey"))
+    val v = orders.select(col("o_orderkey"), col("o_totalprice"))
+      .join(broadcast(keys), Seq("o_orderkey"))
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(col("o_totalprice"))).as("vs"))
+    def estP(q: Int): Column =
+      element_at(col("vs"), expr(s"CAST(($q * size(vs) + 99) DIV 100 AS INT)"))
+        .as(s"est_p$q")
+    agg.select(col("grp"), col("n_exact")).join(v, Seq("grp"))
+      .select(col("grp"), col("n_exact"), size(col("vs")).cast("long").as("m_sample"),
+        estP(25), estP(50), estP(75), estP(90))
+      .orderBy(col("grp"))
+  }
+
   /** q38 — KMV (k-minimum-values) distinct sketch, engine-exact: the
     * MERGEABLE approximate-distinct shape (Bar-Yossef et al. 2002, the
     * same family as HyperLogLog but deterministic given the hash, so
@@ -428,6 +477,7 @@ object AdvancedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_quantile_sketch" -> q39QuantileSketch _,
     "q38_kmv_distinct"    -> q38KmvDistinct _,
     "q37_recursive_cte"   -> q37RecursiveCte _,
     "q36_lateral_topn"    -> q36LateralTopN _,
@@ -455,6 +505,26 @@ object AdvancedQueries {
       s"(_pa,_pb) -> (_pa*31+_pb) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    // the same bottom-128 hash sample (rn ≤ k under (h, key) order =
+    // the heap's (−h desc, id asc)), values re-fetched by key, then
+    // identical 1-based nearest-rank indices off the sorted sample
+    "q39_quantile_sketch" ->
+      s"""WITH s0 AS (SELECT o_orderpriority AS grp, o_orderkey,
+         |    ${duckPolyHash("CAST(o_orderkey AS VARCHAR) || '-qsk-0123456789abcdef'")} AS h
+         |  FROM orders),
+         |r AS (SELECT grp, o_orderkey,
+         |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h, o_orderkey) AS rn,
+         |    COUNT(*) OVER (PARTITION BY grp) AS nex FROM s0),
+         |b AS (SELECT grp, CAST(MAX(nex) AS BIGINT) AS n_exact FROM r GROUP BY grp),
+         |k AS (SELECT grp, o_orderkey FROM r WHERE rn <= 128),
+         |v AS (SELECT k.grp, list_sort(list(o.o_totalprice)) AS vs
+         |  FROM k JOIN orders o USING (o_orderkey) GROUP BY k.grp)
+         |SELECT b.grp, b.n_exact, CAST(len(v.vs) AS BIGINT) AS m_sample,
+         |  v.vs[(25*len(v.vs)+99)//100] AS est_p25,
+         |  v.vs[(50*len(v.vs)+99)//100] AS est_p50,
+         |  v.vs[(75*len(v.vs)+99)//100] AS est_p75,
+         |  v.vs[(90*len(v.vs)+99)//100] AS est_p90
+         |FROM b JOIN v USING (grp) ORDER BY grp""".stripMargin,
     // min-k over the same hash; rn=64's h is the kth minimum, the
     // estimate is the same integer DIV, lateral alias reuse for err4
     "q38_kmv_distinct" ->

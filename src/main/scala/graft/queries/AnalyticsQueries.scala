@@ -1758,6 +1758,116 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The a23 passage-index BUILD stage — a22's statistics persisted in
+    * a19's impact-ordered layout, closing the RAG serving lifecycle
+    * (a22's scaladoc names this as the production shape: "a passage
+    * index would persist tf/df exactly as a19 does for docs"). One
+    * corpus pass chunks every document into t18's 32-token stride-24
+    * windows (pid = doc_id·1024 + chunk_idx) and writes:
+    *
+    *  - `terms` (term, term_id, df, idf, max_impact): the dictionary
+    *    under PASSAGE-level statistics — df counts passages, idf =
+    *    ⌊10⁴·nP/df⌋ (a22's law), term_id the dense lexicographic rank.
+    *  - `postings` (term_id, pid, doc_id, impact): fixed-point tf·idf
+    *    per PASSAGE, range-partitioned and sorted by term_id so the
+    *    search IN-list prunes row groups to the probed posting lists;
+    *    doc_id rides along denormalized (a14's trick) so self-doc
+    *    exclusion is a scan-level filter, not a join.
+    *  - `meta` (n passages): written last as the completeness marker.
+    *
+    * Keyed by a content fingerprint of documents.parquet. */
+  private def stagePassageIndex(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("a23pi", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val chunks = Tables.documents(spark, dir)
+        .select(col("doc_id"), TF.words(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(1), size(col("toks")), lit(24)))
+            .as(Seq("chunk_idx", "start_tok")))
+        .select((col("doc_id") * 1024 + col("chunk_idx")).as("pid"), col("doc_id"),
+          slice(col("toks"), col("start_tok"), lit(32)).as("ptoks"))
+      val nP = chunks.count()
+      val tf = chunks.select(col("pid"), col("doc_id"), explode(col("ptoks")).as("term"))
+        .groupBy(col("pid"), col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"))
+        .withColumn("term_id",
+          row_number().over(Window.orderBy(col("term"))).cast("long"))
+        .withColumn("idf", floor(lit(10000.0) * nP / col("df")).cast("long"))
+        .select(col("term"), col("term_id"), col("df"), col("idf"),
+          (col("max_tf") * col("idf")).as("max_impact"))
+        .write.mode("overwrite").parquet(s"$stage/terms")
+      val terms = spark.read.parquet(s"$stage/terms")
+      tf.join(terms.select(col("term"), col("term_id"), col("idf")), Seq("term"))
+        .select(col("term_id"), col("pid"), col("doc_id"),
+          (col("tf") * col("idf")).as("impact"))
+        .repartitionByRange(4, col("term_id"))
+        .sortWithinPartitions(col("term_id"), col("impact").desc, col("pid"))
+        .write.mode("overwrite").parquet(s"$stage/postings")
+      spark.range(1).select(lit(nP).as("n"))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Stress hook: rebuild the persisted passage index unconditionally —
+    * isolates chunk-index build cost from search cost. */
+  def rebuildPassageIndexStage(spark: SparkSession, dir: String): String =
+    stagePassageIndex(spark, dir, force = true)
+
+  /** a23 — passage retrieval over the PERSISTED chunk index: a22's
+    * semantics served the way a19 serves documents. Search-time work:
+    * (1) tokenize the doc_id<10 query slice (one pushed corpus scan);
+    * (2) per query keep the [[KwKeepTerms]] rarest terms by PASSAGE df
+    * (bounded heap on (−df, term_id), ties → lexicographic — the same
+    * MaxScore-flavor static pruning as a19, now priced in passages);
+    * (3) the kept term_ids become an IN-list pushed onto the
+    * term_id-sorted stored postings (row-group pruning = posting-list
+    * seeks), broadcast-joined back to query ids; self-doc exclusion is
+    * a filter on the DENORMALIZED doc_id column of the postings scan —
+    * no join against a passage→doc map; (4) per-(query, pid) impact
+    * sums, bounded-heap top-5, reported as (doc_id, chunk_idx). What
+    * never runs at search time: chunking, passage tf/df aggregation,
+    * dictionary construction — all one-time cost in
+    * [[stagePassageIndex]]. Scale: the probe touches Σ df(kept terms)
+    * POSTING rows (passage-grain, ~len/stride × the doc-grain volume,
+    * still corpus-token-independent); every search-time join
+    * broadcasts the query side. */
+  def a23PassageSearchPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.TopKByScore
+    val stage = stagePassageIndex(spark, dir)
+    val dict = spark.read.parquet(s"$stage/terms")
+      .select(col("term"), col("term_id"), col("df"))
+    val postings = spark.read.parquet(s"$stage/postings")
+    val qt = Tables.documents(spark, dir).filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), explode(TF.words(col("text"))).as("term"))
+      .distinct()
+    val kept = dict.join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore(-col("df"), col("term_id"), KwKeepTerms).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("term_id"))
+    val keptIds = kept.select(col("term_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    postings
+      .filter(col("term_id").isin(keptIds: _*))
+      .join(broadcast(kept), Seq("term_id"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("pid"))
+      .agg(sum(col("impact")).as("p_score"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore(col("p_score"), col("pid"), 5).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        expr("col.id DIV 1024").as("doc_id"),
+        expr("col.id % 1024").as("chunk_idx"),
+        col("col.score").as("p_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
     * dedup tractable at corpus scale. Pairwise cosine is computed only
@@ -3150,6 +3260,7 @@ object AnalyticsQueries {
     "a20_keyword_index_update" -> a20KeywordIndexUpdate _,
     "a21_hybrid_search_prebuilt" -> a21HybridSearchPrebuilt _,
     "a22_passage_search" -> a22PassageSearch _,
+    "a23_passage_search_prebuilt" -> a23PassageSearchPrebuilt _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
@@ -4181,6 +4292,41 @@ object AnalyticsQueries {
          |      AS p_score
          |  FROM tfp JOIN dfp USING (term) JOIN qt USING (term) CROSS JOIN np
          |  WHERE tfp.doc_id <> qt.query_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, pid, p_score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY p_score DESC, pid ASC) AS INT) AS rank
+         |  FROM sc)
+         |SELECT query_id, rank, pid // 1024 AS doc_id, pid % 1024 AS chunk_idx,
+         |  p_score
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // a22's passage statistics recomputed inline PLUS a19's pruning
+    // protocol under passage-level df (trk ties → term ASC, mirroring
+    // the heap's term_id order — term_id is the lexicographic rank):
+    // the oracle proves the stored chunk index + pruned probe ≡ the
+    // inline passage definition
+    "a23_passage_search_prebuilt" ->
+      s"""WITH w AS (SELECT doc_id, ${words("text")} AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(range(0, (len(toks) + 23) // 24)) AS chunk_idx FROM w),
+         |p AS (SELECT doc_id * 1024 + chunk_idx AS pid, doc_id,
+         |    unnest(toks[CAST(1 + chunk_idx * 24 AS BIGINT):CAST(chunk_idx * 24 + 32 AS BIGINT)]) AS term
+         |  FROM c),
+         |tfp AS (SELECT pid, doc_id, term, COUNT(*) AS tf FROM p GROUP BY 1, 2, 3),
+         |np AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT pid FROM tfp)),
+         |dfp AS (SELECT term, COUNT(*) AS df FROM tfp GROUP BY 1),
+         |qe AS (SELECT doc_id AS query_id, unnest(${words("text")}) AS term
+         |  FROM documents WHERE doc_id < 10),
+         |qt AS (SELECT DISTINCT query_id, term FROM qe),
+         |qk AS (SELECT query_id, term FROM (
+         |  SELECT qt.query_id, qt.term, ROW_NUMBER() OVER (
+         |      PARTITION BY qt.query_id ORDER BY dfp.df ASC, qt.term ASC) AS trk
+         |  FROM qt JOIN dfp USING (term)) WHERE trk <= $KwKeepTerms),
+         |sc AS (SELECT qk.query_id, tfp.pid,
+         |    CAST(SUM(tfp.tf * CAST(floor(10000.0 * np.n / dfp.df) AS BIGINT)) AS BIGINT)
+         |      AS p_score
+         |  FROM tfp JOIN dfp USING (term) JOIN qk USING (term) CROSS JOIN np
+         |  WHERE tfp.doc_id <> qk.query_id
          |  GROUP BY 1, 2),
          |r AS (SELECT query_id, pid, p_score,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id

@@ -283,6 +283,50 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(want.nonEmpty && got == want)
   }
 
+  // a23 searches the PERSISTED passage index with a19's pruning under
+  // passage-level df; the ranked table must be row-identical to an
+  // inline window-based recompute of the a22 passage definition plus
+  // the pruning — a path independent of the stored artifacts and the
+  // TopKByScore heap.
+  test("a23 prebuilt passage search == inline pruned passage recompute, row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val chunks = docs
+      .select(col("doc_id"), TF.words(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(24)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select((col("doc_id") * 1024 + col("chunk_idx")).as("pid"), col("doc_id"),
+        slice(col("toks"), col("start_tok"), lit(32)).as("ptoks"))
+    val nP = chunks.count()
+    val tf = chunks.select(col("pid"), col("doc_id"), explode(col("ptoks")).as("term"))
+      .groupBy("pid", "doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfp = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idx = tf.join(dfp, Seq("term"))
+      .withColumn("impact", col("tf") * floor(lit(10000.0) * nP / col("df")).cast("long"))
+    val qt = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), explode(TF.words(col("text"))).as("term"))
+      .distinct()
+    val wprune = Window.partitionBy("query_id").orderBy(col("df").asc, col("term").asc)
+    val qk = qt.join(dfp, Seq("term"))
+      .withColumn("trk", row_number().over(wprune)).filter(col("trk") <= 8)
+      .select("query_id", "term")
+    val wrank = Window.partitionBy("query_id")
+      .orderBy(col("p_score").desc, col("pid").asc)
+    val want = idx.join(qk, Seq("term")).filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "pid").agg(sum("impact").as("p_score"))
+      .withColumn("rank", row_number().over(wrank).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), expr("pid DIV 1024").as("doc_id"),
+        expr("pid % 1024").as("chunk_idx"), col("p_score"))
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq.sorted
+    val got = graft.queries.AnalyticsQueries.a23PassageSearchPrebuilt(spark, dir)
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty && got == want)
+  }
+
   // a21 is PURE COMPOSITION: its channel ranks must be exactly a19's
   // and a13's served ranks, its fused score the integer RRF of them,
   // and each query must fill all 10 fused slots. A drift here means

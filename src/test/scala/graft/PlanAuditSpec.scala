@@ -240,6 +240,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast query-side joins:\n$p")
   }
 
+  test("a23: prebuilt passage search — IN-list pushed to stored chunk postings, no chunking in plan") {
+    val p = planOf(graft.queries.AnalyticsQueries.a23PassageSearchPrebuilt(spark, dir))
+    // the RAG serving shape: kept-term IN-list pushed onto the stored
+    // passage postings (term_id-sorted → row-group pruning), self-doc
+    // exclusion on the DENORMALIZED doc_id column of the index scan,
+    // and the only corpus scan is the pushed doc_id<10 query slice — a
+    // second documents scan would mean search-time re-chunking (a22's
+    // inline shape)
+    assert(p.contains("graft_a23pi"), s"search must scan the persisted passage index:\n$p")
+    assert(p.contains("In(term_id"), s"kept-term IN-list not pushed to the postings scan:\n$p")
+    assert(p.contains("LessThan(doc_id,10)"),
+      s"query tokenization must be a pushed doc_id slice:\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).length == 1,
+      s"corpus scanned more than once — search-time chunking detected:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"passage search shuffled into a sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"passage search went cartesian:\n$p")
+    assert(!p.contains("ExistingRDD"), s"search plan contains build-time work:\n$p")
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast query-side joins:\n$p")
+  }
+
   test("a20: append-only keyword update — stored postings read, corpus never re-tokenized") {
     val p = planOf(graft.queries.AnalyticsQueries.a20KeywordIndexUpdate(spark, dir))
     // the segment shape: stored corpus postings + dictionary are READ
