@@ -2342,6 +2342,36 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** t19 — text normalization (the standard pre-tokenization scrub
+    * every ingestion pipeline runs before anything hashes or
+    * tokenizes): strip C0/DEL control characters, Unicode-NFC compose
+    * ([[graft.expressions.NfcNormalize]] — the JDK and DuckDB both
+    * implement UAX#15, so the engines agree by construction),
+    * lowercase, collapse whitespace runs to single spaces, trim. The
+    * gated frame carries per document the before/after char counts, a
+    * changed flag, and the 31-base polynomial fingerprint of the
+    * NORMALIZED text — the identity all downstream dedup (d01's
+    * lower/trim fingerprint is a special case of this chain) would key
+    * on. Scale shape: scan-local codegen'd rewrites (regexp + NFC +
+    * case fold are all per-row kernels), zero joins, zero aggregates,
+    * zero shuffle beyond the presentation sort — embarrassingly
+    * parallel at any corpus size, with NFC's ASCII fast path making
+    * the normalizer free on the rows that cannot change. */
+  def t19Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      lower(graft.expressions.NfcNormalize(
+        regexp_replace(col("text"), "[\\x00-\\x1f\\x7f]", ""))),
+      "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), norm.as("norm"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_raw"),
+        length(col("norm")).cast("long").as("n_norm"),
+        (col("norm") =!= col("text")).as("changed"),
+        TF.polyHash(col("norm")).as("norm_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d09 — train/eval contamination check (the "is my benchmark in the
     * training set" sweep every LLM data pipeline runs): eval docs =
     * reproducible 10% hash slice by doc_id, train = the rest; an eval
@@ -2988,6 +3018,50 @@ object AnalyticsQueries {
       .orderBy(col("lang"))
   }
 
+  /** p24 — perplexity-bucketed corpus partition, CCNet's head/middle/
+    * tail scheme (Wenzek et al. LREC'20, public): score every document
+    * with the t10 unigram LM, cut each language's score distribution
+    * into terciles, and label documents head (most-fluent third),
+    * middle, tail — the buckets CCNet samples from preferentially when
+    * building training mixes. The tercile CUTOFFS come from q39's
+    * deterministic bottom-k hash sample (k=64 per language), NOT from
+    * a corpus-wide window: at 100 TB an exact per-language ntile would
+    * sort the whole corpus per language, while the sample costs one
+    * bounded-heap aggregate (shuffle = langs×k) and the assignment is
+    * then a scan-local comparison against the broadcast 2-value-per-
+    * language boundary table — the same sketch-then-broadcast shape as
+    * p16/p17's rate tables. Everything hash-gates: the sample is
+    * hash-deterministic, the boundaries are rank selections off it,
+    * and the bucket label is integer comparison. */
+  def p24PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.TopKByScore
+    val scored = t10UnigramLm(spark, dir).select(col("doc_id"), col("lm_score"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    val h = TF.polyHash(concat(col("doc_id").cast("string"),
+      lit("-ppb-0123456789abcdef")))
+    val keys = scored.withColumn("h", h)
+      .groupBy(col("lang"))
+      .agg(TopKByScore(-col("h"), col("doc_id"), 64).as("mk"))
+      .select(col("lang"), explode(col("mk")).as("t"))
+      .select(col("t.id").as("doc_id"))
+    val bounds = scored.join(broadcast(keys), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sort_array(collect_list(col("lm_score"))).as("vs"))
+      .select(col("lang"),
+        element_at(col("vs"), expr("CAST((33 * size(vs) + 99) DIV 100 AS INT)")).as("b33"),
+        element_at(col("vs"), expr("CAST((67 * size(vs) + 99) DIV 100 AS INT)")).as("b67"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .withColumn("bucket",
+        when(col("lm_score") <= col("b33"), lit("tail"))
+          .when(col("lm_score") <= col("b67"), lit("middle"))
+          .otherwise(lit("head")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("lm_score")).as("min_score"), max(col("lm_score")).as("max_score"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   /** p18 — deterministic shuffled sharding (the "global shuffle"
     * every training export needs): each document's shard and its
     * position within the shard derive from the square-mixed hash of
@@ -3224,6 +3298,7 @@ object AnalyticsQueries {
     "p20_export_manifest" -> p20ExportManifest _,
     "p21_pagerank"      -> p21PageRank _,
     "p22_leakage_safe_split" -> p22LeakageSafeSplit _,
+    "p24_perplexity_buckets" -> p24PerplexityBuckets _,
     "d01_exact_dedup"   -> d01ExactDedup _,
     "d02_ngram_jaccard" -> d02NgramJaccard _,
     "d03_minhash_lsh"   -> d03MinhashLsh _,
@@ -3281,6 +3356,7 @@ object AnalyticsQueries {
     "t16_quality_classifier" -> t16QualityClassifier _,
     "t17_classifier_apply" -> t17ClassifierApply _,
     "t18_chunking"      -> t18Chunking _,
+    "t19_normalize"     -> t19Normalize _,
     "m01_multimodal"    -> m01Multimodal _,
     "m02_frame_sample"  -> m02FrameSample _,
     "m03_resize"        -> m03Resize _,
@@ -4449,6 +4525,21 @@ object AnalyticsQueries {
          |  y4 = 10000 AS label_keep,
          |  (score4 >= 5000) = (y4 = 10000) AS correct
          |FROM pf ORDER BY doc_id""".stripMargin,
+    // the same scrub chain: control strip → nfc_normalize (DuckDB's
+    // UAX#15 twin of the engine's JDK kernel) → lower → whitespace
+    // collapse (RE2 needs the explicit 'g' flag; Spark's
+    // regexp_replace is global by default) → trim
+    "t19_normalize" ->
+      s"""WITH nm AS (SELECT doc_id, text,
+         |    trim(regexp_replace(lower(nfc_normalize(
+         |      regexp_replace(text, '[\\x00-\\x1f\\x7f]', '', 'g'))),
+         |      '\\s+', ' ', 'g')) AS norm
+         |  FROM documents)
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw,
+         |  CAST(length(norm) AS BIGINT) AS n_norm,
+         |  norm <> text AS changed,
+         |  ${polyHash("norm")} AS norm_fp
+         |FROM nm ORDER BY doc_id""".stripMargin,
     // sliding-window chunking: starts at 1, 1+24, … (⌈len/24⌉ chunks);
     // DuckDB list slice is inclusive-both-ends, so [s : s+31] is the
     // 32-token window matching Spark's slice(toks, s, 32)
@@ -4662,6 +4753,37 @@ object AnalyticsQueries {
     // in (h2, doc_id) order) pins the full permutation — membership,
     // shard assignment, AND order — not just counts
     "p18_shuffled_shards" -> shardOracle,
+    // t10's scoring CTEs + the same bottom-64 hash sample per lang,
+    // tercile cutoffs by 1-based nearest rank off the sorted sample,
+    // then scan-local bucket labels — the full sketch-then-broadcast
+    // chain recomputed inline
+    "p24_perplexity_buckets" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents),
+         |n AS (SELECT COUNT(*) AS total FROM t),
+         |freq AS (SELECT term,
+         |    CAST(floor(1000000000.0 * COUNT(*) / ANY_VALUE(n.total)) AS BIGINT) AS w
+         |  FROM t CROSS JOIN n GROUP BY term),
+         |s AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS sum_w
+         |  FROM t JOIN freq USING (term) GROUP BY doc_id),
+         |sc AS (SELECT s.doc_id, d.lang, CAST(s.sum_w // s.n_tokens AS BIGINT) AS lm_score
+         |  FROM s JOIN documents d USING (doc_id)),
+         |sh AS (SELECT doc_id, lang, lm_score,
+         |    ${polyHash("CAST(doc_id AS VARCHAR) || '-ppb-0123456789abcdef'")} AS h
+         |  FROM sc),
+         |r AS (SELECT lang, doc_id, lm_score,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM sh),
+         |b AS (SELECT lang, list_sort(list(lm_score)) AS vs
+         |  FROM r WHERE rn <= 64 GROUP BY lang),
+         |bb AS (SELECT lang, vs[(33*len(vs)+99)//100] AS b33,
+         |    vs[(67*len(vs)+99)//100] AS b67 FROM b),
+         |a AS (SELECT sc.lang,
+         |    CASE WHEN sc.lm_score <= bb.b33 THEN 'tail'
+         |         WHEN sc.lm_score <= bb.b67 THEN 'middle'
+         |         ELSE 'head' END AS bucket, sc.lm_score
+         |  FROM sc JOIN bb USING (lang))
+         |SELECT lang, bucket, COUNT(*) AS n_docs,
+         |  MIN(lm_score) AS min_score, MAX(lm_score) AS max_score
+         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // p19 reports the SAME stats over its append-then-compact layout:
     // sharing p18's oracle hash pins append + compact ≡ rebuild
     "p19_incremental_shards" -> shardOracle,

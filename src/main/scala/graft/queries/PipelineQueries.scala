@@ -478,7 +478,81 @@ object PipelineQueries {
       .orderBy(col("z_bucket"))
   }
 
+  /** The p23 versioned-table fixture — a commit log over delta and
+    * tombstone files, the minimal lakehouse transaction-log shape
+    * (Delta/Iceberg snapshot model, public): commits 0–2 each land one
+    * insert delta (doc_id % 4 == v), commit 3 lands a DELETE as a
+    * tombstone id list (merge-on-read — no data file is rewritten).
+    * `commit_log` (version, kind, path) is one row per FILE —
+    * metadata-scale — and is written before the `done` marker so a
+    * half-built fixture is rebuilt, never trusted. Keyed by a content
+    * fingerprint of documents.parquet. */
+  private def stageVersionedTable(spark: SparkSession, dir: String): String =
+    synchronized {
+      import spark.implicits._
+      val fp = contentFingerprint(spark, s"$dir/documents.parquet")
+      val root = staging("p23tt", s"$dir#$fp")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val hfs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!hfs.exists(new org.apache.hadoop.fs.Path(s"$root/done"))) {
+        hfs.delete(rootPath, true)
+        def commit(version: Int, kind: String, path: String): Unit =
+          Seq((version, kind, path)).toDF("version", "kind", "path")
+            .write.mode("append").parquet(s"$root/commit_log")
+        (0 to 2).foreach { v =>
+          val p = s"$root/delta_v$v"
+          Tables.documents(spark, dir).filter(col("doc_id") % 4 === v)
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+            .coalesce(1).write.mode("overwrite").parquet(p)
+          commit(v, "insert", p)
+        }
+        val tomb = s"$root/tombstones_v3"
+        Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id")).coalesce(1).write.mode("overwrite").parquet(tomb)
+        commit(3, "delete", tomb)
+        spark.range(1).write.mode("overwrite").parquet(s"$root/done")
+      }
+      root
+    }
+
+  /** The p23 snapshot reader — plans a version's rows from EXACTLY the
+    * commit-log files with version ≤ v: file-level pruning off a
+    * metadata-scale log read (PlanAuditSpec pins that the as-of-1 plan
+    * never references the v2 delta or the tombstones), with deletes
+    * applied merge-on-read as a broadcast anti-join of the tombstone
+    * id list. Public as the test hook. */
+  def p23SnapshotAsOf(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    val root = stageVersionedTable(spark, dir)
+    val log = spark.read.parquet(s"$root/commit_log").collect()
+      .map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"), r.getAs[String]("path")))
+      .filter(_._1 <= v)
+    val inserts = log.filter(_._2 == "insert").map(_._3).sorted
+    val tombs = log.filter(_._2 == "delete").map(_._3).sorted
+    val data = spark.read.parquet(inserts.toIndexedSeq: _*)
+    if (tombs.isEmpty) data
+    else data.join(broadcast(spark.read.parquet(tombs.toIndexedSeq: _*)),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** p23 — TIME TRAVEL: read the versioned table AS OF every commit
+    * version and aggregate each snapshot. Version 0–2 grow by one
+    * insert delta each; version 3 shows the delete taking effect while
+    * versions 0–2 still see the deleted rows — snapshot isolation in
+    * the exact sense the lakehouse formats promise. Scale shape: the
+    * commit log is one row per file, so an as-of read costs only its
+    * snapshot's files (a 100 TB table's history adds log rows, not
+    * scan volume); deletes stay merge-on-read until a compaction
+    * (p08/a15's rewrite path) folds them in. */
+  def p23TimeTravel(spark: SparkSession, dir: String): DataFrame =
+    (0 to 3).map { v =>
+      p23SnapshotAsOf(spark, dir, v)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .select(lit(v).as("version"), col("n_docs"), col("sum_chars"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p23_time_travel"     -> p23TimeTravel _,
     "p15_incremental_ingest" -> p15IncrementalIngest _,
     "p14_zorder_layout"   -> p14ZOrderLayout _,
     "p13_sort_layout"     -> p13SortLayout _,
@@ -492,6 +566,18 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // every snapshot recomputed from the base table: version v sees
+    // insert residues 0..min(v,2); the v3 delete (doc_id % 3 = 0)
+    // applies only at version 3 — earlier snapshots still count those
+    // rows, which is exactly the isolation the hash gate checks
+    "p23_time_travel" ->
+      """WITH vs AS (SELECT unnest(range(0, 4)) AS version),
+        |snap AS (SELECT v.version, d.doc_id, d.n_chars
+        |  FROM vs v JOIN documents d ON d.doc_id % 4 <= least(v.version, 2)
+        |  WHERE NOT (v.version >= 3 AND d.doc_id % 3 = 0))
+        |SELECT CAST(version AS INT) AS version, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin,
     // run 1 ingests the day-1 arrivals (doc_id % 4 in {0,1}), run 2
     // ONLY the day-2 arrivals — a ledger that re-reads day-1 files
     // would double run 2's counts and break the hash

@@ -283,6 +283,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(want.nonEmpty && got == want)
   }
 
+  // The corpus is ASCII, so the oracle gate alone never exercises NFC's
+  // composing path — pin the kernel on real combining sequences here.
+  test("t19 NFC kernel: combining sequences compose, ASCII is identity") {
+    import spark.implicits._
+    val out = Seq("é", "plain ascii", "Å", "ﬁ already-nfc é")
+      .toDF("s").select(graft.expressions.NfcNormalize(col("s")).as("n"))
+      .as[String].collect().toSeq
+    assert(out == Seq("é", "plain ascii", "Å", "ﬁ already-nfc é"))
+  }
+
   // a23 searches the PERSISTED passage index with a19's pruning under
   // passage-level df; the ranked table must be row-identical to an
   // inline window-based recompute of the a22 passage definition plus

@@ -460,6 +460,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"EXISTS went cartesian:\n$p")
   }
 
+  test("p23: as-of reads plan ONLY that snapshot's files; deletes broadcast anti-join") {
+    // time travel must be FILE pruning off the commit log, not a scan-
+    // and-filter over history: the as-of-1 plan may reference only the
+    // v0/v1 deltas (no v2 delta, no tombstones, no version predicate
+    // doing runtime work), while the as-of-3 plan applies the delete
+    // as a broadcast anti-join of the tombstone id list
+    // inputFiles is the planned file set itself (the explain string
+    // truncates InMemoryFileIndex path lists, so assert on the real set)
+    val f1 = PipelineQueries.p23SnapshotAsOf(spark, dir, 1).inputFiles.toSeq
+    assert(f1.exists(_.contains("delta_v0")) && f1.exists(_.contains("delta_v1")),
+      s"as-of-1 must plan the v0+v1 deltas: $f1")
+    assert(!f1.exists(_.contains("delta_v2")) && !f1.exists(_.contains("tombstones")),
+      s"as-of-1 plan leaked post-snapshot files: $f1")
+    val s3 = PipelineQueries.p23SnapshotAsOf(spark, dir, 3)
+    val f3 = s3.inputFiles.toSeq
+    assert(f3.exists(_.contains("delta_v2")) && f3.exists(_.contains("tombstones_v3")),
+      s"as-of-3 must plan all deltas + tombstones: $f3")
+    val p3 = planOf(s3)
+    assert(p3.contains("BroadcastHashJoin") && p3.contains("LeftAnti"),
+      s"merge-on-read delete must be a broadcast anti-join:\n$p3")
+  }
+
   test("p13: sorted layout's row-group stats skip the month; insert order cannot") {
     import scala.jdk.CollectionConverters._
     PipelineQueries.p13SortLayout(spark, dir).collect() // materialize staging
