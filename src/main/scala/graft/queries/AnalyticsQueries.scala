@@ -1480,6 +1480,11 @@ object AnalyticsQueries {
   def rebuildKeywordIndexStage(spark: SparkSession, dir: String): String =
     stageKeywordIndex(spark, dir, force = true)
 
+  /** Serving/test hook: the persisted a19 index path, build-if-missing
+    * (the artifact a19, a21 and the streamed s20 serving loop read). */
+  def keywordIndexStage(spark: SparkSession, dir: String): String =
+    stageKeywordIndex(spark, dir)
+
   /** a19's per-query kept-term budget: of a query's distinct terms,
     * only the KwKeepTerms RAREST (lowest df = highest idf upper bound)
     * are probed — MaxScore-flavor STATIC impact ordering. High-df
@@ -1521,11 +1526,20 @@ object AnalyticsQueries {
     * a19 (stored index), a20 (stored ∪ increment) and s17 (stored ∪
     * streamed landings). */
   private[queries] def kwPrunedSearch(spark: SparkSession, dir: String,
+      dict: DataFrame, postings: DataFrame): DataFrame =
+    kwPrunedSearchFor(spark,
+      Tables.documents(spark, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"),
+          explode(TF.words(col("text"))).as("term"))
+        .distinct(),
+      dict, postings)
+
+  /** The same pruned-search tail over an EXPLICIT query-term frame
+    * (query_id, term — distinct), so a streamed serving loop (s20) can
+    * probe the frozen index per micro-batch of queries. */
+  private[queries] def kwPrunedSearchFor(spark: SparkSession, qt: DataFrame,
       dict: DataFrame, postings: DataFrame): DataFrame = {
     import graft.expressions.TopKByScore
-    val qt = Tables.documents(spark, dir).filter(col("doc_id") < 10)
-      .select(col("doc_id").as("query_id"), explode(TF.words(col("text"))).as("term"))
-      .distinct()
     val kept = dict.join(broadcast(qt), Seq("term"))
       .groupBy(col("query_id"))
       .agg(TopKByScore(-col("df"), col("term_id"), KwKeepTerms).as("top"))

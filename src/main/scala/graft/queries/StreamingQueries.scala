@@ -1102,7 +1102,65 @@ object StreamingQueries {
       .orderBy(col("w"))
   }
 
+  /** s20 — the ONLINE SERVING LOOP: queries arrive as a stream and are
+    * answered from the FROZEN a19 keyword index — the other half of
+    * the index lifecycle (s17 streams writes INTO the index; s20
+    * streams reads OUT of it, the request path of a retrieval
+    * service). The persisted index is staged before the stream starts
+    * and never touched again; each micro-batch of query documents is
+    * tokenized, pruned to its [[AnalyticsQueries.KwKeepTerms]] rarest
+    * terms against the broadcast stored dictionary, probed as an
+    * IN-list against the stored postings, and its ranked top-20 lands
+    * under a batch-id-keyed path (idempotent — a crash-replayed batch
+    * overwrites its own landing). Queries are independent rows, so the
+    * union of per-batch result landings must be ROW-IDENTICAL to the
+    * one-shot a19 batch search — the gate runs a19's own oracle, and
+    * the spec pins s20 ≡ a19 row for row: batch boundaries leave no
+    * trace in what the index serves. Scale shape: per batch the work
+    * is the query slice × index-probe only (Σ df over ≤ queries×8
+    * terms — corpus-independent, a19's serving economics verbatim);
+    * state is zero, landings are results-sized. */
+  def s20StreamSearch(spark: SparkSession, dir: String): DataFrame = {
+    val stage = AnalyticsQueries.keywordIndexStage(spark, dir)
+    val dict = spark.read.parquet(s"$stage/terms")
+      .select(col("term"), col("term_id"), col("df"))
+    val postings = spark.read.parquet(s"$stage/postings")
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s20", dir))
+    val staged = root.resolve("in")
+    stageOnce("s20in", dir, Seq(staged.toString)) {
+      Tables.documents(spark, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    val served = root.resolve("served").toString
+    val hfs = new org.apache.hadoop.fs.Path(served)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(served), true) // fresh run
+    val inSchema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val qt = batch
+            .select(col("doc_id").as("query_id"),
+              explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+            .distinct()
+          AnalyticsQueries.kwPrunedSearchFor(spark, qt, dict, postings)
+            .write.mode("overwrite").parquet(s"$served/batch=$id")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.read.parquet(served)
+      .select(col("query_id"), col("kw_rank"), col("doc_id"), col("kw_score"))
+      .orderBy(col("query_id"), col("kw_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_stream_search" -> s20StreamSearch _,
     "s19_drift_monitor" -> s19DriftMonitor _,
     "s18_stream_classifier" -> s18StreamClassifier _,
     "s17_stream_keyword_ingest" -> s17StreamKeywordIngest _,
@@ -1125,6 +1183,11 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // queries are independent rows, so the streamed serving loop must
+    // be indistinguishable from the one-shot a19 search — the SAME
+    // oracle hash pins that batch boundaries leave no trace in the
+    // results the frozen index serves
+    "s20_stream_search" -> AnalyticsQueries.oracleSql("a19_keyword_search_prebuilt"),
     // s14's search over corpus∪streamed-increment codes is
     // algebraically a12's one-shot update: the SAME oracle hash pins
     // that micro-batch boundaries leave no trace in the index

@@ -468,6 +468,19 @@ class AnalyticsSpec extends AnyFunSuite {
       rows(graft.queries.AnalyticsQueries.a20KeywordIndexUpdate(spark, dir)))
   }
 
+  // s20 streams the queries in four micro-batches against the FROZEN
+  // a19 index; a19 answers them in one shot. Queries are independent
+  // rows, so the union of per-batch landings must be row-identical —
+  // batch boundaries leave no trace in what the index serves.
+  test("s20 streamed serving == one-shot a19 search, row for row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long)].collect().toSeq
+    assert(rows(graft.queries.StreamingQueries.s20StreamSearch(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.a19KeywordSearchPrebuilt(spark, dir)))
+  }
+
   // s18 streams the unseen half through the frozen model in four
   // micro-batches; t17 scores it in one scan. Same staged weights,
   // same dot product — the scored tables must be row-identical (batch
