@@ -98,6 +98,19 @@ object RetrievalStress {
       timed(s"a21 prebuilt hybrid rep  $tag") {
         graft.queries.AnalyticsQueries.a21HybridSearchPrebuilt(spark, dir).count()
       }
+      // the passage channel: a22 re-chunks + re-aggregates per call
+      // (the inline twin), a23 serves from the persisted chunk index —
+      // a19's economics at passage grain (~len/stride × the doc-grain
+      // posting volume)
+      timed(s"a22 inline passage       $tag") {
+        graft.queries.AnalyticsQueries.a22PassageSearch(spark, dir).count()
+      }
+      timed(s"a23 passage index build  $tag") {
+        graft.queries.AnalyticsQueries.rebuildPassageIndexStage(spark, dir); 1L
+      }
+      timed(s"a23 passage search (warm) $tag") {
+        graft.queries.AnalyticsQueries.a23PassageSearchPrebuilt(spark, dir).count()
+      }
     }
     spark.stop()
   }

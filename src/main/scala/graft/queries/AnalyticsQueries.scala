@@ -1882,6 +1882,57 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** a24 — k-NN label propagation (semi-supervised auto-labeling: a
+    * small labeled seed set labels the rest of the corpus through
+    * embedding neighborhoods — the classic k-nearest-neighbor
+    * classifier, Fix & Hodges '51 / Cover & Hart '67, run as a
+    * dataflow): even vec_ids are the LABELED reference, odd ids < 100
+    * are the unlabeled batch to label; each query takes its 3 nearest
+    * labeled neighbors by exact cosine (a01's broadcast-query +
+    * bounded-heap shape — the reference corpus STREAMS, never
+    * broadcasts) and votes, majority with ties to the smaller label
+    * (the vote argmax is itself a bounded heap on (count, −label), so
+    * no window anywhere). The neighbor's label rides INSIDE the heap
+    * id (id = neighbor_id·16 + label — labels are 0–9), so the top-k
+    * aggregate needs no join-back to recover votes. Output per query:
+    * predicted vs held-out true label and the winning vote count —
+    * the per-item confidence a pipeline thresholds before trusting an
+    * auto-label. Scale shape: one labeled-corpus scan per query
+    * BATCH (not per query), shuffle = queries×k; at production query
+    * volume the same vote tail runs behind a13's IVF-cell blocking
+    * instead of the exact scan. */
+  def a24KnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{DoubleSortKey, TopKByScore}
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.normSq(col("embedding")).as("nsq"), col("label"))
+    val q = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nsq").as("qn"), col("label").as("true_label"))
+    val c = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("nsq").as("cn"), col("label").as("n_label"))
+    c.crossJoin(broadcast(q))
+      .withColumn("sim", Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn")))
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(TopKByScore(DoubleSortKey(col("sim")),
+        col("neighbor_id") * 16 + col("n_label"), 3).as("top"))
+      .select(col("query_id"), col("true_label"),
+        explode(col("top")).as("t"))
+      .select(col("query_id"), col("true_label"),
+        expr("t.id % 16").as("vote"))
+      .groupBy(col("query_id"), col("true_label"), col("vote"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(TopKByScore(col("cnt"), col("vote"), 1).as("win"))
+      .select(col("query_id"),
+        expr("win[0].id").cast("int").as("pred_label"),
+        col("true_label"),
+        expr("win[0].score").as("n_votes"))
+      .withColumn("correct", col("pred_label") === col("true_label"))
+      .orderBy(col("query_id"))
+  }
+
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
     * dedup tractable at corpus scale. Pairwise cosine is computed only
@@ -3350,6 +3401,7 @@ object AnalyticsQueries {
     "a21_hybrid_search_prebuilt" -> a21HybridSearchPrebuilt _,
     "a22_passage_search" -> a22PassageSearch _,
     "a23_passage_search_prebuilt" -> a23PassageSearchPrebuilt _,
+    "a24_knn_classify" -> a24KnnClassify _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
@@ -3914,6 +3966,33 @@ object AnalyticsQueries {
          |  FROM p)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    // the same exact-cosine top-3 (ties → lower neighbor id), votes
+    // grouped, winner by (count DESC, label ASC) — the heap tie rules
+    // mirrored as window orders
+    "a24_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSq("embedding")} AS nsq, label
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding, nsq, label AS true_label
+         |  FROM e WHERE vec_id % 2 = 1 AND vec_id < 100),
+         |c AS (SELECT vec_id AS neighbor_id, embedding, nsq, label FROM e
+         |  WHERE vec_id % 2 = 0),
+         |p AS (SELECT q.query_id, q.true_label, c.neighbor_id, c.label,
+         |    ${cosine(dot("q.embedding", "c.embedding"), "q.nsq", "c.nsq")} AS sim
+         |  FROM c CROSS JOIN q),
+         |r AS (SELECT query_id, true_label, label,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM p),
+         |v AS (SELECT query_id, true_label, label, COUNT(*) AS cnt
+         |  FROM r WHERE rank <= 3 GROUP BY 1, 2, 3),
+         |w AS (SELECT query_id, true_label, label AS pred_label,
+         |    CAST(cnt AS BIGINT) AS n_votes,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cnt DESC, label ASC) AS vr
+         |  FROM v)
+         |SELECT query_id, CAST(pred_label AS INT) AS pred_label, true_label,
+         |  n_votes, pred_label = true_label AS correct
+         |FROM w WHERE vr = 1 ORDER BY query_id""".stripMargin,
     // threshold on a raw float is exact: both engines produce
     // bit-identical sims via the same strict ascending IEEE fold
     "a07_semantic_decontam" ->
