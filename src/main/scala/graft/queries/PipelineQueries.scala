@@ -551,7 +551,67 @@ object PipelineQueries {
         .select(lit(v).as("version"), col("n_docs"), col("sum_chars"))
     }.reduce(_.unionByName(_)).orderBy(col("version"))
 
+  /** p25 — WebDataset-style tar shard export (the tar-of-samples
+    * convention ML data loaders stream — Aizman et al. '19, public;
+    * and the write-side dual of the S4 tar SOURCE): documents are
+    * hash-assigned to 4 shards, each shard is packed into ONE tar
+    * archive whose members are `<doc_id>.txt` in deterministic
+    * doc_id order, and the archives are then read back through the
+    * engine's own `binaryFile` → [[graft.sources.TarCodec]] source
+    * path — the gate aggregates member counts and text checksums from
+    * the EXTRACTED bytes, so it proves the full write→read round trip,
+    * not just the writer's bookkeeping. Physically: one hash-partition
+    * shuffle co-locates each shard, the task buffers one shard's
+    * archive in memory (the reference's own batch-in-BytesIO bound,
+    * K1 — shard size is the operator's memory knob, and an oversized
+    * shard splits like S2's oversized-object singleton), and the task
+    * writes the archive through the Hadoop FS API (p03's task-side
+    * write precedent). At 100 TB: shard count scales freely,
+    * the archive is the parallel unit on BOTH sides (exactly S4's
+    * read model), and member order inside each shard is reproducible —
+    * re-running the export yields byte-identical shards. */
+  def p25WebdatasetExport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = s"${staging("p25", dir)}/shards"
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    outPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(outPath, true) // fresh run
+    val nShards = 4
+    val written = Tables.documents(spark, dir)
+      .select(pmod(col("doc_id"), lit(nShards)).cast("int").as("shard"),
+        col("doc_id"), col("text"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Int, Long, String)]
+      .mapPartitions { it =>
+        // a partition may hold several shards (hash collisions) — the
+        // sort above makes each shard a contiguous run
+        val byShard = it.toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+        byShard.iterator.map { case (shard, rows) =>
+          val bytes = graft.sources.TarCodec.archive(rows.iterator.map {
+            case (_, id, text) =>
+              (f"$id%09d.txt", text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          })
+          val p = new org.apache.hadoop.fs.Path(f"$out/shard-$shard%04d.tar")
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val os = fs.create(p, true)
+          try os.write(bytes) finally os.close()
+          (shard, rows.size)
+        }
+      }
+    require(written.count() == nShards, "every shard must land exactly one archive")
+    val archives = spark.read.format("binaryFile").load(s"$out/*.tar")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+    graft.sources.TarCodec.extract(archives)
+      .select(regexp_extract(col("path"), "shard-(\\d+)\\.tar", 1).cast("int").as("shard"),
+        graft.functions.TextFunctions.polyHash(col("content")).as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_members"), sum(col("h")).as("checksum"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p25_webdataset_export" -> p25WebdatasetExport _,
     "p23_time_travel"     -> p23TimeTravel _,
     "p15_incremental_ingest" -> p15IncrementalIngest _,
     "p14_zorder_layout"   -> p14ZOrderLayout _,
@@ -566,6 +626,17 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // shard membership and the member-content checksum recomputed from
+    // the base table — if any member were dropped, duplicated, or
+    // corrupted anywhere in pack→write→read→extract, count or checksum
+    // breaks
+    "p25_webdataset_export" ->
+      """SELECT CAST(doc_id % 4 AS INT) AS shard, COUNT(*) AS n_members,
+        |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text)+1),
+        |      _pc -> unicode(substring(text, _pc, 1)))),
+        |    (_pa,_pb) -> (_pa*31+_pb) % 1000000007)) AS BIGINT) AS checksum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // every snapshot recomputed from the base table: version v sees
     // insert residues 0..min(v,2); the v3 delete (doc_id % 3 = 0)
     // applies only at version 3 — earlier snapshots still count those
