@@ -2465,6 +2465,49 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** d14 — Bloom-accelerated decontamination: d09's sweep with the
+    * "ship the sketch, not the set" optimization every 100 TB
+    * decontamination run needs. d09's dominant cost is the
+    * distinct-shuffle over the FULL train shingle vocabulary (corpus-
+    * token-scale) feeding a shuffle join; d14 instead builds a
+    * [[graft.expressions.BloomAgg]] bitset over the EVAL shingles (the
+    * small side — partial-aggregable, each map task ORs a local
+    * bitset), broadcasts the constant-size filter into the train scan
+    * as a codegen'd `graft_bloom_contains` predicate, and only the
+    * surviving sliver (≈ |eval ∩ train| + the FP rate of the sliver's
+    * complement) reaches the distinct + exact verify join. A Bloom
+    * filter has no false negatives, and false positives are train
+    * shingles that match no eval key in the exact join — so the
+    * result is IDENTICAL to d09, and the gate runs d09's own oracle.
+    * 2²⁰ bits / 5 hashes ≈ 0.05% FP at 50k eval keys; at production
+    * eval-set sizes the filter stays megabytes while the train
+    * vocabulary it prunes is terabytes — q32's runtime-pruning
+    * economics replayed on decontamination. */
+  def d14BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{BloomAgg, BloomContains}
+    val sets = Tables.documents(spark, dir).select(col("doc_id"),
+      graft.expressions.WordShingleHashes(col("text"), 4).as("hv"))
+    val isEval = pmod(col("doc_id"), lit(10)) === 0
+    val evalSets = sets.filter(isEval && size(col("hv")) > 0)
+    val filterBytes = evalSets.select(explode(col("hv")).as("h"))
+      .agg(BloomAgg(col("h"), numBits = 1 << 20, numHashes = 5).as("f"))
+      .head.getAs[Array[Byte]]("f")
+    val candVocab = sets.filter(!isEval)
+      .select(explode(col("hv")).as("h"))
+      .filter(BloomContains(lit(filterBytes), col("h")))
+      .distinct()
+    val hits = evalSets.select(col("doc_id"), explode(col("hv")).as("h"))
+      .join(candVocab, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cont"))
+    evalSets.select(col("doc_id"), size(col("hv")).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_cont"), lit(0L)))
+      .withColumn("rate4",
+        floor(lit(10000.0) * col("n_contaminated") / col("n_shingles")).cast("long"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"), col("rate4"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t09 — rule-based quality filtering (the Gopher/Dolma gate, Rae et
     * al. 2021 §A1.1, adapted): word count in [50, 100k], mean word
     * length in [3, 10] chars, ≥80% words containing a letter, ≥2
@@ -3378,6 +3421,7 @@ object AnalyticsQueries {
     "d08_embedding_lsh" -> d08EmbeddingLsh _,
     "d09_contamination" -> d09Contamination _,
     "d10_dup_spans"     -> d10DupSpans _,
+    "d14_bloom_decontam" -> d14BloomDecontam _,
     "a01_bruteforce_topk" -> a01BruteForceTopK _,
     "a02_lsh_ann"       -> a02LshAnn _,
     "a03_ivf_ann"       -> a03IvfAnn _,
@@ -3510,6 +3554,24 @@ object AnalyticsQueries {
   private val shingleCte =
     s"""w AS (SELECT doc_id, ${shingles("text", 4)} AS sh FROM documents),
        |ws AS (SELECT doc_id, sh, len(sh) AS n FROM w)""".stripMargin
+
+  /** d09's contamination sweep — shared verbatim by d14, whose Bloom
+    * pre-filter must be result-invisible. */
+  private lazy val d09OracleSql: String =
+    s"""WITH hs AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(${words("text")})-3),
+       |    i -> ${polyHash(s"array_to_string(${words("text")}[i:i+3], ' ')")})) AS hv
+       |  FROM documents),
+       |ev AS (SELECT doc_id, hv, len(hv) AS n_shingles FROM hs
+       |  WHERE doc_id % 10 = 0 AND len(hv) > 0),
+       |tr AS (SELECT DISTINCT unnest(hv) AS h FROM hs WHERE doc_id % 10 <> 0),
+       |probe AS (SELECT doc_id, unnest(hv) AS h FROM ev),
+       |c AS (SELECT probe.doc_id, COUNT(*) AS n_cont
+       |  FROM probe JOIN tr USING (h) GROUP BY 1)
+       |SELECT ev.doc_id, ev.n_shingles,
+       |  COALESCE(c.n_cont, 0) AS n_contaminated,
+       |  CAST(floor(10000.0 * COALESCE(c.n_cont, 0) / ev.n_shingles) AS BIGINT) AS rate4
+       |FROM ev LEFT JOIN c USING (doc_id) ORDER BY ev.doc_id""".stripMargin
 
   /** The a08 two-iteration quantized k-means as a reusable CTE chain —
     * ends in `asg(vec_id, cluster, dist)`. Shared by the a08 oracle and
@@ -4158,21 +4220,11 @@ object AnalyticsQueries {
          |  FROM s)
          |SELECT doc_id, rank, term, tf, df, score FROM r
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-    "d09_contamination" ->
-      s"""WITH hs AS (SELECT doc_id, list_distinct(list_transform(
-         |    range(1, len(${words("text")})-3),
-         |    i -> ${polyHash(s"array_to_string(${words("text")}[i:i+3], ' ')")})) AS hv
-         |  FROM documents),
-         |ev AS (SELECT doc_id, hv, len(hv) AS n_shingles FROM hs
-         |  WHERE doc_id % 10 = 0 AND len(hv) > 0),
-         |tr AS (SELECT DISTINCT unnest(hv) AS h FROM hs WHERE doc_id % 10 <> 0),
-         |probe AS (SELECT doc_id, unnest(hv) AS h FROM ev),
-         |c AS (SELECT probe.doc_id, COUNT(*) AS n_cont
-         |  FROM probe JOIN tr USING (h) GROUP BY 1)
-         |SELECT ev.doc_id, ev.n_shingles,
-         |  COALESCE(c.n_cont, 0) AS n_contaminated,
-         |  CAST(floor(10000.0 * COALESCE(c.n_cont, 0) / ev.n_shingles) AS BIGINT) AS rate4
-         |FROM ev LEFT JOIN c USING (doc_id) ORDER BY ev.doc_id""".stripMargin,
+    "d09_contamination" -> d09OracleSql,
+    // a Bloom filter has no false negatives and the exact verify join
+    // absorbs false positives, so the sketch-accelerated plan must be
+    // indistinguishable from d09 — the SAME oracle hash pins it
+    "d14_bloom_decontam" -> d09OracleSql,
     "d10_dup_spans" ->
       s"""WITH w AS (SELECT doc_id,
          |    CASE WHEN length(text) < 32 THEN CAST([] AS BIGINT[])
