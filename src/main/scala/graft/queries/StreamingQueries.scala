@@ -1159,7 +1159,61 @@ object StreamingQueries {
       .orderBy(col("query_id"), col("kw_rank"))
   }
 
+  /** s21 — streamed multimodal feature extraction: the m-family's
+    * streaming twin (every other major family already has one — s14
+    * ANN, s17 keyword, s18 classifier, s20 serving). Binary media
+    * payloads (the m03/m04 deterministic 16×16 PNG fixture) arrive in
+    * four micro-batches; each batch runs the REAL ImageIO
+    * decode + nearest-neighbor resize kernel inside the stream (a
+    * stateless 1:1 mapPartitions — T5's shape with a real codec
+    * inside) and lands its thumbnails batch-id-keyed, so a
+    * crash-replayed batch overwrites its own landing idempotently. The
+    * readback is hash-gated with m03's ORACLE (which recomputes the
+    * sampled pixels arithmetically from the synthesis formula):
+    * whether the media arrives as one scan or four micro-batches, the
+    * decoded pixels are exactly the same — batch boundaries leave no
+    * trace in decoded output, and the decoder holds no cross-batch
+    * state. Scale shape: per-batch cost is decode-only (narrow, no
+    * shuffle inside the batch); this is the backfill-vs-streaming
+    * equivalence a multimodal ingest needs before it can trust
+    * incremental processing. */
+  def s21StreamMultimodal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s21", dir))
+    val staged = root.resolve("in")
+    stageOnce("s21in", dir, Seq(staged.toString)) {
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .mapPartitions(_.map(id =>
+          (id, graft.operators.Multimodal.synthPng(id, 16, 16))))
+        .toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    val landed = root.resolve("thumbs").toString
+    val hfs = new org.apache.hadoop.fs.Path(landed)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(landed), true) // fresh run
+    val inSchema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.operators.Multimodal.decodeResizeNearest(batch, stride = 4).toDF()
+            .write.mode("overwrite").parquet(s"$landed/batch=$id")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.read.parquet(landed)
+      .select(col("media_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"), col("checksum"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_stream_multimodal" -> s21StreamMultimodal _,
     "s20_stream_search" -> s20StreamSearch _,
     "s19_drift_monitor" -> s19DriftMonitor _,
     "s18_stream_classifier" -> s18StreamClassifier _,
@@ -1188,6 +1242,10 @@ object StreamingQueries {
     // oracle hash pins that batch boundaries leave no trace in the
     // results the frozen index serves
     "s20_stream_search" -> AnalyticsQueries.oracleSql("a19_keyword_search_prebuilt"),
+    // the decoder holds no cross-batch state, so streamed decode must
+    // be indistinguishable from the one-shot m03 — the SAME oracle
+    // (arithmetic pixel recompute) pins it
+    "s21_stream_multimodal" -> AnalyticsQueries.oracleSql("m03_resize"),
     // s14's search over corpus∪streamed-increment codes is
     // algebraically a12's one-shot update: the SAME oracle hash pins
     // that micro-batch boundaries leave no trace in the index

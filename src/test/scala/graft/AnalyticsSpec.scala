@@ -481,6 +481,16 @@ class AnalyticsSpec extends AnyFunSuite {
       rows(graft.queries.AnalyticsQueries.a19KeywordSearchPrebuilt(spark, dir)))
   }
 
+  // s21 streams the PNG fixture through the real decode kernel in four
+  // micro-batches; m03 decodes it in one scan. The decoder holds no
+  // cross-batch state, so the thumbnails must be row-identical.
+  test("s21 streamed decode == one-shot m03 resize, row for row") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    assert(rows(graft.queries.StreamingQueries.s21StreamMultimodal(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.m03Resize(spark, dir)))
+  }
+
   // s18 streams the unseen half through the frozen model in four
   // micro-batches; t17 scores it in one scan. Same staged weights,
   // same dot product — the scored tables must be row-identical (batch
