@@ -54,6 +54,30 @@ object DedupStress {
     time("d02 exact prefix-filtered") {
       Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 4, 0.5).count()
     }
+    // contamination economics on the same corpus: d09 shuffles the
+    // FULL train shingle vocabulary to a distinct before the probe
+    // join; d14 prunes the train scan with a broadcast Bloom over the
+    // eval shingles first (identical results — the gate pins it; this
+    // measures the shuffle saved). Ids are remapped so the operators'
+    // doc_id%10==0 eval rule selects a FIXED 500-doc eval slice
+    // (≈ the 50k-key regime d14's 2²⁰-bit filter is sized for) while
+    // train grows with the corpus — the production shape: benchmarks
+    // are constant-size, the train side is what scales. Reusing the
+    // gate's proportional 10% slice here would grow the eval
+    // vocabulary to ≈ the train vocabulary and saturate the fixed
+    // filter — measuring a mis-sized sketch, not the algorithm.
+    val contDir = "/tmp/graft_dedup_stress_cont"
+    docs.select(
+        when(col("doc_id") < 500, col("doc_id") * 10)
+          .otherwise(col("doc_id") * 10 + 1).as("doc_id"),
+        col("text"))
+      .write.mode("overwrite").parquet(s"$contDir/documents.parquet")
+    time("d09 contamination (full-vocab distinct)") {
+      graft.queries.AnalyticsQueries.d09Contamination(spark, contDir).count()
+    }
+    time("d14 contamination (bloom-pruned)") {
+      graft.queries.AnalyticsQueries.d14BloomDecontam(spark, contDir).count()
+    }
     spark.stop()
   }
 }

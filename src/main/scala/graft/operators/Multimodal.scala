@@ -304,6 +304,49 @@ object Multimodal {
     }
   }
 
+  final case class ResampledAudio(media_id: Long, n_in: Long, n_out: Long,
+      energy: Long, checksum: Long)
+
+  /** PCM decimation — the audio twin of [[decodeResizeNearest]]'s
+    * nearest-neighbor sampling: keep every `factor`-th little-endian
+    * int16 sample (naive stride decimation; a production resampler
+    * prepends an anti-aliasing FIR — a documented refinement that only
+    * changes the per-sample kernel, not this plumbing). Emits per clip
+    * the in/out sample counts, the decimated signal's exact integer
+    * energy Σv², and a position-weighted checksum Σ(j+1)·v_j — order-
+    * sensitive, so a single swapped or dropped sample anywhere breaks
+    * the gate. Narrow 1:1 mapPartitions, no shuffle, linear in clip
+    * count. */
+  def decimatePcm(df: DataFrame, factor: Int): Dataset[ResampledAudio] = {
+    require(factor > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        require(bytes.length % 2 == 0, s"media $id: odd PCM byte length")
+        val n = bytes.length / 2
+        var i = 0
+        var j = 0L
+        var energy = 0L
+        var checksum = 0L
+        while (i < n) {
+          if (i % factor == 0) {
+            val v = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xFF)).toLong
+            energy += v * v
+            j += 1
+            checksum += j * v
+          }
+          i += 1
+        }
+        ResampledAudio(id, n.toLong, j, energy, checksum)
+      }
+    }
+  }
+
   final case class FrameFeatures(media_id: Long, n_frames: Long, frame_idx: Long,
       checksum: Long)
 

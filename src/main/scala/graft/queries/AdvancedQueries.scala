@@ -379,6 +379,31 @@ object AdvancedQueries {
         |GROUP BY depth_to_root ORDER BY depth_to_root""".stripMargin)
   }
 
+  /** q40 — UNPIVOT through the SQL front door (q10's pivot run in
+    * reverse — wide measure columns melted to (measure, value) rows,
+    * the long form every metric store and plotting layer wants): the
+    * four lineitem measure columns unpivot per row, then aggregate per
+    * (returnflag, measure). Both engines support the SQL-standard
+    * UNPIVOT clause, so the IDENTICAL query text runs on both (the
+    * q36/q37 front-door discipline); Catalyst plans UNPIVOT as an
+    * Expand — each input row emits its 4 long-form rows inside the
+    * scan projection, no join and no shuffle beyond the final
+    * aggregation. Money goes through the DECIMAL(18,4) round-trip
+    * (house double-summation rule). */
+  def q40Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q40_lineitem")
+    spark.sql(q40Sql("graft_q40_lineitem"))
+  }
+
+  private def q40Sql(table: String): String =
+    s"""SELECT l_returnflag, measure, COUNT(*) AS n,
+       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+       |FROM (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount, l_tax
+       |      FROM $table)
+       |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+       |GROUP BY l_returnflag, measure
+       |ORDER BY l_returnflag, measure""".stripMargin
+
   /** q39 — mergeable quantile sketch, engine-exact: q38's bottom-k
     * idea applied to QUANTILES. A bottom-k-by-hash row sample is a
     * uniform sample without replacement (the hash imposes a random
@@ -477,6 +502,7 @@ object AdvancedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_unpivot"         -> q40Unpivot _,
     "q39_quantile_sketch" -> q39QuantileSketch _,
     "q38_kmv_distinct"    -> q38KmvDistinct _,
     "q37_recursive_cte"   -> q37RecursiveCte _,
@@ -505,6 +531,8 @@ object AdvancedQueries {
       s"(_pa,_pb) -> (_pa*31+_pb) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    // the identical SQL-standard UNPIVOT text, pointed at the base table
+    "q40_unpivot" -> q40Sql("lineitem"),
     // the same bottom-128 hash sample (rn ≤ k under (h, key) order =
     // the heap's (−h desc, id asc)), values re-fetched by key, then
     // identical 1-based nearest-rank indices off the sorted sample

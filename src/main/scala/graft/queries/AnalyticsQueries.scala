@@ -1933,6 +1933,102 @@ object AnalyticsQueries {
       .orderBy(col("query_id"))
   }
 
+  /** a25's serving constants — keep in sync with the oracle SQL, which
+    * unrolls the greedy loop for exactly [[MmrSelect]] steps. λ = 0.5
+    * weighs relevance and diversity equally (Carbonell & Goldstein's
+    * default); the score is computed as `0.5·rel − 0.5·penalty` in BOTH
+    * engines (operand-for-operand, not algebraically rearranged) so the
+    * double comparisons that drive selection are bit-identical. */
+  val MmrShortlist = 12
+  val MmrSelect = 4
+
+  /** a25 — MMR diversified re-rank (Maximal Marginal Relevance,
+    * Carbonell & Goldstein SIGIR'98): the serving-time answer to "my
+    * top-k is five copies of the same passage" — after near-dup survives
+    * into an index, the result LIST still needs de-duplicating. Each
+    * query (vec_id < 8) first takes an exact-cosine shortlist of
+    * [[MmrShortlist]] candidates through a01's broadcast-query +
+    * bounded-heap shape, then greedily selects [[MmrSelect]] of them:
+    * step score = 0.5·rel(q,c) − 0.5·max_{s∈selected} cos(c,s), ties to
+    * the smaller cand_id — so the first pick is the plain top-1 and
+    * every later pick trades relevance against similarity to what's
+    * already chosen.
+    *
+    * Scale shape: the corpus is touched ONLY by the shortlist scan
+    * (stream past the broadcast query batch, heap-reduced map-side —
+    * shuffle = queries×L rows); the greedy loop is per-query-local
+    * O(k·L) arithmetic over L=12 candidates inside flatMapGroups, with
+    * candidate embeddings re-fetched by a broadcast equi-join of the
+    * queries×L shortlist onto the corpus scan. Diversity is computed
+    * over the SHORTLIST, never the corpus — the standard production
+    * shape (re-rank depth bounds the quadratic term), and the exact
+    * local cosine reuses the engine's fold order (ascending-index
+    * double accumulation, [[graft.expressions.FloatDot]]) so the
+    * unrolled DuckDB oracle selects bit-identically. */
+  def a25MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{DoubleSortKey, TopKByScore}
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Vectors.normSq(col("embedding")).as("nsq"))
+    val q = e.filter(col("vec_id") < 8).toDF("query_id", "qe", "qn")
+    val c = e.toDF("cand_id", "ce", "cn")
+    val rel = Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn"))
+    val shortlist = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore(DoubleSortKey(rel), col("cand_id"), MmrShortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("cand_id"))
+    val cands = c.join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"), rel.as("rel"), col("ce"), col("cn"))
+      .as[(Long, Long, Double, Array[Float], Double)]
+    cands.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(_._2)
+        val n = cs.length
+        val ids = cs.map(_._2)
+        val rels = cs.map(_._3)
+        val emb = cs.map(_._4)
+        val nsq = cs.map(_._5)
+        // exact cosine, FloatDot's fold order (ascending index, double
+        // accumulate) — bitwise equal to both engines' column form
+        def cos(i: Int, j: Int): Double = {
+          val a = emb(i); val b = emb(j)
+          var acc = 0.0d; var k = 0
+          while (k < a.length) { acc += a(k).toDouble * b(k).toDouble; k += 1 }
+          acc / (math.sqrt(nsq(i)) * math.sqrt(nsq(j)))
+        }
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+        while (chosen.size < MmrSelect && chosen.size < n) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < n) {
+            if (!chosen.contains(i)) {
+              // penalty = max cos to the selected set; 0 on the first
+              // pick (max over the empty set would be −∞ and make the
+              // first score +∞ — the oracle's step-1 term is 0.0)
+              var pen = 0.0d
+              if (chosen.nonEmpty) {
+                pen = Double.NegativeInfinity
+                chosen.foreach(j => pen = math.max(pen, cos(i, j)))
+              }
+              val score = 0.5d * rels(i) - 0.5d * pen
+              if (score > bestScore || (score == bestScore && ids(i) < bestId)) {
+                best = i; bestScore = score; bestId = ids(i)
+              }
+            }
+            i += 1
+          }
+          chosen += best
+        }
+        chosen.iterator.zipWithIndex.map { case (ci, r) => (qid, r + 1, ids(ci)) }
+      }
+      .toDF("query_id", "rank", "selected_id")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
     * dedup tractable at corpus scale. Pairwise cosine is computed only
@@ -2437,6 +2533,37 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t20 — shingle novelty profile (the Heaps'-law corpus-growth
+    * measurement behind "is this crawl increment worth ingesting"):
+    * each document is scored by how many of its distinct 4-word
+    * shingles appear for the FIRST time in doc_id order — present in
+    * no lower-id document. Docs that are mostly non-novel are
+    * re-crawls/boilerplate the pipeline can skip, and the per-doc
+    * novel counts summed over an id slice ARE the vocabulary-growth
+    * curve ΔV(n) — the saturation signal that tells a crawl operator
+    * when a source is mined out. Scale shape: one map-side-combined
+    * MIN aggregate builds the shingle→first-doc table (the same
+    * vocabulary-sized shuffle d09 pays), the probe re-joins it on the
+    * 8-byte hash, and the per-doc fold is a combinable count —
+    * linear in corpus tokens, no all-pairs term, no window. */
+  def t20Novelty(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(spark, dir).select(col("doc_id"),
+      graft.expressions.WordShingleHashes(col("text"), 4).as("hv"))
+      .filter(size(col("hv")) > 0)
+    val ex = sets.select(col("doc_id"), explode(col("hv")).as("h"))
+    val first = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val novel = ex.join(first, Seq("h"))
+      .filter(col("doc_id") === col("first_doc"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    sets.select(col("doc_id"), size(col("hv")).cast("long").as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("rate4",
+        floor(lit(10000.0) * col("n_novel") / col("n_shingles")).cast("long"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"), col("rate4"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d09 — train/eval contamination check (the "is my benchmark in the
     * training set" sweep every LLM data pipeline runs): eval docs =
     * reproducible 10% hash slice by doc_id, train = the rest; an eval
@@ -2862,6 +2989,25 @@ object AnalyticsQueries {
     Multimodal.frameEnergy(payloads, frame = 160).toDF()
       .select(col("media_id"), col("frame_idx"), col("energy"), col("is_silence"))
       .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** m08 — audio resampling: 2:1 stride decimation of the m05 PCM
+    * fixture through [[Multimodal.decimatePcm]] — the audio twin of
+    * m03's nearest-neighbor image resize, completing the decode/
+    * resample symmetry across modalities. The DuckDB oracle (which has
+    * no audio path at all) recomputes the kept samples arithmetically
+    * from the synthesis law (v_i = ((id·31+i·7) mod 4096) − 2048,
+    * every third 160-sample window muted), so a matching
+    * energy + position-weighted checksum proves the byte-level int16
+    * parse, the stride selection AND the sample order end to end.
+    * Narrow 1:1 mapPartitions over the staged fixture; no shuffle. */
+  def m08AudioResample(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = stagedMediaFixture(spark, dir, "mpcm")(
+      id => Multimodal.synthPcm(id, 800, 160))
+    Multimodal.decimatePcm(payloads, factor = 2).toDF()
+      .select(col("media_id"), col("n_in"), col("n_out"),
+        col("energy"), col("checksum"))
+      .orderBy(col("media_id"))
   }
 
   /** d13 — INCREMENTAL near-dup, the companion p10's exact-hash form
@@ -3446,6 +3592,7 @@ object AnalyticsQueries {
     "a22_passage_search" -> a22PassageSearch _,
     "a23_passage_search_prebuilt" -> a23PassageSearchPrebuilt _,
     "a24_knn_classify" -> a24KnnClassify _,
+    "a25_mmr_rerank"   -> a25MmrRerank _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "t01_token_stats"   -> t01TokenStats _,
@@ -3467,6 +3614,7 @@ object AnalyticsQueries {
     "t17_classifier_apply" -> t17ClassifierApply _,
     "t18_chunking"      -> t18Chunking _,
     "t19_normalize"     -> t19Normalize _,
+    "t20_novelty"       -> t20Novelty _,
     "m01_multimodal"    -> m01Multimodal _,
     "m02_frame_sample"  -> m02FrameSample _,
     "m03_resize"        -> m03Resize _,
@@ -3474,6 +3622,7 @@ object AnalyticsQueries {
     "m05_audio_energy"  -> m05AudioEnergy _,
     "m06_keyframes"     -> m06KeyFrames _,
     "m07_image_neardup" -> m07ImageNearDup _,
+    "m08_audio_resample" -> m08AudioResample _,
     "p06_hash_sample"   -> p06HashSample _,
     "p07_data_prep"     -> p07DataPrep _,
     "p09_stratified_sample" -> p09StratifiedSample _,
@@ -4055,6 +4204,65 @@ object AnalyticsQueries {
          |SELECT query_id, CAST(pred_label AS INT) AS pred_label, true_label,
          |  n_votes, pred_label = true_label AS correct
          |FROM w WHERE vr = 1 ORDER BY query_id""".stripMargin,
+    // the greedy MMR loop unrolled for exactly MmrSelect=4 steps: s1 is
+    // the relevance top-1 (step-1 penalty is 0.0 so 0.5·rel alone
+    // orders), each later step joins the already-selected rows and
+    // penalizes by GREATEST over their pairwise cosines — the same
+    // 0.5·rel − 0.5·max algebra, operand for operand, as the Spark-side
+    // per-query greedy, so every double comparison matches bitwise
+    "a25_mmr_rerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSq("embedding")} AS nsq FROM embeddings),
+         |sl AS (SELECT query_id, cand_id, rel FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      ${cosine(dot("q.embedding", "c.embedding"), "q.nsq", "c.nsq")} AS rel,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${cosine(dot("q.embedding", "c.embedding"), "q.nsq", "c.nsq")} DESC,
+         |        c.vec_id) AS rn
+         |    FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+         |  WHERE rn <= 12),
+         |pc AS (SELECT a.query_id, a.cand_id AS ai, b.cand_id AS bi,
+         |    ${cosine(dot("ea.embedding", "eb.embedding"), "ea.nsq", "eb.nsq")} AS sim
+         |  FROM sl a JOIN sl b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+         |  JOIN e ea ON ea.vec_id = a.cand_id JOIN e eb ON eb.vec_id = b.cand_id),
+         |s1 AS (SELECT query_id, cand_id AS sel FROM (
+         |    SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY 0.5*rel - 0.5*0.0 DESC, cand_id) AS r FROM sl) WHERE r = 1),
+         |s2 AS (SELECT query_id, cand_id AS sel FROM (
+         |    SELECT s.query_id, s.cand_id, ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |      ORDER BY 0.5*s.rel - 0.5*p1.sim DESC, s.cand_id) AS r
+         |    FROM sl s
+         |    JOIN s1 ON s.query_id = s1.query_id AND s.cand_id <> s1.sel
+         |    JOIN pc p1 ON p1.query_id = s.query_id AND p1.ai = s.cand_id
+         |      AND p1.bi = s1.sel) WHERE r = 1),
+         |s3 AS (SELECT query_id, cand_id AS sel FROM (
+         |    SELECT s.query_id, s.cand_id, ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |      ORDER BY 0.5*s.rel - 0.5*GREATEST(p1.sim, p2.sim) DESC, s.cand_id) AS r
+         |    FROM sl s
+         |    JOIN s1 ON s.query_id = s1.query_id AND s.cand_id <> s1.sel
+         |    JOIN s2 ON s.query_id = s2.query_id AND s.cand_id <> s2.sel
+         |    JOIN pc p1 ON p1.query_id = s.query_id AND p1.ai = s.cand_id
+         |      AND p1.bi = s1.sel
+         |    JOIN pc p2 ON p2.query_id = s.query_id AND p2.ai = s.cand_id
+         |      AND p2.bi = s2.sel) WHERE r = 1),
+         |s4 AS (SELECT query_id, cand_id AS sel FROM (
+         |    SELECT s.query_id, s.cand_id, ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |      ORDER BY 0.5*s.rel - 0.5*GREATEST(p1.sim, p2.sim, p3.sim) DESC,
+         |        s.cand_id) AS r
+         |    FROM sl s
+         |    JOIN s1 ON s.query_id = s1.query_id AND s.cand_id <> s1.sel
+         |    JOIN s2 ON s.query_id = s2.query_id AND s.cand_id <> s2.sel
+         |    JOIN s3 ON s.query_id = s3.query_id AND s.cand_id <> s3.sel
+         |    JOIN pc p1 ON p1.query_id = s.query_id AND p1.ai = s.cand_id
+         |      AND p1.bi = s1.sel
+         |    JOIN pc p2 ON p2.query_id = s.query_id AND p2.ai = s.cand_id
+         |      AND p2.bi = s2.sel
+         |    JOIN pc p3 ON p3.query_id = s.query_id AND p3.ai = s.cand_id
+         |      AND p3.bi = s3.sel) WHERE r = 1)
+         |SELECT query_id, 1 AS rank, sel AS selected_id FROM s1
+         |UNION ALL SELECT query_id, 2, sel FROM s2
+         |UNION ALL SELECT query_id, 3, sel FROM s3
+         |UNION ALL SELECT query_id, 4, sel FROM s4
+         |ORDER BY query_id, rank""".stripMargin,
     // threshold on a raw float is exact: both engines produce
     // bit-identical sims via the same strict ascending IEEE fold
     "a07_semantic_decontam" ->
@@ -4670,6 +4878,23 @@ object AnalyticsQueries {
          |  y4 = 10000 AS label_keep,
          |  (score4 >= 5000) = (y4 = 10000) AS correct
          |FROM pf ORDER BY doc_id""".stripMargin,
+    // first-occurrence attribution recomputed from scratch: shingle →
+    // MIN(doc_id), probe re-joined, novel = shingles this doc is the
+    // minimum for (d09's shingle CTE reused verbatim)
+    "t20_novelty" ->
+      s"""WITH hs AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(${words("text")})-3),
+         |    i -> ${polyHash(s"array_to_string(${words("text")}[i:i+3], ' ')")})) AS hv
+         |  FROM documents),
+         |s AS (SELECT doc_id, hv, len(hv) AS n_shingles FROM hs WHERE len(hv) > 0),
+         |ex AS (SELECT doc_id, unnest(hv) AS h FROM s),
+         |f AS (SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h),
+         |nv AS (SELECT ex.doc_id, COUNT(*) AS n_novel FROM ex JOIN f USING (h)
+         |  WHERE ex.doc_id = f.first_doc GROUP BY ex.doc_id)
+         |SELECT s.doc_id, s.n_shingles, COALESCE(nv.n_novel, 0) AS n_novel,
+         |  CAST(floor(10000.0 * COALESCE(nv.n_novel, 0) / s.n_shingles) AS BIGINT)
+         |    AS rate4
+         |FROM s LEFT JOIN nv USING (doc_id) ORDER BY s.doc_id""".stripMargin,
     // the same scrub chain: control strip → nfc_normalize (DuckDB's
     // UAX#15 twin of the engine's JDK kernel) → lower → whitespace
     // collapse (RE2 needs the explicit 'g' flag; Spark's
@@ -4787,6 +5012,19 @@ object AnalyticsQueries {
          |      ) // 4 AS BIGINT))))))),
          |    (_ma, _mb) -> (_ma * 31 + _mb) % 1000000007) AS checksum
          |FROM documents ORDER BY media_id""".stripMargin,
+    // the decimated samples recomputed from the synthesis law: kept
+    // indices are the even i < 800; output position j = i/2 + 1; the
+    // muted windows ((i DIV 160) % 3 = 2) contribute zero to both sums
+    "m08_audio_resample" ->
+      s"""WITH s AS (SELECT doc_id AS media_id, _i,
+         |    CASE WHEN ((_i // 160) % 3 = 2) THEN CAST(0 AS BIGINT)
+         |      ELSE CAST((doc_id*31 + _i*7) % 4096 - 2048 AS BIGINT) END AS v
+         |  FROM documents CROSS JOIN unnest(range(0, 800)) AS t(_i)
+         |  WHERE _i % 2 = 0)
+         |SELECT media_id, CAST(800 AS BIGINT) AS n_in, COUNT(*) AS n_out,
+         |  CAST(SUM(v*v) AS BIGINT) AS energy,
+         |  CAST(SUM((_i // 2 + 1) * v) AS BIGINT) AS checksum
+         |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin,
     "m05_audio_energy" ->
       s"""WITH f AS (SELECT doc_id AS media_id, CAST(_fi AS BIGINT) AS frame_idx,
          |    CASE WHEN _fi % 3 = 2 THEN CAST(0 AS BIGINT) ELSE

@@ -1212,7 +1212,82 @@ object StreamingQueries {
       .orderBy(col("media_id"))
   }
 
+  /** s22 — streamed ingest decontamination guard (d14's streaming
+    * twin, pointed the PRODUCTION direction): d09/d14 audit a frozen
+    * corpus for eval overlap after the fact; the guard a training
+    * ingest actually runs sits ON the stream and flags contaminated
+    * TRAIN docs before they reach the corpus. The eval benchmark
+    * (doc_id ≡ 0 mod 10) is frozen batch-side into two artifacts — a
+    * 2²⁰-bit Bloom over its shingles (the constant-size sketch that
+    * rides into every micro-batch as a codegen'd scan predicate) and
+    * the exact eval vocabulary (benchmark-sized, so broadcastable at
+    * any corpus scale) for the verify join. Train docs arrive over
+    * four micro-batches; per batch, per-doc eval-overlap counts run
+    * Bloom-first — only the surviving sliver reaches the exact
+    * broadcast join, d14's economics paid per micro-batch — and land
+    * batch-id-keyed (idempotent overwrite: at-least-once replay
+    * re-lands the same verdicts instead of duplicating them). A doc
+    * with ≥10% eval-shingle overlap is `quarantined` — what a real
+    * pipeline diverts to review instead of training on. The oracle
+    * recomputes per-train-doc overlap from the base table in ONE
+    * shot: Bloom false positives die in the exact join, and batch
+    * boundaries leave no trace in the landed verdicts. */
+  def s22StreamDecontamGuard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{BloomAgg, BloomContains, WordShingleHashes}
+    val sets0 = Tables.documents(spark, dir).select(col("doc_id"),
+      WordShingleHashes(col("text"), 4).as("hv"))
+    val isEval = pmod(col("doc_id"), lit(10)) === 0
+    // frozen eval artifacts: constant-size sketch + exact vocabulary
+    val filterBytes = sets0.filter(isEval)
+      .select(explode(col("hv")).as("h"))
+      .agg(BloomAgg(col("h"), numBits = 1 << 20, numHashes = 5).as("f"))
+      .head.getAs[Array[Byte]]("f")
+    val evalVocab = sets0.filter(isEval)
+      .select(explode(col("hv")).as("h")).distinct()
+      .localCheckpoint() // frozen once; every micro-batch probes it
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s22", dir))
+    val staged = root.resolve("in")
+    stageOnce("s22in", dir, Seq(staged.toString)) {
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"), col("text"))
+        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    val landed = root.resolve("verdicts").toString
+    val hfs = new org.apache.hadoop.fs.Path(landed)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(landed), true) // fresh run
+    val inSchema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val sets = batch.select(col("doc_id"),
+            WordShingleHashes(col("text"), 4).as("hv"))
+            .filter(size(col("hv")) > 0)
+          val hits = sets.select(col("doc_id"), explode(col("hv")).as("h"))
+            .filter(BloomContains(lit(filterBytes), col("h")))
+            .join(broadcast(evalVocab), Seq("h"))
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+          sets.select(col("doc_id"), size(col("hv")).cast("long").as("n_shingles"))
+            .join(hits, Seq("doc_id"), "left")
+            .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+            .write.mode("overwrite").parquet(s"$landed/batch=$id")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.read.parquet(landed)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap") * 10 >= col("n_shingles")).as("quarantined"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_stream_decontam_guard" -> s22StreamDecontamGuard _,
     "s21_stream_multimodal" -> s21StreamMultimodal _,
     "s20_stream_search" -> s20StreamSearch _,
     "s19_drift_monitor" -> s19DriftMonitor _,
@@ -1242,6 +1317,31 @@ object StreamingQueries {
     // oracle hash pins that batch boundaries leave no trace in the
     // results the frozen index serves
     "s20_stream_search" -> AnalyticsQueries.oracleSql("a19_keyword_search_prebuilt"),
+    // the guard's verdicts recomputed in one shot from the base table
+    // (d09's shingle CTE, probe direction reversed: per-TRAIN-doc
+    // overlap against the eval vocabulary) — Bloom false positives die
+    // in the exact join and batch boundaries leave no trace, so the
+    // streamed landings must hash-match this batch recompute
+    "s22_stream_decontam_guard" ->
+      s"""WITH hs AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(string_split_regex(trim(text), '\\s+'))-3),
+         |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(array_to_string(
+         |        string_split_regex(trim(text), '\\s+')[i:i+3], ' '))+1),
+         |        _pc -> unicode(substring(array_to_string(
+         |          string_split_regex(trim(text), '\\s+')[i:i+3], ' '), _pc, 1)))),
+         |      (_pa,_pb) -> (_pa*31+_pb) % 1000000007))) AS hv
+         |  FROM documents),
+         |tr AS (SELECT doc_id, hv, len(hv) AS n_shingles FROM hs
+         |  WHERE doc_id % 10 <> 0 AND len(hv) > 0),
+         |ev AS (SELECT DISTINCT unnest(hv) AS h FROM hs WHERE doc_id % 10 = 0),
+         |probe AS (SELECT doc_id, unnest(hv) AS h FROM tr),
+         |c AS (SELECT probe.doc_id, COUNT(*) AS n_overlap
+         |  FROM probe JOIN ev USING (h) GROUP BY 1)
+         |SELECT tr.doc_id, tr.n_shingles,
+         |  COALESCE(c.n_overlap, 0) AS n_overlap,
+         |  COALESCE(c.n_overlap, 0) * 10 >= tr.n_shingles AS quarantined
+         |FROM tr LEFT JOIN c USING (doc_id) ORDER BY tr.doc_id""".stripMargin,
     // the decoder holds no cross-batch state, so streamed decode must
     // be indistinguishable from the one-shot m03 — the SAME oracle
     // (arithmetic pixel recompute) pins it

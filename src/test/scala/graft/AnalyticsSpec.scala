@@ -491,6 +491,34 @@ class AnalyticsSpec extends AnyFunSuite {
       rows(graft.queries.AnalyticsQueries.m03Resize(spark, dir)))
   }
 
+  // s22 streams train docs through the Bloom-first guard in four
+  // micro-batches; this recomputes the verdicts exactly (no Bloom) in
+  // one shot. Row identity proves both halves: the Bloom admits every
+  // true overlap (no false negatives) and its false positives die in
+  // the exact join; and batch boundaries leave no trace.
+  test("s22 streamed decontamination guard == exact one-shot recompute") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val sets = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"),
+      graft.expressions.WordShingleHashes(col("text"), 4).as("hv"))
+    val tr = sets.filter(pmod(col("doc_id"), lit(10)) =!= 0 && size(col("hv")) > 0)
+    val ev = sets.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(explode(col("hv")).as("h")).distinct()
+    val hits = tr.select(col("doc_id"), explode(col("hv")).as("h"))
+      .join(ev, Seq("h")).groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    val want = tr.select(col("doc_id"), size(col("hv")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("quarantined", col("n_overlap") * 10 >= col("n_shingles"))
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val got = graft.queries.StreamingQueries.s22StreamDecontamGuard(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == want)
+    assert(got.exists(_._3 > 0), "fixture produced zero overlap — guard untested")
+  }
+
   // s18 streams the unseen half through the frozen model in four
   // micro-batches; t17 scores it in one scan. Same staged weights,
   // same dot product — the scored tables must be row-identical (batch
@@ -515,6 +543,53 @@ class AnalyticsSpec extends AnyFunSuite {
         .as[(Long, Int, Long)].collect().toSeq
     assert(rows(graft.queries.AnalyticsQueries.a13IvfPqSearchPrebuilt(spark, dir)) ==
       rows(graft.queries.AnalyticsQueries.a10IvfPqAnn(spark, dir)))
+  }
+
+  // a25's greedy is distributed per-query inside flatMapGroups; this
+  // recomputes the ENTIRE selection on the driver from the raw
+  // embeddings table (shortlist ranking + unrolled greedy, same fold
+  // order) and demands row identity — plus the structural property
+  // that every step-1 pick is the plain relevance top-1.
+  test("a25 MMR == independent driver-side greedy recompute") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0d; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val nsq = vecs.map { case (_, v) => dot(v, v) }
+    val byId = vecs.map(_._1).zipWithIndex.toMap
+    def cos(i: Int, j: Int): Double =
+      dot(vecs(i)._2, vecs(j)._2) / (math.sqrt(nsq(i)) * math.sqrt(nsq(j)))
+    val want = vecs.filter(_._1 < 8).flatMap { case (qid, _) =>
+      val qi = byId(qid)
+      val shortlist = vecs.indices.filter(ci => vecs(ci)._1 != qid)
+        .map(ci => (ci, cos(qi, ci)))
+        .sortBy { case (ci, rel) => (-rel, vecs(ci)._1) }
+        .take(graft.queries.AnalyticsQueries.MmrShortlist)
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      while (chosen.size < graft.queries.AnalyticsQueries.MmrSelect) {
+        val cands = shortlist.filter(c => !chosen.exists(_._1 == c._1))
+        val best = cands.minBy { case (ci, rel) =>
+          val pen = if (chosen.isEmpty) 0.0d else chosen.map(s => cos(ci, s._1)).max
+          (-(0.5d * rel - 0.5d * pen), vecs(ci)._1)
+        }
+        chosen += best
+      }
+      chosen.toSeq.zipWithIndex.map { case ((ci, rel), r) => (qid, r + 1, vecs(ci)._1) }
+    }.toSeq
+    val got = graft.queries.AnalyticsQueries.a25MmrRerank(spark, dir)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == want)
+    // step 1 ignores diversity: it must be the plain relevance argmax
+    val top1 = graft.queries.AnalyticsQueries.a01BruteForceTopK(spark, dir)
+      .filter(col("rank") === 1 && col("query_id") < 8)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toMap
+    got.filter(_._2 == 1).foreach { case (q, _, sel) => assert(top1(q) == sel) }
   }
 
   // a14 searches the same stored index under a metadata predicate.

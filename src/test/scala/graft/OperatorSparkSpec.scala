@@ -165,6 +165,32 @@ class OperatorSparkSpec extends AnyFunSuite {
       || Option(err.getCause).exists(_.getMessage.contains("odd PCM byte length")))
   }
 
+  test("PCM decimation: stride selection, order-sensitive checksum, loud failure") {
+    import spark.implicits._
+    // hand-built little-endian samples [10, 20, 30, 40, 50]; factor 2
+    // keeps indices 0,2,4 → [10, 30, 50]: energy 100+900+2500 = 3500,
+    // checksum 1·10 + 2·30 + 3·50 = 220
+    val bytes = Array[Byte](10, 0, 20, 0, 30, 0, 40, 0, 50, 0)
+    val df = Seq((5L, bytes)).toDF("media_id", "payload")
+    val got = Multimodal.decimatePcm(df, factor = 2).collect().head
+    assert((got.n_in, got.n_out, got.energy, got.checksum) == ((5L, 3L, 3500L, 220L)))
+    // factor 1 is the identity pass-through
+    val all = Multimodal.decimatePcm(df, factor = 1).collect().head
+    assert((all.n_out, all.checksum) == ((5L, 10L + 2 * 20 + 3 * 30 + 4 * 40 + 5 * 50)))
+    // the checksum is ORDER-sensitive: swapping two kept samples must
+    // change it even though the energy (a bag statistic) cannot
+    val swapped = Array[Byte](50, 0, 20, 0, 30, 0, 40, 0, 10, 0)
+    val sw = Multimodal.decimatePcm(Seq((5L, swapped)).toDF("media_id", "payload"), 2)
+      .collect().head
+    assert(sw.energy == got.energy && sw.checksum != got.checksum)
+    // odd byte length fails loudly instead of silently truncating
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decimatePcm(Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "payload"), 2).collect()
+    }
+    assert(err.getMessage.contains("odd PCM byte length")
+      || Option(err.getCause).exists(_.getMessage.contains("odd PCM byte length")))
+  }
+
   test("compaction file listing goes through the Hadoop FileSystem API") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_fs_list").toString

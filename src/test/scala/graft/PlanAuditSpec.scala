@@ -641,6 +641,54 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q40: UNPIVOT plans as a scan-local Expand — no join, no window") {
+    // the melt must stay embarrassingly parallel: each input row emits
+    // its 4 long-form rows inside the scan projection (Expand), then
+    // one two-phase aggregate. A join or window here would turn a
+    // column-to-row reshape into a shuffle of the whole fact table.
+    val p = planOf(graft.queries.AdvancedQueries.q40Unpivot(spark, dir))
+    assert(p.contains("Expand"), s"UNPIVOT must plan as Expand:\n$p")
+    assert(!p.contains("Join"), s"melt must not join:\n$p")
+    assert(!p.contains("Window"), s"melt must not window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final aggregate over the melted rows:\n$p")
+  }
+
+  test("m08: audio decimation is a narrow 1:1 pass — no join, no " +
+    "aggregate, no exchange before the presentation sort") {
+    val p = planOf(graft.queries.AnalyticsQueries.m08AudioResample(spark, dir))
+    assert(!p.contains("Join"), s"decimation must not join:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      s"decimation must not aggregate:\n$p")
+    assert(p.contains("MapPartitions"), s"expected the 1:1 mapPartitions kernel:\n$p")
+  }
+
+  test("a25: MMR touches the corpus only via the shortlist heap scan — " +
+    "bounded-heap top-k, broadcast re-fetch, no window, no cartesian") {
+    val p = planOf(graft.queries.AnalyticsQueries.a25MmrRerank(spark, dir))
+    assert(!p.contains("Window"), s"shortlist degraded to a window sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final heap aggregate for the shortlist:\n$p")
+    // candidate embeddings come back via a broadcast equi-join of the
+    // queries×L shortlist onto the corpus scan — never a corpus shuffle
+    assert(p.contains("BroadcastHashJoin"), s"shortlist re-fetch must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the re-fetch:\n$p")
+  }
+
+  test("t20: novelty is the vocabulary MIN-aggregate plus equi-joins — " +
+    "no window, no cartesian, partial+final agg") {
+    // first-occurrence attribution must NOT become a per-shingle window
+    // sort (that's a full sort of the corpus token stream); the
+    // shingle→first-doc table is a map-side-combinable MIN.
+    val p = planOf(graft.queries.AnalyticsQueries.t20Novelty(spark, dir))
+    assert(!p.contains("Window"), s"novelty degraded to a window sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final MIN aggregate:\n$p")
+  }
+
   test("t14: a training round's pair-count job is a two-phase hash-agg " +
     "over a narrow explode — no join, no window, no driver state") {
     // t14BpeMerges itself returns a driver-built LocalRelation (the
