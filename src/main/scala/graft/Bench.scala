@@ -43,7 +43,14 @@ object Bench {
       val outcomes = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          // execute the physical plan AS WRITTEN, not Dataset.count():
+          // the count() rewrite lets Catalyst prune cardinality-
+          // preserving subtrees (a left outer join against a unique
+          // aggregate key — d09/d14/t20's shape — benched as a bare
+          // base-table count) and elide every presentation sort, so
+          // count-based timings systematically undershoot the work the
+          // correctness gate actually verifies
+          try { fn(spark, sfDir).queryExecution.executedPlan.execute().count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false

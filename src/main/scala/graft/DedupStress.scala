@@ -54,29 +54,61 @@ object DedupStress {
     time("d02 exact prefix-filtered") {
       Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 4, 0.5).count()
     }
-    // contamination economics on the same corpus: d09 shuffles the
-    // FULL train shingle vocabulary to a distinct before the probe
-    // join; d14 prunes the train scan with a broadcast Bloom over the
-    // eval shingles first (identical results — the gate pins it; this
-    // measures the shuffle saved). Ids are remapped so the operators'
-    // doc_id%10==0 eval rule selects a FIXED 500-doc eval slice
-    // (≈ the 50k-key regime d14's 2²⁰-bit filter is sized for) while
-    // train grows with the corpus — the production shape: benchmarks
-    // are constant-size, the train side is what scales. Reusing the
-    // gate's proportional 10% slice here would grow the eval
-    // vocabulary to ≈ the train vocabulary and saturate the fixed
-    // filter — measuring a mis-sized sketch, not the algorithm.
+    // contamination economics on a FRESH corpus of the same total doc
+    // count: d09 shuffles the FULL train shingle vocabulary to a
+    // distinct before the probe join; d14 prunes the train scan with a
+    // broadcast Bloom over the eval shingles first (identical results —
+    // the gate pins it; this measures the shuffle saved). Two fixture
+    // choices matter, both matching production rather than the dedup
+    // corpus above: (1) docs are fresh zipf draws, NOT replicas —
+    // replicated docs share their shingles, so the vocabulary distinct
+    // collapses map-side to ~the base vocabulary and the cost d14
+    // exists to avoid never materializes (fresh text grows the
+    // vocabulary ~linearly, the 100 TB reality); (2) ids are remapped
+    // so the operators' doc_id%10==0 eval rule selects a FIXED 500-doc
+    // eval slice (≈ the 50k-key regime d14's 2²⁰-bit filter is sized
+    // for) while train grows with the corpus — benchmarks are
+    // constant-size, the train side is what scales; a proportional 10%
+    // slice would saturate the fixed filter and measure a mis-sized
+    // sketch, not the algorithm.
     val contDir = "/tmp/graft_dedup_stress_cont"
-    docs.select(
+    StressFixtures.zipfDocs(spark, copies * nBase, seed = 7L)
+      .select(
         when(col("doc_id") < 500, col("doc_id") * 10)
           .otherwise(col("doc_id") * 10 + 1).as("doc_id"),
         col("text"))
       .write.mode("overwrite").parquet(s"$contDir/documents.parquet")
-    time("d09 contamination (full-vocab distinct)") {
-      graft.queries.AnalyticsQueries.d09Contamination(spark, contDir).count()
+    // wall-time alone can't separate the two on this box (a 23M-long
+    // distinct is sub-second at local[32]); the claim d14 exists for is
+    // shuffle VOLUME, so measure it — at cluster scale shuffle bytes
+    // are network+spill, the term that actually hurts
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffled.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def timeShuffle(label: String)(body: => Long): Unit = {
+      val b0 = shuffled.get
+      val t0 = System.nanoTime()
+      val rows = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // listener bus drains asynchronously
+      println(f"[stress] $label pairs=$rows took $secs%.1f s " +
+        f"shuffle=${(shuffled.get - b0) / 1024.0 / 1024.0}%.1f MiB")
     }
-    time("d14 contamination (bloom-pruned)") {
-      graft.queries.AnalyticsQueries.d14BloomDecontam(spark, contDir).count()
+    // NOT .count(): the operators end in a left outer join whose right
+    // side has a unique key, so a bare count is cardinality-preserving
+    // and Catalyst prunes the ENTIRE contamination subtree — the first
+    // cut of this harness timed a 500-row eval count and nothing else.
+    // Summing a computed column forces the real work.
+    timeShuffle("d09 contamination (full-vocab distinct)") {
+      graft.queries.AnalyticsQueries.d09Contamination(spark, contDir)
+        .agg(sum(col("n_contaminated"))).head.getLong(0)
+    }
+    timeShuffle("d14 contamination (bloom-pruned)") {
+      graft.queries.AnalyticsQueries.d14BloomDecontam(spark, contDir)
+        .agg(sum(col("n_contaminated"))).head.getLong(0)
     }
     spark.stop()
   }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Dev measurement: the multimodal family's two structural cost
+  * claims, measured under corpus replication (results in PERF.md):
+  *
+  *   1. the decode kernels are narrow 1:1 scans — wall-time linear in
+  *      clip count, no shuffle term (m03's ImageIO decode+resize and
+  *      m08's PCM decimation, the real codec paths);
+  *   2. m07's near-dup tail costs by DISTINCT content, not corpus
+  *      size: replicas reuse base payloads (content key = id mod
+  *      nBase — a billion copies of one meme), so the exact-cluster
+  *      aggregate collapses ×copies rows into a constant distinct-hash
+  *      set and the banded Hamming self-join stays FLAT while only
+  *      the linear decode scan grows.
+  *
+  * Usage: runMain graft.MultimodalStress [nBase] [copies]
+  */
+object MultimodalStress {
+  def main(args: Array[String]): Unit = {
+    val nBase = if (args.length > 0) args(0).toLong else 5000L
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      println(f"[stress] $label rows=$rows took ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    Seq(("1x", 1), (s"${copies}x", copies)).foreach { case (tag, c) =>
+      val n = nBase * c
+      // replicated corpora with CONSTANT distinct content: payload is a
+      // pure function of id mod nBase. Materialized before timing so the
+      // measured cost is the kernel, not the fixture synthesis.
+      val png = spark.range(n).toDF("media_id").as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.synthPng(id % nBase, 16, 16))))
+        .toDF("media_id", "payload")
+        .localCheckpoint()
+      val pcm = spark.range(n).toDF("media_id").as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.synthPcm(id % nBase, 800, 160))))
+        .toDF("media_id", "payload")
+        .localCheckpoint()
+      println(s"[stress] $tag corpus = $n clips ($c copies of $nBase)")
+      timed(s"$tag m03-kernel ImageIO decode+resize") {
+        Multimodal.decodeResizeNearest(png, stride = 4).count()
+      }
+      timed(s"$tag m08-kernel PCM decimate") {
+        Multimodal.decimatePcm(pcm, factor = 2).count()
+      }
+      val distinct = Multimodal.aHash8(png).toDF()
+        .select(col("hash_hi"), col("hash_lo")).distinct().count()
+      timed(s"$tag m07 near-dup tail (distinct hashes = $distinct)") {
+        graft.queries.AnalyticsQueries.m07NearDupFrom(png).count()
+      }
+    }
+    spark.stop()
+  }
+}

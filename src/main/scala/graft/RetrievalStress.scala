@@ -98,6 +98,14 @@ object RetrievalStress {
       timed(s"a21 prebuilt hybrid rep  $tag") {
         graft.queries.AnalyticsQueries.a21HybridSearchPrebuilt(spark, dir).count()
       }
+      // serving-time diversification: the shortlist is an exact corpus
+      // scan (a01's broadcast-query shape, linear) and the greedy MMR
+      // itself is per-query-local over 12 candidates — corpus-
+      // independent; a production stack feeds the same greedy from
+      // a13's index shortlist instead of the exact scan
+      timed(s"a25 MMR re-rank          $tag") {
+        graft.queries.AnalyticsQueries.a25MmrRerank(spark, dir).count()
+      }
       // the passage channel: a22 re-chunks + re-aggregates per call
       // (the inline twin), a23 serves from the persisted chunk index —
       // a19's economics at passage grain (~len/stride × the doc-grain

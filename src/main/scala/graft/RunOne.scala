@@ -20,12 +20,13 @@ object RunOne {
       catch { case _: Throwable => () }
     }
     val fn = SparkEntry.queries(name)
-    // time the whole query fn + count — some queries (streaming drains)
-    // do their work eagerly inside the builder
+    // time the whole query fn + a full plan execution (NOT
+    // Dataset.count, whose rewrite can prune cardinality-preserving
+    // joins and the presentation sort — Bench.scala has the details)
     val t0 = System.nanoTime()
     val df = fn(spark, sfDir)
     if (args.length > 2 && args(2) == "explain") df.explain("formatted")
-    val n = df.count()
+    val n = df.queryExecution.executedPlan.execute().count()
     println(f"[runone] $name rows=$n took ${(System.nanoTime() - t0) / 1e9}%.2f s")
     // "dump:<dir>" writes <dir>/<name> parquet + oracle_sql.json so
     // tools/selfcheck.py can gate a single query

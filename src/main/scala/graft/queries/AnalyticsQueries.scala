@@ -3074,6 +3074,13 @@ object AnalyticsQueries {
   def m07ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
     val payloads = stagedMediaFixture(spark, dir, "mpng16")(
       id => Multimodal.synthPng(id, 16, 16))
+    m07NearDupFrom(payloads)
+  }
+
+  /** m07's decode → exact-cluster → banded-Hamming tail over any
+    * (media_id, payload) frame — split out so MultimodalStress can
+    * drive the identical pipeline over replicated corpora. */
+  def m07NearDupFrom(payloads: DataFrame): DataFrame = {
     val clusters = Multimodal.aHash8(payloads).toDF()
       .groupBy(col("hash_hi"), col("hash_lo"))
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_members"))
