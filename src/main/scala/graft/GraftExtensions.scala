@@ -157,6 +157,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intParam("graft_bloom_agg", exprs(2)))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      info("graft_heavy_hitters", "graft_heavy_hitters(term, k) - mergeable Misra-Gries frequent-item candidates, array<string>"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_heavy_hitters", 2, exprs)
+        graft.expressions.MisraGries(exprs.head,
+          intParam("graft_heavy_hitters", exprs(1)))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       info("graft_bloom_contains", "graft_bloom_contains(filter, key) - membership probe against a graft_bloom_agg filter"),
       (exprs: Seq[Expression]) => {

@@ -379,6 +379,42 @@ object AdvancedQueries {
         |GROUP BY depth_to_root ORDER BY depth_to_root""".stripMargin)
   }
 
+  /** q41 — exact heavy hitters via a mergeable Misra–Gries sketch
+    * (Misra & Gries '82; merge per Agarwal et al. PODS'12): the
+    * frequency member of the sketch trio (q38 = distinct, q39 =
+    * quantiles). Items are character bigrams of the document text —
+    * the corpus domain with real frequency skew. Two scans, neither
+    * shuffling the key space: scan 1 folds the corpus into one ≤ 64-
+    * entry [[graft.expressions.MisraGries]] summary (+ the exact item
+    * total in the same pass — partial summaries merge in the shuffle,
+    * so exchange volume is k entries regardless of n); scan 2 recounts
+    * ONLY the candidates (a ≤ 64-term IN-list, scan-local filter) and
+    * keeps those with exact freq·k > n. MG guarantees every true
+    * heavy hitter (freq > n/k) survives any partitioning, so the
+    * output is a pure function of the data even though the candidate
+    * set is not — which is why the hash gate is against a plain
+    * GROUP-BY-HAVING oracle, exact counts included. At 100 TB the
+    * full GROUP BY shuffles the whole vocabulary; this shuffles
+    * 64 strings. */
+  def q41HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))).as("bigram"))
+    val row = bigrams
+      .agg(graft.expressions.MisraGries(col("bigram"), 64).as("cand"),
+        count(lit(1)).as("n"))
+      .head
+    val cands = row.getSeq[String](0)
+    val n = row.getLong(1)
+    bigrams.filter(col("bigram").isin(cands: _*))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * 64 > n)
+      .withColumn("n_total", lit(n))
+      .orderBy(col("freq").desc, col("bigram"))
+  }
+
   /** q40 — UNPIVOT through the SQL front door (q10's pivot run in
     * reverse — wide measure columns melted to (measure, value) rows,
     * the long form every metric store and plotting layer wants): the
@@ -502,6 +538,7 @@ object AdvancedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_heavy_hitters"   -> q41HeavyHitters _,
     "q40_unpivot"         -> q40Unpivot _,
     "q39_quantile_sketch" -> q39QuantileSketch _,
     "q38_kmv_distinct"    -> q38KmvDistinct _,
@@ -531,6 +568,17 @@ object AdvancedQueries {
       s"(_pa,_pb) -> (_pa*31+_pb) % 1000000007)"
 
   val oracleSql: Map[String, String] = Map(
+    // the exact heavy hitters recomputed as a plain GROUP BY + HAVING —
+    // the MG candidate detour must be invisible in the output
+    "q41_heavy_hitters" ->
+      """WITH b AS (SELECT unnest(list_transform(range(1, length(text)),
+        |    i -> substring(text, i, 2))) AS bigram
+        |  FROM documents WHERE length(text) >= 2),
+        |n AS (SELECT COUNT(*) AS n FROM b),
+        |c AS (SELECT bigram, COUNT(*) AS freq FROM b GROUP BY bigram)
+        |SELECT c.bigram, c.freq, (SELECT n FROM n) AS n_total
+        |FROM c WHERE c.freq * 64 > (SELECT n FROM n)
+        |ORDER BY c.freq DESC, c.bigram""".stripMargin,
     // the identical SQL-standard UNPIVOT text, pointed at the base table
     "q40_unpivot" -> q40Sql("lineitem"),
     // the same bottom-128 hash sample (rn ≤ k under (h, key) order =

@@ -1287,6 +1287,52 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // q41's kernel contract: Misra–Gries never drops a true heavy hitter
+  // (freq > n/k), under adversarial interleaving AND under the PODS'12
+  // summary merge; summaries never exceed k entries.
+  test("q41: MG summary keeps every true heavy hitter; merge preserves the bound") {
+    import graft.expressions.MGSummary
+    // 3 heavy terms (200 each) drowned in 1000 singletons, k=8:
+    // n = 1600, n/k = 200 — only terms with freq > 200 are guaranteed;
+    // make the heavies 201 so they MUST survive. Interleave worst-case:
+    // singletons arrive between every heavy occurrence.
+    val s = new MGSummary(8)
+    var u = 0
+    for (i <- 0 until 201; t <- Seq("hh1", "hh2", "hh3")) {
+      s.add(t); s.add(s"unique_$u"); u += 1
+    }
+    assert(s.counts.size <= 8)
+    Seq("hh1", "hh2", "hh3").foreach(t =>
+      assert(s.counts.containsKey(t), s"true heavy hitter $t evicted"))
+    // merge path: split the same stream across two summaries
+    val (a, b) = (new MGSummary(8), new MGSummary(8))
+    u = 0
+    for (i <- 0 until 201; t <- Seq("hh1", "hh2", "hh3")) {
+      val tgt = if (i % 2 == 0) a else b
+      tgt.add(t); tgt.add(s"unique_$u"); u += 1
+    }
+    a.mergeFrom(b)
+    assert(a.counts.size <= 8)
+    Seq("hh1", "hh2", "hh3").foreach(t =>
+      assert(a.counts.containsKey(t), s"merge evicted true heavy hitter $t"))
+    // q41 end-to-end equals the exact GROUP-BY-HAVING it replaces
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val bigrams = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(col("text")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))).as("bigram"))
+    val n = bigrams.count()
+    val want = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * 64 > n)
+      .withColumn("n_total", lit(n))
+      .orderBy(col("freq").desc, col("bigram"))
+      .as[(String, Long, Long)].collect().toSeq
+    val got = graft.queries.AdvancedQueries.q41HeavyHitters(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   // p22's whole point: zero clusters straddle the cluster-keyed split,
   // while the doc-keyed naive split WOULD have leaked near-dup families
   // across train/test — and the splits partition the corpus exactly.

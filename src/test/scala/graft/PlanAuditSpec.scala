@@ -676,6 +676,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the re-fetch:\n$p")
   }
 
+  test("q41: heavy-hitter recount is a scan-local IN-filter + " +
+    "two-phase aggregate — no join, no window, no key-space shuffle") {
+    // the returned plan is the RECOUNT pass (the MG sketch pass runs
+    // eagerly inside the builder); the ≤64-term candidate list must
+    // arrive as a scan-local filter, never a join
+    val p = planOf(graft.queries.AdvancedQueries.q41HeavyHitters(spark, dir))
+    assert(!p.contains("Join"), s"candidate list degraded to a join:\n$p")
+    assert(!p.contains("Window"), s"window in recount:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final recount aggregate:\n$p")
+  }
+
   test("t20: novelty is the vocabulary MIN-aggregate plus equi-joins — " +
     "no window, no cartesian, partial+final agg") {
     // first-occurrence attribution must NOT become a per-shingle window
