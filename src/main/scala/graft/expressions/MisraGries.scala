@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded frequent-items summary: classic Misra–Gries (Misra & Gries
@@ -72,12 +72,13 @@ final class MGSummary(val k: Int) {
     }
   }
 
-  /** Tracked terms, sorted lexicographically (a deterministic order
-    * for a given set; the SET itself is partitioning-dependent). */
-  def sortedTerms: Array[String] = {
+  /** Tracked (term, residual count) entries, sorted lexicographically
+    * by term (a deterministic order for a given summary; the summary
+    * itself is partitioning-dependent — consumers must recount). */
+  def sortedEntries: Array[(String, Long)] = {
     val arr = counts.keySet().toArray(new Array[String](counts.size))
     java.util.Arrays.sort(arr, java.util.Comparator.naturalOrder[String]())
-    arr
+    arr.map(t => (t, counts.get(t).longValue()))
   }
 }
 
@@ -105,7 +106,11 @@ case class MisraGries(
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string term column, got ${child.dataType.simpleString}")
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
 
   override def createAggregationBuffer(): MGSummary = new MGSummary(k)
 
@@ -121,7 +126,9 @@ case class MisraGries(
   }
 
   override def eval(buffer: MGSummary): Any =
-    new GenericArrayData(buffer.sortedTerms.map(UTF8String.fromString).toSeq)
+    new GenericArrayData(buffer.sortedEntries.map { case (t, c) =>
+      InternalRow(UTF8String.fromString(t), c)
+    }.toSeq)
 
   override def serialize(buffer: MGSummary): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -160,8 +167,11 @@ case class MisraGries(
 }
 
 object MisraGries {
-  /** Column-level entry point: ≤ k frequent-item candidates per group,
-    * lexicographically sorted `array<string>`. */
+  /** Column-level entry point: ≤ k frequent-item candidates per group
+    * as term-sorted `array<struct<term, cnt>>` — `cnt` is the MG
+    * residual (a lower bound on true frequency, within n/k of it),
+    * carried so summaries landed by independent jobs (micro-batches,
+    * per-day corpora) can be re-merged; it is NOT an exact count. */
   def apply(term: Column, k: Int): Column =
     Bridge.column(
       MisraGries(Bridge.expression(term), k).toAggregateExpression())

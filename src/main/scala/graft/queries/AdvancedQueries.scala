@@ -406,7 +406,7 @@ object AdvancedQueries {
       .agg(graft.expressions.MisraGries(col("bigram"), 64).as("cand"),
         count(lit(1)).as("n"))
       .head
-    val cands = row.getSeq[String](0)
+    val cands = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
     val n = row.getLong(1)
     bigrams.filter(col("bigram").isin(cands: _*))
       .groupBy(col("bigram")).agg(count(lit(1)).as("freq"))

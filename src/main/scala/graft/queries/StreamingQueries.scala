@@ -1286,7 +1286,87 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** s23 — streamed heavy hitters: q41's mergeable-summaries property
+    * exercised ACROSS micro-batch boundaries (the property Agarwal et
+    * al.'s merge exists for — per-shard/per-day summaries that combine
+    * later). Documents arrive over four micro-batches; each batch
+    * folds its bigrams into its OWN ≤64-entry Misra–Gries summary and
+    * lands it batch-id-keyed (term, residual cnt, batch item count —
+    * idempotent overwrite, so checkpoint replay re-lands the same
+    * summary). After the stream drains, the landed summaries are
+    * re-merged IN BATCH-ID ORDER through the same PODS'12 merge the
+    * shuffle path uses, and the merged candidates are exactly
+    * recounted over the full corpus — q41's tail. MG's merged
+    * guarantee (no true heavy hitter lost, however the stream was
+    * batched) makes the final table independent of batch boundaries:
+    * it is hash-gated with q41's ORACLE, exact counts included. Per
+    * batch the landing is ≤ 64 rows — the constant-size artifact a
+    * real per-shard frequency monitor ships. */
+  def s23StreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{MGSummary, MisraGries}
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s23", dir))
+    val staged = root.resolve("in")
+    stageOnce("s23in", dir, Seq(staged.toString)) {
+      Tables.documents(spark, dir).filter(length(col("text")) >= 2)
+        .select(col("doc_id"), col("text"))
+        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    val landed = root.resolve("summaries").toString
+    val hfs = new org.apache.hadoop.fs.Path(landed)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(landed), true) // fresh run
+    val inSchema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          import batch.sparkSession.implicits._
+          val bigrams = batch.select(explode(transform(
+            sequence(lit(1), length(col("text")) - 1),
+            i => col("text").substr(i, lit(2)))).as("bigram"))
+          val row = bigrams
+            .agg(MisraGries(col("bigram"), 64).as("cand"), count(lit(1)).as("n"))
+            .head
+          row.getSeq[org.apache.spark.sql.Row](0)
+            .map(e => (e.getString(0), e.getLong(1), row.getLong(1)))
+            .toDF("term", "cnt", "n_batch")
+            .coalesce(1).write.mode("overwrite").parquet(s"$landed/batch=$id")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    // re-merge the landed summaries in batch-id order through the same
+    // PODS'12 merge the shuffle path uses; total n = Σ per-batch counts
+    val lan = spark.read.parquet(landed)
+      .select(col("batch").cast("long").as("batch"), col("term"),
+        col("cnt"), col("n_batch"))
+      .collect()
+    val merged = new MGSummary(64)
+    lan.map(_.getLong(0)).distinct.sorted.foreach { b =>
+      val s = new MGSummary(64)
+      lan.filter(_.getLong(0) == b).foreach(r =>
+        s.counts.put(r.getString(1), r.getLong(2)))
+      merged.mergeFrom(s)
+    }
+    val n = lan.groupBy(_.getLong(0)).map(_._2.head.getLong(3)).sum
+    val cands = merged.sortedEntries.map(_._1).toSeq
+    // q41's exact-recount tail over the full corpus
+    Tables.documents(spark, dir).filter(length(col("text")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))).as("bigram"))
+      .filter(col("bigram").isin(cands: _*))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * 64 > n)
+      .withColumn("n_total", lit(n))
+      .orderBy(col("freq").desc, col("bigram"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_stream_heavy_hitters" -> s23StreamHeavyHitters _,
     "s22_stream_decontam_guard" -> s22StreamDecontamGuard _,
     "s21_stream_multimodal" -> s21StreamMultimodal _,
     "s20_stream_search" -> s20StreamSearch _,
@@ -1317,6 +1397,10 @@ object StreamingQueries {
     // oracle hash pins that batch boundaries leave no trace in the
     // results the frozen index serves
     "s20_stream_search" -> AnalyticsQueries.oracleSql("a19_keyword_search_prebuilt"),
+    // MG's merged guarantee makes the exact-recounted heavy hitters
+    // independent of how the stream was batched — the SAME oracle as
+    // the one-shot q41, exact counts included
+    "s23_stream_heavy_hitters" -> AdvancedQueries.oracleSql("q41_heavy_hitters"),
     // the guard's verdicts recomputed in one shot from the base table
     // (d09's shingle CTE, probe direction reversed: per-TRAIN-doc
     // overlap against the eval vocabulary) — Bloom false positives die

@@ -1333,6 +1333,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  // s23 lands one MG summary per micro-batch and re-merges them; q41
+  // folds the same corpus through the shuffle path in one shot. The
+  // exact-recounted heavy hitters must be row-identical — the
+  // mergeable-summaries guarantee means batch boundaries leave no
+  // trace in the final table.
+  test("s23 streamed heavy hitters == one-shot q41, row for row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long)].collect().toSeq
+    val got = rows(graft.queries.StreamingQueries.s23StreamHeavyHitters(spark, dir))
+    assert(got == rows(graft.queries.AdvancedQueries.q41HeavyHitters(spark, dir)))
+    assert(got.nonEmpty)
+  }
+
   // p22's whole point: zero clusters straddle the cluster-keyed split,
   // while the doc-keyed naive split WOULD have leaked near-dup families
   // across train/test — and the splits partition the corpus exactly.
