@@ -116,6 +116,47 @@ object Dedup {
       .select(col("i"), col("j"), col("shared"), col("ni"), col("nj"))
   }
 
+  /** Edit-distance-verified near-dup: d03's banded MinHash candidate
+    * generation with the verify swapped from set overlap to EXACT
+    * character-level Levenshtein — a complementary verify metric:
+    * Jaccard prices divergence in SHINGLES (a one-character in-word
+    * typo destroys n shingles but is one edit; n scattered word swaps
+    * keep overlap high while the texts drift far apart in characters),
+    * Levenshtein prices it in CHARACTERS, which is what "same document
+    * modulo touch-ups" actually means for boilerplate/template dedup.
+    * Candidates share ≥ 1 of `bands` signature bands;
+    * texts join back for the candidate sliver only and pairs survive
+    * at distance ≤ maxDistPct% of the longer text. Both engines
+    * compute classic unit-cost Levenshtein as an exact integer, so
+    * the verdict AND the distance hash-gate. Scale: identical to
+    * [[minhashLshPairs]] — bucket join over short keys, the O(len²)
+    * distance kernel runs only on candidate pairs. */
+  def editDistancePairs(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int, k: Int, bands: Int, maxDistPct: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sets = df.select(idCol.as("id"), textCol.as("text"),
+      graft.expressions.MinHashSig(
+        graft.expressions.WordShingleHashes(textCol, n), k).as("sig"))
+    val banded = sets.select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"), concat_ws(":",
+            transform(slice(col("sig"), b * r + lit(1), lit(r)), v => v.cast("string"))).as("key")))).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.toDF("i", "band", "key")
+      .join(banded.toDF("j", "band", "key"), Seq("band", "key"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    cand
+      .join(sets.select(col("id").as("i"), col("text").as("ti")), Seq("i"))
+      .join(sets.select(col("id").as("j"), col("text").as("tj")), Seq("j"))
+      .withColumn("dist", levenshtein(col("ti"), col("tj")).cast("long"))
+      .withColumn("max_len",
+        greatest(length(col("ti")), length(col("tj"))).cast("long"))
+      .filter(col("dist") * 100 <= col("max_len") * maxDistPct)
+      .select(col("i"), col("j"), col("dist"), col("max_len"))
+  }
+
   /** Incremental NEAR-dup (the daily-crawl operation p10's exact form
     * cannot cover): the INCREMENT's minhash band keys join the
     * CORPUS's band index, and only the candidates verify exact

@@ -3022,6 +3022,23 @@ object AnalyticsQueries {
     * increment pays one scan + one band-key equi-join; corpus cost is
     * its index size. 12 of the 25 corpus-wide d03 pairs cross the
     * parity split at sf0.01, so the near-dup path has real positives. */
+  /** d16 — edit-distance near-dup: d03's banded MinHash candidates
+    * verified by exact character-level Levenshtein at ≤ 2% of the
+    * longer text ([[Dedup.editDistancePairs]]) — the character-grain
+    * verify Jaccard can't express: a one-character in-word typo
+    * destroys n shingles but is ONE edit, while scattered word-level
+    * rewrites can keep shingle overlap high as the texts drift far
+    * apart in characters. Both engines compute
+    * unit-cost Levenshtein as an exact integer, so the distances
+    * themselves hash-gate, and the 2% threshold discriminates on the
+    * gate corpus (some d03 candidates pass, some fail). Scale =
+    * d03's: short-key bucket join for candidates, the O(len²) kernel
+    * only on the candidate sliver. */
+  def d16EditDistanceDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(Tables.documents(spark, dir),
+      col("doc_id"), col("text"), 4, 32, 16, maxDistPct = 2)
+      .orderBy(col("i"), col("j"))
+
   def d13IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val dupIncrements = Dedup.incrementalNearDupPairs(docs, col("doc_id"), col("text"),
@@ -3602,6 +3619,7 @@ object AnalyticsQueries {
     "a25_mmr_rerank"   -> a25MmrRerank _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
+    "d16_editdist_neardup" -> d16EditDistanceDup _,
     "t01_token_stats"   -> t01TokenStats _,
     "t02_quality"       -> t02Quality _,
     "t03_lang_id"       -> t03LangId _,
@@ -4089,6 +4107,31 @@ object AnalyticsQueries {
          |SELECT i, j FROM (
          |  SELECT i, j, len(list_intersect(si, sj)) AS shared, ni, nj FROM cand)
          |WHERE CAST(shared AS DOUBLE) / (ni + nj - shared) >= 0.5
+         |ORDER BY i, j""".stripMargin,
+    // d03's candidate CTEs carrying raw text; verify = DuckDB's own
+    // exact levenshtein (unit-cost, same integers as Spark's)
+    "d16_editdist_neardup" ->
+      s"""WITH hs AS (SELECT doc_id, text, list_distinct(list_transform(
+         |    range(1, len(${words("text")})-3),
+         |    i -> ${polyHash(s"array_to_string(${words("text")}[i:i+3], ' ')")})) AS hv
+         |  FROM documents),
+         |sig AS (SELECT doc_id, text,
+         |  list_transform(range(0, 32), j -> coalesce(
+         |    list_min(list_transform(hv, h -> ((j*2+1) * h + j*7919 + 13) % $P)),
+         |    CAST($P AS BIGINT))) AS sg
+         |  FROM hs),
+         |banded AS (SELECT doc_id, text, unnest(list_transform(range(0, 16), b ->
+         |    {'band': b, 'key': array_to_string(sg[b*2+1:b*2+2], ':')})) AS bk
+         |  FROM sig),
+         |flat AS (SELECT doc_id, text, bk.band AS band, bk.key AS key FROM banded),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+         |    a.text AS ti, b.text AS tj
+         |  FROM flat a JOIN flat b ON a.band = b.band AND a.key = b.key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT i, j, CAST(levenshtein(ti, tj) AS BIGINT) AS dist,
+         |  CAST(GREATEST(length(ti), length(tj)) AS BIGINT) AS max_len
+         |FROM cand
+         |WHERE levenshtein(ti, tj) * 100 <= GREATEST(length(ti), length(tj)) * 2
          |ORDER BY i, j""".stripMargin,
     // d03's banding with the self-join replaced by increment(odd) →
     // corpus(even) index join; per-lang ingest accounting

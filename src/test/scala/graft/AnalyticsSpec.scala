@@ -110,6 +110,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("edit-distance near-dup: exact distances, threshold discriminates, " +
+    "non-candidates never scored") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today " +
+      "with many more words to make the document long enough for a tight bound"
+    val near = base.replace("today", "tomoday")  // 2 edits on ~140 chars ≈ 1.4%
+    val far = base.replace("quick brown fox", "slow beige ferret")
+      .replace("lazy dog", "alert wolf").replace("many more", "so few")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(df, col("doc_id"), col("text"), 4, 32, 16, 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // (1,2) survives with the exact distance; (1,3)/(2,3) either miss
+    // the bands or fail the 2% bound — both correct rejections
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(got.head._3 == lev(base, near).toLong, "distance not exact")
+    assert(got.head._4 == math.max(base.length, near.length).toLong)
+  }
+
   test("quantizeI8: codes bounded, extremes hit ±127, zero vector → zeros") {
     import spark.implicits._
     val got = Seq(Seq(0.5f, -1.0f, 0.25f, 0.0f), Seq(0.0f, 0.0f))
