@@ -54,6 +54,11 @@ object DedupStress {
     time("d02 exact prefix-filtered") {
       Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 4, 0.5).count()
     }
+    // same banded candidates, character-grain verify: the threshold-
+    // bounded DP prices each pair at ~len·(2% of len) char ops
+    time("d16 edit-distance verify") {
+      Dedup.editDistancePairs(docs, col("doc_id"), col("text"), 4, 32, 16, 2).count()
+    }
     // contamination economics on a FRESH corpus of the same total doc
     // count: d09 shuffles the FULL train shingle vocabulary to a
     // distinct before the probe join; d14 prunes the train scan with a
