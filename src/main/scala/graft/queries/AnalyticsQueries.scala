@@ -2743,28 +2743,40 @@ object AnalyticsQueries {
   def t12BoilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), TF.words(col("text")).as("w"))
     val minDf = math.max(5L, docs.count() / 100)
+    // materialize the positional shingle-hash table ONCE: three
+    // consumers read it (df counting, covered-start collection, the
+    // final rewrite join), and the interpreted transform lambda over
+    // every start position is the query's dominant kernel — at scale
+    // this is the persisted shingle table a boilerplate pipeline
+    // maintains anyway (a08/d12's localCheckpoint convention)
     val withSh = docs.withColumn("sh",
       when(size(col("w")) >= 3,
         transform(sequence(lit(0), size(col("w")) - 3),
           j => TF.polyHash(concat_ws(" ", slice(col("w"), j + 1, lit(3))))))
         .otherwise(array().cast("array<bigint>")))
+      .localCheckpoint()
     val starts = withSh.select(col("doc_id"), posexplode(col("sh")))
     val common = starts.groupBy(col("col"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf).select(col("col").as("h"))
     val cstarts = starts.join(common, starts("col") === common("h"))
       .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("cs"))
+    // expand each common start j to its covered positions {j, j+1, j+2}
+    // and keep positions via one native set-difference — array_except
+    // hashes the covered set once per row (and preserves the left
+    // array's order), replacing the previous per-word `exists` lambda
+    // scan whose O(words·|cs|) interpreted evals dominated the query
+    // (output bit-identical, same oracle; with the checkpoint above,
+    // 7.9 → 3.3 s at sf0.1)
     withSh.join(cstarts, Seq("doc_id"), "left")
       .withColumn("cs", coalesce(col("cs"), array().cast("array<int>")))
-      .withColumn("kept", filter(
-        transform(sequence(lit(0), size(col("w")) - 1),
-          i => struct(i.as("i"), element_at(col("w"), i + 1).as("x"))),
-        s => !exists(col("cs"),
-          j => j <= s.getField("i") && j + 2 >= s.getField("i"))))
+      .withColumn("keptIdx", array_except(
+        sequence(lit(0), size(col("w")) - 1),
+        flatten(transform(col("cs"), j => array(j, j + 1, j + 2)))))
       .select(col("doc_id"), size(col("w")).as("n_words"),
-        (size(col("w")) - size(col("kept"))).as("n_removed"),
+        (size(col("w")) - size(col("keptIdx"))).as("n_removed"),
         TF.polyHash(concat_ws(" ",
-          transform(col("kept"), s => s.getField("x")))).as("kept_fp"))
+          transform(col("keptIdx"), i => element_at(col("w"), i + 1)))).as("kept_fp"))
       .orderBy(col("doc_id"))
   }
 
