@@ -755,7 +755,7 @@ object AnalyticsQueries {
     * `query_id` — a13's IVF case), per-query top-L shortlist (bounded
     * heap, ties on vec_id), exact-cosine re-rank. */
   private[queries] def pqAdcTail(spark: SparkSession, dir: String, codes: DataFrame,
-      luts: Seq[DataFrame], shortlistL: Int): DataFrame = {
+      luts: Seq[DataFrame], shortlistL: Int, outK: Int = 5): DataFrame = {
     import graft.expressions.TopKByScore
     val firstKeys =
       if (codes.columns.contains("query_id")) Seq("cid0", "query_id") else Seq("cid0")
@@ -769,7 +769,7 @@ object AnalyticsQueries {
       .agg(TopKByScore((-col("d")).cast("long"), col("vec_id"), shortlistL).as("top"))
       .select(col("query_id"), explode(col("top")).as("c"))
       .select(col("query_id"), col("c").getField("id").as("vec_id"))
-    pqExactRerank(spark, dir, shortlist)
+    pqExactRerank(spark, dir, shortlist, outK)
   }
 
   private def buildPqIndex(spark: SparkSession, dir: String,
@@ -836,7 +836,7 @@ object AnalyticsQueries {
     * ≤ queries×L shortlist broadcasts back onto the float corpus scan
     * (the corpus streams; only shortlisted rows survive the join). */
   private def pqExactRerank(spark: SparkSession, dir: String,
-      shortlist: DataFrame): DataFrame = {
+      shortlist: DataFrame, outK: Int = 5): DataFrame = {
     import graft.expressions.{DoubleSortKey, TopKByScore}
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), Vectors.normSq(col("embedding")).as("nsq"))
@@ -845,7 +845,7 @@ object AnalyticsQueries {
       .join(broadcast(qe), Seq("query_id"))
       .withColumn("sim", Vectors.cosine(col("qemb"), col("embedding"), col("qn"), col("nsq")))
       .groupBy(col("query_id"))
-      .agg(TopKByScore(DoubleSortKey(col("sim")), col("vec_id"), 5).as("top"))
+      .agg(TopKByScore(DoubleSortKey(col("sim")), col("vec_id"), outK).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col").getField("id").as("neighbor_id"))
@@ -1105,7 +1105,7 @@ object AnalyticsQueries {
     * sweeps the (probes, L) frontier; the gated a13 fixes both to the
     * corpus-scaled defaults so the oracle hash pins them. */
   def ivfPqSearchPrebuiltTuned(spark: SparkSession, dir: String,
-      probesN: Int, shortlistL: Int): DataFrame = {
+      probesN: Int, shortlistL: Int, outK: Int = 5): DataFrame = {
     val pqStage = stagePqIndex(spark, dir)
     val ivfStage = stageIvfIndex(spark, dir)
     val codesCells = spark.read.parquet(s"$ivfStage/codes_cells")
@@ -1118,7 +1118,7 @@ object AnalyticsQueries {
     // probes — probes broadcast onto the stored inverted-list layout;
     // no corpus-side join exists at search time at all
     val candidates = codesCells.join(broadcast(probes), Seq("cell"))
-    pqAdcTail(spark, dir, candidates, pqLutsFrom(qside, cbAll), shortlistL)
+    pqAdcTail(spark, dir, candidates, pqLutsFrom(qside, cbAll), shortlistL, outK)
   }
 
   /** AnnStress hook: rebuild the persisted coarse-quantizer stage
@@ -1981,7 +1981,19 @@ object AnalyticsQueries {
     val cands = c.join(broadcast(shortlist), Seq("cand_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("cand_id"), rel.as("rel"), col("ce"), col("cn"))
-      .as[(Long, Long, Double, Array[Float], Double)]
+    mmrGreedyTail(cands)
+  }
+
+  /** The shared per-query MMR greedy over a (query_id, cand_id, rel,
+    * embedding, nsq) candidate frame — a25 feeds it from the exact-
+    * cosine shortlist, a26 from the stored IVF-PQ index's re-ranked
+    * shortlist. Local O(k·L) arithmetic inside flatMapGroups; the
+    * local cosine reuses FloatDot's fold order so both engines'
+    * oracles select bit-identically. */
+  private def mmrGreedyTail(candsDf: DataFrame): DataFrame = {
+    val spark = candsDf.sparkSession
+    import spark.implicits._
+    val cands = candsDf.as[(Long, Long, Double, Array[Float], Double)]
     cands.groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
         val cs = it.toArray.sortBy(_._2)
@@ -2027,6 +2039,44 @@ object AnalyticsQueries {
       }
       .toDF("query_id", "rank", "selected_id")
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a26 — MMR re-rank served from the STORED index (a25's production
+    * form, the same build/search economics a13 gave a10): the
+    * [[MmrShortlist]]-deep shortlist comes from the persisted IVF-PQ
+    * index — probes broadcast onto the stored inverted-list layout,
+    * ADC scoring, exact re-rank, zero corpus joins and zero training
+    * at query time — and the per-query greedy then diversifies the 12
+    * candidates exactly as a25 does. The corpus is never scanned:
+    * candidate embeddings are fetched by a broadcast equi-join of the
+    * queries×12 id list, so the whole diversified-serving path costs
+    * index-slice reads + O(k·L) local arithmetic per query. The
+    * oracle extends a13's full CTE chain (coarse assignment, probes,
+    * ADC, exact re-rank) with a25's unrolled greedy — the ENTIRE
+    * serving stack hash-gates end to end. */
+  /** a26's ranked shortlist from the stored index (a13's tuned search
+    * at outK = [[MmrShortlist]]) — exposed for the spec that pins the
+    * greedy's selections inside it. */
+  private[graft] def a26IndexShortlist(spark: SparkSession, dir: String): DataFrame = {
+    val meta = spark.read.parquet(s"${stageIvfIndex(spark, dir)}/meta").head
+    ivfPqSearchPrebuiltTuned(spark, dir,
+      scaledProbes(meta.getAs[Int]("k")),
+      math.max(PqL.toLong, meta.getAs[Long]("n") / 20).toInt,
+      outK = MmrShortlist)
+  }
+
+  def a26MmrPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val shortlist = a26IndexShortlist(spark, dir)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Vectors.normSq(col("embedding")).as("nsq"))
+    val q = e.filter(col("vec_id") < 20).toDF("query_id", "qe", "qn")
+    val c = e.toDF("cand_id", "ce", "cn")
+    val rel = Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn"))
+    val cands = c.join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"), rel.as("rel"), col("ce"), col("cn"))
+    mmrGreedyTail(cands)
   }
 
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
@@ -3629,6 +3679,7 @@ object AnalyticsQueries {
     "a23_passage_search_prebuilt" -> a23PassageSearchPrebuilt _,
     "a24_knn_classify" -> a24KnnClassify _,
     "a25_mmr_rerank"   -> a25MmrRerank _,
+    "a26_mmr_prebuilt" -> a26MmrPrebuilt _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "d16_editdist_neardup" -> d16EditDistanceDup _,
@@ -3934,6 +3985,52 @@ object AnalyticsQueries {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM rr)""".stripMargin
   }
+
+  /** The greedy MMR loop unrolled for exactly [[MmrSelect]] steps over
+    * CTEs `sl(query_id, cand_id, rel)` and `pc(query_id, ai, bi, sim)`
+    * — shared by a25 (exact-scan shortlist) and a26 (stored-index
+    * shortlist): the selection algebra is one text, only the shortlist
+    * source differs. Already margin-stripped for embedding. */
+  private lazy val mmrUnrollSql: String =
+    """s1 AS (SELECT query_id, cand_id AS sel FROM (
+      |    SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY 0.5*rel - 0.5*0.0 DESC, cand_id) AS r FROM sl) WHERE r = 1),
+      |s2 AS (SELECT query_id, cand_id AS sel FROM (
+      |    SELECT s.query_id, s.cand_id, ROW_NUMBER() OVER (PARTITION BY s.query_id
+      |      ORDER BY 0.5*s.rel - 0.5*p1.sim DESC, s.cand_id) AS r
+      |    FROM sl s
+      |    JOIN s1 ON s.query_id = s1.query_id AND s.cand_id <> s1.sel
+      |    JOIN pc p1 ON p1.query_id = s.query_id AND p1.ai = s.cand_id
+      |      AND p1.bi = s1.sel) WHERE r = 1),
+      |s3 AS (SELECT query_id, cand_id AS sel FROM (
+      |    SELECT s.query_id, s.cand_id, ROW_NUMBER() OVER (PARTITION BY s.query_id
+      |      ORDER BY 0.5*s.rel - 0.5*GREATEST(p1.sim, p2.sim) DESC, s.cand_id) AS r
+      |    FROM sl s
+      |    JOIN s1 ON s.query_id = s1.query_id AND s.cand_id <> s1.sel
+      |    JOIN s2 ON s.query_id = s2.query_id AND s.cand_id <> s2.sel
+      |    JOIN pc p1 ON p1.query_id = s.query_id AND p1.ai = s.cand_id
+      |      AND p1.bi = s1.sel
+      |    JOIN pc p2 ON p2.query_id = s.query_id AND p2.ai = s.cand_id
+      |      AND p2.bi = s2.sel) WHERE r = 1),
+      |s4 AS (SELECT query_id, cand_id AS sel FROM (
+      |    SELECT s.query_id, s.cand_id, ROW_NUMBER() OVER (PARTITION BY s.query_id
+      |      ORDER BY 0.5*s.rel - 0.5*GREATEST(p1.sim, p2.sim, p3.sim) DESC,
+      |        s.cand_id) AS r
+      |    FROM sl s
+      |    JOIN s1 ON s.query_id = s1.query_id AND s.cand_id <> s1.sel
+      |    JOIN s2 ON s.query_id = s2.query_id AND s.cand_id <> s2.sel
+      |    JOIN s3 ON s.query_id = s3.query_id AND s.cand_id <> s3.sel
+      |    JOIN pc p1 ON p1.query_id = s.query_id AND p1.ai = s.cand_id
+      |      AND p1.bi = s1.sel
+      |    JOIN pc p2 ON p2.query_id = s.query_id AND p2.ai = s.cand_id
+      |      AND p2.bi = s2.sel
+      |    JOIN pc p3 ON p3.query_id = s.query_id AND p3.ai = s.cand_id
+      |      AND p3.bi = s3.sel) WHERE r = 1)
+      |SELECT query_id, 1 AS rank, sel AS selected_id FROM s1
+      |UNION ALL SELECT query_id, 2, sel FROM s2
+      |UNION ALL SELECT query_id, 3, sel FROM s3
+      |UNION ALL SELECT query_id, 4, sel FROM s4
+      |ORDER BY query_id, rank""".stripMargin
 
   private def ivfPqOracle(mCount: Int, subDim: Int, k: Int, p: Int, l: Int,
       corpusWhere: String = "TRUE"): String =
@@ -4286,45 +4383,22 @@ object AnalyticsQueries {
          |    ${cosine(dot("ea.embedding", "eb.embedding"), "ea.nsq", "eb.nsq")} AS sim
          |  FROM sl a JOIN sl b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
          |  JOIN e ea ON ea.vec_id = a.cand_id JOIN e eb ON eb.vec_id = b.cand_id),
-         |s1 AS (SELECT query_id, cand_id AS sel FROM (
-         |    SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY 0.5*rel - 0.5*0.0 DESC, cand_id) AS r FROM sl) WHERE r = 1),
-         |s2 AS (SELECT query_id, cand_id AS sel FROM (
-         |    SELECT s.query_id, s.cand_id, ROW_NUMBER() OVER (PARTITION BY s.query_id
-         |      ORDER BY 0.5*s.rel - 0.5*p1.sim DESC, s.cand_id) AS r
-         |    FROM sl s
-         |    JOIN s1 ON s.query_id = s1.query_id AND s.cand_id <> s1.sel
-         |    JOIN pc p1 ON p1.query_id = s.query_id AND p1.ai = s.cand_id
-         |      AND p1.bi = s1.sel) WHERE r = 1),
-         |s3 AS (SELECT query_id, cand_id AS sel FROM (
-         |    SELECT s.query_id, s.cand_id, ROW_NUMBER() OVER (PARTITION BY s.query_id
-         |      ORDER BY 0.5*s.rel - 0.5*GREATEST(p1.sim, p2.sim) DESC, s.cand_id) AS r
-         |    FROM sl s
-         |    JOIN s1 ON s.query_id = s1.query_id AND s.cand_id <> s1.sel
-         |    JOIN s2 ON s.query_id = s2.query_id AND s.cand_id <> s2.sel
-         |    JOIN pc p1 ON p1.query_id = s.query_id AND p1.ai = s.cand_id
-         |      AND p1.bi = s1.sel
-         |    JOIN pc p2 ON p2.query_id = s.query_id AND p2.ai = s.cand_id
-         |      AND p2.bi = s2.sel) WHERE r = 1),
-         |s4 AS (SELECT query_id, cand_id AS sel FROM (
-         |    SELECT s.query_id, s.cand_id, ROW_NUMBER() OVER (PARTITION BY s.query_id
-         |      ORDER BY 0.5*s.rel - 0.5*GREATEST(p1.sim, p2.sim, p3.sim) DESC,
-         |        s.cand_id) AS r
-         |    FROM sl s
-         |    JOIN s1 ON s.query_id = s1.query_id AND s.cand_id <> s1.sel
-         |    JOIN s2 ON s.query_id = s2.query_id AND s.cand_id <> s2.sel
-         |    JOIN s3 ON s.query_id = s3.query_id AND s.cand_id <> s3.sel
-         |    JOIN pc p1 ON p1.query_id = s.query_id AND p1.ai = s.cand_id
-         |      AND p1.bi = s1.sel
-         |    JOIN pc p2 ON p2.query_id = s.query_id AND p2.ai = s.cand_id
-         |      AND p2.bi = s2.sel
-         |    JOIN pc p3 ON p3.query_id = s.query_id AND p3.ai = s.cand_id
-         |      AND p3.bi = s3.sel) WHERE r = 1)
-         |SELECT query_id, 1 AS rank, sel AS selected_id FROM s1
-         |UNION ALL SELECT query_id, 2, sel FROM s2
-         |UNION ALL SELECT query_id, 3, sel FROM s3
-         |UNION ALL SELECT query_id, 4, sel FROM s4
-         |ORDER BY query_id, rank""".stripMargin,
+         |$mmrUnrollSql""".stripMargin,
+    // a13's ENTIRE serving chain (coarse cells, probes, ADC, exact
+    // re-rank) extended with the same unrolled greedy — the stored-
+    // index MMR must select exactly what the greedy picks over the
+    // index's own top-12
+    "a26_mmr_prebuilt" ->
+      s"""${ivfPqRankedCtes(PqM, PqSubDim, PqK, IvfPqProbes, PqL)},
+         |sl AS (SELECT r.query_id, r.neighbor_id AS cand_id, rr.sim AS rel
+         |  FROM r JOIN rr ON r.query_id = rr.query_id
+         |    AND r.neighbor_id = rr.neighbor_id
+         |  WHERE r.rank <= 12),
+         |pc AS (SELECT a.query_id, a.cand_id AS ai, b.cand_id AS bi,
+         |    ${cosine(dot("ea.embedding", "eb.embedding"), "ea.nsq", "eb.nsq")} AS sim
+         |  FROM sl a JOIN sl b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+         |  JOIN ev ea ON ea.vec_id = a.cand_id JOIN ev eb ON eb.vec_id = b.cand_id),
+         |$mmrUnrollSql""".stripMargin,
     // threshold on a raw float is exact: both engines produce
     // bit-identical sims via the same strict ascending IEEE fold
     "a07_semantic_decontam" ->

@@ -618,6 +618,26 @@ class AnalyticsSpec extends AnyFunSuite {
     got.filter(_._2 == 1).foreach { case (q, _, sel) => assert(top1(q) == sel) }
   }
 
+  // a26 diversifies the STORED index's shortlist: every selection must
+  // come from the index's own top-12, and step 1 must be the index's
+  // rank-1 (the greedy ignores diversity on the first pick).
+  test("a26 stored-index MMR selects within the index top-12; step 1 = index top-1") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.AnalyticsQueries.a26MmrPrebuilt(spark, dir)
+      .as[(Long, Int, Long)].collect().toSeq
+    val top12 = graft.queries.AnalyticsQueries.a26IndexShortlist(spark, dir)
+      .as[(Long, Int, Long)].collect().toSeq
+    val byQuery = top12.groupBy(_._1)
+    got.foreach { case (q, _, sel) =>
+      assert(byQuery(q).exists(_._3 == sel),
+        s"query $q selected $sel outside the index shortlist") }
+    val rank1 = top12.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    got.filter(_._2 == 1).foreach { case (q, _, sel) =>
+      assert(rank1(q) == sel, s"query $q step-1 pick is not the index top-1") }
+    assert(got.size == rank1.size * graft.queries.AnalyticsQueries.MmrSelect)
+  }
+
   // a14 searches the same stored index under a metadata predicate.
   // Two properties make filtered search correct: every returned
   // neighbor satisfies the predicate (pre-filtering guarantees it

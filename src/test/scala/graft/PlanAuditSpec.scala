@@ -202,6 +202,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
   }
 
+  test("a26: stored-index MMR — a13's serving pins hold through the " +
+    "diversified tail; no training, no window, no sort-merge") {
+    // the diversified serving path must inherit a13's shape: stored
+    // artifacts only, probes/LUTs/shortlist broadcast, and the greedy
+    // runs as per-query-local flatMapGroups (no window sort, no
+    // cartesian anywhere)
+    val p = planOf(graft.queries.AnalyticsQueries.a26MmrPrebuilt(spark, dir))
+    assert(!p.contains("SortMergeJoin"), s"stored-index MMR sort-merged:\n$p")
+    assert(!p.contains("CartesianProduct"), s"stored-index MMR went cartesian:\n$p")
+    assert(!p.contains("ExistingRDD"), s"plan contains build-time work:\n$p")
+    assert(p.contains("graft_a13ivf"), s"must scan the persisted IVF stage:\n$p")
+    assert(!p.contains("Window"), s"top-k or greedy degraded to a window:\n$p")
+    assert(p.contains("MapGroups"), s"expected the per-query local greedy:\n$p")
+  }
+
   test("a14: filtered search — predicate PUSHED to the stored index scan, no training") {
     val p = planOf(graft.queries.AnalyticsQueries.a14FilteredAnnPrebuilt(spark, dir))
     // the filtered-vector-search shape: the metadata predicate is a
