@@ -106,6 +106,12 @@ object RetrievalStress {
       timed(s"a25 MMR re-rank          $tag") {
         graft.queries.AnalyticsQueries.a25MmrRerank(spark, dir).count()
       }
+      // the same greedy fed from the STORED index (shortlist = a13's
+      // tuned search): serving-time diversification with zero corpus
+      // scans — a25's linear exact-scan term drops out entirely
+      timed(s"a26 MMR prebuilt (warm)  $tag") {
+        graft.queries.AnalyticsQueries.a26MmrPrebuilt(spark, dir).count()
+      }
       // the passage channel: a22 re-chunks + re-aggregates per call
       // (the inline twin), a23 serves from the persisted chunk index —
       // a19's economics at passage grain (~len/stride × the doc-grain
