@@ -158,7 +158,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_heavy_hitters"),
-      info("graft_heavy_hitters", "graft_heavy_hitters(term, k) - mergeable Misra-Gries frequent-item candidates, array<string>"),
+      info("graft_heavy_hitters", "graft_heavy_hitters(term, k) - mergeable Misra-Gries frequent-item candidates, array<struct<term:string,cnt:bigint>>"),
       (exprs: Seq[Expression]) => {
         arity("graft_heavy_hitters", 2, exprs)
         graft.expressions.MisraGries(exprs.head,

@@ -63,6 +63,26 @@ object MultimodalStress {
       timed(s"$tag m07 near-dup tail (distinct hashes = $distinct)") {
         graft.queries.AnalyticsQueries.m07NearDupFrom(png).count()
       }
+      // m09's serving split: decode-once INGEST persists the 24-byte
+      // hash rows; warm near-dup SERVING reads the index, never
+      // pixels. The ingest row should track the linear decode scan
+      // above; the warm-serve rows should stay flat in copies (cost =
+      // index bytes + distinct-content cluster join) — the a19
+      // economics on the media channel.
+      val ihStage = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_stress_m09_$tag").toString
+      timed(s"$tag m09 ingest: decode+hash -> stored index") {
+        Multimodal.aHash8(png).toDF()
+          .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+          .write.mode("overwrite").parquet(ihStage)
+        spark.read.parquet(ihStage).count()
+      }
+      (1 to 2).foreach { i =>
+        timed(s"$tag m09 warm near-dup serve #$i from stored hashes (no decode)") {
+          graft.queries.AnalyticsQueries.nearDupFromHashes(
+            spark.read.parquet(ihStage)).count()
+        }
+      }
     }
     spark.stop()
   }

@@ -138,7 +138,12 @@ case class MisraGries(
     val it = buffer.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      // length-prefixed raw UTF-8, not writeUTF: the function is
+      // registered over arbitrary string columns and writeUTF throws
+      // UTFDataFormatException past 65535 encoded bytes per term
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -151,7 +156,9 @@ case class MisraGries(
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      val term = in.readUTF()
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      val term = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
       s.counts.put(term, in.readLong())
       i += 1
     }

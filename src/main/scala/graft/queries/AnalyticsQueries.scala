@@ -1739,16 +1739,29 @@ object AnalyticsQueries {
     * groups×k. Like a17 this is the inline twin — a production
     * passage index would persist tf/df exactly as a19 does for docs;
     * the economics are already measured there. */
-  def a22PassageSearch(spark: SparkSession, dir: String): DataFrame = {
-    import graft.expressions.TopKByScore
-    val docs = Tables.documents(spark, dir)
-    val chunks = docs
+  /** The shared a22/a23 passage chunker: t18's 32-token stride-24
+    * windows, pid = doc_id·1024 + chunk_idx. The 1024 slots bound
+    * documents at ~24.6k tokens (1 + 1023·24); past that the encoding
+    * would silently collide passages into the NEXT doc_id and corrupt
+    * df/impact statistics, so oversized documents fail loudly instead
+    * (`assert_true` inside a row-preserving filter — unprunable). */
+  private def passageChunks(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TF.words(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         posexplode(sequence(lit(1), size(col("toks")), lit(24)))
           .as(Seq("chunk_idx", "start_tok")))
+      .filter(assert_true(col("chunk_idx") < 1024,
+        lit("passage pid overflow: document exceeds 1024 chunks " +
+          "(~24.6k tokens at stride 24) — pid = doc_id*1024 + chunk_idx " +
+          "would collide into the next doc_id")).isNull)
       .select((col("doc_id") * 1024 + col("chunk_idx")).as("pid"), col("doc_id"),
         slice(col("toks"), col("start_tok"), lit(32)).as("ptoks"))
+
+  def a22PassageSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.TopKByScore
+    val docs = Tables.documents(spark, dir)
+    val chunks = passageChunks(docs)
     val nP = chunks.count()
     val tf = chunks.select(col("pid"), col("doc_id"), explode(col("ptoks")).as("term"))
       .groupBy(col("pid"), col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -1797,13 +1810,7 @@ object AnalyticsQueries {
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
-      val chunks = Tables.documents(spark, dir)
-        .select(col("doc_id"), TF.words(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"),
-          posexplode(sequence(lit(1), size(col("toks")), lit(24)))
-            .as(Seq("chunk_idx", "start_tok")))
-        .select((col("doc_id") * 1024 + col("chunk_idx")).as("pid"), col("doc_id"),
-          slice(col("toks"), col("start_tok"), lit(32)).as("ptoks"))
+      val chunks = passageChunks(Tables.documents(spark, dir))
       val nP = chunks.count()
       val tf = chunks.select(col("pid"), col("doc_id"), explode(col("ptoks")).as("term"))
         .groupBy(col("pid"), col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -2011,7 +2018,11 @@ object AnalyticsQueries {
           acc / (math.sqrt(nsq(i)) * math.sqrt(nsq(j)))
         }
         val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
-        while (chosen.size < MmrSelect && chosen.size < n) {
+        // a zero-norm embedding makes cos 0/0 = NaN; NaN scores fail
+        // every comparison, so a pass can end with best = -1 — stop
+        // cleanly instead of indexing ids(-1)
+        var exhausted = false
+        while (chosen.size < MmrSelect && chosen.size < n && !exhausted) {
           var best = -1
           var bestScore = Double.NegativeInfinity
           var bestId = Long.MaxValue
@@ -2033,7 +2044,7 @@ object AnalyticsQueries {
             }
             i += 1
           }
-          chosen += best
+          if (best < 0) exhausted = true else chosen += best
         }
         chosen.iterator.zipWithIndex.map { case (ci, r) => (qid, r + 1, ids(ci)) }
       }
@@ -2870,9 +2881,23 @@ object AnalyticsQueries {
     * Every stage is linear or hash-shuffled — nothing quadratic, no
     * driver-side data. The oracle replays the identical pipeline in
     * SQL, so the final mix report is hash-exact. */
-  def p07DataPrep(spark: SparkSession, dir: String): DataFrame = {
+  def p07DataPrep(spark: SparkSession, dir: String): DataFrame =
+    p07Stages(Tables.documents(spark, dir)).report
+
+  /** p07's intermediate frames, exposed for PipelineStress's per-stage
+    * wall + shuffle-byte accounting (every family is stress-measured
+    * in isolation; the COMPOSITE a real corpus build runs is measured
+    * through these). `checkpointSets` materializes the shingle-set
+    * frame that the decontam stage consumes TWICE (probe build + the
+    * verdict join) — the p22-style recompute-vs-checkpoint A/B at the
+    * one reused subtree in the chain. */
+  private[graft] final case class P07Stages(
+      quality: DataFrame, evalVocab: DataFrame, deduped: DataFrame,
+      clean: DataFrame, report: DataFrame)
+
+  private[graft] def p07Stages(docs: DataFrame,
+      checkpointSets: Boolean = false): P07Stages = {
     val stopwords = array(Seq("the", "and", "of", "is", "a").map(lit): _*)
-    val docs = Tables.documents(spark, dir)
     // 1. quality gate (inline t09 keep-rules; verdict chain not needed)
     val quality = docs.filter(
       TF.tokenCount(col("text")).between(50, 100000) &&
@@ -2891,21 +2916,23 @@ object AnalyticsQueries {
     val deduped = train.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
     // 4. decontamination: shingle-overlap rate vs the eval vocabulary
-    val sets = deduped.select(col("doc_id"), col("lang"), col("text"),
+    val sets0 = deduped.select(col("doc_id"), col("lang"), col("text"),
         graft.expressions.WordShingleHashes(col("text"), 4).as("hv"))
       .withColumn("n_sh", size(col("hv")))
+    val sets = if (checkpointSets) sets0.localCheckpoint() else sets0
     val hits = sets.select(col("doc_id"), explode(col("hv")).as("h"))
       .join(evalVocab, Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cont"))
     val clean = sets.join(hits, Seq("doc_id"), "left")
       .filter(coalesce(col("n_cont"), lit(0L)) * 10 < col("n_sh").cast("long") * 8)
     // 5. reproducible 90% sample; 6. per-lang mix report
-    clean
+    val report = clean
       .filter(pmod(TF.polyHash(col("doc_id").cast("string")), lit(100)) < 90)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(TF.tokenCount(col("text")).cast("long")).as("total_tokens"))
       .orderBy(col("lang"))
+    P07Stages(quality, evalVocab, deduped, clean, report)
   }
 
   /** t11 — sequence packing (the batch-shaping step before training:
@@ -3159,8 +3186,17 @@ object AnalyticsQueries {
   /** m07's decode → exact-cluster → banded-Hamming tail over any
     * (media_id, payload) frame — split out so MultimodalStress can
     * drive the identical pipeline over replicated corpora. */
-  def m07NearDupFrom(payloads: DataFrame): DataFrame = {
-    val clusters = Multimodal.aHash8(payloads).toDF()
+  def m07NearDupFrom(payloads: DataFrame): DataFrame =
+    nearDupFromHashes(Multimodal.aHash8(payloads).toDF()
+      .select(col("media_id"), col("hash_hi"), col("hash_lo")))
+
+  /** The exact-cluster → banded-Hamming near-dup tail over a bare
+    * (media_id, hash_hi, hash_lo) hash table — m07 feeds it from an
+    * inline decode, m09 from the PERSISTED hash index, s24 from
+    * streamed hash landings. Identical arithmetic in all three, so
+    * one oracle pins them all. */
+  private[graft] def nearDupFromHashes(hashes: DataFrame): DataFrame = {
+    val clusters = hashes
       .groupBy(col("hash_hi"), col("hash_lo"))
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_members"))
     val banded = clusters
@@ -3183,6 +3219,68 @@ object AnalyticsQueries {
       .filter(col("hamming") <= 6)
       .select(col("keep_i"), col("keep_j"), col("n_i"), col("n_j"), col("hamming"))
       .orderBy(col("keep_i"), col("keep_j"))
+  }
+
+  /** The m09 image-hash index BUILD stage — the multimodal channel's
+    * build/search split (a19's economics replayed on pixels): m07
+    * re-decodes the whole corpus on every near-dup call — and decode
+    * IS the cost (MultimodalStress ×100: ~36 s of 45 s is ImageIO,
+    * against a flat sub-second distinct-hash join) — while m09 decodes
+    * ONCE at ingest (the S5 whole-object download moment, when the
+    * bytes are in hand anyway) and persists the perceptual hashes:
+    *
+    *  - `hashes` (media_id, hash_hi, hash_lo): 24 bytes/image — at
+    *    100 TB of media this index is ~0.0001× corpus bytes, so every
+    *    subsequent near-dup pass reads gigabytes instead of the
+    *    petabyte of pixels;
+    *  - `meta` (n): written last as the completeness marker.
+    *
+    * Keyed by a content fingerprint of documents.parquet (the media
+    * fixture is a pure function of the doc ids), so an in-place-
+    * regenerated corpus invalidates the stage. */
+  private def stageImageHashIndex(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("m09ih", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val payloads = stagedMediaFixture(spark, dir, "mpng16")(
+        id => Multimodal.synthPng(id, 16, 16))
+      Multimodal.aHash8(payloads).toDF()
+        .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+        .write.mode("overwrite").parquet(s"$stage/hashes")
+      payloads.agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Stress hook: rebuild the persisted image-hash index
+    * unconditionally — isolates decode+hash ingest cost from the
+    * near-dup search it amortizes. */
+  def rebuildImageHashStage(spark: SparkSession, dir: String): String =
+    stageImageHashIndex(spark, dir, force = true)
+
+  /** Serving/test hook: the persisted m09 hash-index path,
+    * build-if-missing (read by m09, the streamed s24 gate, and
+    * MultimodalStress's warm-serving measurement). */
+  def imageHashStage(spark: SparkSession, dir: String): String =
+    stageImageHashIndex(spark, dir)
+
+  /** m09 — image NEAR-dedup served from the PERSISTED perceptual-hash
+    * index: m07's semantics with ZERO decode in the search plan
+    * (PlanAuditSpec pins no mapPartitions/object boundary — the plan
+    * is a bare parquet scan of the stored 24-byte hash rows into the
+    * shared [[nearDupFromHashes]] tail). Hash-gated with m07's ORACLE:
+    * serving from the index must be indistinguishable from re-decoding
+    * the corpus. Scale: search cost tracks DISTINCT content (the
+    * cluster aggregate) over index bytes — corpus pixels are never
+    * touched after ingest, which is the whole economics of a
+    * dedup-at-ingest media pipeline. */
+  def m09ImageNearDupPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageImageHashIndex(spark, dir)
+    nearDupFromHashes(spark.read.parquet(s"$stage/hashes"))
   }
 
   /** p10 — INCREMENTAL dedup, the production shape: yesterday's corpus
@@ -3710,6 +3808,7 @@ object AnalyticsQueries {
     "m05_audio_energy"  -> m05AudioEnergy _,
     "m06_keyframes"     -> m06KeyFrames _,
     "m07_image_neardup" -> m07ImageNearDup _,
+    "m09_image_neardup_prebuilt" -> m09ImageNearDupPrebuilt _,
     "m08_audio_resample" -> m08AudioResample _,
     "p06_hash_sample"   -> p06HashSample _,
     "p07_data_prep"     -> p07DataPrep _,
@@ -4054,7 +4153,7 @@ object AnalyticsQueries {
        |    (_ca, _cb) -> (_ca * 31 + _cb) % 1000000007) AS checksum
        |FROM s GROUP BY 1 ORDER BY shard""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "d01_exact_dedup" ->
       """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY lower(trim(text)) ORDER BY canonical_id""".stripMargin,
@@ -5385,4 +5484,11 @@ object AnalyticsQueries {
          |WHERE ${polyHash("CAST(doc_id AS VARCHAR)")} % 100 < 90
          |GROUP BY lang ORDER BY lang""".stripMargin,
   )
+
+  /** Aliased oracles: serving twins whose results must be
+    * INDISTINGUISHABLE from their inline builders' — same SQL, same
+    * hash. m09 reads the persisted hash index; decode-or-index must
+    * leave no trace in the output. */
+  val oracleSql: Map[String, String] = oracleSqlBase +
+    ("m09_image_neardup_prebuilt" -> oracleSqlBase("m07_image_neardup"))
 }

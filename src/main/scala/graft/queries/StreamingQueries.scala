@@ -1212,6 +1212,58 @@ object StreamingQueries {
       .orderBy(col("media_id"))
   }
 
+  /** s24 — streamed image-hash INGEST + near-dup serving: m09's
+    * build/serve split with the build arriving as a STREAM (the
+    * s14/s17 landing protocol on the media channel — ANN, keyword,
+    * and now perceptual-hash indexes all ingest the same way). The
+    * m03/m04 16×16 PNG fixture arrives in four micro-batches; each
+    * batch pays its ImageIO decode ONCE inside the stream (the only
+    * time pixels are touched — exactly m09's decode-at-ingest moment)
+    * and lands its 24-byte (media_id, hash_hi, hash_lo) rows
+    * batch-id-keyed, so a crash-replayed batch overwrites its own
+    * landing idempotently. After the drain the landed table IS the
+    * m09 hash index: the readback runs the same exact-cluster →
+    * banded-Hamming tail ([[AnalyticsQueries.nearDupFromHashes]]) and
+    * is hash-gated with m07's ORACLE — one-shot decode, prebuilt
+    * index, or four streamed batches must leave no trace in the
+    * near-dup output. Per-batch cost is decode-only (narrow, no
+    * shuffle inside the batch); the landing is index-scale, not
+    * pixel-scale. */
+  def s24StreamImageHashIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s24", dir))
+    val staged = root.resolve("in")
+    stageOnce("s24in", dir, Seq(staged.toString)) {
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .mapPartitions(_.map(id =>
+          (id, graft.operators.Multimodal.synthPng(id, 16, 16))))
+        .toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    val landed = root.resolve("hashes").toString
+    val hfs = new org.apache.hadoop.fs.Path(landed)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(landed), true) // fresh run
+    val inSchema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.operators.Multimodal.aHash8(batch).toDF()
+            .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+            .write.mode("overwrite").parquet(s"$landed/batch=$id")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    AnalyticsQueries.nearDupFromHashes(
+      spark.read.parquet(landed)
+        .select(col("media_id"), col("hash_hi"), col("hash_lo")))
+  }
+
   /** s22 — streamed ingest decontamination guard (d14's streaming
     * twin, pointed the PRODUCTION direction): d09/d14 audit a frozen
     * corpus for eval overlap after the fact; the guard a training
@@ -1313,9 +1365,11 @@ object StreamingQueries {
         .write.mode("overwrite").parquet(staged.toString)
     }
     val landed = root.resolve("summaries").toString
+    val counts = root.resolve("counts").toString
     val hfs = new org.apache.hadoop.fs.Path(landed)
       .getFileSystem(spark.sessionState.newHadoopConf())
     hfs.delete(new org.apache.hadoop.fs.Path(landed), true) // fresh run
+    hfs.delete(new org.apache.hadoop.fs.Path(counts), true)
     val inSchema = spark.read.parquet(staged.toString).schema
     val stream = spark.readStream.schema(inSchema)
       .option("maxFilesPerTrigger", "1").parquet(staged.toString)
@@ -1333,6 +1387,12 @@ object StreamingQueries {
             .map(e => (e.getString(0), e.getLong(1), row.getLong(1)))
             .toDF("term", "cnt", "n_batch")
             .coalesce(1).write.mode("overwrite").parquet(s"$landed/batch=$id")
+          // the batch item count lands as its OWN single-row artifact:
+          // a batch whose MG summary drains to empty still contributes
+          // its n to the heavy-hitter threshold (an empty summaries
+          // landing would silently drop it)
+          Seq(row.getLong(1)).toDF("n_batch")
+            .coalesce(1).write.mode("overwrite").parquet(s"$counts/batch=$id")
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
@@ -1351,7 +1411,10 @@ object StreamingQueries {
         s.counts.put(r.getString(1), r.getLong(2)))
       merged.mergeFrom(s)
     }
-    val n = lan.groupBy(_.getLong(0)).map(_._2.head.getLong(3)).sum
+    // total n from the per-batch count artifacts, NOT the summary
+    // rows — independent of summary occupancy
+    val n = spark.read.parquet(counts)
+      .agg(sum(col("n_batch"))).head.getLong(0)
     val cands = merged.sortedEntries.map(_._1).toSeq
     // q41's exact-recount tail over the full corpus
     Tables.documents(spark, dir).filter(length(col("text")) >= 2)
@@ -1366,6 +1429,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_stream_image_hash_ingest" -> s24StreamImageHashIngest _,
     "s23_stream_heavy_hitters" -> s23StreamHeavyHitters _,
     "s22_stream_decontam_guard" -> s22StreamDecontamGuard _,
     "s21_stream_multimodal" -> s21StreamMultimodal _,
@@ -1397,6 +1461,11 @@ object StreamingQueries {
     // oracle hash pins that batch boundaries leave no trace in the
     // results the frozen index serves
     "s20_stream_search" -> AnalyticsQueries.oracleSql("a19_keyword_search_prebuilt"),
+    // perceptual hashes are a pure function of the pixels, so the
+    // streamed batch-id-keyed landings re-clustered after the drain
+    // must be indistinguishable from m07's one-shot decode (and m09's
+    // prebuilt index) — the SAME oracle hash pins all three channels
+    "s24_stream_image_hash_ingest" -> AnalyticsQueries.oracleSql("m07_image_neardup"),
     // MG's merged guarantee makes the exact-recounted heavy hitters
     // independent of how the stream was batched — the SAME oracle as
     // the one-shot q41, exact counts included

@@ -276,6 +276,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast query-side joins:\n$p")
   }
 
+  test("m09: prebuilt image near-dup — stored hash table only, ZERO decode in the search plan") {
+    val p = planOf(graft.queries.AnalyticsQueries.m09ImageNearDupPrebuilt(spark, dir))
+    // the media serving shape: the search plan is a bare parquet scan
+    // of the persisted 24-byte (media_id, hash_hi, hash_lo) rows into
+    // the cluster-aggregate + banded self-join tail. Decode is an
+    // object-boundary mapPartitions (ImageIO inside aHash8) — ANY
+    // object boundary in this plan means the corpus is being
+    // re-decoded at search time (m07's inline shape, ~36 s of 45 s at
+    // MultimodalStress ×100)
+    assert(p.contains("graft_m09ih"), s"search must scan the persisted hash index:\n$p")
+    assert(!p.contains("MapPartitions"), s"decode (object boundary) in the search plan:\n$p")
+    assert(!p.contains("DeserializeToObject"), s"object boundary in the search plan:\n$p")
+    assert(!p.contains("payload"), s"search plan touches media payload bytes:\n$p")
+    assert(!p.contains("documents.parquet"), s"search plan scans the source corpus:\n$p")
+    assert(!p.contains("ExistingRDD"), s"search plan contains build-time work:\n$p")
+    assert(!p.contains("CartesianProduct"), s"banded near-dup join went cartesian:\n$p")
+  }
+
   test("a20: append-only keyword update — stored postings read, corpus never re-tokenized") {
     val p = planOf(graft.queries.AnalyticsQueries.a20KeywordIndexUpdate(spark, dir))
     // the segment shape: stored corpus postings + dictionary are READ
