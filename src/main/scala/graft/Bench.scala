@@ -62,13 +62,20 @@ object Bench {
     }
     // a failed rep must never read as a fast run: queries with zero
     // successful reps report null, and any failure lands in "failures"
+    // medians print at millisecond precision: single-run noise on this
+    // container is ±30%, so sub-ms digits are pure line length — and
+    // line length matters because the driver's stdout capture keeps
+    // only a ~2 KB tail (BENCH_r05/r08 lost their heads that way; the
+    // whole-artifact copy below is the canonical record)
+    def fmt(d: Double): String = BigDecimal(d)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, _) =>
-      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+      "\"" + k + "\":" + v.map(fmt).getOrElse("null")
     }.mkString("{", ",", "}")
     val failures = results.filter(_._3 > 0)
       .map { case (k, _, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","reps":$reps}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","reps":$reps}"""
     println(json)
     // The stdout line can be truncated by tail-capture (BENCH_r05 lost
     // a01..q09's medians that way); the file is the whole-artifact copy

@@ -49,10 +49,19 @@ object GraphStress {
       .head.getLong(0) + 1
     val nE = baseEdges.count()
     Seq(("1x", 1), (s"${copies}x", copies)).foreach { case (tag, c) =>
-      val edges = baseEdges.crossJoin(spark.range(c).toDF("copy"))
+      // replicated edges STAGE TO PARQUET, not localCheckpoint: the
+      // ×100 edge set is ~32 GB as cached rows, which forced a
+      // non-default driver/executor memory just to hold the fixture;
+      // parquet staging (DedupStress's pattern) lets the default-
+      // memory box run the same measurement — the timed loop reads
+      // the fixture like any other scan
+      val edgeDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_stress_p21_edges_$c").toString
+      baseEdges.crossJoin(spark.range(c).toDF("copy"))
         .select((col("src") + col("copy") * span).as("src"),
           (col("dst") + col("copy") * span).as("dst"))
-        .localCheckpoint()
+        .write.mode("overwrite").parquet(edgeDir)
+      val edges = spark.read.parquet(edgeDir)
       val n = edges.count()
       // eager checkpoint INSIDE the timed block: materializes the
       // 3-round lineage exactly once; the convergence probe below
@@ -85,10 +94,13 @@ object GraphStress {
     val pSpan = basePairs.agg(greatest(max(col("i")), max(col("j"))))
       .head.getLong(0) + 1
     Seq(("1x", 1), (s"${copies}x", copies)).foreach { case (tag, c) =>
-      val pairs = basePairs.crossJoin(spark.range(c).toDF("copy"))
+      val pairDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_stress_d07_pairs_$c").toString
+      basePairs.crossJoin(spark.range(c).toDF("copy"))
         .select((col("i") + col("copy") * pSpan).as("i"),
           (col("j") + col("copy") * pSpan).as("j"))
-        .localCheckpoint()
+        .write.mode("overwrite").parquet(pairDir)
+      val pairs = spark.read.parquet(pairDir)
       val n = pairs.count()
       timed(f"d07 connected components $tag ($n%,d pairs)") {
         Dedup.dupClusters(pairs).count()

@@ -395,7 +395,16 @@ object AdvancedQueries {
     * set is not — which is why the hash gate is against a plain
     * GROUP-BY-HAVING oracle, exact counts included. At 100 TB the
     * full GROUP BY shuffles the whole vocabulary; this shuffles
-    * 64 strings. */
+    * 64 strings.
+    *
+    * Structurally this is TWO Spark jobs with a driver hop between
+    * them: the `.head` below pulls the single merged ≤ 64-entry
+    * summary to the driver so the candidate set can become an IN-list
+    * literal in job 2's plan (a pushable scan-local filter, not a
+    * join). That hop is deliberate and bounded — 64 entries of
+    * metadata, the same size class as a broadcast variable — and is
+    * NOT a data-path collect: no row of corpus data ever reaches the
+    * driver. */
   def q41HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val bigrams = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 2)

@@ -1353,7 +1353,13 @@ object StreamingQueries {
     * batched) makes the final table independent of batch boundaries:
     * it is hash-gated with q41's ORACLE, exact counts included. Per
     * batch the landing is ≤ 64 rows — the constant-size artifact a
-    * real per-shard frequency monitor ships. */
+    * real per-shard frequency monitor ships.
+    *
+    * Like q41, the post-drain re-merge is a deliberate bounded driver
+    * hop: the `collect()` below reads the LANDED SUMMARIES (≤ 64 rows
+    * × batches — metadata, not corpus data) so the batch-ordered
+    * PODS'12 merge can run locally and feed job 2 an IN-list; the
+    * exact recount then scans the corpus distributed, same as q41. */
   def s23StreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import graft.expressions.{MGSummary, MisraGries}
     val root = java.nio.file.Paths.get(PipelineQueries.staging("s23", dir))

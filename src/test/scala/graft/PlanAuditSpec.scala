@@ -276,6 +276,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast query-side joins:\n$p")
   }
 
+  test("a19/a13 serving skew: hot posting lists and hot cells never funnel into one reducer") {
+    // the stored postings/cells tables are Zipf-skewed BY CONSTRUCTION
+    // (a stopword's df ~ n; a popular IVF cell holds a constant
+    // fraction of the corpus). Skew is harmless iff a hot key's rows
+    // never serialize through one reducer. Two structural facts make
+    // that true, pinned here: (1) the probe joins BROADCAST the tiny
+    // query side, so the skewed stored table streams through
+    // scan-partitioned tasks — a hot posting list is split across
+    // parquet row groups like any other rows; (2) every downstream
+    // exchange keys on query_id / (query_id, doc_id) / vec_id —
+    // composites that SCATTER a hot term's postings — never on the
+    // bare term_id or cell. An `Exchange hashpartitioning(term_id…` /
+    // `(cell…` appearing in a serving plan is the regression this
+    // test exists to catch.
+    val kw = planOf(graft.queries.AnalyticsQueries.a19KeywordSearchPrebuilt(spark, dir))
+    assert(!kw.contains("hashpartitioning(term_id"),
+      s"a19 shuffles on the bare skewed term_id:\n$kw")
+    assert(kw.contains("BroadcastHashJoin [term_id"),
+      s"a19's postings probe is not a broadcast join:\n$kw")
+    val vec = planOf(graft.queries.AnalyticsQueries.a13IvfPqSearchPrebuilt(spark, dir))
+    assert(!vec.contains("hashpartitioning(cell"),
+      s"a13 shuffles on the bare skewed cell id:\n$vec")
+    assert(vec.contains("BroadcastHashJoin [cell"),
+      s"a13's cell probe is not a broadcast join:\n$vec")
+  }
+
   test("m09: prebuilt image near-dup — stored hash table only, ZERO decode in the search plan") {
     val p = planOf(graft.queries.AnalyticsQueries.m09ImageNearDupPrebuilt(spark, dir))
     // the media serving shape: the search plan is a bare parquet scan
