@@ -20,9 +20,17 @@ import org.apache.spark.sql.functions._
   * (the p07 quality gate keys on stopword presence, token count ≥ 50
   * and mean word length — raw zipf text has no English stopwords and
   * would gate to zero), replicated ×copies as EXACT copies under fresh
-  * ids: the crawl shape where the gate scales with the crawl, the
-  * exact-dedup window carries the full ×copies shuffle, and decontam
-  * runs over the collapsed base-size survivor set.
+  * ids with a mod-10-PRESERVING span, so a base doc's replicas follow
+  * it into train or eval (a span that rotates residues puts ~10% of
+  * every doc's replicas in eval and decontam nukes the whole corpus —
+  * the first cut of this harness measured exactly that degenerate
+  * shape). Contamination is injected deterministically instead: base
+  * docs with id ≡ 1 (mod 40) copy the text of their id−1 neighbor —
+  * an eval-side doc — so a fixed ~2.5% of the corpus is a true
+  * train/eval leak at every scale. The crawl shape follows: the gate
+  * scales with the crawl, the exact-dedup window carries the full
+  * ×copies shuffle, decontam runs over the collapsed base-size
+  * survivor set and drops its stable contaminated fraction.
   *
   * Reported per scale: prefix walls (each prefix re-runs the chain up
   * to its stage — deltas between rows isolate a stage's add-on cost),
@@ -37,6 +45,9 @@ import org.apache.spark.sql.functions._
 object PipelineStress {
   def main(args: Array[String]): Unit = {
     val nBase = if (args.length > 0) args(0).toLong else 20000L
+    require(nBase % 40 == 0,
+      "nBase must be a multiple of 40: replication preserves id mod 10 " +
+        "(train/eval side) and the injected-leak fraction stays exact")
     val copiesList =
       if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
       else Seq(1, 10, 100)
@@ -54,41 +65,52 @@ object PipelineStress {
     // afford 300 ms; the alternative is a private[spark] API).
     val shufR = new LongAdder
     val shufW = new LongAdder
+    val shufRecs = new LongAdder
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
         if (m != null) {
           shufR.add(m.shuffleReadMetrics.totalBytesRead)
           shufW.add(m.shuffleWriteMetrics.bytesWritten)
+          shufRecs.add(m.shuffleWriteMetrics.recordsWritten)
         }
       }
     })
     def mb(b: Long): String = f"${b / 1048576.0}%.1f MB"
     def timed(label: String)(body: => Long): Unit = {
       Thread.sleep(300)
-      val r0 = shufR.sum(); val w0 = shufW.sum()
+      val r0 = shufR.sum(); val w0 = shufW.sum(); val c0 = shufRecs.sum()
       val t0 = System.nanoTime()
       val rows = body
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
+      // bytes are post-compression (exact-dup text compresses ~100×,
+      // so records are the incompressible volume truth alongside)
       println(f"[stress] $label rows=$rows wall=$wall%.1f s " +
-        s"shufRead=${mb(shufR.sum() - r0)} shufWrite=${mb(shufW.sum() - w0)}")
+        s"shufRead=${mb(shufR.sum() - r0)} shufWrite=${mb(shufW.sum() - w0)} " +
+        s"shufRecords=${shufRecs.sum() - c0}")
     }
 
     copiesList.foreach { c =>
       val n = nBase * c
       val corpus = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft_stress_p07_${nBase}_$c").toString
-      // exact ×copies replicas under fresh ids; stopword suffix keeps
-      // the quality gate live on zipf vocabulary (see scaladoc). The
-      // replica span is nBase+3, NOT nBase: a mod-10-preserving span
-      // would align every replica with its base's train/eval side, and
-      // the decontam join would never fire (a replica of a train doc
-      // landing in the eval slice is exactly the contamination case).
-      val span = nBase + 3
-      StressFixtures.zipfDocs(spark, nBase)
-        .crossJoin(spark.range(c).toDF("copy"))
-        .select((col("doc_id") + col("copy") * span).as("doc_id"),
+      // base corpus with injected leaks: id ≡ 1 (mod 40) docs carry
+      // their id−1 (eval-side, since 40 | id−1 ⇒ 10 | id−1) neighbor's
+      // text — the deterministic ~2.5% contamination decontam exists
+      // to catch (see scaladoc for why replication can't provide it)
+      val raw = StressFixtures.zipfDocs(spark, nBase)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val base = raw
+        .join(raw.select((col("doc_id") + 1).as("doc_id"),
+            col("text").as("eval_text")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 40 === 1, col("eval_text"))
+            .otherwise(col("text")).as("text"),
+          col("lang"), col("source"))
+      base.crossJoin(spark.range(c).toDF("copy"))
+        .select((col("doc_id") + col("copy") * nBase).as("doc_id"),
           concat(col("text"), lit(" the and of is a")).as("text"),
           col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
