@@ -3604,6 +3604,86 @@ object AnalyticsQueries {
     rank
   }
 
+  /** The p26 z-order layout BUILD stage: the events table rewritten
+    * ONCE, range-partitioned and sorted by the 32-bit Morton
+    * interleave of 16-bit (ts, user_id) buckets
+    * ([[graft.operators.ZOrder]]), written with small parquet row
+    * groups so min/max statistics have pruning granularity. The
+    * z-value is computed, sorted on, and DROPPED — it is a layout
+    * key, not data. `meta` stores the bucket bounds (min/max of both
+    * dimensions, one metadata-scale aggregate) and doubles as the
+    * completeness marker. Keyed by a content fingerprint of
+    * events.parquet. */
+  private def stageZOrderEvents(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/events.parquet")
+    val stage = PipelineQueries.staging("p26zo", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val ev = Tables.events(spark, dir).select(col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+        .filter(col("user_id").isNotNull)
+      val b = ev.agg(min(col("ts_us")), max(col("ts_us")),
+        min(col("user_id")), max(col("user_id"))).head
+      val (tl, th, ul, uh) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val zv = graft.operators.ZOrder.zvalue16(
+        graft.operators.ZOrder.bucket16(col("ts_us"), tl, th),
+        graft.operators.ZOrder.bucket16(col("user_id"), ul, uh))
+      ev.withColumn("zv", zv)
+        .repartitionByRange(8, col("zv"))
+        .sortWithinPartitions(col("zv"))
+        .drop("zv")
+        .write.mode("overwrite")
+        // ~64 KB row groups: the pruning unit. Default 128 MB groups
+        // would make a small table ONE group per file and hide the
+        // effect the layout exists to produce; production picks the
+        // granularity from target file sizes.
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(s"$stage/events")
+      spark.range(1).select(lit(tl).as("tl"), lit(th).as("th"),
+          lit(ul).as("ul"), lit(uh).as("uh"))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the staged z-ordered events path, build-if-missing. */
+  def zorderEventsStage(spark: SparkSession, dir: String): String =
+    stageZOrderEvents(spark, dir)
+
+  /** p26 — TWO-DIMENSIONAL scan pruning via z-order clustering: the
+    * layout counterpart of p01's partition pruning and a14's pushed
+    * single-column predicate. The query is a (time-range AND
+    * user-range) box — the shape a per-entity time-slice dashboard
+    * or a GDPR export runs — over the z-ordered copy of events. Both
+    * predicates are pushed parquet filters, and because the layout
+    * clusters by the Morton interleave, row-group min/max prunes on
+    * BOTH columns at once (ZOrderSpec measures the scan-row
+    * reduction vs a time-sorted layout; on a time sort the user_id
+    * predicate reads everything). Bounds are integer 30–60%
+    * quantile-free slices of each dimension's [min, max] — engine-
+    * exact arithmetic, recomputed identically by the oracle from the
+    * RAW table: the oracle never sees the layout, pinning that
+    * clustering changed file bytes and nothing else. */
+  def p26ZOrderScan(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageZOrderEvents(spark, dir)
+    val m = spark.read.parquet(s"$stage/meta").head
+    val (tl, th, ul, uh) =
+      (m.getAs[Long]("tl"), m.getAs[Long]("th"), m.getAs[Long]("ul"), m.getAs[Long]("uh"))
+    val (t0, t1) = (tl + (th - tl) * 3 / 10, tl + (th - tl) * 6 / 10)
+    val (u0, u1) = (ul + (uh - ul) * 3 / 10, ul + (uh - ul) * 6 / 10)
+    spark.read.parquet(s"$stage/events")
+      .filter(col("ts_us") >= t0 && col("ts_us") < t1 &&
+        col("user_id") >= u0 && col("user_id") < u1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)")
+          .as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** The p21 trade-graph edge list (customer c → 2c, supplier s →
     * 2s+1, symmetrized) — shared by the gated query and GraphStress. */
   private[graft] def p21Edges(spark: SparkSession, dir: String): DataFrame = {
@@ -3737,6 +3817,7 @@ object AnalyticsQueries {
     "p21_pagerank"      -> p21PageRank _,
     "p22_leakage_safe_split" -> p22LeakageSafeSplit _,
     "p24_perplexity_buckets" -> p24PerplexityBuckets _,
+    "p26_zorder_scan"   -> p26ZOrderScan _,
     "d01_exact_dedup"   -> d01ExactDedup _,
     "d02_ngram_jaccard" -> d02NgramJaccard _,
     "d03_minhash_lsh"   -> d03MinhashLsh _,
@@ -5371,6 +5452,22 @@ object AnalyticsQueries {
     // in (h2, doc_id) order) pins the full permutation — membership,
     // shard assignment, AND order — not just counts
     "p18_shuffled_shards" -> shardOracle,
+    // the (ts, user_id) box recomputed from the RAW table — the oracle
+    // never sees the z-ordered copy, pinning that clustering changed
+    // layout bytes and nothing else. Bounds are integer 30–60% slices
+    // of each dimension's [min, max] (Scala Long division and
+    // DuckDB's // both floor for positives)
+    "p26_zorder_scan" ->
+      """WITH b AS (SELECT MIN(epoch_us(ts)) AS tl, MAX(epoch_us(ts)) AS th,
+        |    MIN(user_id) AS ul, MAX(user_id) AS uh FROM events)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+        |FROM events, b
+        |WHERE epoch_us(ts) >= b.tl + ((b.th - b.tl) * 3) // 10
+        |  AND epoch_us(ts) <  b.tl + ((b.th - b.tl) * 6) // 10
+        |  AND user_id >= b.ul + ((b.uh - b.ul) * 3) // 10
+        |  AND user_id <  b.ul + ((b.uh - b.ul) * 6) // 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // t10's scoring CTEs + the same bottom-64 hash sample per lang,
     // tercile cutoffs by 1-based nearest rank off the sorted sample,
     // then scan-local bucket labels — the full sketch-then-broadcast
