@@ -87,4 +87,24 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zReadX * 2 < n,
       s"z-order layout failed to prune an x predicate: read $zReadX of $n")
   }
+
+  test("the SQL interleave matches an independent Morton reference, bit for bit") {
+    import spark.implicits._
+    // independent reference: textbook bit-by-bit Morton encode — a
+    // disagreement means the shift/mask Column fold encodes a
+    // DIFFERENT curve than documented (locality claims silently off)
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L)((acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+    val rnd = new java.util.Random(4242)
+    val pairs = Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)) ++
+      Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.operators.ZOrder.zvalue16(col("a"), col("b")).as("zv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, zv) =>
+      assert(zv == morton(a, b), s"zvalue16($a, $b) = $zv, reference = ${morton(a, b)}")
+    }
+  }
 }
