@@ -79,8 +79,11 @@ object GraphStress {
           .agg(sum(expr("r % 1000000007")).as("cksum"))
           .select(countDistinct(col("cksum")).as("k")).head.getLong(0)
         println(s"[stress] p21 $tag per-copy rank checksums distinct=$perCopy (want 1)")
-        ranks.unpersist()
       }
+      // unconditionally: the 1x checkpoint must not stay pinned in
+      // executor memory through the x100 measurement
+      ranks.unpersist()
+      StressFixtures.rmrf(spark, edgeDir) // staged fixtures don't outlive the run
     }
 
     // --- d07: connected components over near-dup pairs ----------------
@@ -105,6 +108,7 @@ object GraphStress {
       timed(f"d07 connected components $tag ($n%,d pairs)") {
         Dedup.dupClusters(pairs).count()
       }
+      StressFixtures.rmrf(spark, pairDir)
     }
     spark.stop()
   }

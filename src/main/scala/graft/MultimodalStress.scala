@@ -83,6 +83,7 @@ object MultimodalStress {
             spark.read.parquet(ihStage)).count()
         }
       }
+      StressFixtures.rmrf(spark, ihStage) // staged fixtures don't outlive the run
     }
     spark.stop()
   }

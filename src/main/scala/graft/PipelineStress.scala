@@ -131,6 +131,7 @@ object PipelineStress {
         graft.queries.AnalyticsQueries.p07Stages(docs, checkpointSets = true)
           .report.queryExecution.executedPlan.execute().count()
       }
+      StressFixtures.rmrf(spark, corpus) // staged fixtures don't outlive the run
     }
     spark.stop()
   }

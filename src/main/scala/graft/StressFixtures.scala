@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object StressFixtures {
 
+  /** Recursive delete for /tmp fixtures the stress harnesses stage —
+    * unlike the localCheckpoints they replaced (freed with the JVM),
+    * staged parquet outlives the run, and repeated multi-scale runs
+    * would otherwise accumulate tens of GB under java.io.tmpdir. */
+  def rmrf(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    ()
+  }
+
   /** Zipf(1.0) rank sample: u ~ U(0,1) hashed from (seed, doc, pos),
     * rank = ⌊V^u⌋ clamped to [1, V] — the standard inverse-CDF
     * approximation for s=1 (P[rank ≤ r] = ln r / ln V, so

@@ -133,6 +133,14 @@ case class MisraGries(
   override def serialize(buffer: MGSummary): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    // versioned wire format: these bytes can outlive the process (a
+    // streaming stateful aggregation persists partial buffers in the
+    // state store across restarts), so the layout carries a negative
+    // magic + version up front. The unversioned v1 layout started
+    // with k — always positive — which is how deserialize tells a
+    // pre-version checkpoint apart and still reads it.
+    out.writeInt(MisraGries.WireMagic)
+    out.writeInt(2)
     out.writeInt(buffer.k)
     out.writeInt(buffer.counts.size)
     val it = buffer.counts.entrySet().iterator()
@@ -152,17 +160,35 @@ case class MisraGries(
 
   override def deserialize(bytes: Array[Byte]): MGSummary = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val s = new MGSummary(in.readInt())
-    val n = in.readInt()
-    var i = 0
-    while (i < n) {
-      val kb = new Array[Byte](in.readInt())
-      in.readFully(kb)
-      val term = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
-      s.counts.put(term, in.readLong())
-      i += 1
+    val first = in.readInt()
+    if (first == MisraGries.WireMagic) {
+      val version = in.readInt()
+      require(version == 2, s"unknown MisraGries buffer version $version")
+      val s = new MGSummary(in.readInt())
+      val n = in.readInt()
+      var i = 0
+      while (i < n) {
+        val kb = new Array[Byte](in.readInt())
+        in.readFully(kb)
+        val term = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+        s.counts.put(term, in.readLong())
+        i += 1
+      }
+      s
+    } else {
+      // legacy v1 (no magic; first int is k, terms via writeUTF) — a
+      // state-store checkpoint written before the format gained the
+      // version header must still restore
+      val s = new MGSummary(first)
+      val n = in.readInt()
+      var i = 0
+      while (i < n) {
+        val term = in.readUTF()
+        s.counts.put(term, in.readLong())
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
@@ -174,6 +200,9 @@ case class MisraGries(
 }
 
 object MisraGries {
+  /** Negative magic heading the versioned buffer layout — k (the v1
+    * head field) is always positive, so the two cannot collide. */
+  val WireMagic: Int = -0x4D475332 // ~"MGS2"
   /** Column-level entry point: ≤ k frequent-item candidates per group
     * as term-sorted `array<struct<term, cnt>>` — `cnt` is the MG
     * residual (a lower bound on true frequency, within n/k of it),

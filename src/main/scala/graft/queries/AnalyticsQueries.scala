@@ -3621,10 +3621,14 @@ object AnalyticsQueries {
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      // NO row filter before the bounds or the write: the oracle
+      // computes its box bounds over ALL raw rows, and the staged
+      // copy must carry the full table (a null user_id gets a null
+      // z-value — it still lands in the layout, and the box predicate
+      // excludes it identically in both engines)
       val ev = Tables.events(spark, dir).select(col("event_id"),
         expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
-        .filter(col("user_id").isNotNull)
       val b = ev.agg(min(col("ts_us")), max(col("ts_us")),
         min(col("user_id")), max(col("user_id"))).head
       val (tl, th, ul, uh) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
@@ -3653,20 +3657,20 @@ object AnalyticsQueries {
   def zorderEventsStage(spark: SparkSession, dir: String): String =
     stageZOrderEvents(spark, dir)
 
-  /** p26 — TWO-DIMENSIONAL scan pruning via z-order clustering: the
-    * layout counterpart of p01's partition pruning and a14's pushed
-    * single-column predicate. The query is a (time-range AND
-    * user-range) box — the shape a per-entity time-slice dashboard
-    * or a GDPR export runs — over the z-ordered copy of events. Both
-    * predicates are pushed parquet filters, and because the layout
-    * clusters by the Morton interleave, row-group min/max prunes on
-    * BOTH columns at once (ZOrderSpec measures the scan-row
-    * reduction vs a time-sorted layout; on a time sort the user_id
-    * predicate reads everything). Bounds are integer 30–60%
-    * quantile-free slices of each dimension's [min, max] — engine-
-    * exact arithmetic, recomputed identically by the oracle from the
-    * RAW table: the oracle never sees the layout, pinning that
-    * clustering changed file bytes and nothing else. */
+  /** p26 — TWO-DIMENSIONAL scan pruning via z-order clustering on the
+    * time×entity shape: p14 introduces the curve (8-bit buckets over
+    * lineitem keys, its oracle pinning the interleave arithmetic bit
+    * for bit and PlanAuditSpec pinning the footer boxes); p26 is the
+    * same [[graft.operators.ZOrder]] machinery at 16-bit granularity
+    * on the (ts, user_id) axes a per-entity time-slice dashboard or a
+    * GDPR export queries, with the complementary evidence: ZOrderSpec
+    * MEASURES records actually read (a 10% slice of the unsorted
+    * dimension reads ~all rows on a linear sort, ~1/8 on the curve),
+    * and the oracle here is layout-NEUTRAL — it recomputes the box
+    * from the RAW table and never sees the clustered copy, pinning
+    * that the rewrite changed file bytes and nothing else. Bounds are
+    * integer 30–60% quantile-free slices of each dimension's
+    * [min, max] — engine-exact arithmetic both sides. */
   def p26ZOrderScan(spark: SparkSession, dir: String): DataFrame = {
     val stage = stageZOrderEvents(spark, dir)
     val m = spark.read.parquet(s"$stage/meta").head

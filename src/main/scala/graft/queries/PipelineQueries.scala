@@ -22,8 +22,10 @@ object PipelineQueries {
     * cells table became the denormalized codes_cells inverted-list
     * layout — a live demonstration of why this constant exists.
     * v4: codes_cells gained the filterable `label` attribute column
-    * for a14's metadata-filtered search.) */
-  val StagingFormatVersion = 4
+    * for a14's metadata-filtered search. v5: the p26 z-ordered events
+    * stage stopped filtering null-user rows — bounds and the staged
+    * copy now cover the full table.) */
+  val StagingFormatVersion = 5
 
   /** Full-width digest key for a staging identity. Replaces the old
     * 32-bit `String.hashCode`, which can collide two distinct dirs —
@@ -411,10 +413,7 @@ object PipelineQueries {
     * would never participate in the curve's coarse splits — i.e. no
     * pruning on it, however fine the row groups. */
   private def zValue(a: Column, b: Column): Column =
-    (0 until 8).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
-    }.reduce(_.bitwiseOR(_))
+    graft.operators.ZOrder.interleave(a, b, 8)
 
   private def zSql(a: String, b: String): String =
     (0 until 8).map { i =>

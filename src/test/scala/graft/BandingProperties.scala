@@ -16,8 +16,13 @@ import org.scalacheck.Prop.forAll
   * the actual Spark SQL banding expressions end to end. */
 object BandingProperties extends Properties("BandedLsh") {
 
-  // random (bits, bands) geometry with bands | bits — the shapes the
-  // operators use (60/6 for d06, 64/4 for m07) plus arbitrary ones
+  // random (bits, bands) geometry with bands | bits — d06's 60/6 plus
+  // arbitrary shapes. m07's 64/4 banding is NOT in this generator's
+  // range (its fingerprint is carried as TWO 32-bit halves precisely
+  // because 64 bits don't fit a non-negative Long, and its banding is
+  // div/mod arithmetic on the halves, pinned end-to-end by the m07
+  // oracle's arithmetic replay); the pigeonhole argument tested here
+  // is width-independent.
   private val geomGen: Gen[(Int, Int)] = for {
     width <- Gen.choose(2, 16)   // band width in bits
     bands <- Gen.choose(2, 8)

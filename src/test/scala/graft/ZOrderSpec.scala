@@ -90,12 +90,14 @@ class ZOrderSpec extends AnyFunSuite {
 
   test("the SQL interleave matches an independent Morton reference, bit for bit") {
     import spark.implicits._
-    // independent reference: textbook bit-by-bit Morton encode — a
-    // disagreement means the shift/mask Column fold encodes a
-    // DIFFERENT curve than documented (locality claims silently off)
+    // independent reference: textbook bit-by-bit Morton encode in the
+    // engine's ONE convention (a → odd positions, b → even — shared by
+    // p14, whose DuckDB oracle mirrors it, and p26). A disagreement
+    // means the shift/mask Column fold encodes a DIFFERENT curve than
+    // documented (locality claims silently off).
     def morton(a: Long, b: Long): Long =
       (0 until 16).foldLeft(0L)((acc, i) =>
-        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+        acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i)))
     val rnd = new java.util.Random(4242)
     val pairs = Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)) ++
       Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L))
