@@ -84,6 +84,13 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json"))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
+    // second copy OUTSIDE the gitignored target/ dir: the per-round
+    // artifact built from the captured stdout tail has repeatedly lost
+    // most of its per-query medians to the ~2 KB capture window, while
+    // the complete file sat uncommitted beside it — a tracked-path
+    // copy survives as the whole-artifact record
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_full_latest.json"), json.getBytes("UTF-8"))
     spark.stop()
   }
 }
