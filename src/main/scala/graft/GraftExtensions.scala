@@ -165,6 +165,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intParam("graft_heavy_hitters", exprs(1)))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_maxsim"),
+      info("graft_maxsim", "graft_maxsim(queryTokenHashes, docTokenHashes) - late-interaction MaxSim score over dim-16 integer hash-embeddings, bigint"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_maxsim", 2, exprs)
+        graft.expressions.MaxSim(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       info("graft_bloom_contains", "graft_bloom_contains(filter, key) - membership probe against a graft_bloom_agg filter"),
       (exprs: Seq[Expression]) => {

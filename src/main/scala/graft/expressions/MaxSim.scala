@@ -1,0 +1,104 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native late-interaction (MaxSim) kernel for a27: given the token
+  * HASH arrays of a query and a document, synthesize the dim-16
+  * integer hash-embeddings e_j(h) = ((h·j + j²) mod 1001) − 500 and
+  * return Σ_{query token} max_{doc token} ⟨e(qt), e(dt)⟩ — exactly
+  * the arithmetic of the HOF formulation (aggregate ∘ array_max ∘
+  * transform, mirrored by the DuckDB oracle's list_reduce chain), but
+  * as one codegen-callable loop nest over primitive longs. The HOF
+  * form evaluates ~10⁶ interpreted lambdas per query×doc pair at the
+  * bench scale (measured 16.9 s for the a27 scan); this kernel runs
+  * the same ≈1.3 k integer ops per pair in a tight loop with
+  * per-side embedding vectors hoisted out of the 8×8 token matrix.
+  * Integer-exact: |e_j| ≤ 500, dims = 16 ⇒ |dot| ≤ 4·10⁶ and
+  * |score| ≤ 3.2·10⁷ — Long-safe by seven orders. */
+case class MaxSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_maxsim"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> token-hash arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MaxSim.score(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.MaxSim.score($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MaxSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object MaxSim {
+  private final val Dims = 16
+  private final val Mod = 1001L
+  private final val Shift = 500L
+
+  /** e(h) for j = 1..Dims — h is a non-negative polyHash, so plain %
+    * matches both engines' arithmetic. */
+  private def embed(hs: ArrayData): Array[Long] = {
+    val n = hs.numElements()
+    val out = new Array[Long](n * Dims)
+    var t = 0
+    while (t < n) {
+      val h = hs.getLong(t)
+      var j = 1
+      while (j <= Dims) {
+        out(t * Dims + j - 1) = (h * j + j.toLong * j) % Mod - Shift
+        j += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  def score(q: ArrayData, d: ArrayData): Long = {
+    val nq = q.numElements()
+    val nd = d.numElements()
+    val qe = embed(q)
+    val de = embed(d)
+    var acc = 0L
+    var qi = 0
+    while (qi < nq) {
+      var best = Long.MinValue
+      var di = 0
+      while (di < nd) {
+        var dot = 0L
+        var j = 0
+        while (j < Dims) {
+          dot += qe(qi * Dims + j) * de(di * Dims + j)
+          j += 1
+        }
+        if (dot > best) best = dot
+        di += 1
+      }
+      // empty doc side: max over nothing contributes nothing (the HOF
+      // form's array_max(empty) nulls the row; token arrays here are
+      // never empty — split of any string yields >= 1 token)
+      if (nd > 0) acc += best
+      qi += 1
+    }
+    acc
+  }
+
+  def apply(q: Column, d: Column): Column =
+    Bridge.column(MaxSim(Bridge.expression(q), Bridge.expression(d)))
+}

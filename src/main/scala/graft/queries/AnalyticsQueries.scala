@@ -2090,6 +2090,56 @@ object AnalyticsQueries {
     mmrGreedyTail(cands)
   }
 
+  /** a27 — LATE-INTERACTION retrieval (MaxSim; Khattab & Zaharia,
+    * SIGIR'20 ColBERT — public): the third scoring family after the
+    * single-vector channel (a01/a13) and the bag-of-words channel
+    * (a17/a19). A document is a BAG OF TOKEN VECTORS, not one pooled
+    * vector; the query-document score is
+    * Σ_{query token} max_{doc token} ⟨e(qt), e(dt)⟩ — each query
+    * token picks its best-matching document token, so multi-aspect
+    * queries aren't averaged into mush the way a single pooled vector
+    * averages them. Token embeddings here are deterministic integer
+    * functions of the token's [[TF.polyHash]] (dim 16, the synthetic-
+    * fixture discipline of m04/m07: no model weights in the engine,
+    * and the oracle replays the arithmetic end-to-end — embedding
+    * synthesis, 8×8 token dot matrix, per-query-token max, sum, and
+    * the top-20 heap all hash-gate). Everything is integer, so both
+    * engines agree exactly (|e_j| ≤ 500 ⇒ |dot| ≤ 4·10⁶,
+    * |score| ≤ 3.2·10⁷ — Long-safe by seven orders).
+    *
+    * Shape: this is the a01 of its family — brute MaxSim with the 10
+    * queries BROADCAST onto a corpus scan, per-pair score inside one
+    * codegen'd expression tree (8×8×16 static ops), bounded-heap
+    * top-20, no shuffle wider than groups×k. The production form
+    * composes it as a RE-RANK over a shortlist exactly as a25→a26
+    * composes MMR (ColBERT §3.6 reranks a term-channel candidate
+    * set); the economics of persisting token vectors are a19's,
+    * already measured. */
+  def a27MaxSimRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.TopKByScore
+    val docs = Tables.documents(spark, dir)
+    def tokHashes(text: Column): Column =
+      transform(slice(TF.words(text), 1, 8), t => TF.polyHash(t))
+    // e_j(token) = ((h·j + j²) mod 1001) − 500 for j = 1..16 — an
+    // integer hash-embedding; the whole Σ-max-dot runs in the native
+    // [[graft.expressions.MaxSim]] kernel (the HOF formulation of the
+    // same arithmetic evaluated ~10⁶ interpreted lambdas per pair —
+    // measured 16.9 s vs ~2 s for the scan at sf0.1)
+    val d = docs.select(col("doc_id"), tokHashes(col("text")).as("dh"))
+    val q = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), tokHashes(col("text")).as("qh"))
+    val maxSim = graft.expressions.MaxSim(col("qh"), col("dh"))
+    d.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("ms", maxSim)
+      .groupBy(col("query_id"))
+      .agg(TopKByScore(col("ms"), col("doc_id"), 20).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("ms_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
     * dedup tractable at corpus scale. Pairwise cosine is computed only
@@ -3863,6 +3913,7 @@ object AnalyticsQueries {
     "a24_knn_classify" -> a24KnnClassify _,
     "a25_mmr_rerank"   -> a25MmrRerank _,
     "a26_mmr_prebuilt" -> a26MmrPrebuilt _,
+    "a27_maxsim_rerank" -> a27MaxSimRerank _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "d16_editdist_neardup" -> d16EditDistanceDup _,
@@ -4572,6 +4623,31 @@ object AnalyticsQueries {
     // re-rank) extended with the same unrolled greedy — the stored-
     // index MMR must select exactly what the greedy picks over the
     // index's own top-12
+    // the full late-interaction arithmetic replayed: hash-embedding
+    // synthesis per token, the 8x8 token dot matrix, per-query-token
+    // max, sum, and the (score DESC, doc_id) top-20 — all integer, so
+    // the gate is exact
+    "a27_maxsim_rerank" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    list_transform(${words("text")}[1:8], _mt -> ${polyHash("_mt")}) AS hs
+         |  FROM documents),
+         |q AS (SELECT doc_id AS query_id, hs AS qh FROM tk WHERE doc_id < 10),
+         |p AS (SELECT q.query_id, d.doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(q.qh, _mq ->
+         |        list_max(list_transform(d.hs, _md ->
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(range(1, 17), _mj ->
+         |              ((_mq*_mj + _mj*_mj) % 1001 - 500)
+         |                * ((_md*_mj + _mj*_mj) % 1001 - 500))),
+         |            (_ma,_mb) -> _ma + _mb))))),
+         |      (_na,_nb) -> _na + _nb) AS ms
+         |  FROM tk d CROSS JOIN q WHERE d.doc_id <> q.query_id),
+         |r AS (SELECT query_id, doc_id, ms,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ms DESC, doc_id)
+         |      AS rank FROM p)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ms AS ms_score
+         |FROM r WHERE rank <= 20 ORDER BY query_id, rank""".stripMargin,
     "a26_mmr_prebuilt" ->
       s"""${ivfPqRankedCtes(PqM, PqSubDim, PqK, IvfPqProbes, PqL)},
          |sl AS (SELECT r.query_id, r.neighbor_id AS cand_id, rr.sim AS rel

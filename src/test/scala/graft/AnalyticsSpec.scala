@@ -1445,4 +1445,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a.map(_._2).sum == graft.Tables.documents(spark, dir).count())
     assert(a.forall(_._3 >= 0L))
   }
+
+  test("native MaxSim kernel matches the HOF formulation exactly") {
+    import spark.implicits._
+    // the a27 kernel replaced an aggregate∘array_max∘transform chain
+    // (~10⁶ interpreted lambdas per pair); the replacement must be
+    // ARITHMETICALLY INVISIBLE — same Σ max dot on every input,
+    // including ragged token counts and hash-collision ties
+    def embJ(h: org.apache.spark.sql.Column,
+        j: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(h * j + j * j, lit(1001L)) - lit(500L)
+    val dims = sequence(lit(1L), lit(16L))
+    val hof = aggregate(col("qh"), lit(0L), (acc, qt) =>
+      acc + array_max(transform(col("dh"), dt =>
+        aggregate(dims, lit(0L), (a2, j) => a2 + embJ(qt, j) * embJ(dt, j)))))
+    val rnd = new scala.util.Random(27)
+    val rows = (0 until 200).map { _ =>
+      def hs(n: Int) = (0 until n).map(_ => rnd.nextLong().abs % 1000000007L)
+      (hs(1 + rnd.nextInt(8)), hs(1 + rnd.nextInt(8)))
+    }
+    val got = rows.toDF("qh", "dh")
+      .select(graft.expressions.MaxSim(col("qh"), col("dh")).as("native"), hof.as("hof"))
+      .as[(Long, Long)].collect()
+    assert(got.forall(p => p._1 == p._2),
+      s"native != HOF: ${got.find(p => p._1 != p._2)}")
+  }
 }
