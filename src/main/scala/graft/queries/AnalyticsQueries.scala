@@ -3738,6 +3738,79 @@ object AnalyticsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** The p27 GENERATIONAL z-order stage: p26's layout under the
+    * append-only maintenance protocol a12/a20 use for indexes,
+    * applied to clustering. Generation 0 (even event_ids — the frozen
+    * history) and generation 1 (odd — "today's increment") are each
+    * z-clustered INTERNALLY and written as separate partition dirs;
+    * the increment lands WITHOUT rewriting a byte of history — the
+    * operation a 100 TB table runs daily, because re-clustering the
+    * full corpus per ingest is exactly what generational layout
+    * exists to avoid. Both generations bucket under the SAME stored
+    * bounds (the frozen dictionary discipline: an increment reuses
+    * the base's normalization so its curve tiles the same key
+    * space). meta doubles as the completeness marker. */
+  private def stageZOrderIncrement(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/events.parquet")
+    val stage = PipelineQueries.staging("p27zi", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val ev = Tables.events(spark, dir).select(col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      val b = ev.agg(min(col("ts_us")), max(col("ts_us")),
+        min(col("user_id")), max(col("user_id"))).head
+      val (tl, th, ul, uh) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val zv = graft.operators.ZOrder.zvalue16(
+        graft.operators.ZOrder.bucket16(col("ts_us"), tl, th),
+        graft.operators.ZOrder.bucket16(col("user_id"), ul, uh))
+      Seq(0, 1).foreach { gen =>
+        ev.filter(pmod(col("event_id"), lit(2)) === gen)
+          .withColumn("zv", zv)
+          .repartitionByRange(4, col("zv"))
+          .sortWithinPartitions(col("zv"))
+          .drop("zv")
+          .write.mode("overwrite")
+          .option("parquet.block.size", 64 * 1024)
+          .parquet(s"$stage/events/gen=$gen")
+      }
+      spark.range(1).select(lit(tl).as("tl"), lit(th).as("th"),
+          lit(ul).as("ul"), lit(uh).as("uh"))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** p27 — the two-dimensional box query over the GENERATIONAL
+    * z-order layout: identical semantics to p26, served from a base
+    * generation plus an appended increment that never touched the
+    * base's files. Hash-gated with p26's ORACLE (computed from the
+    * RAW table): one clustered copy, two clustered generations, or no
+    * clustering at all must be output-indistinguishable — the m09/m07
+    * discipline applied to layout maintenance. Pruning holds PER
+    * GENERATION (each is internally curve-sorted under the shared
+    * bounds), so the daily-append protocol keeps both the write cost
+    * (increment-only) and the read cost (row groups pruned in every
+    * generation) at 100 TB scale. */
+  def p27ZOrderIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageZOrderIncrement(spark, dir)
+    val m = spark.read.parquet(s"$stage/meta").head
+    val (tl, th, ul, uh) =
+      (m.getAs[Long]("tl"), m.getAs[Long]("th"), m.getAs[Long]("ul"), m.getAs[Long]("uh"))
+    val (t0, t1) = (tl + (th - tl) * 3 / 10, tl + (th - tl) * 6 / 10)
+    val (u0, u1) = (ul + (uh - ul) * 3 / 10, ul + (uh - ul) * 6 / 10)
+    spark.read.parquet(s"$stage/events")
+      .filter(col("ts_us") >= t0 && col("ts_us") < t1 &&
+        col("user_id") >= u0 && col("user_id") < u1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)")
+          .as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** The p21 trade-graph edge list (customer c → 2c, supplier s →
     * 2s+1, symmetrized) — shared by the gated query and GraphStress. */
   private[graft] def p21Edges(spark: SparkSession, dir: String): DataFrame = {
@@ -3872,6 +3945,7 @@ object AnalyticsQueries {
     "p22_leakage_safe_split" -> p22LeakageSafeSplit _,
     "p24_perplexity_buckets" -> p24PerplexityBuckets _,
     "p26_zorder_scan"   -> p26ZOrderScan _,
+    "p27_zorder_increment" -> p27ZOrderIncrement _,
     "d01_exact_dedup"   -> d01ExactDedup _,
     "d02_ngram_jaccard" -> d02NgramJaccard _,
     "d03_minhash_lsh"   -> d03MinhashLsh _,
@@ -5667,5 +5741,8 @@ object AnalyticsQueries {
     * hash. m09 reads the persisted hash index; decode-or-index must
     * leave no trace in the output. */
   val oracleSql: Map[String, String] = oracleSqlBase +
-    ("m09_image_neardup_prebuilt" -> oracleSqlBase("m07_image_neardup"))
+    ("m09_image_neardup_prebuilt" -> oracleSqlBase("m07_image_neardup")) +
+    // generational clustering must be output-indistinguishable from
+    // the single-copy layout (and from no layout at all)
+    ("p27_zorder_increment" -> oracleSqlBase("p26_zorder_scan"))
 }
