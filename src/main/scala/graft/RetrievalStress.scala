@@ -125,6 +125,13 @@ object RetrievalStress {
       timed(s"a23 passage search (warm) $tag") {
         graft.queries.AnalyticsQueries.a23PassageSearchPrebuilt(spark, dir).count()
       }
+      // late interaction: brute MaxSim is the a01 of its family —
+      // DOCUMENTED corpus-linear (broadcast queries onto one scan,
+      // native kernel per pair); the row pins that the growth is the
+      // linear scan term and nothing superlinear
+      timed(s"a27 MaxSim brute          $tag") {
+        graft.queries.AnalyticsQueries.a27MaxSimRerank(spark, dir).count()
+      }
     }
     spark.stop()
   }
