@@ -2115,29 +2115,86 @@ object AnalyticsQueries {
     * composes MMR (ColBERT §3.6 reranks a term-channel candidate
     * set); the economics of persisting token vectors are a19's,
     * already measured. */
+  /** First-8-token polyHash array — the token representation the
+    * late-interaction channel scores over (a27 computes it inline,
+    * the a28 stage persists it). */
+  private def tokHashes(text: Column): Column =
+    transform(slice(TF.words(text), 1, 8), t => TF.polyHash(t))
+
   def a27MaxSimRerank(spark: SparkSession, dir: String): DataFrame = {
-    import graft.expressions.TopKByScore
     val docs = Tables.documents(spark, dir)
-    def tokHashes(text: Column): Column =
-      transform(slice(TF.words(text), 1, 8), t => TF.polyHash(t))
     // e_j(token) = ((h·j + j²) mod 1001) − 500 for j = 1..16 — an
     // integer hash-embedding; the whole Σ-max-dot runs in the native
     // [[graft.expressions.MaxSim]] kernel (the HOF formulation of the
     // same arithmetic evaluated ~10⁶ interpreted lambdas per pair —
     // measured 16.9 s vs ~2 s for the scan at sf0.1)
-    val d = docs.select(col("doc_id"), tokHashes(col("text")).as("dh"))
-    val q = docs.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("query_id"), tokHashes(col("text")).as("qh"))
-    val maxSim = graft.expressions.MaxSim(col("qh"), col("dh"))
+    maxSimTail(
+      docs.select(col("doc_id"), tokHashes(col("text")).as("dh")),
+      docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), tokHashes(col("text")).as("qh")))
+  }
+
+  /** The shared MaxSim scoring tail over (doc_id, dh) × (query_id, qh)
+    * token-hash frames: broadcast queries onto one pass of the doc
+    * side, native kernel per pair, bounded-heap top-20. */
+  private def maxSimTail(d: DataFrame, q: DataFrame): DataFrame = {
+    import graft.expressions.TopKByScore
     d.crossJoin(broadcast(q))
       .filter(col("doc_id") =!= col("query_id"))
-      .withColumn("ms", maxSim)
+      .withColumn("ms", graft.expressions.MaxSim(col("qh"), col("dh")))
       .groupBy(col("query_id"))
       .agg(TopKByScore(col("ms"), col("doc_id"), 20).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("doc_id"), col("col.score").as("ms_score"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The a28 token-hash index BUILD stage: the late-interaction
+    * channel's ingest moment — tokenize + hash each document ONCE and
+    * persist the (doc_id, token-hash array) table (~72 bytes/doc at 8
+    * tokens; at 100 TB the index is ~10⁻⁴× corpus bytes, the a19/m09
+    * economics on the token channel). `meta` is the completeness
+    * marker; keyed by a content fingerprint of documents.parquet. */
+  private def stageTokenHashIndex(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("a28th", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), tokHashes(col("text")).as("th"))
+        .write.mode("overwrite").parquet(s"$stage/tokens")
+      spark.read.parquet(s"$stage/tokens").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Stress/test hook: the persisted a28 token-hash index path,
+    * build-if-missing. */
+  def tokenHashStage(spark: SparkSession, dir: String): String =
+    stageTokenHashIndex(spark, dir)
+
+  /** a28 — late-interaction search served from the PERSISTED
+    * token-hash table: a27's semantics with ZERO text touched at
+    * query time — even the query token arrays come from the stored
+    * table (the query slice is a pushed doc_id<10 scan of the index),
+    * so the serving plan reads no documents.parquet at all
+    * (PlanAuditSpec pins it). Hash-gated with a27's ORACLE:
+    * inline-tokenize or stored-index must be output-
+    * indistinguishable — the m09/m07 discipline on the token channel,
+    * closing the late-interaction lifecycle (a27 inline → a28
+    * served). Scale: query cost is index bytes + the kernel; corpus
+    * text is read once, at ingest. */
+  def a28MaxSimPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageTokenHashIndex(spark, dir)
+    val t = spark.read.parquet(s"$stage/tokens")
+    maxSimTail(
+      t.select(col("doc_id"), col("th").as("dh")),
+      t.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("th").as("qh")))
   }
 
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
@@ -3988,6 +4045,7 @@ object AnalyticsQueries {
     "a25_mmr_rerank"   -> a25MmrRerank _,
     "a26_mmr_prebuilt" -> a26MmrPrebuilt _,
     "a27_maxsim_rerank" -> a27MaxSimRerank _,
+    "a28_maxsim_prebuilt" -> a28MaxSimPrebuilt _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "d16_editdist_neardup" -> d16EditDistanceDup _,
@@ -5744,5 +5802,8 @@ object AnalyticsQueries {
     ("m09_image_neardup_prebuilt" -> oracleSqlBase("m07_image_neardup")) +
     // generational clustering must be output-indistinguishable from
     // the single-copy layout (and from no layout at all)
-    ("p27_zorder_increment" -> oracleSqlBase("p26_zorder_scan"))
+    ("p27_zorder_increment" -> oracleSqlBase("p26_zorder_scan")) +
+    // serving from the persisted token-hash table must be
+    // indistinguishable from tokenizing inline
+    ("a28_maxsim_prebuilt" -> oracleSqlBase("a27_maxsim_rerank"))
 }

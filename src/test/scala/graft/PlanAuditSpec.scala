@@ -320,6 +320,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"banded near-dup join went cartesian:\n$p")
   }
 
+  test("a28: prebuilt MaxSim — stored token-hash table only, no text in the serving plan") {
+    val p = planOf(graft.queries.AnalyticsQueries.a28MaxSimPrebuilt(spark, dir))
+    // the late-interaction serving shape: both sides of the score —
+    // the corpus pass AND the query slice — come from the persisted
+    // token-hash table, so the plan reads NO documents.parquet at
+    // all; tokenization ran once, at ingest. The query side
+    // broadcasts (10 rows) and the kernel is a scalar expression, so
+    // nothing shuffles wider than groups×k.
+    assert(p.contains("graft_a28th"), s"serving must scan the persisted token index:\n$p")
+    assert(!p.contains("documents.parquet"), s"serving plan touches corpus text:\n$p")
+    assert(p.contains("LessThan(doc_id,10)"),
+      s"query slice must be a pushed doc_id filter on the stored table:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"serving shuffled into a sort-merge:\n$p")
+    assert(!p.contains("ExistingRDD"), s"serving plan contains build-time work:\n$p")
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+  }
+
   test("a20: append-only keyword update — stored postings read, corpus never re-tokenized") {
     val p = planOf(graft.queries.AnalyticsQueries.a20KeywordIndexUpdate(spark, dir))
     // the segment shape: stored corpus postings + dictionary are READ
