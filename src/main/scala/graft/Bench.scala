@@ -58,7 +58,7 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val good = outcomes.filter(_._2).map(_._1)
-      (name, good.headOption.map(_ => median(good)), outcomes.count(!_._2))
+      (name, good.headOption.map(_ => median(good)), outcomes.count(!_._2), good)
     }
     // a failed rep must never read as a fast run: queries with zero
     // successful reps report null, and any failure lands in "failures"
@@ -69,13 +69,26 @@ object Bench {
     // whole-artifact copy below is the canonical record)
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) =>
+    val qs = results.map { case (k, v, _, _) =>
       "\"" + k + "\":" + v.map(fmt).getOrElse("null")
     }.mkString("{", ",", "}")
     val failures = results.filter(_._3 > 0)
-      .map { case (k, _, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+      .map { case (k, _, n, _) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    // per-query [min, median, max] over the successful reps: drift
+    // adjudication needs the spread, not just the median — a +25%
+    // median move whose new value sits inside the old [min, max] is
+    // run-to-run noise; one outside it is a regression (r9's s23
+    // episode was argued by narrative for want of exactly this field)
+    val spread = results.map { case (k, _, _, good) =>
+      "\"" + k + "\":" +
+        (if (good.isEmpty) "null"
+         else s"[${fmt(good.min)},${fmt(median(good))},${fmt(good.max)}]")
+    }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","reps":$reps}"""
+    // "spread" precedes "queries" so the driver's ~2 KB stdout TAIL
+    // capture still lands on per-query medians (the field the round
+    // artifact is read for); the file copies carry everything anyway
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","spread":$spread,"queries":$qs,"failures":$failures,"sf":"$sfDir","reps":$reps}"""
     println(json)
     // The stdout line can be truncated by tail-capture (BENCH_r05 lost
     // a01..q09's medians that way); the file is the whole-artifact copy
@@ -88,9 +101,28 @@ object Bench {
     // artifact built from the captured stdout tail has repeatedly lost
     // most of its per-query medians to the ~2 KB capture window, while
     // the complete file sat uncommitted beside it — a tracked-path
-    // copy survives as the whole-artifact record
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_full_latest.json"), json.getBytes("UTF-8"))
+    // copy survives as the whole-artifact record. Anchored to the repo
+    // root (nearest ancestor of CWD holding build.sbt, env-overridable)
+    // rather than a bare relative name, so a bench launched from
+    // another directory can't silently strand the record elsewhere —
+    // and a read-only CWD downgrades to a warning, not a failed bench.
+    val copyPath = sys.env.get("SPARK_GRAFT_BENCH_COPY")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+          .takeWhile(_ != null)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+          .map(_.resolve("BENCH_full_latest.json"))
+      }
+    copyPath match {
+      case Some(p) =>
+        try java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+        catch { case e: java.io.IOException =>
+          System.err.println(s"[bench] tracked-copy write to $p failed: ${e.getMessage}")
+        }
+      case None =>
+        System.err.println("[bench] no repo root found above CWD; tracked copy skipped")
+    }
     spark.stop()
   }
 }

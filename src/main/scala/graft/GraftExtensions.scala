@@ -166,7 +166,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_maxsim"),
-      info("graft_maxsim", "graft_maxsim(queryTokenHashes, docTokenHashes) - late-interaction MaxSim score over dim-16 integer hash-embeddings, bigint"),
+      info("graft_maxsim", "graft_maxsim(queryTokenHashes, docTokenHashes) - late-interaction MaxSim score over dim-16 integer hash-embeddings, bigint; inputs are reduced mod 1e9+7 into the polyHash domain first, so arbitrary bigint hashes are well-defined"),
       (exprs: Seq[Expression]) => {
         arity("graft_maxsim", 2, exprs)
         graft.expressions.MaxSim(exprs.head, exprs(1))

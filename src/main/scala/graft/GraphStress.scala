@@ -55,8 +55,7 @@ object GraphStress {
       // parquet staging (DedupStress's pattern) lets the default-
       // memory box run the same measurement — the timed loop reads
       // the fixture like any other scan
-      val edgeDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_stress_p21_edges_$c").toString
+      val edgeDir = StressFixtures.runDir(s"p21_edges_$c")
       baseEdges.crossJoin(spark.range(c).toDF("copy"))
         .select((col("src") + col("copy") * span).as("src"),
           (col("dst") + col("copy") * span).as("dst"))
@@ -67,6 +66,7 @@ object GraphStress {
       // 3-round lineage exactly once; the convergence probe below
       // reads the materialized ranks instead of re-running the loop
       // (which at ×100 doubled memory pressure into AGGREGATE_OOM)
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val ranks = timed(f"p21 pagerank 3 rounds $tag ($n%,d edges)") {
         graft.queries.AnalyticsQueries.pageRankRanks(edges, 3).localCheckpoint()
       }
@@ -81,8 +81,15 @@ object GraphStress {
         println(s"[stress] p21 $tag per-copy rank checksums distinct=$perCopy (want 1)")
       }
       // unconditionally: the 1x checkpoint must not stay pinned in
-      // executor memory through the x100 measurement
-      ranks.unpersist()
+      // executor memory through the x100 measurement. Dataset
+      // .unpersist() routes through CacheManager.uncacheQuery, which
+      // is a NO-OP for localCheckpoint blocks (those were persisted on
+      // the RDD, not registered as a cached query) — unpersist the
+      // checkpoint RDDs directly, found as the persistent-RDD ids this
+      // measurement added
+      val persisted = spark.sparkContext.getPersistentRDDs
+      (persisted.keySet -- persistedBefore)
+        .foreach(id => persisted(id).unpersist(blocking = true))
       StressFixtures.rmrf(spark, edgeDir) // staged fixtures don't outlive the run
     }
 
@@ -97,8 +104,7 @@ object GraphStress {
     val pSpan = basePairs.agg(greatest(max(col("i")), max(col("j"))))
       .head.getLong(0) + 1
     Seq(("1x", 1), (s"${copies}x", copies)).foreach { case (tag, c) =>
-      val pairDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_stress_d07_pairs_$c").toString
+      val pairDir = StressFixtures.runDir(s"d07_pairs_$c")
       basePairs.crossJoin(spark.range(c).toDF("copy"))
         .select((col("i") + col("copy") * pSpan).as("i"),
           (col("j") + col("copy") * pSpan).as("j"))

@@ -69,8 +69,7 @@ object MultimodalStress {
       // above; the warm-serve rows should stay flat in copies (cost =
       // index bytes + distinct-content cluster join) — the a19
       // economics on the media channel.
-      val ihStage = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_stress_m09_$tag").toString
+      val ihStage = StressFixtures.runDir(s"m09_$tag")
       timed(s"$tag m09 ingest: decode+hash -> stored index") {
         Multimodal.aHash8(png).toDF()
           .select(col("media_id"), col("hash_hi"), col("hash_lo"))

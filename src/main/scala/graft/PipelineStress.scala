@@ -93,8 +93,7 @@ object PipelineStress {
 
     copiesList.foreach { c =>
       val n = nBase * c
-      val corpus = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_stress_p07_${nBase}_$c").toString
+      val corpus = StressFixtures.runDir(s"p07_${nBase}_$c")
       // base corpus with injected leaks: id ≡ 1 (mod 40) docs carry
       // their id−1 (eval-side, since 40 | id−1 ⇒ 10 | id−1) neighbor's
       // text — the deterministic ~2.5% contamination decontam exists

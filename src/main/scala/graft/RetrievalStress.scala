@@ -65,10 +65,28 @@ object RetrievalStress {
     val totV = spark.read.parquet(s"$stageDir/embeddings.parquet").count()
     println(s"[stress] corpus = $totD zipf docs, $totV vectors (${copies}x of $nBase)")
 
+    // task-level shuffle-record accounting (PipelineStress's p07
+    // treatment, applied to the serving side): wall times on local[32]
+    // hide the network cost that dominates on 1000 executors — records
+    // crossing a shuffle boundary are the cluster-scale truth. The
+    // listener bus is async; snapshots sleep briefly so in-flight
+    // TaskEnd events land first.
+    val shufRecs = new java.util.concurrent.atomic.LongAdder
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shufRecs.add(m.shuffleWriteMetrics.recordsWritten)
+      }
+    })
     def timed(label: String)(body: => Long): Unit = {
+      Thread.sleep(300)
+      val c0 = shufRecs.sum()
       val t0 = System.nanoTime()
       val rows = body
-      println(f"[stress] $label rows=$rows took ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"[stress] $label rows=$rows took $wall%.1f s " +
+        s"shufRecords=${shufRecs.sum() - c0}")
     }
     Seq(("1x", sfDir), (s"${copies}x", stageDir)).foreach { case (tag, dir) =>
       timed(s"a17 inline hybrid        $tag") {
@@ -132,6 +150,21 @@ object RetrievalStress {
       timed(s"a27 MaxSim brute          $tag") {
         graft.queries.AnalyticsQueries.a27MaxSimRerank(spark, dir).count()
       }
+      // token-hash index build (one-time ingest cost; the composite
+      // below serves warm from it)
+      timed(s"a28 token index build     $tag") {
+        graft.queries.AnalyticsQueries.tokenHashStage(spark, dir); 1L
+      }
+      // the COMPOSED modern serving stack — keyword shortlist → RRF
+      // fuse with stored-IVF-PQ ranks → MMR diversification → MaxSim
+      // re-rank — with per-stage wall + shuffle-record rows. Each
+      // channel above is priced in isolation; these rows price the
+      // composition's hops and its between-stage materialization
+      // (every intermediate is result-scale and localCheckpointed).
+      graft.queries.AnalyticsQueries.servingStackStages(spark, dir)
+        .foreach { case (label, run) =>
+          timed(s"stack $label $tag") { run().count() }
+        }
     }
     spark.stop()
   }

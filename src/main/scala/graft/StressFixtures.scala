@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object StressFixtures {
 
+  /** Per-run /tmp staging path: fixture dirs keyed only by scenario
+    * name let two concurrent stress runs on one machine overwrite or
+    * rmrf each other's staged fixture mid-measurement, so every path
+    * carries this JVM's PID. Fixtures are deleted at end of run
+    * ([[rmrf]]); a crashed run's leftovers are orphaned by PID reuse
+    * at worst, never silently shared. */
+  def runDir(name: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stress_${name}_p${ProcessHandle.current().pid()}").toString
+
   /** Recursive delete for /tmp fixtures the stress harnesses stage —
     * unlike the localCheckpoints they replaced (freed with the JVM),
     * staged parquet outlives the run, and repeated multi-scale runs

@@ -51,15 +51,25 @@ object MaxSim {
   private final val Dims = 16
   private final val Mod = 1001L
   private final val Shift = 500L
+  /** polyHash's modulus: the embedding arithmetic is defined over
+    * hashes in [0, P). */
+  private final val P = 1000000007L
 
-  /** e(h) for j = 1..Dims — h is a non-negative polyHash, so plain %
-    * matches both engines' arithmetic. */
+  /** e(h) for j = 1..Dims. The engine's own callers always pass
+    * polyHash outputs (non-negative, < [[P]]), where h·j + j² is
+    * Long-safe by eight orders — but graft_maxsim is also registered
+    * as a general SQL function over arbitrary array<bigint>, so
+    * inputs are first reduced into the documented domain
+    * (h mod P, non-negative). Identity for every in-domain hash;
+    * out-of-domain callers get the well-defined embedding of h mod P
+    * instead of silent overflow / negative-modulo divergence. */
   private def embed(hs: ArrayData): Array[Long] = {
     val n = hs.numElements()
     val out = new Array[Long](n * Dims)
     var t = 0
     while (t < n) {
-      val h = hs.getLong(t)
+      val h0 = hs.getLong(t) % P
+      val h = if (h0 < 0) h0 + P else h0
       var j = 1
       while (j <= Dims) {
         out(t * Dims + j - 1) = (h * j + j.toLong * j) % Mod - Shift

@@ -1526,19 +1526,43 @@ object AnalyticsQueries {
     * a19 (stored index), a20 (stored ∪ increment) and s17 (stored ∪
     * streamed landings). */
   private[queries] def kwPrunedSearch(spark: SparkSession, dir: String,
-      dict: DataFrame, postings: DataFrame): DataFrame =
+      dict: DataFrame, postings: DataFrame, outK: Int = 20): DataFrame =
     kwPrunedSearchFor(spark,
       Tables.documents(spark, dir).filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"),
           explode(TF.words(col("text"))).as("term"))
         .distinct(),
-      dict, postings)
+      dict, postings, outK)
 
   /** The same pruned-search tail over an EXPLICIT query-term frame
     * (query_id, term — distinct), so a streamed serving loop (s20) can
-    * probe the frozen index per micro-batch of queries. */
+    * probe the frozen index per micro-batch of queries. `outK` is the
+    * result depth — 20 for the direct serving queries, deeper when the
+    * keyword channel is the CANDIDATE GENERATOR of a re-rank stack
+    * (a29 takes [[MaxSimShortlist]]). */
   private[queries] def kwPrunedSearchFor(spark: SparkSession, qt: DataFrame,
-      dict: DataFrame, postings: DataFrame): DataFrame = {
+      dict: DataFrame, postings: DataFrame, outK: Int = 20): DataFrame =
+    prunedImpactProbe(qt, dict, postings, unit = "doc_id", k = outK)
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("kw_rank"),
+        col("col.id").as("doc_id"), col("col.score").as("kw_score"))
+      .orderBy(col("query_id"), col("kw_rank"))
+
+  /** The ONE impact-ordered pruned-probe tail both text serving
+    * channels share (keyword a19/a20/s17/s20 and passage a22/a23 are
+    * the same search over a different scoring grain): per-query
+    * top-[[KwKeepTerms]] rarest terms against the stored dictionary
+    * (bounded heap on −df), the kept term_ids collected to a
+    * driver-built IN-list PUSHED onto the term_id-sorted stored
+    * postings (row-group pruning as posting seeks — the driver hop is
+    * query-vocabulary-sized metadata, not data), self-doc exclusion on
+    * the denormalized doc_id, per-(query, `unit`) impact sums, and a
+    * bounded-heap top-`k`. `unit` is the scoring grain — doc_id for
+    * the keyword channel, pid for the passage channel. Returns the
+    * posexploded (query_id, pos, col.id, col.score) frame; callers
+    * project their channel's column names. Factored so a pruning or
+    * skew fix lands in both channels at once. */
+  private def prunedImpactProbe(qt: DataFrame, dict: DataFrame,
+      postings: DataFrame, unit: String, k: Int): DataFrame = {
     import graft.expressions.TopKByScore
     val kept = dict.join(broadcast(qt), Seq("term"))
       .groupBy(col("query_id"))
@@ -1551,14 +1575,11 @@ object AnalyticsQueries {
       .filter(col("term_id").isin(keptIds: _*))
       .join(broadcast(kept), Seq("term_id"))
       .filter(col("doc_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("impact")).as("kw_score"))
+      .groupBy(col("query_id"), col(unit))
+      .agg(sum(col("impact")).as("score"))
       .groupBy(col("query_id"))
-      .agg(TopKByScore(col("kw_score"), col("doc_id"), 20).as("top"))
+      .agg(TopKByScore(col("score"), col(unit), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("kw_rank"),
-        col("col.id").as("doc_id"), col("col.score").as("kw_score"))
-      .orderBy(col("query_id"), col("kw_rank"))
   }
 
   /** The segment-local OOV dictionary over increment term-vector rows
@@ -1858,30 +1879,14 @@ object AnalyticsQueries {
     * still corpus-token-independent); every search-time join
     * broadcasts the query side. */
   def a23PassageSearchPrebuilt(spark: SparkSession, dir: String): DataFrame = {
-    import graft.expressions.TopKByScore
     val stage = stagePassageIndex(spark, dir)
-    val dict = spark.read.parquet(s"$stage/terms")
-      .select(col("term"), col("term_id"), col("df"))
-    val postings = spark.read.parquet(s"$stage/postings")
     val qt = Tables.documents(spark, dir).filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"), explode(TF.words(col("text"))).as("term"))
       .distinct()
-    val kept = dict.join(broadcast(qt), Seq("term"))
-      .groupBy(col("query_id"))
-      .agg(TopKByScore(-col("df"), col("term_id"), KwKeepTerms).as("top"))
-      .select(col("query_id"), explode(col("top")).as("t"))
-      .select(col("query_id"), col("t.id").as("term_id"))
-    val keptIds = kept.select(col("term_id")).distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
-    postings
-      .filter(col("term_id").isin(keptIds: _*))
-      .join(broadcast(kept), Seq("term_id"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("pid"))
-      .agg(sum(col("impact")).as("p_score"))
-      .groupBy(col("query_id"))
-      .agg(TopKByScore(col("p_score"), col("pid"), 5).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
+    prunedImpactProbe(qt,
+        spark.read.parquet(s"$stage/terms")
+          .select(col("term"), col("term_id"), col("df")),
+        spark.read.parquet(s"$stage/postings"), unit = "pid", k = 5)
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         expr("col.id DIV 1024").as("doc_id"),
         expr("col.id % 1024").as("chunk_idx"),
@@ -2117,8 +2122,8 @@ object AnalyticsQueries {
     * already measured. */
   /** First-8-token polyHash array — the token representation the
     * late-interaction channel scores over (a27 computes it inline,
-    * the a28 stage persists it). */
-  private def tokHashes(text: Column): Column =
+    * the a28 stage persists it, s25 lands it batch by batch). */
+  private[queries] def tokHashes(text: Column): Column =
     transform(slice(TF.words(text), 1, 8), t => TF.polyHash(t))
 
   def a27MaxSimRerank(spark: SparkSession, dir: String): DataFrame = {
@@ -2137,7 +2142,7 @@ object AnalyticsQueries {
   /** The shared MaxSim scoring tail over (doc_id, dh) × (query_id, qh)
     * token-hash frames: broadcast queries onto one pass of the doc
     * side, native kernel per pair, bounded-heap top-20. */
-  private def maxSimTail(d: DataFrame, q: DataFrame): DataFrame = {
+  private[queries] def maxSimTail(d: DataFrame, q: DataFrame): DataFrame = {
     import graft.expressions.TopKByScore
     d.crossJoin(broadcast(q))
       .filter(col("doc_id") =!= col("query_id"))
@@ -2154,8 +2159,13 @@ object AnalyticsQueries {
     * channel's ingest moment — tokenize + hash each document ONCE and
     * persist the (doc_id, token-hash array) table (~72 bytes/doc at 8
     * tokens; at 100 TB the index is ~10⁻⁴× corpus bytes, the a19/m09
-    * economics on the token channel). `meta` is the completeness
-    * marker; keyed by a content fingerprint of documents.parquet. */
+    * economics on the token channel). Rows are range-partitioned and
+    * SORTED by doc_id — the a19 postings trick on the doc axis: an id
+    * predicate on the stored table (a28's doc_id<10 query slice, a29's
+    * shortlist IN-list) prunes parquet row groups to just the probed
+    * docs, so fetch cost tracks the CANDIDATE count, not the corpus.
+    * `meta` is the completeness marker; keyed by a content fingerprint
+    * of documents.parquet. */
   private def stageTokenHashIndex(spark: SparkSession, dir: String,
       force: Boolean = false): String = synchronized {
     val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
@@ -2165,6 +2175,8 @@ object AnalyticsQueries {
     if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
       Tables.documents(spark, dir)
         .select(col("doc_id"), tokHashes(col("text")).as("th"))
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
         .write.mode("overwrite").parquet(s"$stage/tokens")
       spark.read.parquet(s"$stage/tokens").agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$stage/meta")
@@ -2191,6 +2203,222 @@ object AnalyticsQueries {
   def a28MaxSimPrebuilt(spark: SparkSession, dir: String): DataFrame = {
     val stage = stageTokenHashIndex(spark, dir)
     val t = spark.read.parquet(s"$stage/tokens")
+    maxSimTail(
+      t.select(col("doc_id"), col("th").as("dh")),
+      t.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("th").as("qh")))
+  }
+
+  /** a29's candidate depth: how deep the keyword channel's shortlist
+    * runs before MaxSim re-ranks it. ColBERT §3.6 re-ranks the top-k
+    * of a term-matching retriever; 50 comfortably covers the output
+    * top-20 while keeping the re-rank at O(queries·50) kernel calls. */
+  private[graft] val MaxSimShortlist = 50
+
+  /** a29 — late-interaction serving as a RE-RANK over a stored-index
+    * shortlist: the production composition ColBERT §3.6 describes
+    * (Khattab & Zaharia SIGIR'20 — public) and the closure of a28's
+    * one documented scale residual. a27/a28 score EVERY corpus doc per
+    * query — tiny bytes over the token-hash table, but still a
+    * corpus-linear term where every other serving channel (a13, a19,
+    * a26, m09) reads pruned probes. Here the corpus-linear term is
+    * gone end to end:
+    *
+    *  1. CANDIDATES — a19's pruned probe over the persisted inverted
+    *     index at depth [[MaxSimShortlist]]: per query the 8 rarest
+    *     terms, kept-term IN-list pushed onto the term_id-sorted
+    *     stored postings, bounded-heap top-50 by impact sum. Cost:
+    *     Σ df(kept terms) — corpus-INDEPENDENT (a19's measured
+    *     economics, reused verbatim via `outK`).
+    *  2. FETCH — the ≤ queries×50 candidate doc_ids become a
+    *     driver-built IN-list pushed onto the doc_id-SORTED stored
+    *     token-hash table (the same metadata-scale driver hop as
+    *     a19's kept-term list): row-group pruning turns the fetch
+    *     into point lookups — candidate-count cost, not a token-table
+    *     scan. The query-side token arrays come from the same stored
+    *     table (pushed doc_id<10 slice), so no corpus text is touched
+    *     anywhere in the serving plan.
+    *  3. RE-RANK — the native [[graft.expressions.MaxSim]] kernel on
+    *     exactly queries×shortlist pairs, bounded-heap top-20.
+    *
+    * At 100 TB: step 1 is the a19 probe (index seeks), step 2 reads
+    * ~500 rows of a doc_id-sorted table, step 3 is O(500) kernel
+    * calls — query cost is fully decoupled from corpus size, which is
+    * what "serving" means everywhere else in this engine. The oracle
+    * recomputes the ENTIRE stack inline — tf/df/impact, the top-8-
+    * rarest pruning, the depth-50 shortlist, then the full MaxSim
+    * arithmetic restricted to shortlist pairs — so stored indexes +
+    * pushed probes must be output-indistinguishable from the
+    * definition. (Ranks here are shortlist-relative by construction:
+    * a doc the term channel misses entirely can't be re-ranked — the
+    * recall/precision trade every re-rank stack makes, ColBERT
+    * included.) */
+  def a29MaxSimServed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.TopKByScore
+    val kwStage = stageKeywordIndex(spark, dir)
+    val shortlist = kwPrunedSearch(spark, dir,
+        spark.read.parquet(s"$kwStage/terms")
+          .select(col("term"), col("term_id"), col("df")),
+        spark.read.parquet(s"$kwStage/postings"), outK = MaxSimShortlist)
+      .select(col("query_id"), col("doc_id"))
+    // the candidate id list: ≤ queries×MaxSimShortlist longs — the
+    // driver hop that turns the token-hash fetch into a PUSHED parquet
+    // IN-list (row-group seeks on the doc_id-sorted table) instead of
+    // a join against the whole stored table; a19's keptIds protocol
+    // replayed on the doc axis
+    val candIds = shortlist.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val t = spark.read.parquet(s"${stageTokenHashIndex(spark, dir)}/tokens")
+    val cands = t.filter(col("doc_id").isin(candIds: _*))
+    val q = t.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("th").as("qh"))
+    cands.join(broadcast(shortlist), Seq("doc_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("ms", graft.expressions.MaxSim(col("qh"), col("th")))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore(col("ms"), col("doc_id"), 20).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("ms_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The COMPOSED modern serving stack, staged for stress
+    * measurement: keyword shortlist (stored inverted index, depth
+    * [[MaxSimShortlist]]) → reciprocal-rank fusion with the stored
+    * IVF-PQ vector ranks → MMR diversification over the fused head →
+    * MaxSim re-rank of the diversified picks from the stored
+    * token-hash table. Every channel is priced in isolation by
+    * RetrievalStress; this exposes the COMPOSITION's stage boundaries
+    * so the harness can price each hop and its materialization.
+    * Each stage localCheckpoints its output — the materialization
+    * choice a production stack makes between stages: every
+    * intermediate frame is RESULT-scale (≤ queries×50 rows, corpus-
+    * independent by each stage's own serving discipline), so
+    * checkpointing costs nothing and keeps a stage's lineage from
+    * re-executing inside the next stage's plan. Stages must run in
+    * order; outputs thread through the captured vars. */
+  private[graft] def servingStackStages(spark: SparkSession, dir: String)
+      : Seq[(String, () => DataFrame)] = {
+    import graft.expressions.TopKByScore
+    var kwShort: DataFrame = null
+    var fused: DataFrame = null
+    var picked: DataFrame = null
+    Seq(
+      ("kw shortlist d50", () => {
+        val st = stageKeywordIndex(spark, dir)
+        kwShort = kwPrunedSearch(spark, dir,
+          spark.read.parquet(s"$st/terms")
+            .select(col("term"), col("term_id"), col("df")),
+          spark.read.parquet(s"$st/postings"), outK = MaxSimShortlist)
+          .localCheckpoint()
+        kwShort
+      }),
+      ("hybrid RRF top-20", () => {
+        val vec = a13IvfPqSearchPrebuilt(spark, dir)
+          .filter(col("query_id") < 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank").as("vec_rank"))
+        fused = kwShort.select(col("query_id"), col("doc_id"), col("kw_rank"))
+          .join(vec, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("rrf_score", expr(
+            "CAST(coalesce(1000000 DIV (60 + kw_rank), 0) + " +
+              "coalesce(1000000 DIV (60 + vec_rank), 0) AS BIGINT)"))
+          .groupBy(col("query_id"))
+          .agg(TopKByScore(col("rrf_score"), col("doc_id"), 20).as("top"))
+          .select(col("query_id"), posexplode(col("top")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.id").as("doc_id"))
+          .localCheckpoint()
+        fused
+      }),
+      (s"MMR diversify $MmrShortlist->$MmrSelect", () => {
+        val shortlist = fused.filter(col("rank") <= MmrShortlist)
+          .select(col("query_id"), col("doc_id").as("cand_id"))
+        val e = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"),
+            Vectors.normSq(col("embedding")).as("nsq"))
+        val q = e.filter(col("vec_id") < 10).toDF("query_id", "qe", "qn")
+        val c = e.toDF("cand_id", "ce", "cn")
+        val rel = Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn"))
+        picked = mmrGreedyTail(
+          c.join(broadcast(shortlist), Seq("cand_id"))
+            .join(broadcast(q), Seq("query_id"))
+            .select(col("query_id"), col("cand_id"), rel.as("rel"),
+              col("ce"), col("cn")))
+          .localCheckpoint()
+        picked
+      }),
+      ("MaxSim re-rank picks", () => {
+        val ids = picked.select(col("selected_id")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val t = spark.read.parquet(s"${stageTokenHashIndex(spark, dir)}/tokens")
+        val q = t.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"), col("th").as("qh"))
+        t.filter(col("doc_id").isin(ids: _*))
+          .join(broadcast(picked
+            .select(col("query_id"), col("selected_id").as("doc_id"))), Seq("doc_id"))
+          .join(broadcast(q), Seq("query_id"))
+          .withColumn("ms", graft.expressions.MaxSim(col("qh"), col("th")))
+          .groupBy(col("query_id"))
+          .agg(TopKByScore(col("ms"), col("doc_id"), MmrSelect).as("top"))
+          .select(col("query_id"), posexplode(col("top")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.id").as("doc_id"), col("col.score").as("ms_score"))
+      }))
+  }
+
+  /** The a30 CORPUS-HALF token-hash base stage — a28's layout built
+    * from the even doc_ids only (the a12/a20 even/odd increment
+    * protocol replayed on the late-interaction index): the frozen base
+    * an append-only token index updates against. Unlike the keyword
+    * channel there are NO cross-document statistics here — a token-
+    * hash row is a pure per-doc function — so appends carry zero
+    * approximation (no idf drift, no segment-local dictionary): base ∪
+    * increment is EXACTLY the full-corpus index, which is why a30
+    * hash-gates against a27's inline oracle. */
+  private def stageA30TokenBase(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("a30th", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), tokHashes(col("text")).as("th"))
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$stage/tokens")
+      spark.read.parquet(s"$stage/tokens").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the a30 frozen token-hash base staging path. */
+  def a30TokenBaseStage(spark: SparkSession, dir: String): String =
+    stageA30TokenBase(spark, dir)
+
+  /** a30 — APPEND-ONLY token-hash index update + search: the index
+    * lifecycle the late-interaction channel was missing (every other
+    * persisted index has one — a12 PQ codes, a20 keyword postings,
+    * p27 z-order generations, m09→s24 image hashes). The increment
+    * (odd doc_ids) is tokenized at APPEND time — the only moment text
+    * is touched — and unioned with the frozen stored base at search;
+    * stored rows are never rewritten (AnalyticsSpec pins the base
+    * parquet byte-identical across updates). Because a token-hash row
+    * is a pure per-doc function, base ∪ increment ≡ the full inline
+    * index EXACTLY — a30 hash-gates against a27's oracle, the
+    * strongest gate in the family (a20 tolerates frozen-idf drift by
+    * construction; a30 tolerates nothing). Search is a28's brute tail
+    * here to gate the whole union; the pruned serving form over an
+    * appended index is a29's step 2 verbatim (IN-list over base and
+    * increment alike). */
+  def a30TokenIndexUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageA30TokenBase(spark, dir)
+    val inc = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), tokHashes(col("text")).as("th"))
+    val t = spark.read.parquet(s"$stage/tokens").unionByName(inc)
     maxSimTail(
       t.select(col("doc_id"), col("th").as("dh")),
       t.filter(col("doc_id") < 10)
@@ -4046,6 +4274,8 @@ object AnalyticsQueries {
     "a26_mmr_prebuilt" -> a26MmrPrebuilt _,
     "a27_maxsim_rerank" -> a27MaxSimRerank _,
     "a28_maxsim_prebuilt" -> a28MaxSimPrebuilt _,
+    "a29_maxsim_served" -> a29MaxSimServed _,
+    "a30_token_index_update" -> a30TokenIndexUpdate _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "d16_editdist_neardup" -> d16EditDistanceDup _,
@@ -4775,6 +5005,56 @@ object AnalyticsQueries {
          |            (_ma,_mb) -> _ma + _mb))))),
          |      (_na,_nb) -> _na + _nb) AS ms
          |  FROM tk d CROSS JOIN q WHERE d.doc_id <> q.query_id),
+         |r AS (SELECT query_id, doc_id, ms,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ms DESC, doc_id)
+         |      AS rank FROM p)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ms AS ms_score
+         |FROM r WHERE rank <= 20 ORDER BY query_id, rank""".stripMargin,
+    // the whole re-rank stack replayed inline: a19's pruned-keyword
+    // chain (tf/df/impact, top-8-rarest pruning) run to shortlist
+    // depth, then the full MaxSim arithmetic on EXACTLY the shortlist
+    // pairs — the stored keyword index, the stored token-hash table,
+    // and both pushed IN-list probes must together be output-
+    // indistinguishable from the inline definition
+    "a29_maxsim_served" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |idf AS (SELECT term, df,
+         |    CAST(floor(10000.0 * n.n / df) AS BIGINT) AS idf
+         |  FROM dft CROSS JOIN n),
+         |idx AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS impact
+         |  FROM tf JOIN idf USING (term)),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+         |qk AS (SELECT query_id, term FROM (
+         |  SELECT qt.query_id, qt.term, ROW_NUMBER() OVER (
+         |      PARTITION BY qt.query_id ORDER BY idf.df ASC, qt.term ASC) AS trk
+         |  FROM qt JOIN idf USING (term)) WHERE trk <= $KwKeepTerms),
+         |kw AS (SELECT qk.query_id, idx.doc_id,
+         |    CAST(SUM(idx.impact) AS BIGINT) AS kw_score
+         |  FROM idx JOIN qk USING (term) WHERE idx.doc_id <> qk.query_id
+         |  GROUP BY 1, 2),
+         |sl AS (SELECT query_id, doc_id FROM (
+         |  SELECT query_id, doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY kw_score DESC, doc_id) AS kw_rank
+         |  FROM kw) WHERE kw_rank <= $MaxSimShortlist),
+         |tk AS (SELECT doc_id,
+         |    list_transform(${words("text")}[1:8], _mt -> ${polyHash("_mt")}) AS hs
+         |  FROM documents),
+         |q AS (SELECT doc_id AS query_id, hs AS qh FROM tk WHERE doc_id < 10),
+         |p AS (SELECT sl.query_id, sl.doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(q.qh, _mq ->
+         |        list_max(list_transform(d.hs, _md ->
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(range(1, 17), _mj ->
+         |              ((_mq*_mj + _mj*_mj) % 1001 - 500)
+         |                * ((_md*_mj + _mj*_mj) % 1001 - 500))),
+         |            (_ma,_mb) -> _ma + _mb))))),
+         |      (_na,_nb) -> _na + _nb) AS ms
+         |  FROM sl JOIN tk d ON d.doc_id = sl.doc_id
+         |  JOIN q ON q.query_id = sl.query_id),
          |r AS (SELECT query_id, doc_id, ms,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ms DESC, doc_id)
          |      AS rank FROM p)
@@ -5805,5 +6085,10 @@ object AnalyticsQueries {
     ("p27_zorder_increment" -> oracleSqlBase("p26_zorder_scan")) +
     // serving from the persisted token-hash table must be
     // indistinguishable from tokenizing inline
-    ("a28_maxsim_prebuilt" -> oracleSqlBase("a27_maxsim_rerank"))
+    ("a28_maxsim_prebuilt" -> oracleSqlBase("a27_maxsim_rerank")) +
+    // base ∪ increment must be EXACTLY the full inline index — token-
+    // hash rows are pure per-doc functions, so the append-only update
+    // tolerates zero drift (the strongest gate in the index-update
+    // family; a20 by contrast freezes idf by design)
+    ("a30_token_index_update" -> oracleSqlBase("a27_maxsim_rerank"))
 }

@@ -24,8 +24,10 @@ object PipelineQueries {
     * v4: codes_cells gained the filterable `label` attribute column
     * for a14's metadata-filtered search. v5: the p26 z-ordered events
     * stage stopped filtering null-user rows — bounds and the staged
-    * copy now cover the full table.) */
-  val StagingFormatVersion = 5
+    * copy now cover the full table. v6: the a28 token-hash table is
+    * now range-partitioned + sorted by doc_id so id predicates —
+    * a28's query slice, a29's shortlist IN-list — prune row groups.) */
+  val StagingFormatVersion = 6
 
   /** Full-width digest key for a staging identity. Replaces the old
     * 32-bit `String.hashCode`, which can collide two distinct dirs —

@@ -1264,6 +1264,60 @@ object StreamingQueries {
         .select(col("media_id"), col("hash_hi"), col("hash_lo")))
   }
 
+  /** s25 — streamed token-hash INGEST for the late-interaction index:
+    * the s14/s17/s24 landing protocol on the token channel, closing
+    * the last index-lifecycle asymmetry (ANN, keyword, image-hash,
+    * and now token-hash indexes all build → serve → append → stream).
+    * The increment (odd doc_ids) arrives over four micro-batches;
+    * each batch is tokenized + polyHashed ONCE — the only moment text
+    * is touched, a28's decode-at-ingest economics — and lands its
+    * (doc_id, th) rows batch-id-keyed, so a crash-replayed batch
+    * overwrites its own landing idempotently (at-least-once replay
+    * re-lands the same bytes). Because a token-hash row is a pure
+    * per-doc function there are no cross-document statistics to
+    * finalize (no OOV segment, no frozen idf): base ∪ landings is
+    * EXACTLY the full inline index, so the post-stream MaxSim
+    * readback hash-gates against a27's ORACLE — one-shot append (a30)
+    * or four streamed batches, the merged search is identical and
+    * batch boundaries leave no trace. Per-batch cost is
+    * tokenize-only (narrow, no shuffle inside the batch); the landing
+    * is index-scale (~72 bytes/doc), not text-scale. */
+  def s25StreamTokenHashIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = AnalyticsQueries.a30TokenBaseStage(spark, dir)
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s25", dir))
+    val staged = root.resolve("in")
+    stageOnce("s25in", dir, Seq(staged.toString)) {
+      Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    val ingest = root.resolve("landed").toString
+    val hfs = new org.apache.hadoop.fs.Path(ingest)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(ingest), true) // fresh run
+    val inSchema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.select(col("doc_id"),
+              AnalyticsQueries.tokHashes(col("text")).as("th"))
+            .write.mode("overwrite").parquet(s"$ingest/batch=$id")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    val t = spark.read.parquet(s"$base/tokens")
+      .unionByName(spark.read.parquet(ingest).select(col("doc_id"), col("th")))
+    AnalyticsQueries.maxSimTail(
+      t.select(col("doc_id"), col("th").as("dh")),
+      t.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("th").as("qh")))
+  }
+
   /** s22 — streamed ingest decontamination guard (d14's streaming
     * twin, pointed the PRODUCTION direction): d09/d14 audit a frozen
     * corpus for eval overlap after the fact; the guard a training
@@ -1435,6 +1489,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_stream_token_hash_ingest" -> s25StreamTokenHashIngest _,
     "s24_stream_image_hash_ingest" -> s24StreamImageHashIngest _,
     "s23_stream_heavy_hitters" -> s23StreamHeavyHitters _,
     "s22_stream_decontam_guard" -> s22StreamDecontamGuard _,
@@ -1467,6 +1522,11 @@ object StreamingQueries {
     // oracle hash pins that batch boundaries leave no trace in the
     // results the frozen index serves
     "s20_stream_search" -> AnalyticsQueries.oracleSql("a19_keyword_search_prebuilt"),
+    // token hashes are a pure per-doc function, so base ∪ streamed
+    // landings is EXACTLY the full inline index — the SAME oracle
+    // hash pins a27 (inline), a28 (prebuilt), a30 (one-shot append),
+    // and s25 (streamed append): four arrival shapes, one answer
+    "s25_stream_token_hash_ingest" -> AnalyticsQueries.oracleSql("a27_maxsim_rerank"),
     // perceptual hashes are a pure function of the pixels, so the
     // streamed batch-id-keyed landings re-clustered after the drain
     // must be indistinguishable from m07's one-shot decode (and m09's

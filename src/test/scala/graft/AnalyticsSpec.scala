@@ -481,6 +481,74 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(snapshot() == before, "an update run changed the stored corpus postings")
   }
 
+  // a30 is APPEND-ONLY on the token-hash index: an update run reads
+  // the persisted corpus-half token table and hashes only the
+  // increment — stored rows byte-identical, even-ids only, odd-id
+  // (increment) docs searchable in the merged MaxSim scan.
+  test("a30 update leaves stored token hashes byte-identical; increment searchable") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val stage = graft.queries.AnalyticsQueries.a30TokenBaseStage(spark, dir)
+    def snapshot(): Seq[(Long, Seq[Long])] =
+      spark.read.parquet(s"$stage/tokens")
+        .select(col("doc_id"), col("th"))
+        .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    val before = snapshot()
+    assert(before.nonEmpty && before.forall(_._1 % 2 == 0),
+      "stored token-hash base must cover exactly the even doc ids")
+    val got = graft.queries.AnalyticsQueries.a30TokenIndexUpdate(spark, dir)
+      .select(col("query_id"), col("doc_id")).as[(Long, Long)].collect()
+    assert(got.exists(_._2 % 2 == 1), "no increment (odd-id) neighbor surfaced")
+    assert(snapshot() == before, "an update run changed the stored token-hash base")
+  }
+
+  // a30's gate is the strongest in the index-update family: token-hash
+  // rows are pure per-doc functions, so base ∪ increment must equal
+  // the inline full-corpus index EXACTLY — row for row against a27.
+  test("a30 append-only union == a27 inline full rebuild, row for row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long)].collect().toSeq
+    assert(rows(graft.queries.AnalyticsQueries.a30TokenIndexUpdate(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.a27MaxSimRerank(spark, dir)))
+  }
+
+  // s25 streams the increment in four batches; a30 applies it one-shot.
+  // Token-hash rows are pure per-doc functions, so the merged MaxSim
+  // readback must be row-identical — batch boundaries leave no trace.
+  test("s25 streamed token ingest == one-shot a30 update, row for row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long)].collect().toSeq
+    assert(rows(graft.queries.StreamingQueries.s25StreamTokenHashIngest(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.a30TokenIndexUpdate(spark, dir)))
+  }
+
+  // a29 re-ranks WITHIN the keyword channel's shortlist: every result
+  // doc must appear in the depth-50 a19 candidate set for its query,
+  // and scores must agree with the brute a27 MaxSim on those pairs.
+  test("a29 served re-rank stays inside the shortlist; scores match brute MaxSim") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val served = graft.queries.AnalyticsQueries.a29MaxSimServed(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("ms_score"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(served.nonEmpty)
+    val brute = graft.queries.AnalyticsQueries.a27MaxSimRerank(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("ms_score"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, d, s) => (q, d) -> s }.toMap
+    // a27 keeps only its own top-20, so compare where both exist: the
+    // kernel arithmetic must be identical pair for pair
+    val overlap = served.filter { case (q, d, _) => brute.contains((q, d)) }
+    assert(overlap.nonEmpty, "served and brute top-20 share no pairs — suspicious")
+    overlap.foreach { case (q, d, s) =>
+      assert(s == brute((q, d)), s"score mismatch on ($q,$d): served=$s brute=${brute((q, d))}")
+    }
+  }
+
   // s17 streams the increment in four batches; a20 applies it one-shot.
   // Same frozen dictionary, same segment-local OOV stats, same pruned
   // search — the ranked tables must be row-identical (batch boundaries
@@ -1469,5 +1537,28 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     assert(got.forall(p => p._1 == p._2),
       s"native != HOF: ${got.find(p => p._1 != p._2)}")
+  }
+
+  test("MaxSim out-of-domain hashes reduce mod P — no overflow/negative-modulo divergence") {
+    import spark.implicits._
+    // graft_maxsim is a registered SQL function over arbitrary
+    // array<bigint>, but the embedding arithmetic is defined on
+    // polyHash outputs in [0, 1e9+7); the kernel must map any long
+    // onto that domain (h mod P, non-negative) instead of silently
+    // overflowing h·16 or taking Java's negative %
+    val P = 1000000007L
+    val rnd = new scala.util.Random(29)
+    val raw = (0 until 100).map { _ =>
+      val wild = (0 until 4).map(_ => rnd.nextLong()) // full Long range, signs included
+      val q = (0 until 4).map(_ => rnd.nextLong().abs % P)
+      (q, wild)
+    }
+    val got = raw.toDF("qh", "dh")
+      .select(graft.expressions.MaxSim(col("qh"), col("dh")).as("wild"),
+        graft.expressions.MaxSim(col("qh"),
+          transform(col("dh"), h => pmod(h, lit(P)))).as("reduced"))
+      .as[(Long, Long)].collect()
+    assert(got.forall(p => p._1 == p._2),
+      s"out-of-domain input diverged from its mod-P reduction: ${got.find(p => p._1 != p._2)}")
   }
 }

@@ -337,6 +337,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
   }
 
+  test("a29: served re-rank — token fetch is a pushed IN-list; kernel sees only shortlist rows") {
+    val df = graft.queries.AnalyticsQueries.a29MaxSimServed(spark, dir)
+    val p = planOf(df)
+    // the re-rank composition's serving shape (ColBERT §3.6): the
+    // keyword channel generates candidates from ITS stored index, and
+    // the token-hash fetch is a driver-built doc_id IN-list pushed
+    // onto the doc_id-sorted stored token table — row-group seeks at
+    // candidate cardinality, never a token-table scan. The only
+    // corpus-text scan anywhere is the shortlist's pushed doc_id<10
+    // query tokenization (a19's own shape).
+    assert(p.contains("graft_a28th"), s"re-rank must fetch from the persisted token index:\n$p")
+    assert(p.contains("In(doc_id"), s"candidate IN-list not pushed onto the token-table scan:\n$p")
+    assert(p.contains("LessThan(doc_id,10)"),
+      s"query token slice must be a pushed doc_id filter on the stored table:\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).length == 1,
+      s"only the shortlist's query tokenization may touch corpus text:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"re-rank shuffled into a sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"re-rank went cartesian:\n$p")
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+    // quantitative: execute and sum the post-filter row counts above
+    // the token-index scans — the rows the MaxSim kernel can ever
+    // see. Bounded by queries×shortlist candidates + the 10-row query
+    // slice; a corpus-linear term here is the regression this pin
+    // exists to catch (a28's brute shape).
+    df.queryExecution.executedPlan.execute().count()
+    Thread.sleep(500) // SQL metric accumulators land on task end
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(n: SparkPlan): Seq[SparkPlan] = n +: (n match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case o => o.children.flatMap(flatten)
+    })
+    val tokenFilters = flatten(df.queryExecution.executedPlan).collect {
+      case f: FilterExec if f.collectLeaves().exists {
+        case s: FileSourceScanExec =>
+          s.metadata.getOrElse("Location", "").contains("a28th")
+        case _ => false
+      } => f
+    }
+    assert(tokenFilters.nonEmpty, s"no filtered token-index scan found in:\n$p")
+    val kernelVisible = tokenFilters.map(_.metrics("numOutputRows").value).sum
+    val bound = 10L * graft.queries.AnalyticsQueries.MaxSimShortlist + 10L
+    assert(kernelVisible > 0 && kernelVisible <= bound,
+      s"token rows surviving the pushed probes = $kernelVisible, bound $bound — " +
+        "the re-rank is reading beyond the shortlist")
+  }
+
   test("a20: append-only keyword update — stored postings read, corpus never re-tokenized") {
     val p = planOf(graft.queries.AnalyticsQueries.a20KeywordIndexUpdate(spark, dir))
     // the segment shape: stored corpus postings + dictionary are READ
