@@ -82,6 +82,16 @@ object MultimodalStress {
             spark.read.parquet(ihStage)).count()
         }
       }
+      // skew audit on the REAL self-join input: the join partitions on
+      // (band, key); the exact-cluster collapse must keep the hottest
+      // bucket at per-band DISTINCT-hash collision scale — constant
+      // across replication (every image here has ×copies exact
+      // copies), never corpus-multiplicity scale
+      val hot = graft.queries.AnalyticsQueries.bandedClusters(
+          spark.read.parquet(ihStage))
+        .groupBy(col("band"), col("key")).agg(count(lit(1)).as("sz"))
+        .agg(max(col("sz")).as("mx")).head.getLong(0)
+      println(s"[stress] $tag m07/m09 banded-join hottest (band,key) bucket = $hot cluster rows")
       StressFixtures.rmrf(spark, ihStage) // staged fixtures don't outlive the run
     }
     spark.stop()

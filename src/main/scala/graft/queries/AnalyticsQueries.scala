@@ -2425,6 +2425,30 @@ object AnalyticsQueries {
         .select(col("doc_id").as("query_id"), col("th").as("qh")))
   }
 
+  /** a31 — the COMPOSED modern serving stack as ONE oracle-gated
+    * query: keyword shortlist (stored inverted index, depth
+    * [[MaxSimShortlist]]) → reciprocal-rank fusion with the stored
+    * IVF-PQ ranks (a21's integer RRF) → MMR diversification over the
+    * fused top-[[MmrShortlist]] (a25/a26's greedy, λ=0.5) → MaxSim
+    * re-rank of the [[MmrSelect]] picks from the stored token-hash
+    * table. This is exactly [[servingStackStages]] run hop by hop —
+    * the measured ServingStress composition promoted to a gated
+    * query: the oracle replays the ENTIRE stack inline (a19's pruned
+    * tf/df/impact chain at depth 50, a13's full IVF-PQ CTE chain,
+    * the RRF fusion, the unrolled 4-step greedy over exact cosines,
+    * and the MaxSim arithmetic on the picks), so four stored indexes
+    * + three materialization hops + two driver-built IN-list probes
+    * must together be output-indistinguishable from the composition
+    * of the definitions. Scale: every stage past the keyword probe
+    * shuffles candidate-scale rows (RetrievalStress's per-stage
+    * shuffle-record table); nothing here is corpus-coupled except
+    * the probe's Σ df(kept terms). */
+  def a31StackServed(spark: SparkSession, dir: String): DataFrame = {
+    val stages = servingStackStages(spark, dir)
+    stages.dropRight(1).foreach(_._2()) // materialize each hop in order
+    stages.last._2()
+  }
+
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
     * dedup tractable at corpus scale. Pairwise cosine is computed only
@@ -3525,16 +3549,20 @@ object AnalyticsQueries {
     nearDupFromHashes(Multimodal.aHash8(payloads).toDF()
       .select(col("media_id"), col("hash_hi"), col("hash_lo")))
 
-  /** The exact-cluster → banded-Hamming near-dup tail over a bare
-    * (media_id, hash_hi, hash_lo) hash table — m07 feeds it from an
-    * inline decode, m09 from the PERSISTED hash index, s24 from
-    * streamed hash landings. Identical arithmetic in all three, so
-    * one oracle pins them all. */
-  private[graft] def nearDupFromHashes(hashes: DataFrame): DataFrame = {
-    val clusters = hashes
+  /** The banded-cluster frame the near-dup self-join runs over: exact
+    * clusters (one row per DISTINCT hash, lowest member id kept, all
+    * copies counted) exploded into 4×16-bit bands with the band's key
+    * value. Split out so the skew audit (AnalyticsSpec /
+    * MultimodalStress) can measure per-(band, key) bucket sizes on
+    * the REAL join input: the self-join hash-partitions on
+    * (band, key), and the cluster pre-aggregation is what bounds a
+    * hot bucket — a billion exact copies of one meme are ONE row per
+    * band here, so bucket sizes track per-band DISTINCT-hash
+    * collisions, never corpus multiplicity. */
+  private[graft] def bandedClusters(hashes: DataFrame): DataFrame =
+    hashes
       .groupBy(col("hash_hi"), col("hash_lo"))
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_members"))
-    val banded = clusters
       .select(col("hash_hi"), col("hash_lo"), col("keep_id"), col("n_members"),
         explode(expr("array(0, 1, 2, 3)")).as("band"))
       .withColumn("key", expr(
@@ -3542,6 +3570,14 @@ object AnalyticsQueries {
           |     WHEN band = 1 THEN hash_hi % 65536
           |     WHEN band = 2 THEN hash_lo DIV 65536
           |     ELSE hash_lo % 65536 END""".stripMargin))
+
+  /** The exact-cluster → banded-Hamming near-dup tail over a bare
+    * (media_id, hash_hi, hash_lo) hash table — m07 feeds it from an
+    * inline decode, m09 from the PERSISTED hash index, s24 from
+    * streamed hash landings. Identical arithmetic in all three, so
+    * one oracle pins them all. */
+  private[graft] def nearDupFromHashes(hashes: DataFrame): DataFrame = {
+    val banded = bandedClusters(hashes)
     val a = banded.toDF("hi_a", "lo_a", "keep_i", "n_i", "band", "key")
     val b = banded.toDF("hi_b", "lo_b", "keep_j", "n_j", "band", "key")
     a.join(b, Seq("band", "key"))
@@ -4276,6 +4312,7 @@ object AnalyticsQueries {
     "a28_maxsim_prebuilt" -> a28MaxSimPrebuilt _,
     "a29_maxsim_served" -> a29MaxSimServed _,
     "a30_token_index_update" -> a30TokenIndexUpdate _,
+    "a31_stack_served" -> a31StackServed _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "d16_editdist_neardup" -> d16EditDistanceDup _,
@@ -4587,8 +4624,19 @@ object AnalyticsQueries {
     * CTEs `sl(query_id, cand_id, rel)` and `pc(query_id, ai, bi, sim)`
     * — shared by a25 (exact-scan shortlist) and a26 (stored-index
     * shortlist): the selection algebra is one text, only the shortlist
-    * source differs. Already margin-stripped for embedding. */
+    * source differs. Already margin-stripped for embedding.
+    * [[mmrStepCtes]] is the s1..s4 selection algebra alone, for
+    * callers (a31) that consume the picks as a CTE instead of as the
+    * final projection. */
   private lazy val mmrUnrollSql: String =
+    mmrStepCtes + "\n" +
+      """SELECT query_id, 1 AS rank, sel AS selected_id FROM s1
+        |UNION ALL SELECT query_id, 2, sel FROM s2
+        |UNION ALL SELECT query_id, 3, sel FROM s3
+        |UNION ALL SELECT query_id, 4, sel FROM s4
+        |ORDER BY query_id, rank""".stripMargin
+
+  private lazy val mmrStepCtes: String =
     """s1 AS (SELECT query_id, cand_id AS sel FROM (
       |    SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
       |      ORDER BY 0.5*rel - 0.5*0.0 DESC, cand_id) AS r FROM sl) WHERE r = 1),
@@ -4622,12 +4670,7 @@ object AnalyticsQueries {
       |    JOIN pc p2 ON p2.query_id = s.query_id AND p2.ai = s.cand_id
       |      AND p2.bi = s2.sel
       |    JOIN pc p3 ON p3.query_id = s.query_id AND p3.ai = s.cand_id
-      |      AND p3.bi = s3.sel) WHERE r = 1)
-      |SELECT query_id, 1 AS rank, sel AS selected_id FROM s1
-      |UNION ALL SELECT query_id, 2, sel FROM s2
-      |UNION ALL SELECT query_id, 3, sel FROM s3
-      |UNION ALL SELECT query_id, 4, sel FROM s4
-      |ORDER BY query_id, rank""".stripMargin
+      |      AND p3.bi = s3.sel) WHERE r = 1)""".stripMargin
 
   private def ivfPqOracle(mCount: Int, subDim: Int, k: Int, p: Int, l: Int,
       corpusWhere: String = "TRUE"): String =
@@ -5060,6 +5103,83 @@ object AnalyticsQueries {
          |      AS rank FROM p)
          |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ms AS ms_score
          |FROM r WHERE rank <= 20 ORDER BY query_id, rank""".stripMargin,
+    // the ENTIRE composed serving stack replayed inline: a13's full
+    // IVF-PQ CTE chain (reused verbatim), a19's pruned keyword chain
+    // at shortlist depth, a21's integer RRF fusion, the a25/a26
+    // unrolled 4-step greedy over exact cosines on the fused top-12,
+    // and the MaxSim arithmetic on the picks — four stored indexes +
+    // three materialization hops + two pushed IN-list probes must
+    // compose to exactly this definition
+    "a31_stack_served" ->
+      s"""${ivfPqRankedCtes(PqM, PqSubDim, PqK, IvfPqProbes, PqL)},
+         |t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |idf AS (SELECT term, df,
+         |    CAST(floor(10000.0 * n.n / df) AS BIGINT) AS idf
+         |  FROM dft CROSS JOIN n),
+         |idx AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS impact
+         |  FROM tf JOIN idf USING (term)),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+         |qk AS (SELECT query_id, term FROM (
+         |  SELECT qt.query_id, qt.term, ROW_NUMBER() OVER (
+         |      PARTITION BY qt.query_id ORDER BY idf.df ASC, qt.term ASC) AS trk
+         |  FROM qt JOIN idf USING (term)) WHERE trk <= $KwKeepTerms),
+         |kw AS (SELECT qk.query_id, idx.doc_id,
+         |    CAST(SUM(idx.impact) AS BIGINT) AS kw_score
+         |  FROM idx JOIN qk USING (term) WHERE idx.doc_id <> qk.query_id
+         |  GROUP BY 1, 2),
+         |kwt AS (SELECT query_id, doc_id, kw_rank FROM (
+         |  SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank
+         |  FROM kw) WHERE kw_rank <= $MaxSimShortlist),
+         |vt AS (SELECT query_id, neighbor_id AS doc_id, CAST(rank AS INT) AS vec_rank
+         |  FROM r WHERE rank <= 5 AND query_id < 10),
+         |f AS (SELECT COALESCE(kwt.query_id, vt.query_id) AS query_id,
+         |    COALESCE(kwt.doc_id, vt.doc_id) AS doc_id,
+         |    COALESCE(1000000 // (60 + kwt.kw_rank), 0) +
+         |      COALESCE(1000000 // (60 + vt.vec_rank), 0) AS rrf_score
+         |  FROM kwt FULL OUTER JOIN vt
+         |    ON kwt.query_id = vt.query_id AND kwt.doc_id = vt.doc_id),
+         |z AS (SELECT query_id, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+         |  FROM f),
+         |sl AS (SELECT z.query_id, z.doc_id AS cand_id,
+         |    ${cosine(dot("qv9.embedding", "cv9.embedding"), "qv9.nsq", "cv9.nsq")} AS rel
+         |  FROM z JOIN ev qv9 ON qv9.vec_id = z.query_id
+         |  JOIN ev cv9 ON cv9.vec_id = z.doc_id
+         |  WHERE z.rank <= $MmrShortlist),
+         |pc AS (SELECT a.query_id, a.cand_id AS ai, b.cand_id AS bi,
+         |    ${cosine(dot("ea.embedding", "eb.embedding"), "ea.nsq", "eb.nsq")} AS sim
+         |  FROM sl a JOIN sl b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+         |  JOIN ev ea ON ea.vec_id = a.cand_id JOIN ev eb ON eb.vec_id = b.cand_id),
+         |$mmrStepCtes,
+         |picks AS (SELECT query_id, sel FROM s1
+         |  UNION ALL SELECT query_id, sel FROM s2
+         |  UNION ALL SELECT query_id, sel FROM s3
+         |  UNION ALL SELECT query_id, sel FROM s4),
+         |tk9 AS (SELECT doc_id,
+         |    list_transform(${words("text")}[1:8], _mt -> ${polyHash("_mt")}) AS hs
+         |  FROM documents),
+         |p9 AS (SELECT picks.query_id, picks.sel AS doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(qd.hs, _mq ->
+         |        list_max(list_transform(dd.hs, _md ->
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(range(1, 17), _mj ->
+         |              ((_mq*_mj + _mj*_mj) % 1001 - 500)
+         |                * ((_md*_mj + _mj*_mj) % 1001 - 500))),
+         |            (_ma,_mb) -> _ma + _mb))))),
+         |      (_na,_nb) -> _na + _nb) AS ms
+         |  FROM picks JOIN tk9 dd ON dd.doc_id = picks.sel
+         |  JOIN tk9 qd ON qd.doc_id = picks.query_id),
+         |r9 AS (SELECT query_id, doc_id, ms,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ms DESC, doc_id)
+         |      AS rank FROM p9)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ms AS ms_score
+         |FROM r9 ORDER BY query_id, rank""".stripMargin,
     "a26_mmr_prebuilt" ->
       s"""${ivfPqRankedCtes(PqM, PqSubDim, PqK, IvfPqProbes, PqL)},
          |sl AS (SELECT r.query_id, r.neighbor_id AS cand_id, rr.sim AS rel

@@ -1539,6 +1539,38 @@ class AnalyticsSpec extends AnyFunSuite {
       s"native != HOF: ${got.find(p => p._1 != p._2)}")
   }
 
+  test("m07/m09 banded self-join skew: a mega-duplicate never inflates a (band, key) bucket") {
+    import spark.implicits._
+    // the near-dup self-join hash-partitions on (band, key) — the one
+    // place a pathological corpus could funnel into a single reducer.
+    // The structural defense is the exact-cluster pre-aggregation:
+    // multiplicity collapses BEFORE banding, so bucket sizes track
+    // per-band DISTINCT-hash collisions only. Pin it on the real join
+    // input with the worst case: one hash carried by 50k media ids
+    // (the billion-copies-of-one-meme shape) amid 1k distinct hashes.
+    val rnd = new scala.util.Random(31)
+    val distinctRows = (0 until 1000).map { i =>
+      (50000L + i, rnd.nextLong().abs % (1L << 32), rnd.nextLong().abs % (1L << 32))
+    }
+    val megaDup = (0 until 50000).map(i => (i.toLong, 123456789L, 987654321L))
+    val hashes = (megaDup ++ distinctRows).toDF("media_id", "hash_hi", "hash_lo")
+    val buckets = graft.queries.AnalyticsQueries.bandedClusters(hashes)
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("sz"))
+      .agg(max(col("sz")).as("mx")).head.getLong(0)
+    // 1001 distinct hashes over 4×65536 buckets: the hot bucket must
+    // be collision-scale (birthday bound ~ a handful), never anywhere
+    // near the 50k corpus multiplicity — 64 is two orders of slack
+    assert(buckets <= 64L,
+      s"hot (band, key) bucket carries $buckets cluster rows — " +
+        "multiplicity leaked past the exact-cluster collapse")
+    // and the mega-dup still surfaces correctly: one cluster row,
+    // every copy counted
+    val mega = graft.queries.AnalyticsQueries.bandedClusters(hashes)
+      .filter(col("hash_hi") === 123456789L && col("band") === 0)
+      .select(col("n_members")).head.getLong(0)
+    assert(mega == 50000L, s"mega-dup cluster collapsed to n_members=$mega, want 50000")
+  }
+
   test("MaxSim out-of-domain hashes reduce mod P — no overflow/negative-modulo divergence") {
     import spark.implicits._
     // graft_maxsim is a registered SQL function over arbitrary
