@@ -2253,7 +2253,22 @@ object AnalyticsQueries {
     * a doc the term channel misses entirely can't be re-ranked — the
     * recall/precision trade every re-rank stack makes, ColBERT
     * included.) */
-  def a29MaxSimServed(spark: SparkSession, dir: String): DataFrame = {
+  def a29MaxSimServed(spark: SparkSession, dir: String): DataFrame =
+    maxSimRerankServed(spark, dir,
+      spark.read.parquet(s"${stageTokenHashIndex(spark, dir)}/tokens"))
+
+  /** The shared served-re-rank composition over ANY stored token-hash
+    * frame `t` (doc_id, th): a19 shortlist at depth
+    * [[MaxSimShortlist]], candidate ids collected to a driver-built
+    * IN-list PUSHED onto `t` (row-group seeks on the doc_id-sorted
+    * layout — a19's keptIds protocol replayed on the doc axis; the
+    * id list is ≤ queries×shortlist longs, metadata not data), query
+    * token slice from the same stored frame, native kernel on exactly
+    * the shortlist pairs. a29 feeds it the monolithic a28 table, a32
+    * the appended base ∪ segment layout — one definition, so the
+    * serving discipline can't drift between the two layouts. */
+  private def maxSimRerankServed(spark: SparkSession, dir: String,
+      t: DataFrame): DataFrame = {
     import graft.expressions.TopKByScore
     val kwStage = stageKeywordIndex(spark, dir)
     val shortlist = kwPrunedSearch(spark, dir,
@@ -2261,14 +2276,8 @@ object AnalyticsQueries {
           .select(col("term"), col("term_id"), col("df")),
         spark.read.parquet(s"$kwStage/postings"), outK = MaxSimShortlist)
       .select(col("query_id"), col("doc_id"))
-    // the candidate id list: ≤ queries×MaxSimShortlist longs — the
-    // driver hop that turns the token-hash fetch into a PUSHED parquet
-    // IN-list (row-group seeks on the doc_id-sorted table) instead of
-    // a join against the whole stored table; a19's keptIds protocol
-    // replayed on the doc axis
     val candIds = shortlist.select(col("doc_id")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    val t = spark.read.parquet(s"${stageTokenHashIndex(spark, dir)}/tokens")
     val cands = t.filter(col("doc_id").isin(candIds: _*))
     val q = t.filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"), col("th").as("qh"))
@@ -2424,6 +2433,49 @@ object AnalyticsQueries {
       t.filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"), col("th").as("qh")))
   }
+
+  /** The a32 increment SEGMENT stage: the odd-id token hashes
+    * persisted as their own doc_id-sorted segment BESIDE the frozen
+    * a30 base — the landed form an append actually leaves on disk
+    * (a20's segment protocol on the token channel; a30 tokenizes the
+    * increment inline to gate the layout algebra, this stage is the
+    * persisted artifact serving reads). Keyed by a content
+    * fingerprint of documents.parquet. */
+  private def stageA32IncrementSegment(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("a32seg", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), tokHashes(col("text")).as("th"))
+        .repartitionByRange(2, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$stage/tokens")
+      spark.read.parquet(s"$stage/tokens").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** a32 — the shortlist re-rank SERVED FROM THE APPENDED token
+    * index: a29's exact composition reading base ∪ increment segment
+    * instead of the monolithic a28 table — the serving form a30's
+    * scaladoc defers ("the pruned serving form over an appended index
+    * is a29's step 2 verbatim: IN-list over base and increment
+    * alike"), now a query. Catalyst pushes the candidate IN-list and
+    * the query doc_id slice into BOTH union branches (PlanAuditSpec
+    * pins both scans carry the pushed filter), so serving cost stays
+    * candidate-count-shaped no matter how many generations the index
+    * has accumulated — appends never force a re-index and never
+    * degrade the serve path. Hash-gated with a29's ORACLE: monolithic
+    * or generational layout must be output-indistinguishable. */
+  def a32RerankAppended(spark: SparkSession, dir: String): DataFrame =
+    maxSimRerankServed(spark, dir,
+      spark.read.parquet(s"${stageA30TokenBase(spark, dir)}/tokens")
+        .unionByName(
+          spark.read.parquet(s"${stageA32IncrementSegment(spark, dir)}/tokens")))
 
   /** a31 — the COMPOSED modern serving stack as ONE oracle-gated
     * query: keyword shortlist (stored inverted index, depth
@@ -4313,6 +4365,7 @@ object AnalyticsQueries {
     "a29_maxsim_served" -> a29MaxSimServed _,
     "a30_token_index_update" -> a30TokenIndexUpdate _,
     "a31_stack_served" -> a31StackServed _,
+    "a32_rerank_appended" -> a32RerankAppended _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "d16_editdist_neardup" -> d16EditDistanceDup _,
@@ -6210,5 +6263,8 @@ object AnalyticsQueries {
     // hash rows are pure per-doc functions, so the append-only update
     // tolerates zero drift (the strongest gate in the index-update
     // family; a20 by contrast freezes idf by design)
-    ("a30_token_index_update" -> oracleSqlBase("a27_maxsim_rerank"))
+    ("a30_token_index_update" -> oracleSqlBase("a27_maxsim_rerank")) +
+    // the generational (base ∪ segment) layout must serve the re-rank
+    // exactly as the monolithic table does — same SQL, same hash
+    ("a32_rerank_appended" -> oracleSqlBase("a29_maxsim_served"))
 }

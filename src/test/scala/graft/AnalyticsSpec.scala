@@ -514,6 +514,19 @@ class AnalyticsSpec extends AnyFunSuite {
       rows(graft.queries.AnalyticsQueries.a27MaxSimRerank(spark, dir)))
   }
 
+  // a32 serves the identical re-rank from the generational (base ∪
+  // increment segment) layout; a29 from the monolithic table. The
+  // layouts hold the same rows, so the served output must be
+  // row-identical — generations leave no trace in what the index serves.
+  test("a32 appended-index re-rank == a29 monolithic re-rank, row for row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long)].collect().toSeq
+    assert(rows(graft.queries.AnalyticsQueries.a32RerankAppended(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.a29MaxSimServed(spark, dir)))
+  }
+
   // s25 streams the increment in four batches; a30 applies it one-shot.
   // Token-hash rows are pure per-doc functions, so the merged MaxSim
   // readback must be row-identical — batch boundaries leave no trace.

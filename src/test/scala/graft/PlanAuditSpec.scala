@@ -385,6 +385,29 @@ class PlanAuditSpec extends AnyFunSuite {
         "the re-rank is reading beyond the shortlist")
   }
 
+  test("a32: appended-index re-rank — the IN-list pushes into BOTH generation scans") {
+    val df = graft.queries.AnalyticsQueries.a32RerankAppended(spark, dir)
+    val p = planOf(df)
+    // the generational serving shape: base and increment segment are
+    // separate parquet layouts under a union, and Catalyst must push
+    // the candidate IN-list and the query doc_id slice into EACH
+    // branch — an unfiltered branch means one generation is scanned
+    // whole on every query, and serving degrades with index age
+    assert(p.contains("graft_a30th"), s"re-rank must read the frozen base segment:\n$p")
+    assert(p.contains("graft_a32seg"), s"re-rank must read the increment segment:\n$p")
+    for (seg <- Seq("a30th", "a32seg")) {
+      val scans = p.linesIterator.filter(l =>
+        l.contains(s"graft_$seg") && l.contains("PushedFilters")).toSeq
+      assert(scans.nonEmpty && scans.forall(l =>
+        l.contains("In(doc_id") || l.contains("LessThan(doc_id,10)")),
+        s"a $seg scan lacks the pushed doc_id probe:\n$p")
+    }
+    assert("documents\\.parquet".r.findAllIn(p).length == 1,
+      s"only the shortlist's query tokenization may touch corpus text:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"re-rank shuffled into a sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"re-rank went cartesian:\n$p")
+  }
+
   test("a20: append-only keyword update — stored postings read, corpus never re-tokenized") {
     val p = planOf(graft.queries.AnalyticsQueries.a20KeywordIndexUpdate(spark, dir))
     // the segment shape: stored corpus postings + dictionary are READ
