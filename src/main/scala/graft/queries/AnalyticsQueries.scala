@@ -1016,9 +1016,9 @@ object AnalyticsQueries {
     * coarse centroid table — the query-side half of IVF: queries×P
     * rows, broadcastable onto any cell-keyed index. */
   private def ivfProbes(spark: SparkSession, dir: String, coarse: DataFrame,
-      p: Int): DataFrame = {
+      p: Int, queryFilter: Column = col("vec_id") < 20): DataFrame = {
     import graft.expressions.{QuantizeI8, TopKByScore}
-    Tables.embeddings(spark, dir).filter(col("vec_id") < 20)
+    Tables.embeddings(spark, dir).filter(queryFilter)
       .select(col("vec_id"), QuantizeI8(col("embedding")).as("q"))
       .join(broadcast(coarse), lit(true))
       .withColumn("d", pqDist(col("q"), col("mm")))
@@ -1105,14 +1105,15 @@ object AnalyticsQueries {
     * sweeps the (probes, L) frontier; the gated a13 fixes both to the
     * corpus-scaled defaults so the oracle hash pins them. */
   def ivfPqSearchPrebuiltTuned(spark: SparkSession, dir: String,
-      probesN: Int, shortlistL: Int, outK: Int = 5): DataFrame = {
+      probesN: Int, shortlistL: Int, outK: Int = 5,
+      queryFilter: Column = col("vec_id") < 20): DataFrame = {
     val pqStage = stagePqIndex(spark, dir)
     val ivfStage = stageIvfIndex(spark, dir)
     val codesCells = spark.read.parquet(s"$ivfStage/codes_cells")
     val cbAll = spark.read.parquet(s"$pqStage/codebooks")
     val coarse = spark.read.parquet(s"$ivfStage/coarse")
-    val probes = ivfProbes(spark, dir, coarse, probesN)
-    val qside = pqSubcodes(Tables.embeddings(spark, dir).filter(col("vec_id") < 20))
+    val probes = ivfProbes(spark, dir, coarse, probesN, queryFilter)
+    val qside = pqSubcodes(Tables.embeddings(spark, dir).filter(queryFilter))
       .withColumnRenamed("vec_id", "query_id")
     // candidate set: only (code row, query) pairs whose cell the query
     // probes — probes broadcast onto the stored inverted-list layout;
@@ -2308,27 +2309,57 @@ object AnalyticsQueries {
     * re-executing inside the next stage's plan. Stages must run in
     * order; outputs thread through the captured vars. */
   private[graft] def servingStackStages(spark: SparkSession, dir: String)
-      : Seq[(String, () => DataFrame)] = {
+      : Seq[(String, () => DataFrame)] =
+    servingStackStagesFor(spark, dir,
+      Tables.documents(spark, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text")))
+
+  /** The same staged composition over an EXPLICIT query-doc frame
+    * (doc_id, text) — so a streamed serving loop (s26) can run the
+    * whole stack per micro-batch of queries against the four frozen
+    * indexes, exactly as s20 does for the bare keyword channel. The
+    * query-id list is collected once (query-BATCH-scale, ≤ the
+    * micro-batch size) and drives every per-channel query predicate:
+    * the vector probes, the MMR relevance slice, and the token-hash
+    * query fetch all push `vec_id/doc_id IN (batch)` onto their
+    * stored artifacts. Every stage is per-query decomposable, so the
+    * union of per-batch results ≡ the one-shot run — a31's oracle
+    * gates s26 unchanged. */
+  private[graft] def servingStackStagesFor(spark: SparkSession, dir: String,
+      qdocs: DataFrame): Seq[(String, () => DataFrame)] = {
     import graft.expressions.TopKByScore
+    // every hop is pinned with an eager localCheckpoint: intermediates
+    // are query-batch-scale (≤ queries×50 rows), so the pin is free,
+    // and a stage's lineage never re-executes inside the next stage's
+    // plan — measured against the lazy alternative (lineage flowing
+    // into the final action, greedy re-executed per consumer): no win
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+    lazy val queryIds: Seq[Long] = qdocs.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
     var kwShort: DataFrame = null
     var fused: DataFrame = null
     var picked: DataFrame = null
     Seq(
       ("kw shortlist d50", () => {
         val st = stageKeywordIndex(spark, dir)
-        kwShort = kwPrunedSearch(spark, dir,
+        kwShort = pin(kwPrunedSearchFor(spark,
+          qdocs.select(col("doc_id").as("query_id"),
+              explode(TF.words(col("text"))).as("term"))
+            .distinct(),
           spark.read.parquet(s"$st/terms")
             .select(col("term"), col("term_id"), col("df")),
-          spark.read.parquet(s"$st/postings"), outK = MaxSimShortlist)
-          .localCheckpoint()
+          spark.read.parquet(s"$st/postings"), outK = MaxSimShortlist))
         kwShort
       }),
       ("hybrid RRF top-20", () => {
-        val vec = a13IvfPqSearchPrebuilt(spark, dir)
-          .filter(col("query_id") < 10)
+        val meta = spark.read.parquet(s"${stageIvfIndex(spark, dir)}/meta").head
+        val vec = ivfPqSearchPrebuiltTuned(spark, dir,
+            scaledProbes(meta.getAs[Int]("k")),
+            math.max(PqL.toLong, meta.getAs[Long]("n") / 20).toInt,
+            queryFilter = col("vec_id").isin(queryIds: _*))
           .select(col("query_id"), col("neighbor_id").as("doc_id"),
             col("rank").as("vec_rank"))
-        fused = kwShort.select(col("query_id"), col("doc_id"), col("kw_rank"))
+        fused = pin(kwShort.select(col("query_id"), col("doc_id"), col("kw_rank"))
           .join(vec, Seq("query_id", "doc_id"), "full_outer")
           .withColumn("rrf_score", expr(
             "CAST(coalesce(1000000 DIV (60 + kw_rank), 0) + " +
@@ -2337,8 +2368,7 @@ object AnalyticsQueries {
           .agg(TopKByScore(col("rrf_score"), col("doc_id"), 20).as("top"))
           .select(col("query_id"), posexplode(col("top")))
           .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-            col("col.id").as("doc_id"))
-          .localCheckpoint()
+            col("col.id").as("doc_id")))
         fused
       }),
       (s"MMR diversify $MmrShortlist->$MmrSelect", () => {
@@ -2347,22 +2377,22 @@ object AnalyticsQueries {
         val e = Tables.embeddings(spark, dir)
           .select(col("vec_id"), col("embedding"),
             Vectors.normSq(col("embedding")).as("nsq"))
-        val q = e.filter(col("vec_id") < 10).toDF("query_id", "qe", "qn")
+        val q = e.filter(col("vec_id").isin(queryIds: _*))
+          .toDF("query_id", "qe", "qn")
         val c = e.toDF("cand_id", "ce", "cn")
         val rel = Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn"))
-        picked = mmrGreedyTail(
+        picked = pin(mmrGreedyTail(
           c.join(broadcast(shortlist), Seq("cand_id"))
             .join(broadcast(q), Seq("query_id"))
             .select(col("query_id"), col("cand_id"), rel.as("rel"),
-              col("ce"), col("cn")))
-          .localCheckpoint()
+              col("ce"), col("cn"))))
         picked
       }),
       ("MaxSim re-rank picks", () => {
         val ids = picked.select(col("selected_id")).distinct()
           .collect().map(_.getLong(0)).sorted.toSeq
         val t = spark.read.parquet(s"${stageTokenHashIndex(spark, dir)}/tokens")
-        val q = t.filter(col("doc_id") < 10)
+        val q = t.filter(col("doc_id").isin(queryIds: _*))
           .select(col("doc_id").as("query_id"), col("th").as("qh"))
         t.filter(col("doc_id").isin(ids: _*))
           .join(broadcast(picked
@@ -2374,6 +2404,7 @@ object AnalyticsQueries {
           .select(col("query_id"), posexplode(col("top")))
           .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
             col("col.id").as("doc_id"), col("col.score").as("ms_score"))
+          .orderBy(col("query_id"), col("rank"))
       }))
   }
 

@@ -1318,6 +1318,57 @@ object StreamingQueries {
         .select(col("doc_id").as("query_id"), col("th").as("qh")))
   }
 
+  /** s26 — the COMPOSED serving stack under a STREAMED query load:
+    * s20's frozen-index serving loop run over the whole modern stack
+    * instead of the bare keyword channel. Queries arrive over four
+    * micro-batches; each batch runs the full a31 composition against
+    * the four FROZEN stored indexes — keyword shortlist (depth 50)
+    * from the inverted index, RRF fusion with the stored-IVF-PQ
+    * ranks, MMR diversification, MaxSim re-rank from the token-hash
+    * table — and lands its final ranking batch-id-keyed (idempotent
+    * overwrite on replay). Nothing is built inside the stream: every
+    * per-batch cost is a query-batch-scale probe of a stored artifact
+    * (the batch's ids push as IN-lists onto the vector, embedding,
+    * and token layouts — [[AnalyticsQueries.servingStackStagesFor]]).
+    * Every stage of the stack is per-query decomposable, so the
+    * union of per-batch landings must be row-identical to the
+    * one-shot a31 — batch boundaries leave no trace in what the
+    * indexes serve, and the gate is a31's ORACLE, which replays all
+    * four chains inline. */
+  def s26StreamStackServing(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s26", dir))
+    val staged = root.resolve("in")
+    stageOnce("s26in", dir, Seq(staged.toString)) {
+      Tables.documents(spark, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    val served = root.resolve("served").toString
+    val hfs = new org.apache.hadoop.fs.Path(served)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(served), true) // fresh run
+    val inSchema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val stages = AnalyticsQueries.servingStackStagesFor(spark, dir,
+            batch.select(col("doc_id"), col("text")))
+          stages.dropRight(1).foreach(_._2()) // shortlist → fuse → diversify
+          stages.last._2()
+            .write.mode("overwrite").parquet(s"$served/batch=$id")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.read.parquet(served)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("ms_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** s22 — streamed ingest decontamination guard (d14's streaming
     * twin, pointed the PRODUCTION direction): d09/d14 audit a frozen
     * corpus for eval overlap after the fact; the guard a training
@@ -1489,6 +1540,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s26_stream_stack_serving" -> s26StreamStackServing _,
     "s25_stream_token_hash_ingest" -> s25StreamTokenHashIngest _,
     "s24_stream_image_hash_ingest" -> s24StreamImageHashIngest _,
     "s23_stream_heavy_hitters" -> s23StreamHeavyHitters _,
@@ -1522,6 +1574,11 @@ object StreamingQueries {
     // oracle hash pins that batch boundaries leave no trace in the
     // results the frozen index serves
     "s20_stream_search" -> AnalyticsQueries.oracleSql("a19_keyword_search_prebuilt"),
+    // every stage of the composed stack is per-query decomposable, so
+    // four query micro-batches against the frozen indexes must union
+    // to exactly the one-shot composition — a31's full-stack oracle
+    // (all four chains replayed inline) pins the streamed serve
+    "s26_stream_stack_serving" -> AnalyticsQueries.oracleSql("a31_stack_served"),
     // token hashes are a pure per-doc function, so base ∪ streamed
     // landings is EXACTLY the full inline index — the SAME oracle
     // hash pins a27 (inline), a28 (prebuilt), a30 (one-shot append),

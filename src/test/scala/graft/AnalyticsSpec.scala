@@ -514,6 +514,21 @@ class AnalyticsSpec extends AnyFunSuite {
       rows(graft.queries.AnalyticsQueries.a27MaxSimRerank(spark, dir)))
   }
 
+  // s26 streams the queries in four micro-batches through the FULL
+  // composed stack (kw shortlist → RRF → MMR → MaxSim) against the
+  // frozen indexes; a31 serves them in one shot. Every stage is
+  // per-query decomposable, so the union of per-batch landings must
+  // be row-identical — batch boundaries leave no trace.
+  test("s26 streamed stack serving == one-shot a31 composition, row for row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank"), col("doc_id"), col("ms_score"))
+        .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(rows(graft.queries.StreamingQueries.s26StreamStackServing(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.a31StackServed(spark, dir)))
+  }
+
   // a32 serves the identical re-rank from the generational (base ∪
   // increment segment) layout; a29 from the monolithic table. The
   // layouts hold the same rows, so the served output must be
