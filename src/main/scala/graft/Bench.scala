@@ -109,9 +109,13 @@ object Bench {
     val copyPath = sys.env.get("SPARK_GRAFT_BENCH_COPY")
       .map(java.nio.file.Paths.get(_))
       .orElse {
+        // anchor on build.sbt AND .git so a nested sbt sub-build (or
+        // a different sbt project above CWD) can't silently swallow
+        // the record — only a repository root qualifies
         Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
           .takeWhile(_ != null)
-          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")) &&
+            java.nio.file.Files.exists(p.resolve(".git")))
           .map(_.resolve("BENCH_full_latest.json"))
       }
     copyPath match {

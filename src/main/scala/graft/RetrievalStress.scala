@@ -151,9 +151,10 @@ object RetrievalStress {
         graft.queries.AnalyticsQueries.a27MaxSimRerank(spark, dir).count()
       }
       // token-hash index build (one-time ingest cost; the composite
-      // below serves warm from it)
+      // below serves warm from it) — forced, so a warm /tmp stage
+      // can't turn this row into a timed fingerprint check
       timed(s"a28 token index build     $tag") {
-        graft.queries.AnalyticsQueries.tokenHashStage(spark, dir); 1L
+        graft.queries.AnalyticsQueries.rebuildTokenHashStage(spark, dir); 1L
       }
       // the COMPOSED modern serving stack — keyword shortlist → RRF
       // fuse with stored-IVF-PQ ranks → MMR diversification → MaxSim

@@ -2082,18 +2082,31 @@ object AnalyticsQueries {
       outK = MmrShortlist)
   }
 
-  def a26MmrPrebuilt(spark: SparkSession, dir: String): DataFrame = {
-    val shortlist = a26IndexShortlist(spark, dir)
-      .select(col("query_id"), col("neighbor_id").as("cand_id"))
+  def a26MmrPrebuilt(spark: SparkSession, dir: String): DataFrame =
+    mmrOverShortlist(spark, dir,
+      a26IndexShortlist(spark, dir)
+        .select(col("query_id"), col("neighbor_id").as("cand_id")),
+      col("vec_id") < 20)
+
+  /** The shared serving-time diversification step over ANY
+    * (query_id, cand_id) shortlist: candidate and query embeddings
+    * fetched by broadcast equi-joins of the queries×k id list (the
+    * corpus is never scanned), exact-cosine relevance in FloatDot's
+    * fold order, then the per-query [[mmrGreedyTail]]. a26 feeds it
+    * the stored-IVF-PQ top-12, the a31/s26 stack its fused RRF head —
+    * one definition, so a change to the fetch or broadcast discipline
+    * can't silently diverge the two channels. */
+  private def mmrOverShortlist(spark: SparkSession, dir: String,
+      shortlist: DataFrame, queryFilter: Column): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), Vectors.normSq(col("embedding")).as("nsq"))
-    val q = e.filter(col("vec_id") < 20).toDF("query_id", "qe", "qn")
+    val q = e.filter(queryFilter).toDF("query_id", "qe", "qn")
     val c = e.toDF("cand_id", "ce", "cn")
     val rel = Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn"))
-    val cands = c.join(broadcast(shortlist), Seq("cand_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("cand_id"), rel.as("rel"), col("ce"), col("cn"))
-    mmrGreedyTail(cands)
+    mmrGreedyTail(
+      c.join(broadcast(shortlist), Seq("cand_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"), rel.as("rel"), col("ce"), col("cn")))
   }
 
   /** a27 — LATE-INTERACTION retrieval (MaxSim; Khattab & Zaharia,
@@ -2168,15 +2181,29 @@ object AnalyticsQueries {
     * `meta` is the completeness marker; keyed by a content fingerprint
     * of documents.parquet. */
   private def stageTokenHashIndex(spark: SparkSession, dir: String,
-      force: Boolean = false): String = synchronized {
+      force: Boolean = false): String =
+    stageTokenTable(spark, dir, "a28th", lit(true), partitions = 4, force)
+
+  /** ONE staging protocol for every persisted token-hash layout (a28
+    * full table, a30 even-half base, a32 odd-half segment): tokenize
+    * the selected documents ONCE, land (doc_id, th) range-partitioned
+    * + SORTED by doc_id — the a19 postings trick on the doc axis, so
+    * id predicates (a28's query slice, a29/a32's candidate IN-lists)
+    * prune row groups to just the probed docs — and write the `meta`
+    * count last as the completeness marker. Keyed by a content
+    * fingerprint of documents.parquet; a change to the marker
+    * semantics or the sort layout lands in all three layouts at
+    * once. */
+  private def stageTokenTable(spark: SparkSession, dir: String, tag: String,
+      docFilter: Column, partitions: Int, force: Boolean): String = synchronized {
     val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
-    val stage = PipelineQueries.staging("a28th", s"$dir#$fp")
+    val stage = PipelineQueries.staging(tag, s"$dir#$fp")
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
-      Tables.documents(spark, dir)
+      Tables.documents(spark, dir).filter(docFilter)
         .select(col("doc_id"), tokHashes(col("text")).as("th"))
-        .repartitionByRange(4, col("doc_id"))
+        .repartitionByRange(partitions, col("doc_id"))
         .sortWithinPartitions(col("doc_id"))
         .write.mode("overwrite").parquet(s"$stage/tokens")
       spark.read.parquet(s"$stage/tokens").agg(count(lit(1)).as("n"))
@@ -2184,6 +2211,13 @@ object AnalyticsQueries {
     }
     stage
   }
+
+  /** Stress hook: rebuild the persisted token-hash index
+    * unconditionally — isolates tokenize+hash ingest cost from the
+    * searches it amortizes (a build-if-missing call on a warm /tmp
+    * would time a fingerprint check, not the build). */
+  def rebuildTokenHashStage(spark: SparkSession, dir: String): String =
+    stageTokenHashIndex(spark, dir, force = true)
 
   /** Stress/test hook: the persisted a28 token-hash index path,
     * build-if-missing. */
@@ -2272,11 +2306,16 @@ object AnalyticsQueries {
       t: DataFrame): DataFrame = {
     import graft.expressions.TopKByScore
     val kwStage = stageKeywordIndex(spark, dir)
+    // pinned: the candIds collect below and the broadcast into the
+    // final plan both consume the shortlist — unpinned, the whole
+    // pruned probe (the one corpus-coupled term here) would execute
+    // twice per serve
     val shortlist = kwPrunedSearch(spark, dir,
         spark.read.parquet(s"$kwStage/terms")
           .select(col("term"), col("term_id"), col("df")),
         spark.read.parquet(s"$kwStage/postings"), outK = MaxSimShortlist)
       .select(col("query_id"), col("doc_id"))
+      .localCheckpoint()
     val candIds = shortlist.select(col("doc_id")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     val cands = t.filter(col("doc_id").isin(candIds: _*))
@@ -2372,20 +2411,10 @@ object AnalyticsQueries {
         fused
       }),
       (s"MMR diversify $MmrShortlist->$MmrSelect", () => {
-        val shortlist = fused.filter(col("rank") <= MmrShortlist)
-          .select(col("query_id"), col("doc_id").as("cand_id"))
-        val e = Tables.embeddings(spark, dir)
-          .select(col("vec_id"), col("embedding"),
-            Vectors.normSq(col("embedding")).as("nsq"))
-        val q = e.filter(col("vec_id").isin(queryIds: _*))
-          .toDF("query_id", "qe", "qn")
-        val c = e.toDF("cand_id", "ce", "cn")
-        val rel = Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn"))
-        picked = pin(mmrGreedyTail(
-          c.join(broadcast(shortlist), Seq("cand_id"))
-            .join(broadcast(q), Seq("query_id"))
-            .select(col("query_id"), col("cand_id"), rel.as("rel"),
-              col("ce"), col("cn"))))
+        picked = pin(mmrOverShortlist(spark, dir,
+          fused.filter(col("rank") <= MmrShortlist)
+            .select(col("query_id"), col("doc_id").as("cand_id")),
+          col("vec_id").isin(queryIds: _*)))
         picked
       }),
       ("MaxSim re-rank picks", () => {
@@ -2418,22 +2447,9 @@ object AnalyticsQueries {
     * increment is EXACTLY the full-corpus index, which is why a30
     * hash-gates against a27's inline oracle. */
   private def stageA30TokenBase(spark: SparkSession, dir: String,
-      force: Boolean = false): String = synchronized {
-    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
-    val stage = PipelineQueries.staging("a30th", s"$dir#$fp")
-    val fs = new org.apache.hadoop.fs.Path(stage)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
-      Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), tokHashes(col("text")).as("th"))
-        .repartitionByRange(4, col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))
-        .write.mode("overwrite").parquet(s"$stage/tokens")
-      spark.read.parquet(s"$stage/tokens").agg(count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"$stage/meta")
-    }
-    stage
-  }
+      force: Boolean = false): String =
+    stageTokenTable(spark, dir, "a30th", col("doc_id") % 2 === 0,
+      partitions = 4, force)
 
   /** Test hook: the a30 frozen token-hash base staging path. */
   def a30TokenBaseStage(spark: SparkSession, dir: String): String =
@@ -2473,22 +2489,9 @@ object AnalyticsQueries {
     * persisted artifact serving reads). Keyed by a content
     * fingerprint of documents.parquet. */
   private def stageA32IncrementSegment(spark: SparkSession, dir: String,
-      force: Boolean = false): String = synchronized {
-    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
-    val stage = PipelineQueries.staging("a32seg", s"$dir#$fp")
-    val fs = new org.apache.hadoop.fs.Path(stage)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
-      Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), tokHashes(col("text")).as("th"))
-        .repartitionByRange(2, col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))
-        .write.mode("overwrite").parquet(s"$stage/tokens")
-      spark.read.parquet(s"$stage/tokens").agg(count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"$stage/meta")
-    }
-    stage
-  }
+      force: Boolean = false): String =
+    stageTokenTable(spark, dir, "a32seg", col("doc_id") % 2 === 1,
+      partitions = 2, force)
 
   /** a32 — the shortlist re-rank SERVED FROM THE APPENDED token
     * index: a29's exact composition reading base ∪ increment segment

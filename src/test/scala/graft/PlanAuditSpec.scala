@@ -351,8 +351,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("In(doc_id"), s"candidate IN-list not pushed onto the token-table scan:\n$p")
     assert(p.contains("LessThan(doc_id,10)"),
       s"query token slice must be a pushed doc_id filter on the stored table:\n$p")
-    assert("documents\\.parquet".r.findAllIn(p).length == 1,
-      s"only the shortlist's query tokenization may touch corpus text:\n$p")
+    // the serving plan reads NO corpus text at all: query tokenization
+    // ran once inside the PINNED shortlist job (whose probe shape is
+    // a19's own plan pin), and the shortlist enters this plan as a
+    // materialized broadcast side
+    assert(!p.contains("documents.parquet"),
+      s"serving plan touches corpus text:\n$p")
     assert(!p.contains("SortMergeJoin"), s"re-rank shuffled into a sort-merge:\n$p")
     assert(!p.contains("CartesianProduct"), s"re-rank went cartesian:\n$p")
     assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
@@ -402,8 +406,8 @@ class PlanAuditSpec extends AnyFunSuite {
         l.contains("In(doc_id") || l.contains("LessThan(doc_id,10)")),
         s"a $seg scan lacks the pushed doc_id probe:\n$p")
     }
-    assert("documents\\.parquet".r.findAllIn(p).length == 1,
-      s"only the shortlist's query tokenization may touch corpus text:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"serving plan touches corpus text (tokenization belongs in the pinned shortlist job):\n$p")
     assert(!p.contains("SortMergeJoin"), s"re-rank shuffled into a sort-merge:\n$p")
     assert(!p.contains("CartesianProduct"), s"re-rank went cartesian:\n$p")
   }
