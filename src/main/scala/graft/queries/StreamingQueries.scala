@@ -40,6 +40,43 @@ object StreamingQueries {
       build: => Unit): Unit =
     PipelineQueries.stageOnce(tag, dir, dataDirs)(build)
 
+  /** The ONE streamed-landing scaffold the foreachBatch family shares
+    * (s17/s18/s20/s21/s24/s25/s26): stage the input frame once (the
+    * caller shapes it to 4 partitions — 4 files → 4 micro-batches
+    * under maxFilesPerTrigger=1), delete THIS RUN's landing root
+    * (mutable per-run state never goes through stageOnce), stream the
+    * staged files, hand each micro-batch to `onBatch` with the
+    * landing root — every batch writes batch-id-keyed paths, so a
+    * crash-replayed batch overwrites its own landing idempotently —
+    * drain with AvailableNow, and return the landing root for the
+    * post-stream readback. A fix to the landing protocol lands in
+    * every streamed query at once. */
+  private def streamedLandings(spark: SparkSession, dir: String, tag: String,
+      landingName: String)(input: => DataFrame)(
+      onBatch: (DataFrame, Long, String) => Unit): String = {
+    val root = java.nio.file.Paths.get(PipelineQueries.staging(tag, dir))
+    val staged = root.resolve("in")
+    stageOnce(s"${tag}in", dir, Seq(staged.toString)) {
+      input.write.mode("overwrite").parquet(staged.toString)
+    }
+    val landed = root.resolve(landingName).toString
+    val hfs = new org.apache.hadoop.fs.Path(landed)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(landed), true) // fresh run
+    val inSchema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          onBatch(batch, id, landed); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    landed
+  }
+
   /** events.ts has shipped in two physical encodings across testdata
     * generations (see [[graft.Tables.events]]): TIMESTAMP(NANOS, ntz),
     * readable only as BIGINT under the nanosAsLong legacy conf, and
@@ -937,43 +974,24 @@ object StreamingQueries {
     val terms = spark.read.parquet(s"$stage/terms")
     val meta = spark.read.parquet(s"$stage/meta").head
     val (nCorpus, maxTermId) = (meta.getAs[Long]("n"), meta.getAs[Long]("max_term_id"))
-    val root = java.nio.file.Paths.get(PipelineQueries.staging("s17", dir))
-    val staged = root.resolve("in")
-    stageOnce("s17in", dir, Seq(staged.toString)) {
-      Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), col("text"))
-        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
-        .write.mode("overwrite").parquet(staged.toString)
-    }
-    // per-run ingest target: mutable across batches, so outside stageOnce
-    val ingest = root.resolve("landed").toString
-    val hfs = new org.apache.hadoop.fs.Path(ingest)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    hfs.delete(new org.apache.hadoop.fs.Path(ingest), true) // fresh run
-    val inSchema = spark.read.parquet(staged.toString).schema
-    val stream = spark.readStream.schema(inSchema)
-      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
     val dictB = broadcast(terms.select(col("term"), col("term_id"), col("idf")))
     val termsOnly = broadcast(terms.select(col("term")))
-    val q = withStreamShuffle(spark, 4) {
-      stream.writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          val tfB = batch
-            .select(col("doc_id"),
-              explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
-            .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-            .localCheckpoint() // one tokenize per batch, two landings
-          tfB.join(dictB, Seq("term"))
-            .select(col("term_id"), col("doc_id"),
-              (col("tf") * col("idf")).as("impact"))
-            .write.mode("overwrite").parquet(s"$ingest/known/batch=$id")
-          tfB.join(termsOnly, Seq("term"), "left_anti")
-            .write.mode("overwrite").parquet(s"$ingest/oov/batch=$id")
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
+    val ingest = streamedLandings(spark, dir, "s17", "landed")(
+      Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)) { (batch, id, landed) =>
+      val tfB = batch
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // one tokenize per batch, two landings
+      tfB.join(dictB, Seq("term"))
+        .select(col("term_id"), col("doc_id"),
+          (col("tf") * col("idf")).as("impact"))
+        .write.mode("overwrite").parquet(s"$landed/known/batch=$id")
+      tfB.join(termsOnly, Seq("term"), "left_anti")
+        .write.mode("overwrite").parquet(s"$landed/oov/batch=$id")
     }
-    q.awaitTermination()
     val landedKnown = spark.read.parquet(s"$ingest/known")
       .select(col("term_id"), col("doc_id"), col("impact"))
     val landedOov = spark.read.parquet(s"$ingest/oov")
@@ -1007,32 +1025,14 @@ object StreamingQueries {
     val stage = AnalyticsQueries.qualityModelStage(spark, dir)
     val w = spark.read.parquet(s"$stage/model").orderBy(col("j"))
       .collect().map(_.getAs[Long]("w"))
-    val root = java.nio.file.Paths.get(PipelineQueries.staging("s18", dir))
-    val staged = root.resolve("in")
-    stageOnce("s18in", dir, Seq(staged.toString)) {
+    val scored = streamedLandings(spark, dir, "s18", "scored")(
       Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("text"))
-        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
-        .write.mode("overwrite").parquet(staged.toString)
+        .repartition(4)) { (batch, id, landed) =>
+      AnalyticsQueries
+        .scoreQuality(AnalyticsQueries.qualityFeaturesOf(batch), w)
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
     }
-    val scored = root.resolve("scored").toString
-    val hfs = new org.apache.hadoop.fs.Path(scored)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    hfs.delete(new org.apache.hadoop.fs.Path(scored), true) // fresh run
-    val inSchema = spark.read.parquet(staged.toString).schema
-    val stream = spark.readStream.schema(inSchema)
-      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
-    val q = withStreamShuffle(spark, 4) {
-      stream.writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          AnalyticsQueries
-            .scoreQuality(AnalyticsQueries.qualityFeaturesOf(batch), w)
-            .write.mode("overwrite").parquet(s"$scored/batch=$id")
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
     spark.read.parquet(scored)
       .select(col("doc_id"), col("score4"), col("pred_keep"),
         col("label_keep"), col("correct"))
@@ -1125,35 +1125,17 @@ object StreamingQueries {
     val dict = spark.read.parquet(s"$stage/terms")
       .select(col("term"), col("term_id"), col("df"))
     val postings = spark.read.parquet(s"$stage/postings")
-    val root = java.nio.file.Paths.get(PipelineQueries.staging("s20", dir))
-    val staged = root.resolve("in")
-    stageOnce("s20in", dir, Seq(staged.toString)) {
+    val served = streamedLandings(spark, dir, "s20", "served")(
       Tables.documents(spark, dir).filter(col("doc_id") < 10)
         .select(col("doc_id"), col("text"))
-        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
-        .write.mode("overwrite").parquet(staged.toString)
+        .repartition(4)) { (batch, id, landed) =>
+      val qt = batch
+        .select(col("doc_id").as("query_id"),
+          explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+        .distinct()
+      AnalyticsQueries.kwPrunedSearchFor(spark, qt, dict, postings)
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
     }
-    val served = root.resolve("served").toString
-    val hfs = new org.apache.hadoop.fs.Path(served)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    hfs.delete(new org.apache.hadoop.fs.Path(served), true) // fresh run
-    val inSchema = spark.read.parquet(staged.toString).schema
-    val stream = spark.readStream.schema(inSchema)
-      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
-    val q = withStreamShuffle(spark, 4) {
-      stream.writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          val qt = batch
-            .select(col("doc_id").as("query_id"),
-              explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
-            .distinct()
-          AnalyticsQueries.kwPrunedSearchFor(spark, qt, dict, postings)
-            .write.mode("overwrite").parquet(s"$served/batch=$id")
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
     spark.read.parquet(served)
       .select(col("query_id"), col("kw_rank"), col("doc_id"), col("kw_score"))
       .orderBy(col("query_id"), col("kw_rank"))
@@ -1179,34 +1161,16 @@ object StreamingQueries {
     * incremental processing. */
   def s21StreamMultimodal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val root = java.nio.file.Paths.get(PipelineQueries.staging("s21", dir))
-    val staged = root.resolve("in")
-    stageOnce("s21in", dir, Seq(staged.toString)) {
+    val thumbs = streamedLandings(spark, dir, "s21", "thumbs")(
       Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .repartition(4) // decode distributes over the 4 batch files
         .mapPartitions(_.map(id =>
           (id, graft.operators.Multimodal.synthPng(id, 16, 16))))
-        .toDF("media_id", "payload")
-        .write.mode("overwrite").parquet(staged.toString)
+        .toDF("media_id", "payload")) { (batch, id, landed) =>
+      graft.operators.Multimodal.decodeResizeNearest(batch, stride = 4).toDF()
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
     }
-    val landed = root.resolve("thumbs").toString
-    val hfs = new org.apache.hadoop.fs.Path(landed)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    hfs.delete(new org.apache.hadoop.fs.Path(landed), true) // fresh run
-    val inSchema = spark.read.parquet(staged.toString).schema
-    val stream = spark.readStream.schema(inSchema)
-      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
-    val q = withStreamShuffle(spark, 4) {
-      stream.writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          graft.operators.Multimodal.decodeResizeNearest(batch, stride = 4).toDF()
-            .write.mode("overwrite").parquet(s"$landed/batch=$id")
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
-    spark.read.parquet(landed)
+    spark.read.parquet(thumbs)
       .select(col("media_id"), col("width"), col("height"),
         col("out_w"), col("out_h"), col("checksum"))
       .orderBy(col("media_id"))
@@ -1231,36 +1195,18 @@ object StreamingQueries {
     * pixel-scale. */
   def s24StreamImageHashIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val root = java.nio.file.Paths.get(PipelineQueries.staging("s24", dir))
-    val staged = root.resolve("in")
-    stageOnce("s24in", dir, Seq(staged.toString)) {
+    val hashes = streamedLandings(spark, dir, "s24", "hashes")(
       Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .repartition(4) // decode distributes over the 4 batch files
         .mapPartitions(_.map(id =>
           (id, graft.operators.Multimodal.synthPng(id, 16, 16))))
-        .toDF("media_id", "payload")
-        .write.mode("overwrite").parquet(staged.toString)
+        .toDF("media_id", "payload")) { (batch, id, landed) =>
+      graft.operators.Multimodal.aHash8(batch).toDF()
+        .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
     }
-    val landed = root.resolve("hashes").toString
-    val hfs = new org.apache.hadoop.fs.Path(landed)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    hfs.delete(new org.apache.hadoop.fs.Path(landed), true) // fresh run
-    val inSchema = spark.read.parquet(staged.toString).schema
-    val stream = spark.readStream.schema(inSchema)
-      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
-    val q = withStreamShuffle(spark, 4) {
-      stream.writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          graft.operators.Multimodal.aHash8(batch).toDF()
-            .select(col("media_id"), col("hash_hi"), col("hash_lo"))
-            .write.mode("overwrite").parquet(s"$landed/batch=$id")
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
     AnalyticsQueries.nearDupFromHashes(
-      spark.read.parquet(landed)
+      spark.read.parquet(hashes)
         .select(col("media_id"), col("hash_hi"), col("hash_lo")))
   }
 
@@ -1284,32 +1230,14 @@ object StreamingQueries {
     * is index-scale (~72 bytes/doc), not text-scale. */
   def s25StreamTokenHashIngest(spark: SparkSession, dir: String): DataFrame = {
     val base = AnalyticsQueries.a30TokenBaseStage(spark, dir)
-    val root = java.nio.file.Paths.get(PipelineQueries.staging("s25", dir))
-    val staged = root.resolve("in")
-    stageOnce("s25in", dir, Seq(staged.toString)) {
+    val ingest = streamedLandings(spark, dir, "s25", "landed")(
       Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("text"))
-        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
-        .write.mode("overwrite").parquet(staged.toString)
+        .repartition(4)) { (batch, id, landed) =>
+      batch.select(col("doc_id"),
+          AnalyticsQueries.tokHashes(col("text")).as("th"))
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
     }
-    val ingest = root.resolve("landed").toString
-    val hfs = new org.apache.hadoop.fs.Path(ingest)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    hfs.delete(new org.apache.hadoop.fs.Path(ingest), true) // fresh run
-    val inSchema = spark.read.parquet(staged.toString).schema
-    val stream = spark.readStream.schema(inSchema)
-      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
-    val q = withStreamShuffle(spark, 4) {
-      stream.writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          batch.select(col("doc_id"),
-              AnalyticsQueries.tokHashes(col("text")).as("th"))
-            .write.mode("overwrite").parquet(s"$ingest/batch=$id")
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
     val t = spark.read.parquet(s"$base/tokens")
       .unionByName(spark.read.parquet(ingest).select(col("doc_id"), col("th")))
     AnalyticsQueries.maxSimTail(
@@ -1336,34 +1264,16 @@ object StreamingQueries {
     * indexes serve, and the gate is a31's ORACLE, which replays all
     * four chains inline. */
   def s26StreamStackServing(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Paths.get(PipelineQueries.staging("s26", dir))
-    val staged = root.resolve("in")
-    stageOnce("s26in", dir, Seq(staged.toString)) {
+    val served = streamedLandings(spark, dir, "s26", "served")(
       Tables.documents(spark, dir).filter(col("doc_id") < 10)
         .select(col("doc_id"), col("text"))
-        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
-        .write.mode("overwrite").parquet(staged.toString)
+        .repartition(4)) { (batch, id, landed) =>
+      val stages = AnalyticsQueries.servingStackStagesFor(spark, dir,
+        batch.select(col("doc_id"), col("text")))
+      stages.dropRight(1).foreach(_._2()) // shortlist → fuse → diversify
+      stages.last._2()
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
     }
-    val served = root.resolve("served").toString
-    val hfs = new org.apache.hadoop.fs.Path(served)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    hfs.delete(new org.apache.hadoop.fs.Path(served), true) // fresh run
-    val inSchema = spark.read.parquet(staged.toString).schema
-    val stream = spark.readStream.schema(inSchema)
-      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
-    val q = withStreamShuffle(spark, 4) {
-      stream.writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          val stages = AnalyticsQueries.servingStackStagesFor(spark, dir,
-            batch.select(col("doc_id"), col("text")))
-          stages.dropRight(1).foreach(_._2()) // shortlist → fuse → diversify
-          stages.last._2()
-            .write.mode("overwrite").parquet(s"$served/batch=$id")
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-    }
-    q.awaitTermination()
     spark.read.parquet(served)
       .select(col("query_id"), col("rank"), col("doc_id"), col("ms_score"))
       .orderBy(col("query_id"), col("rank"))
