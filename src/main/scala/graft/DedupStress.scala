@@ -94,11 +94,13 @@ object DedupStress {
         shuffled.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
     def timeShuffle(label: String)(body: => Long): Unit = {
+      org.apache.spark.sql.graft.Internals.drainListenerBus(spark.sparkContext)
       val b0 = shuffled.get
       val t0 = System.nanoTime()
       val rows = body
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1000) // listener bus drains asynchronously
+      // listener bus drains asynchronously — wait, don't sleep
+      org.apache.spark.sql.graft.Internals.drainListenerBus(spark.sparkContext)
       println(f"[stress] $label pairs=$rows took $secs%.1f s " +
         f"shuffle=${(shuffled.get - b0) / 1024.0 / 1024.0}%.1f MiB")
     }

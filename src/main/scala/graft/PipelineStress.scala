@@ -78,12 +78,12 @@ object PipelineStress {
     })
     def mb(b: Long): String = f"${b / 1048576.0}%.1f MB"
     def timed(label: String)(body: => Long): Unit = {
-      Thread.sleep(300)
+      org.apache.spark.sql.graft.Internals.drainListenerBus(spark.sparkContext)
       val r0 = shufR.sum(); val w0 = shufW.sum(); val c0 = shufRecs.sum()
       val t0 = System.nanoTime()
       val rows = body
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
+      org.apache.spark.sql.graft.Internals.drainListenerBus(spark.sparkContext)
       // bytes are post-compression (exact-dup text compresses ~100×,
       // so records are the incompressible volume truth alongside)
       println(f"[stress] $label rows=$rows wall=$wall%.1f s " +

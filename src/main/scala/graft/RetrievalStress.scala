@@ -69,8 +69,7 @@ object RetrievalStress {
     // treatment, applied to the serving side): wall times on local[32]
     // hide the network cost that dominates on 1000 executors — records
     // crossing a shuffle boundary are the cluster-scale truth. The
-    // listener bus is async; snapshots sleep briefly so in-flight
-    // TaskEnd events land first.
+    // listener bus is async; snapshots drain it first (see `drained`).
     val shufRecs = new java.util.concurrent.atomic.LongAdder
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -78,15 +77,21 @@ object RetrievalStress {
         if (m != null) shufRecs.add(m.shuffleWriteMetrics.recordsWritten)
       }
     })
+    // the per-row record deltas feed PERF.md's per-stage shuffle table,
+    // so snapshots drain the async listener bus instead of sleeping a
+    // fixed interval — a straggling TaskEnd event would otherwise bleed
+    // one row's records into the next row's delta
+    def drained(): Long = {
+      org.apache.spark.sql.graft.Internals.drainListenerBus(spark.sparkContext)
+      shufRecs.sum()
+    }
     def timed(label: String)(body: => Long): Unit = {
-      Thread.sleep(300)
-      val c0 = shufRecs.sum()
+      val c0 = drained()
       val t0 = System.nanoTime()
       val rows = body
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
       println(f"[stress] $label rows=$rows took $wall%.1f s " +
-        s"shufRecords=${shufRecs.sum() - c0}")
+        s"shufRecords=${drained() - c0}")
     }
     Seq(("1x", sfDir), (s"${copies}x", stageDir)).foreach { case (tag, dir) =>
       timed(s"a17 inline hybrid        $tag") {

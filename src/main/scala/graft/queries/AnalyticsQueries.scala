@@ -1090,12 +1090,32 @@ object AnalyticsQueries {
     * identical to a10 (same integer algebra over the same persisted
     * artifacts the inline form derives), so a10's oracle hash-gates
     * it; PlanAuditSpec pins the no-training property structurally. */
-  def a13IvfPqSearchPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+  def a13IvfPqSearchPrebuilt(spark: SparkSession, dir: String): DataFrame =
+    a13SearchFor(spark, dir, col("vec_id") < 20)
+
+  /** a13's search for an EXPLICIT query slice — the hook the streamed
+    * vector twin (s27) serves micro-batches through: the batch's ids
+    * push as a filter onto the query-side embedding scan and drive the
+    * probe assignment, while (probes, L) stay the corpus-scaled
+    * defaults the gated a13 pins. Restricting the query slice touches
+    * nothing corpus-side (probes, ADC, re-rank are all per-query), so
+    * a batch's answer IS the full run's answer restricted — the
+    * decomposability s27's gate rides on. */
+  def a13SearchFor(spark: SparkSession, dir: String,
+      queryFilter: Column): DataFrame = {
     val meta = spark.read.parquet(s"${stageIvfIndex(spark, dir)}/meta").head
     ivfPqSearchPrebuiltTuned(spark, dir,
       scaledProbes(meta.getAs[Int]("k")),
-      math.max(PqL.toLong, meta.getAs[Long]("n") / 20).toInt)
+      math.max(PqL.toLong, meta.getAs[Long]("n") / 20).toInt,
+      queryFilter = queryFilter)
   }
+
+  /** Serving/streaming hook: the persisted IVF-PQ stage path,
+    * build-if-missing — s27 freezes the index BEFORE its query stream
+    * starts (s20's protocol on the vector channel), so no build work
+    * can hide inside a micro-batch. */
+  def ivfIndexStage(spark: SparkSession, dir: String): String =
+    stageIvfIndex(spark, dir)
 
   /** a13's search with EXPLICIT (probes, shortlist) — the two
     * search-time quality knobs a fixed IVF-PQ index exposes (FAISS's
@@ -2292,6 +2312,38 @@ object AnalyticsQueries {
     maxSimRerankServed(spark, dir,
       spark.read.parquet(s"${stageTokenHashIndex(spark, dir)}/tokens"))
 
+  /** Ledger for `localCheckpoint`-pinned QUERY-scale serving frames.
+    * A pin truncates lineage and holds blocks in the block manager
+    * with no public handle back, so a long-lived JVM that serves
+    * repeatedly (Bench rep loops, s26's per-micro-batch stacks) would
+    * otherwise accumulate one generation of pinned blocks per serve.
+    * [[openGeneration]] releases everything held under the tag before
+    * the new serve pins; [[release]] drops the final generation once
+    * its consumer has landed (s26 after the stream drains). Contract:
+    * a serve's returned frame must be consumed before the next serve
+    * under the same tag begins — true of every caller (Verify/Bench
+    * execute each rep to completion, streamed landings write inside
+    * the batch, stress rows count before the next row) — because a
+    * released checkpoint cannot be recomputed. */
+  private[graft] object ServingPins {
+    private val held =
+      scala.collection.mutable.Map.empty[String, List[org.apache.spark.rdd.RDD[_]]]
+    def openGeneration(tag: String): Unit = release(tag)
+    def pin(tag: String, spark: SparkSession, df: DataFrame): DataFrame =
+      synchronized {
+        val out = df.localCheckpoint()
+        org.apache.spark.sql.graft.Internals.checkpointRdd(out).foreach { r =>
+          held(tag) = r :: held.getOrElse(tag, Nil)
+        }
+        out
+      }
+    def release(tag: String): Unit = synchronized {
+      held.remove(tag).getOrElse(Nil).foreach(_.unpersist(blocking = false))
+    }
+    private[graft] def heldCount(tag: String): Int =
+      synchronized(held.getOrElse(tag, Nil).size)
+  }
+
   /** The shared served-re-rank composition over ANY stored token-hash
     * frame `t` (doc_id, th): a19 shortlist at depth
     * [[MaxSimShortlist]], candidate ids collected to a driver-built
@@ -2302,20 +2354,32 @@ object AnalyticsQueries {
     * the shortlist pairs. a29 feeds it the monolithic a28 table, a32
     * the appended base ∪ segment layout — one definition, so the
     * serving discipline can't drift between the two layouts. */
+  /** The depth-[[MaxSimShortlist]] keyword shortlist the served
+    * re-rank draws its candidates from — ONE definition shared by
+    * [[maxSimRerankServed]] and the AnalyticsSpec containment pin
+    * (every served (query_id, doc_id) must be a member). */
+  private[graft] def maxSimCandidateShortlist(spark: SparkSession,
+      dir: String): DataFrame = {
+    val kwStage = stageKeywordIndex(spark, dir)
+    kwPrunedSearch(spark, dir,
+      spark.read.parquet(s"$kwStage/terms")
+        .select(col("term"), col("term_id"), col("df")),
+      spark.read.parquet(s"$kwStage/postings"), outK = MaxSimShortlist)
+      .select(col("query_id"), col("doc_id"))
+  }
+
   private def maxSimRerankServed(spark: SparkSession, dir: String,
       t: DataFrame): DataFrame = {
     import graft.expressions.TopKByScore
-    val kwStage = stageKeywordIndex(spark, dir)
     // pinned: the candIds collect below and the broadcast into the
     // final plan both consume the shortlist — unpinned, the whole
     // pruned probe (the one corpus-coupled term here) would execute
-    // twice per serve
-    val shortlist = kwPrunedSearch(spark, dir,
-        spark.read.parquet(s"$kwStage/terms")
-          .select(col("term"), col("term_id"), col("df")),
-        spark.read.parquet(s"$kwStage/postings"), outK = MaxSimShortlist)
-      .select(col("query_id"), col("doc_id"))
-      .localCheckpoint()
+    // twice per serve. Ledgered under the serve tag: the NEXT serve
+    // releases this generation's blocks, so repeated serves in one
+    // JVM (Bench reps, the a32 twin) hold at most one shortlist pin.
+    ServingPins.openGeneration(s"rerank:$dir")
+    val shortlist = ServingPins.pin(s"rerank:$dir", spark,
+      maxSimCandidateShortlist(spark, dir))
     val candIds = shortlist.select(col("doc_id")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     val cands = t.filter(col("doc_id").isin(candIds: _*))
@@ -2371,8 +2435,14 @@ object AnalyticsQueries {
     // are query-batch-scale (≤ queries×50 rows), so the pin is free,
     // and a stage's lineage never re-executes inside the next stage's
     // plan — measured against the lazy alternative (lineage flowing
-    // into the final action, greedy re-executed per consumer): no win
-    def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+    // into the final action, greedy re-executed per consumer): no win.
+    // Pins are ledgered per stack generation: constructing the next
+    // stack (the next micro-batch in s26, the next stress row) releases
+    // this one's blocks, so a serving loop holds one stack of pins, not
+    // one per batch served; s26 releases the last generation after the
+    // stream drains.
+    ServingPins.openGeneration(s"stack:$dir")
+    def pin(df: DataFrame): DataFrame = ServingPins.pin(s"stack:$dir", spark, df)
     lazy val queryIds: Seq[Long] = qdocs.select(col("doc_id")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     var kwShort: DataFrame = null
@@ -3740,6 +3810,51 @@ object AnalyticsQueries {
     nearDupFromHashes(spark.read.parquet(s"$stage/hashes"))
   }
 
+  /** One GENERATION of the m10 image-hash layout: decode + hash only
+    * the media ids matching `memberPred` (each generation pays its own
+    * ingest decode exactly once — m09's decode-at-ingest economics per
+    * segment), persisted under its own parquet root. Keyed by the
+    * corpus content fingerprint like every other stage. */
+  private def stageM10Generation(spark: SparkSession, dir: String,
+      tag: String, memberPred: Column, force: Boolean = false): String =
+    synchronized {
+      val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+      val stage = PipelineQueries.staging(tag, s"$dir#$fp")
+      val fs = new org.apache.hadoop.fs.Path(stage)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/hashes"))) {
+        val payloads = stagedMediaFixture(spark, dir, "mpng16")(
+          id => Multimodal.synthPng(id, 16, 16))
+        Multimodal.aHash8(payloads.filter(memberPred)).toDF()
+          .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+          .write.mode("overwrite").parquet(s"$stage/hashes")
+      }
+      stage
+    }
+
+  /** m10 — image near-dedup served from the GENERATIONAL hash layout:
+    * a32's treatment on m09's index. The base generation (even media
+    * ids) is frozen; the increment segment (odd ids) lands beside it
+    * as its own parquet root — an append never rewrites the base
+    * (separate roots, PlanAuditSpec pins both scans and no decode in
+    * the serve plan) — and near-dup serves from base ∪ segment. A perceptual hash is a pure
+    * per-media function (no cross-media statistics), so the
+    * generational layout is EXACTLY the monolithic index: hash-gated
+    * with m07's ORACLE — one-shot decode (m07), prebuilt monolith
+    * (m09), streamed landings (s24), or generational layout (m10),
+    * one answer. Unlike a32 there is no query IN-list to push here:
+    * near-dup is an INDEX-level self-join (every hash row
+    * participates), so the scale discipline is the cluster
+    * pre-aggregation bounding the banded join — not a pushed probe —
+    * and it applies to each generation's scan alike. */
+  def m10ImageNearDupAppended(spark: SparkSession, dir: String): DataFrame = {
+    val base = stageM10Generation(spark, dir, "m10ihbase", col("media_id") % 2 === 0)
+    val seg = stageM10Generation(spark, dir, "m10ihseg", col("media_id") % 2 === 1)
+    nearDupFromHashes(
+      spark.read.parquet(s"$base/hashes")
+        .unionByName(spark.read.parquet(s"$seg/hashes")))
+  }
+
   /** p10 — INCREMENTAL dedup, the production shape: yesterday's corpus
     * is already deduplicated and must not be rescanned or re-clustered
     * when today's increment lands. The increment (odd doc_ids — a
@@ -4431,6 +4546,7 @@ object AnalyticsQueries {
     "m06_keyframes"     -> m06KeyFrames _,
     "m07_image_neardup" -> m07ImageNearDup _,
     "m09_image_neardup_prebuilt" -> m09ImageNearDupPrebuilt _,
+    "m10_image_neardup_appended" -> m10ImageNearDupAppended _,
     "m08_audio_resample" -> m08AudioResample _,
     "p06_hash_sample"   -> p06HashSample _,
     "p07_data_prep"     -> p07DataPrep _,
@@ -6287,6 +6403,10 @@ object AnalyticsQueries {
     * leave no trace in the output. */
   val oracleSql: Map[String, String] = oracleSqlBase +
     ("m09_image_neardup_prebuilt" -> oracleSqlBase("m07_image_neardup")) +
+    // a perceptual hash is a pure per-media function, so the
+    // generational base ∪ segment layout is EXACTLY the monolithic
+    // index — m07's oracle pins all four arrival shapes to one answer
+    ("m10_image_neardup_appended" -> oracleSqlBase("m07_image_neardup")) +
     // generational clustering must be output-indistinguishable from
     // the single-copy layout (and from no layout at all)
     ("p27_zorder_increment" -> oracleSqlBase("p26_zorder_scan")) +

@@ -1274,8 +1274,48 @@ object StreamingQueries {
       stages.last._2()
         .write.mode("overwrite").parquet(s"$landed/batch=$id")
     }
+    // each batch's stack construction released the previous batch's
+    // pinned intermediates (ServingPins generations); the landing
+    // write above consumed the last batch's, so drop it too
+    AnalyticsQueries.ServingPins.release(s"stack:$dir")
     spark.read.parquet(served)
       .select(col("query_id"), col("rank"), col("doc_id"), col("ms_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s27 — streamed query load on the BARE VECTOR channel: s20's
+    * frozen-index serving loop pointed at the IVF-PQ index (the last
+    * channel whose serve side had no streamed twin — s14 streams
+    * writes INTO this index; s27 streams reads OUT of it). The stage
+    * is frozen before the stream starts; query ids then arrive over
+    * four micro-batches, and each batch probes the stored artifacts
+    * through [[AnalyticsQueries.a13SearchFor]] — the batch's ids push
+    * onto the query-side embedding scan, drive the probe assignment
+    * against the broadcast stored centroids, and everything
+    * downstream (ADC over probed cells, exact top-5 re-rank) is a13's
+    * serving algebra verbatim. Nothing is built inside the stream;
+    * per-batch cost is the batch's probes × cell mass, corpus-coupled
+    * only through the stored layout exactly as a13 is. Queries are
+    * independent rows (probes, LUT scoring, and re-rank are all
+    * per-query), so the union of batch landings must be ROW-IDENTICAL
+    * to the one-shot a13 — the gate is a13's own oracle (the full
+    * inline IVF-PQ CTE chain), and the spec pins s27 ≡ a13 row for
+    * row: batch boundaries leave no trace in what the index serves. */
+  def s27StreamVectorServing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    AnalyticsQueries.ivfIndexStage(spark, dir) // freeze before streaming
+    val served = streamedLandings(spark, dir, "s27", "served")(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id"))
+        .repartition(4)) { (batch, id, landed) =>
+      // batch-scale metadata collect (≤ the micro-batch size): the id
+      // list becomes the pushed query predicate on the stored layouts
+      val ids = batch.select(col("vec_id")).as[Long].collect().sorted.toSeq
+      AnalyticsQueries.a13SearchFor(spark, dir, col("vec_id").isin(ids: _*))
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
+    }
+    spark.read.parquet(served)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1451,6 +1491,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s26_stream_stack_serving" -> s26StreamStackServing _,
+    "s27_stream_vector_serving" -> s27StreamVectorServing _,
     "s25_stream_token_hash_ingest" -> s25StreamTokenHashIngest _,
     "s24_stream_image_hash_ingest" -> s24StreamImageHashIngest _,
     "s23_stream_heavy_hitters" -> s23StreamHeavyHitters _,
@@ -1489,6 +1530,12 @@ object StreamingQueries {
     // to exactly the one-shot composition — a31's full-stack oracle
     // (all four chains replayed inline) pins the streamed serve
     "s26_stream_stack_serving" -> AnalyticsQueries.oracleSql("a31_stack_served"),
+    // probes, ADC scoring, and the exact re-rank are all per-query, so
+    // four query micro-batches against the frozen IVF-PQ index must
+    // union to exactly the one-shot a13 — the SAME inline-CTE oracle
+    // pins that batch boundaries leave no trace in vector serving
+    "s27_stream_vector_serving" ->
+      AnalyticsQueries.oracleSql("a13_ivfpq_search_prebuilt"),
     // token hashes are a pure per-doc function, so base ∪ streamed
     // landings is EXACTLY the full inline index — the SAME oracle
     // hash pins a27 (inline), a28 (prebuilt), a30 (one-shot append),

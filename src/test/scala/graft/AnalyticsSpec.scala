@@ -564,6 +564,17 @@ class AnalyticsSpec extends AnyFunSuite {
       .select(col("query_id"), col("doc_id"), col("ms_score"))
       .as[(Long, Long, Long)].collect().toSeq
     assert(served.nonEmpty)
+    // containment: the depth-50 keyword shortlist is the ONLY pool the
+    // served re-rank may draw from — a served doc outside it means the
+    // re-rank read beyond its candidates (a28's corpus-linear shape)
+    val shortlist = graft.queries.AnalyticsQueries
+      .maxSimCandidateShortlist(spark, dir)
+      .select(col("query_id"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    served.foreach { case (q, d, _) =>
+      assert(shortlist.contains((q, d)),
+        s"served ($q,$d) is not in the depth-50 candidate shortlist")
+    }
     val brute = graft.queries.AnalyticsQueries.a27MaxSimRerank(spark, dir)
       .select(col("query_id"), col("doc_id"), col("ms_score"))
       .as[(Long, Long, Long)].collect()
@@ -601,6 +612,31 @@ class AnalyticsSpec extends AnyFunSuite {
       df.as[(Long, Int, Long, Long)].collect().toSeq
     assert(rows(graft.queries.StreamingQueries.s20StreamSearch(spark, dir)) ==
       rows(graft.queries.AnalyticsQueries.a19KeywordSearchPrebuilt(spark, dir)))
+  }
+
+  // s27 streams the queries in four micro-batches against the FROZEN
+  // IVF-PQ index; a13 answers them in one shot. Probes, ADC scoring,
+  // and the exact re-rank are all per-query, so the union of per-batch
+  // landings must be row-identical — batch boundaries leave no trace
+  // in what the vector index serves (s20's pin, vector channel).
+  test("s27 streamed vector serving == one-shot a13 search, row for row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long)].collect().toSeq
+    assert(rows(graft.queries.StreamingQueries.s27StreamVectorServing(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.a13IvfPqSearchPrebuilt(spark, dir)))
+  }
+
+  // m10 serves near-dup from the generational base ∪ segment layout;
+  // m09 from the monolithic index. A perceptual hash is a pure
+  // per-media function, so the layouts must be output-identical —
+  // appends leave no trace in what the image index serves.
+  test("m10 generational image near-dup == m09 monolithic index, row for row") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    assert(rows(graft.queries.AnalyticsQueries.m10ImageNearDupAppended(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.m09ImageNearDupPrebuilt(spark, dir)))
   }
 
   // s21 streams the PNG fixture through the real decode kernel in four

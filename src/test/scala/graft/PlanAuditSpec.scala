@@ -320,6 +320,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"banded near-dup join went cartesian:\n$p")
   }
 
+  test("m10: generational image near-dup — both generation scans, ZERO decode at serve time") {
+    val p = planOf(graft.queries.AnalyticsQueries.m10ImageNearDupAppended(spark, dir))
+    // the generational media layout: base and increment segment are
+    // separate parquet roots under a union, and the serve plan must
+    // read BOTH as bare 24-byte hash scans — decode happened once per
+    // generation at ITS ingest. There is no per-query IN-list here
+    // (near-dup is an index-level self-join, every hash row
+    // participates); the scale discipline is the cluster
+    // pre-aggregation bounding the banded join, per generation alike.
+    assert(p.contains("graft_m10ihbase"), s"serve must scan the frozen base generation:\n$p")
+    assert(p.contains("graft_m10ihseg"), s"serve must scan the landed increment segment:\n$p")
+    assert(!p.contains("graft_m09ih"), s"generational serve leaning on the monolith:\n$p")
+    assert(!p.contains("MapPartitions"), s"decode (object boundary) in the serve plan:\n$p")
+    assert(!p.contains("DeserializeToObject"), s"object boundary in the serve plan:\n$p")
+    assert(!p.contains("payload"), s"serve plan touches media payload bytes:\n$p")
+    assert(!p.contains("documents.parquet"), s"serve plan scans the source corpus:\n$p")
+    assert(!p.contains("ExistingRDD"), s"serve plan contains build-time work:\n$p")
+    assert(!p.contains("CartesianProduct"), s"banded near-dup join went cartesian:\n$p")
+  }
+
   test("a28: prebuilt MaxSim — stored token-hash table only, no text in the serving plan") {
     val p = planOf(graft.queries.AnalyticsQueries.a28MaxSimPrebuilt(spark, dir))
     // the late-interaction serving shape: both sides of the score —
@@ -366,7 +386,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // slice; a corpus-linear term here is the regression this pin
     // exists to catch (a28's brute shape).
     df.queryExecution.executedPlan.execute().count()
-    Thread.sleep(500) // SQL metric accumulators land on task end
+    // SQL metric accumulators land on task end; drain the async
+    // listener bus rather than sleeping a fixed interval (flaky on a
+    // loaded machine), then poll the summed metric until two
+    // consecutive reads agree — the stability the assertion needs
+    org.apache.spark.sql.graft.Internals.drainListenerBus(spark.sparkContext)
     import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def flatten(n: SparkPlan): Seq[SparkPlan] = n +: (n match {
@@ -382,7 +406,11 @@ class PlanAuditSpec extends AnyFunSuite {
       } => f
     }
     assert(tokenFilters.nonEmpty, s"no filtered token-index scan found in:\n$p")
-    val kernelVisible = tokenFilters.map(_.metrics("numOutputRows").value).sum
+    def visibleNow(): Long = tokenFilters.map(_.metrics("numOutputRows").value).sum
+    val kernelVisible = Iterator.continually {
+      val v = visibleNow(); Thread.sleep(50); (v, visibleNow())
+    }.take(100).collectFirst { case (a, b) if a == b && a > 0 => a }
+      .getOrElse(visibleNow())
     val bound = 10L * graft.queries.AnalyticsQueries.MaxSimShortlist + 10L
     assert(kernelVisible > 0 && kernelVisible <= bound,
       s"token rows surviving the pushed probes = $kernelVisible, bound $bound — " +

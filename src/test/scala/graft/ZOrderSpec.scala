@@ -32,11 +32,15 @@ class ZOrderSpec extends AnyFunSuite {
   }
 
   private def recordsReadBy(body: => Unit): Long = {
-    Thread.sleep(300)
-    val r0 = read.sum()
+    // listener bus is async: drain it at both snapshots so no task
+    // event lands outside the measured window
+    def drained(): Long = {
+      org.apache.spark.sql.graft.Internals.drainListenerBus(spark.sparkContext)
+      read.sum()
+    }
+    val r0 = drained()
     body
-    Thread.sleep(300) // listener bus is async; let task events land
-    read.sum() - r0
+    drained() - r0
   }
 
   test("y-predicate prunes row groups on the z-order layout, reads everything on an x-sort") {
