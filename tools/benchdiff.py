@@ -85,11 +85,13 @@ def classify(a, b, changed):
     bg_up = [m for m in up if m[0] not in changed]
     bg_down = [m for m in down if m[0] not in changed]
     n_bg = len(bg_up) + len(bg_down)
-    if n_bg == 0:
-        balanced = True  # no background drift at all: any changed-query move stands out
+    if n_bg <= 2:
+        # little-to-no background drift: nothing suggests a window
+        # block-move, so a changed-query excursion stands on its own
+        balanced = True
     else:
         lo_ct, hi_ct = sorted((len(bg_up), len(bg_down)))
-        balanced = lo_ct >= BALANCE_RATIO * hi_ct and (hi_ct <= 2 or lo_ct > 0)
+        balanced = lo_ct >= BALANCE_RATIO * hi_ct and lo_ct > 0
     flagged = [m for m in up if m[0] in changed] if balanced else []
     confounded = [m for m in up if m[0] in changed] if not balanced else []
     med_ratio = sorted(ratios)[len(ratios) // 2] if ratios else float("nan")
