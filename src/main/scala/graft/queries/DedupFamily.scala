@@ -213,8 +213,6 @@ private[queries] trait DedupFamily { this: AnalyticsQueries.type =>
       .orderBy(col("doc_id"))
   }
 
-  // ----------------------------------------------------------- similarity
-
   /** d12 — SemDeDup (Abbas et al. '23, public): semantic dedup scoped
     * WITHIN a08's k-means clusters — the trick that makes embedding
     * dedup tractable at corpus scale. Pairwise cosine is computed only

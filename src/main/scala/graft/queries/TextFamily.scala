@@ -680,8 +680,6 @@ private[queries] trait TextFamily { this: AnalyticsQueries.type =>
       .orderBy(col("lang"), col("batch_id"))
   }
 
-  // ----------------------------------------------------------- multimodal
-
   /** One canonical-BPE training round as DuckDB CTEs: pair counts over
     * w{i-1}, argmax b$i, then the LEFTMOST NON-OVERLAPPING merge
     * rewrite producing w$i — the positional twin of the Spark side's

@@ -1128,8 +1128,6 @@ private[queries] trait VectorAnnFamily { this: AnalyticsQueries.type =>
       .orderBy(col("lang"), col("rank"))
   }
 
-  // ----------------------------------------------------------------- text
-
   /** The a08 two-iteration quantized k-means as a reusable CTE chain —
     * ends in `asg(vec_id, cluster, dist)`. Shared by the a08 oracle and
     * every downstream oracle that consumes the clustering (d12, a10's
