@@ -316,12 +316,19 @@ private[queries] trait MultimodalFamily { this: AnalyticsQueries.type =>
       val stage = PipelineQueries.staging(tag, s"$dir#$fp")
       val fs = new org.apache.hadoop.fs.Path(stage)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/hashes"))) {
+      // `meta` is written LAST as the completeness marker (the sibling
+      // stages' protocol): a crash mid-write leaves a partial hashes
+      // dir but no meta, so the next call rebuilds instead of serving
+      // a truncated generation
+      if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
         val payloads = stagedMediaFixture(spark, dir, "mpng16")(
           id => Multimodal.synthPng(id, 16, 16))
-        Multimodal.aHash8(payloads.filter(memberPred)).toDF()
+        val gen = payloads.filter(memberPred)
+        Multimodal.aHash8(gen).toDF()
           .select(col("media_id"), col("hash_hi"), col("hash_lo"))
           .write.mode("overwrite").parquet(s"$stage/hashes")
+        gen.agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$stage/meta")
       }
       stage
     }

@@ -628,6 +628,28 @@ class AnalyticsSpec extends AnyFunSuite {
       rows(graft.queries.AnalyticsQueries.a13IvfPqSearchPrebuilt(spark, dir)))
   }
 
+  // the pin ledger's central invariant: repeated serves under one tag
+  // hold at most ONE generation of checkpointed blocks — the leak this
+  // ledger exists to prevent was one generation PER serve
+  test("ServingPins: repeated serves hold one generation, not one per serve") {
+    val dir = "/root/testdata/sf0.001"
+    val Pins = graft.queries.AnalyticsQueries.ServingPins
+    (1 to 3).foreach { _ =>
+      graft.queries.AnalyticsQueries.a29MaxSimServed(spark, dir).collect()
+      assert(Pins.heldCount(s"rerank:$dir") == 1,
+        "served re-rank must hold exactly its own shortlist pin")
+    }
+    (1 to 2).foreach { _ =>
+      val stages = graft.queries.AnalyticsQueries.servingStackStages(spark, dir)
+      stages.dropRight(1).foreach(_._2())
+      stages.last._2().collect()
+      assert(Pins.heldCount(s"stack:$dir") == 3,
+        "a stack serve must hold exactly its own three hop pins")
+    }
+    Pins.release(s"stack:$dir")
+    assert(Pins.heldCount(s"stack:$dir") == 0)
+  }
+
   // m10 serves near-dup from the generational base ∪ segment layout;
   // m09 from the monolithic index. A perceptual hash is a pure
   // per-media function, so the layouts must be output-identical —

@@ -47,10 +47,16 @@ BALANCE_RATIO = 1.0 / 3.0  # smaller direction >= 1/3 of larger => balanced
 
 
 def load(path):
-    with open(path) as f:
-        d = json.load(f)
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        print(f"error: cannot read {path}: {e}", file=sys.stderr)
+        sys.exit(2)
     if "queries" not in d or not isinstance(d["queries"], dict):
-        sys.exit(f"error: {path} is not a full Bench artifact (no queries map)")
+        print(f"error: {path} is not a full Bench artifact (no queries map)",
+              file=sys.stderr)
+        sys.exit(2)
     return d
 
 
@@ -135,7 +141,8 @@ def human(r, changed, top):
                f"(background {r['background_up']} up / {r['background_down']} down: "
                + ("BALANCED drift — window/machine-state, not regression"
                   if r["background_balanced"] else
-                  "ONE-SIDED — totals moved as a block; per-query flags unreliable"))
+                  "ONE-SIDED — totals moved as a block; per-query flags unreliable")
+               + ")")
     moves = sorted(r["_moves"], key=lambda m: -abs(m[2] - m[1]))[:top]
     if moves:
         out.append(f"largest moves (top {len(moves)}):")
