@@ -82,6 +82,24 @@ object MultimodalStress {
             spark.read.parquet(ihStage)).count()
         }
       }
+      // m10's generational layout: the SAME hash rows split across a
+      // frozen base root and a landed segment root, served as a union.
+      // The generational serve must price identically to the monolith
+      // (hash rows are pure per-media functions; the union adds one
+      // scan boundary, no extra shuffle) — the measured form of m10's
+      // "appends never degrade the serve path" claim.
+      val genBase = StressFixtures.runDir(s"m10b_$tag")
+      val genSeg = StressFixtures.runDir(s"m10s_$tag")
+      val ih = spark.read.parquet(ihStage)
+      ih.filter(col("media_id") % 2 === 0).write.mode("overwrite").parquet(genBase)
+      ih.filter(col("media_id") % 2 === 1).write.mode("overwrite").parquet(genSeg)
+      timed(s"$tag m10 warm near-dup serve from base ∪ segment (no decode)") {
+        graft.queries.AnalyticsQueries.nearDupFromHashes(
+          spark.read.parquet(genBase)
+            .unionByName(spark.read.parquet(genSeg))).count()
+      }
+      StressFixtures.rmrf(spark, genBase)
+      StressFixtures.rmrf(spark, genSeg)
       // skew audit on the REAL self-join input: the join partitions on
       // (band, key); the exact-cluster collapse must keep the hottest
       // bucket at per-band DISTINCT-hash collision scale — constant
