@@ -39,11 +39,46 @@ Definitions (all constants stated here, not tuned per episode):
 import argparse
 import json
 import math
+import re
 import sys
 
 GUARD_FRAC = 0.05   # move must exceed 5% of the reference median...
 GUARD_ABS = 0.05    # ...and 50 ms, to count as out-of-spread
 BALANCE_RATIO = 1.0 / 3.0  # smaller direction >= 1/3 of larger => balanced
+
+# "key":number pairs inside the queries map. The driver's truncated
+# tail starts mid-pair (e.g. `rames":0.825,`); requiring the opening
+# quote makes the regex skip that partial fragment automatically.
+_PAIR = re.compile(r'"([A-Za-z_][A-Za-z0-9_]*)"\s*:\s*([0-9]+(?:\.[0-9]+)?)')
+
+
+def parse_tail(tail):
+    """Recover the per-query median map from a driver-truncated artifact.
+
+    The driver's BENCH_r*.json history ships only the LAST ~2KB of the
+    bench stdout (`tail`) with `parsed: null`. The tail cuts the front
+    of the JSON line, so the `value` total and the early query keys are
+    gone, but every fully-visible `"key":median` pair inside the
+    queries map is intact up to `},"failures"`. Parse those; totals are
+    reported as None and spreads as degenerate (median==min==max), so
+    the 5%/50ms guard band is the only out-of-spread test — exactly the
+    sensitivity the full-artifact path falls back to when a spread is
+    missing.
+    """
+    # Only the region before the queries map's closing brace is query
+    # pairs; after it come trailer keys like "reps":3 that would
+    # otherwise parse as queries.
+    cut = tail.find('},"failures"')
+    region = tail[:cut] if cut >= 0 else tail
+    qmark = region.find('"queries":{')
+    if qmark >= 0:
+        region = region[qmark + len('"queries":{'):]
+    queries = {k: float(v) for k, v in _PAIR.findall(region)}
+    # Guard against trailer keys when `},"failures"` itself was cut off.
+    for meta in ("value", "reps", "cpus", "n", "rc"):
+        queries.pop(meta, None)
+    return {"value": None, "spread": {}, "queries": queries,
+            "partial_tail": True}
 
 
 def load(path):
@@ -53,6 +88,14 @@ def load(path):
     except (OSError, json.JSONDecodeError) as e:
         print(f"error: cannot read {path}: {e}", file=sys.stderr)
         sys.exit(2)
+    # Driver-truncated round artifact: no parsed body, raw stdout tail.
+    if (not isinstance(d.get("queries"), dict)) and isinstance(d.get("tail"), str):
+        parsed = d.get("parsed")
+        if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+            return parsed
+        t = parse_tail(d["tail"])
+        if t["queries"]:
+            return t
     if "queries" not in d or not isinstance(d["queries"], dict):
         print(f"error: {path} is not a full Bench artifact (no queries map)",
               file=sys.stderr)
@@ -72,8 +115,11 @@ def spread_of(art, q):
 def classify(a, b, changed):
     aq, bq = a["queries"], b["queries"]
     shared = sorted(set(aq) & set(bq))
-    only_b = sorted(set(bq) - set(aq))
-    only_a = sorted(set(aq) - set(bq))
+    # A truncated side cannot witness absence: a key missing from a
+    # partial tail may simply be cut off, so only the full side's
+    # exclusive keys are reported as genuinely new/removed.
+    only_b = [] if a.get("partial_tail") else sorted(set(bq) - set(aq))
+    only_a = [] if b.get("partial_tail") else sorted(set(aq) - set(bq))
     moves = []  # (q, a_med, b_med, direction) for out-of-spread shared queries
     ratios = []
     for q in shared:
@@ -102,6 +148,8 @@ def classify(a, b, changed):
     confounded = [m for m in up if m[0] in changed] if not balanced else []
     med_ratio = sorted(ratios)[len(ratios) // 2] if ratios else float("nan")
     return {
+        "a_partial": bool(a.get("partial_tail")),
+        "b_partial": bool(b.get("partial_tail")),
         "total_a": a.get("value"),
         "total_b": b.get("value"),
         "total_ratio": (b.get("value") / a.get("value"))
@@ -131,6 +179,11 @@ def classify(a, b, changed):
 
 def human(r, changed, top):
     out = []
+    for side in ("a", "b"):
+        if r[f"{side}_partial"]:
+            out.append(f"note: {side.upper()} is a driver-truncated tail — "
+                       "only its visible query suffix compares; no totals, "
+                       "no rep spreads (guard band is the only move test)")
     tr = r["total_ratio"]
     out.append(f"totals: A {r['total_a']}s -> B {r['total_b']}s"
                + (f" ({tr:.3f}x)" if tr else ""))

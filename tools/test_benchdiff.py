@@ -80,4 +80,37 @@ b3 = art({"q1": 1.0, "q2": 2.0, "q3": 3.0, "q4": 4.0, "q9": 9.0})
 rc, out = run(a, b3, changed="q9")
 check("new queries reported not flagged", rc == 0 and "q9" in out, out)
 
+# 7. driver-truncated tail artifacts: exact shape of the committed
+# BENCH_r*.json history — {"parsed": null, "tail": "<last 2KB of
+# stdout>"} where the tail starts MID-PAIR and ends past "failures"
+# with sbt trailer noise. The loader must drop the partial leading
+# fragment, stop at the queries map's close (so "reps":3 is not a
+# query), and compare the visible suffix against a full artifact.
+tail_b = ('ed":0.825,"q2":2.4,"q3":3.3,"q4":5.0},"failures":{},'
+          '"sf":"/root/testdata/sf0.1","reps":3}\n'
+          '[success] Total time: 674 s (11:14), completed Aug 15, 2026')
+trunc = {"n": 11, "rc": 0, "cpus": 32, "sf": 0.1, "parsed": None,
+         "tail": tail_b}
+rc, out = run(a, trunc, changed="q4")
+check("tail artifact: changed regression flagged on visible suffix",
+      rc == 1 and "q4" in out and "driver-truncated tail" in out, out)
+# a has q1..q4; the tail's visible suffix is q2..q4 plus the partial
+# fragment `ed":0.825` and trailer `"reps":3`. shared==3 proves the
+# fragment and trailer were not parsed as queries, and "new in B"
+# absent proves they were not reported as additions either.
+check("tail artifact: partial fragment + trailer keys excluded",
+      "shared queries: 3" in out and "new in B" not in out, out)
+rc, out = run(trunc, a, changed="")
+check("tail as reference: q1 not reported removed (absence unwitnessed)",
+      rc == 0 and "removed in B" not in out, out)
+
+# 8. tail-vs-tail: both sides truncated (historical adjudication of two
+# committed driver artifacts).
+tail_a = ('ed":0.825,"q2":2.0,"q3":3.0,"q4":4.0},"failures":{},'
+          '"sf":"/root/testdata/sf0.1","reps":3}\n[success] Total time: 725 s')
+trunc_a = {"n": 10, "rc": 0, "parsed": None, "tail": tail_a}
+rc, out = run(trunc_a, trunc, changed="q4")
+check("tail-vs-tail: adjudicates the shared visible suffix",
+      rc == 1 and "q4" in out and "shared queries: 3" in out, out)
+
 sys.exit(1 if fails else 0)
