@@ -254,7 +254,9 @@ private[queries] trait MultimodalFamily { this: AnalyticsQueries.type =>
     *    100 TB of media this index is ~0.0001× corpus bytes, so every
     *    subsequent near-dup pass reads gigabytes instead of the
     *    petabyte of pixels;
-    *  - `meta` (n): written last as the completeness marker.
+    *  - `meta` (n): written last as the completeness marker
+    *    (crash-path contract failure-injection-tested in
+    *    StagingProtocolSpec).
     *
     * Keyed by a content fingerprint of documents.parquet (the media
     * fixture is a pure function of the doc ids), so an in-place-
@@ -319,7 +321,10 @@ private[queries] trait MultimodalFamily { this: AnalyticsQueries.type =>
       // `meta` is written LAST as the completeness marker (the sibling
       // stages' protocol): a crash mid-write leaves a partial hashes
       // dir but no meta, so the next call rebuilds instead of serving
-      // a truncated generation
+      // a truncated generation. Both halves of this contract (rebuild
+      // on missing meta; short-circuit on present meta) are failure-
+      // injection-tested in StagingProtocolSpec, which drives THIS
+      // stage as the family representative.
       if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
         val payloads = stagedMediaFixture(spark, dir, "mpng16")(
           id => Multimodal.synthPng(id, 16, 16))
