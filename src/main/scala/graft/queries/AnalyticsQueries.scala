@@ -165,6 +165,8 @@ object AnalyticsQueries
     "a30_token_index_update" -> a30TokenIndexUpdate _,
     "a31_stack_served" -> a31StackServed _,
     "a32_rerank_appended" -> a32RerankAppended _,
+    "a33_compacted_rerank" -> a33CompactedRerank _,
+    "a34_tombstone_rerank" -> a34TombstoneRerank _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "d16_editdist_neardup" -> d16EditDistanceDup _,
@@ -197,6 +199,8 @@ object AnalyticsQueries
     "m07_image_neardup" -> m07ImageNearDup _,
     "m09_image_neardup_prebuilt" -> m09ImageNearDupPrebuilt _,
     "m10_image_neardup_appended" -> m10ImageNearDupAppended _,
+    "m11_compacted_neardup" -> m11CompactedNearDup _,
+    "m12_tombstone_neardup" -> m12TombstoneNearDup _,
     "m08_audio_resample" -> m08AudioResample _,
     "p06_hash_sample"   -> p06HashSample _,
     "p07_data_prep"     -> p07DataPrep _,
@@ -232,5 +236,11 @@ object AnalyticsQueries
     ("a30_token_index_update" -> oracleSqlBase("a27_maxsim_rerank")) +
     // the generational (base ∪ segment) layout must serve the re-rank
     // exactly as the monolithic table does — same SQL, same hash
-    ("a32_rerank_appended" -> oracleSqlBase("a29_maxsim_served"))
+    ("a32_rerank_appended" -> oracleSqlBase("a29_maxsim_served")) +
+    // compaction is a pure layout change: the re-merged single table
+    // must serve exactly what the monolith (and the generations) serve
+    ("a33_compacted_rerank" -> oracleSqlBase("a29_maxsim_served")) +
+    // same on the image channel: compacted base ∪ segment must be
+    // output-indistinguishable from every other arrival shape
+    ("m11_compacted_neardup" -> oracleSqlBase("m07_image_neardup"))
 }

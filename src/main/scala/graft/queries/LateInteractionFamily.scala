@@ -15,7 +15,11 @@ import graft.operators.{Dedup, Multimodal}
 /** Late-interaction + composed-stack family (a27-a32, serving stack) — one slice of [[AnalyticsQueries]], split along
   * COVERAGE.md's family boundaries (r10 verdict ask). Mixed back
   * into the single `AnalyticsQueries` facade; behavior unchanged.
-  * Members that cross family lines are `private[queries]`. */
+  * Members that cross family lines are `private[queries]`.
+  * CONVENTION: task closures (flatMapGroups/mapPartitions/...)
+  * must NOT reference trait-level vals/defs — that captures the
+  * whole facade (Task-not-serializable); hoist to a local first.
+  * `tools/closurelint.py` fails CI on the next violation. */
 private[queries] trait LateInteractionFamily { this: AnalyticsQueries.type =>
 
   import Sql._
@@ -472,6 +476,137 @@ private[queries] trait LateInteractionFamily { this: AnalyticsQueries.type =>
         .unionByName(
           spark.read.parquet(s"${stageA32IncrementSegment(spark, dir)}/tokens")))
 
+  /** The a33 compaction stage for the GENERATIONAL token-hash layout:
+    * a15's segment-merge economics replayed on the token channel. The
+    * frozen a30 base (4 files) and the landed a32 increment segment
+    * (2 files) are re-merged into ONE doc_id-range-partitioned, sorted
+    * token table — exactly [[stageTokenTable]]'s fresh-build layout,
+    * so the compacted table is content-identical to the a28 monolith
+    * (AnalyticsSpec pins it row for row: compaction of a generational
+    * index ≡ a fresh full build). No re-tokenization: compaction reads
+    * only stored token rows (a token-hash row is a pure per-doc
+    * function — nothing to recompute), costs one linear rewrite of
+    * ~72 B/doc index bytes, and buys every subsequent serve fewer
+    * files, larger row groups, and one scan instead of a union.
+    * File counts before/after recorded in meta (written LAST — the
+    * completeness-marker protocol, StagingProtocolSpec). */
+  private[queries] def stageA33Compacted(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("a33th", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val basePath = s"${stageA30TokenBase(spark, dir)}/tokens"
+      val segPath = s"${stageA32IncrementSegment(spark, dir)}/tokens"
+      def dataFiles(p: String): Long = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+        var n = 0L
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+      val before = dataFiles(basePath) + dataFiles(segPath)
+      spark.read.parquet(basePath).unionByName(spark.read.parquet(segPath))
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$stage/tokens")
+      spark.read.parquet(s"$stage/tokens").agg(count(lit(1)).as("n"))
+        .withColumn("files_before", lit(before))
+        .withColumn("files_after", lit(dataFiles(s"$stage/tokens")))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the a33 compacted token-table staging path. */
+  def a33CompactedStage(spark: SparkSession, dir: String): String =
+    stageA33Compacted(spark, dir)
+
+  /** a33 — the shortlist re-rank served from the COMPACTED token
+    * index: the lifecycle step after append-only generations (a32),
+    * completing the token channel's a15 treatment. The base ∪ segment
+    * union is re-merged into one doc_id-sorted table and the serve
+    * reads ONLY it — no union of generation scans, no re-tokenize
+    * (PlanAuditSpec pins one stored layout in the plan with the
+    * candidate IN-list and query slice still pushed: compaction must
+    * IMPROVE the serve path, never degrade pushdown). Hash-gated with
+    * a29's ORACLE: monolithic, generational, or compacted layout —
+    * one answer; compaction is a pure layout change. */
+  def a33CompactedRerank(spark: SparkSession, dir: String): DataFrame =
+    maxSimRerankServed(spark, dir,
+      spark.read.parquet(s"${stageA33Compacted(spark, dir)}/tokens"))
+
+  /** The a34 delete stage for the token channel: a16's tombstone
+    * treatment on the generational token-hash layout. A retracted-doc
+    * id table (doc_id ≡ 3 mod 7 — ids falling in BOTH generations:
+    * even ids land in the a30 base, odd ids in the a32 segment) is
+    * persisted beside the index, plus the PURGED table the next
+    * delete-applying compaction produces (compacted tokens minus
+    * tombstoned rows, re-range-partitioned). Meta written last;
+    * live/deleted counts recorded so the spec can pin coverage. */
+  private[queries] def stageA34Tombstones(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("a34del", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/tombstones")
+      val tombs = spark.read.parquet(s"$stage/tombstones")
+      spark.read.parquet(s"${stageA33Compacted(spark, dir)}/tokens")
+        .join(tombs, Seq("doc_id"), "left_anti")
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$stage/purged")
+      Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+        .crossJoin(tombs.agg(count(lit(1)).as("n_tomb")))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the a34 delete-stage path (tombstones + purged table). */
+  def a34DeleteStage(spark: SparkSession, dir: String): String =
+    stageA34Tombstones(spark, dir)
+
+  /** Test hook: the a34 re-rank over the PURGED token table (the
+    * post-compaction hard-delete form — no anti-join in the plan).
+    * The spec pins it row-identical to [[a34TombstoneRerank]]. */
+  def a34PurgedRerank(spark: SparkSession, dir: String): DataFrame =
+    maxSimRerankServed(spark, dir,
+      spark.read.parquet(s"${stageA34Tombstones(spark, dir)}/purged"))
+
+  /** a34 — tombstone DELETES on the generational token index,
+    * completing the channel's lifecycle (build a28 → append a30/a32 →
+    * stream-ingest s25 → compact a33 → delete a34): the tombstone id
+    * list is consulted as a broadcast anti-join on the base ∪ segment
+    * union — a deleted doc can never be fetched or scored, with NO
+    * rewrite of either generation at delete time, and the tombstone
+    * set spans generations (ids ≡ 3 mod 7 hit even base ids and odd
+    * segment ids alike). Deletion is TOTAL for a doc: its token rows
+    * are gone, so it is neither a candidate NOR a queryable
+    * representation (query doc 3 vanishes from the output — a
+    * retracted document cannot keep serving as a query vector).
+    * The keyword shortlist still runs over the unpurged inverted
+    * index, so tombstoned candidates waste their shortlist slots
+    * until that index's own compaction — the real asymmetry of
+    * store-level deletes, priced honestly here and replayed by the
+    * oracle (shortlist over the full corpus, tombstone filter at the
+    * fetch join). At 100 TB the tombstone set is ids-only
+    * (8 B/delete), always broadcastable; [[a34PurgedRerank]] is the
+    * physical purge the next compaction applies, pinned
+    * row-identical. */
+  def a34TombstoneRerank(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageA34Tombstones(spark, dir)
+    val t = spark.read.parquet(s"${stageA30TokenBase(spark, dir)}/tokens")
+      .unionByName(spark.read.parquet(s"${stageA32IncrementSegment(spark, dir)}/tokens"))
+      .join(broadcast(spark.read.parquet(s"$stage/tombstones")),
+        Seq("doc_id"), "left_anti")
+    maxSimRerankServed(spark, dir, t)
+  }
+
   /** a31 — the COMPOSED modern serving stack as ONE oracle-gated
     * query: keyword shortlist (stored inverted index, depth
     * [[MaxSimShortlist]]) → reciprocal-rank fusion with the stored
@@ -573,6 +708,58 @@ private[queries] trait LateInteractionFamily { this: AnalyticsQueries.type =>
          |            (_ma,_mb) -> _ma + _mb))))),
          |      (_na,_nb) -> _na + _nb) AS ms
          |  FROM sl JOIN tk d ON d.doc_id = sl.doc_id
+         |  JOIN q ON q.query_id = sl.query_id),
+         |r AS (SELECT query_id, doc_id, ms,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ms DESC, doc_id)
+         |      AS rank FROM p)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ms AS ms_score
+         |FROM r WHERE rank <= 20 ORDER BY query_id, rank""".stripMargin,
+    // a29's full re-rank replay with store-level deletes applied where
+    // the STORE applies them: the keyword shortlist runs over the
+    // unpurged inverted index (tombstoned docs still burn their
+    // shortlist slots — the honest asymmetry of tombstones), while the
+    // token-table fetch and the query slice exclude doc_id ≡ 3 mod 7 —
+    // a deleted doc is neither a scorable candidate nor a queryable
+    // representation, across BOTH generations
+    "a34_tombstone_rerank" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |idf AS (SELECT term, df,
+         |    CAST(floor(10000.0 * n.n / df) AS BIGINT) AS idf
+         |  FROM dft CROSS JOIN n),
+         |idx AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS impact
+         |  FROM tf JOIN idf USING (term)),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+         |qk AS (SELECT query_id, term FROM (
+         |  SELECT qt.query_id, qt.term, ROW_NUMBER() OVER (
+         |      PARTITION BY qt.query_id ORDER BY idf.df ASC, qt.term ASC) AS trk
+         |  FROM qt JOIN idf USING (term)) WHERE trk <= $KwKeepTerms),
+         |kw AS (SELECT qk.query_id, idx.doc_id,
+         |    CAST(SUM(idx.impact) AS BIGINT) AS kw_score
+         |  FROM idx JOIN qk USING (term) WHERE idx.doc_id <> qk.query_id
+         |  GROUP BY 1, 2),
+         |sl AS (SELECT query_id, doc_id FROM (
+         |  SELECT query_id, doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY kw_score DESC, doc_id) AS kw_rank
+         |  FROM kw) WHERE kw_rank <= $MaxSimShortlist),
+         |tk AS (SELECT doc_id,
+         |    list_transform(${words("text")}[1:8], _mt -> ${polyHash("_mt")}) AS hs
+         |  FROM documents),
+         |q AS (SELECT doc_id AS query_id, hs AS qh FROM tk
+         |  WHERE doc_id < 10 AND doc_id % 7 <> 3),
+         |p AS (SELECT sl.query_id, sl.doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(q.qh, _mq ->
+         |        list_max(list_transform(d.hs, _md ->
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(range(1, 17), _mj ->
+         |              ((_mq*_mj + _mj*_mj) % 1001 - 500)
+         |                * ((_md*_mj + _mj*_mj) % 1001 - 500))),
+         |            (_ma,_mb) -> _ma + _mb))))),
+         |      (_na,_nb) -> _na + _nb) AS ms
+         |  FROM sl JOIN tk d ON d.doc_id = sl.doc_id AND d.doc_id % 7 <> 3
          |  JOIN q ON q.query_id = sl.query_id),
          |r AS (SELECT query_id, doc_id, ms,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ms DESC, doc_id)

@@ -15,7 +15,11 @@ import graft.operators.{Dedup, Multimodal}
 /** Multimodal family (m01-m10 + image-hash index) — one slice of [[AnalyticsQueries]], split along
   * COVERAGE.md's family boundaries (r10 verdict ask). Mixed back
   * into the single `AnalyticsQueries` facade; behavior unchanged.
-  * Members that cross family lines are `private[queries]`. */
+  * Members that cross family lines are `private[queries]`.
+  * CONVENTION: task closures (flatMapGroups/mapPartitions/...)
+  * must NOT reference trait-level vals/defs — that captures the
+  * whole facade (Task-not-serializable); hoist to a local first.
+  * `tools/closurelint.py` fails CI on the next violation. */
 private[queries] trait MultimodalFamily { this: AnalyticsQueries.type =>
 
   import Sql._
@@ -361,6 +365,136 @@ private[queries] trait MultimodalFamily { this: AnalyticsQueries.type =>
         .unionByName(spark.read.parquet(s"$seg/hashes")))
   }
 
+  /** The m11 compaction stage for the GENERATIONAL image-hash layout:
+    * a15's segment-merge economics on the image channel. m10's frozen
+    * even-id base and odd-id landed segment are re-merged into ONE
+    * media_id-range-partitioned, sorted hash table — content-identical
+    * to the m09 monolith (AnalyticsSpec pins it row for row:
+    * compaction of a generational index ≡ a fresh full build). ZERO
+    * decode: compaction reads only stored 24-byte hash rows (a
+    * perceptual hash is a pure per-media function — nothing to
+    * recompute), costs one linear rewrite of index bytes (~10⁻⁴× the
+    * corpus at 100 TB), and buys every subsequent near-dup serve
+    * fewer files and one scan instead of a union. File counts
+    * before/after in meta (written LAST — StagingProtocolSpec). */
+  private[queries] def stageM11Compacted(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("m11ih", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val basePath = s"${stageM10Generation(spark, dir, "m10ihbase",
+        col("media_id") % 2 === 0)}/hashes"
+      val segPath = s"${stageM10Generation(spark, dir, "m10ihseg",
+        col("media_id") % 2 === 1)}/hashes"
+      def dataFiles(p: String): Long = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+        var n = 0L
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+      val before = dataFiles(basePath) + dataFiles(segPath)
+      // a compactor sizes its output by target file count, not a
+      // constant: halve the file population (≥ 1), so the merge always
+      // shrinks whatever generation-landing pattern produced the input
+      // (one file per streamed micro-batch in the s24 shape, one per
+      // generation here)
+      spark.read.parquet(basePath).unionByName(spark.read.parquet(segPath))
+        .repartitionByRange(math.max(1, (before / 2).toInt), col("media_id"))
+        .sortWithinPartitions(col("media_id"))
+        .write.mode("overwrite").parquet(s"$stage/hashes")
+      spark.read.parquet(s"$stage/hashes").agg(count(lit(1)).as("n"))
+        .withColumn("files_before", lit(before))
+        .withColumn("files_after", lit(dataFiles(s"$stage/hashes")))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the m11 compacted image-hash staging path. */
+  def m11CompactedStage(spark: SparkSession, dir: String): String =
+    stageM11Compacted(spark, dir)
+
+  /** m11 — image near-dedup served from the COMPACTED hash index:
+    * the lifecycle step after generational appends (m10), completing
+    * the image channel's a15 treatment. The base ∪ segment union is
+    * re-merged into one sorted table and the serve reads ONLY it — no
+    * union of generation scans, no decode (PlanAuditSpec pins one
+    * stored layout, zero object boundaries). Hash-gated with m07's
+    * ORACLE: inline decode, monolith, generations, or compacted —
+    * one answer; compaction is a pure layout change. */
+  def m11CompactedNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupFromHashes(
+      spark.read.parquet(s"${stageM11Compacted(spark, dir)}/hashes"))
+
+  /** The m12 delete stage for the image channel: a16's tombstone
+    * treatment on the generational image-hash layout. Retracted media
+    * ids (media_id ≡ 3 mod 7 — ids in BOTH generations: even in the
+    * base, odd in the segment) persisted beside the index, plus the
+    * PURGED hash table the next delete-applying compaction produces.
+    * Meta written last; live/deleted counts recorded. */
+  private[queries] def stageM12Tombstones(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("m12del", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id").as("media_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/tombstones")
+      val tombs = spark.read.parquet(s"$stage/tombstones")
+      spark.read.parquet(s"${stageM11Compacted(spark, dir)}/hashes")
+        .join(tombs, Seq("media_id"), "left_anti")
+        .repartitionByRange(2, col("media_id"))
+        .sortWithinPartitions(col("media_id"))
+        .write.mode("overwrite").parquet(s"$stage/purged")
+      Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+        .crossJoin(tombs.agg(count(lit(1)).as("n_tomb")))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the m12 delete-stage path (tombstones + purged table). */
+  def m12DeleteStage(spark: SparkSession, dir: String): String =
+    stageM12Tombstones(spark, dir)
+
+  /** Test hook: near-dup over the PURGED hash table (the
+    * post-compaction hard-delete form — no anti-join in the plan).
+    * The spec pins it row-identical to [[m12TombstoneNearDup]]. */
+  def m12PurgedNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupFromHashes(
+      spark.read.parquet(s"${stageM12Tombstones(spark, dir)}/purged"))
+
+  /** m12 — tombstone DELETES on the generational image-hash index,
+    * completing the image channel's lifecycle (build m09 → append m10
+    * → stream-ingest s24 → compact m11 → delete m12): the tombstone id
+    * list is consulted as a broadcast anti-join on the base ∪ segment
+    * union — a retracted image can never be a cluster member, a
+    * cluster representative, or a near-dup pair endpoint, with NO
+    * rewrite of either generation at delete time. Because deletion
+    * happens BEFORE the exact-hash cluster aggregate, surviving
+    * clusters recount their members and re-elect their minimum
+    * surviving id — exactly what re-running near-dup on the retracted
+    * corpus produces, which is what the oracle computes (m07's
+    * arithmetic over documents WHERE doc_id % 7 <> 3). At 100 TB the
+    * tombstone set is ids-only, always broadcastable;
+    * [[m12PurgedNearDup]] is the physical purge the next compaction
+    * applies, pinned row-identical. */
+  def m12TombstoneNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageM12Tombstones(spark, dir)
+    val hashes = spark.read.parquet(s"${stageM10Generation(spark, dir, "m10ihbase",
+        col("media_id") % 2 === 0)}/hashes")
+      .unionByName(spark.read.parquet(s"${stageM10Generation(spark, dir, "m10ihseg",
+        col("media_id") % 2 === 1)}/hashes"))
+      .join(broadcast(spark.read.parquet(s"$stage/tombstones")),
+        Seq("media_id"), "left_anti")
+    nearDupFromHashes(hashes)
+  }
+
   /** This family's slice of the oracle-SQL map (split from the
     * single oracleSqlBase literal; composed back in
     * [[AnalyticsQueries.oracleSqlBase]]). */
@@ -467,6 +601,43 @@ private[queries] trait MultimodalFamily { this: AnalyticsQueries.type =>
          |  FROM fr)
          |SELECT media_id, frame_idx, diff, diff > 3000 AS is_keyframe
          |FROM d ORDER BY media_id, frame_idx""".stripMargin,
+    // m07's full perceptual-dedup arithmetic over the RETRACTED corpus
+    // (doc_id ≡ 3 mod 7 deleted): clusters recount and re-elect their
+    // minimum SURVIVING id — deleting before the cluster aggregate
+    // must equal re-running near-dup on the purged corpus
+    "m12_tombstone_neardup" ->
+      s"""WITH blk AS (SELECT doc_id, list_transform(range(0, 64),
+         |    _pi -> CAST($m07Block AS BIGINT)) AS blocks FROM documents
+         |  WHERE doc_id % 7 <> 3),
+         |mh AS (SELECT doc_id, blocks,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), blocks),
+         |      (_ma, _mb) -> _ma + _mb) // 64 AS mean FROM blk),
+         |hh AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32),
+         |      _pi -> CASE WHEN blocks[_pi + 1] >= mean THEN CAST(1 AS BIGINT)
+         |                  ELSE CAST(0 AS BIGINT) END)),
+         |      (_ma, _mb) -> _ma * 2 + _mb) AS hash_hi,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(32, 64),
+         |      _pi -> CASE WHEN blocks[_pi + 1] >= mean THEN CAST(1 AS BIGINT)
+         |                  ELSE CAST(0 AS BIGINT) END)),
+         |      (_ma, _mb) -> _ma * 2 + _mb) AS hash_lo
+         |  FROM mh),
+         |cl AS (SELECT hash_hi, hash_lo, MIN(doc_id) AS keep_id,
+         |    COUNT(*) AS n_members FROM hh GROUP BY 1, 2),
+         |bd AS (SELECT hash_hi, hash_lo, keep_id, n_members, _bd AS band,
+         |    CASE WHEN _bd = 0 THEN hash_hi // 65536 WHEN _bd = 1 THEN hash_hi % 65536
+         |         WHEN _bd = 2 THEN hash_lo // 65536 ELSE hash_lo % 65536 END AS key
+         |  FROM cl CROSS JOIN unnest(range(0, 4)) AS t(_bd)),
+         |pr AS (SELECT DISTINCT a.keep_id AS keep_i, b.keep_id AS keep_j,
+         |    a.hash_hi AS hi_a, a.hash_lo AS lo_a, b.hash_hi AS hi_b,
+         |    b.hash_lo AS lo_b, a.n_members AS n_i, b.n_members AS n_j
+         |  FROM bd a JOIN bd b
+         |    ON a.band = b.band AND a.key = b.key AND a.keep_id < b.keep_id),
+         |f AS (SELECT keep_i, keep_j, n_i, n_j,
+         |    CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
+         |      AS hamming FROM pr)
+         |SELECT keep_i, keep_j, n_i, n_j, hamming FROM f
+         |WHERE hamming <= 6 ORDER BY keep_i, keep_j""".stripMargin,
     // arithmetic mirror of the full perceptual-dedup pipeline: block
     // grays from the synthesis formula, MSB-first bit fold into two
     // 32-bit halves, exact-hash clustering, 16-bit band join over the

@@ -26,8 +26,12 @@ object PipelineQueries {
     * stage stopped filtering null-user rows — bounds and the staged
     * copy now cover the full table. v6: the a28 token-hash table is
     * now range-partitioned + sorted by doc_id so id predicates —
-    * a28's query slice, a29's shortlist IN-list — prune row groups.) */
-  val StagingFormatVersion = 6
+    * a28's query slice, a29's shortlist IN-list — prune row groups.
+    * v7: the m11 compacted image-hash stage sizes its output file
+    * count dynamically — half the input file population — instead of
+    * a constant 2, so compaction provably shrinks files at every
+    * scale.) */
+  val StagingFormatVersion = 7
 
   /** Full-width digest key for a staging identity. Replaces the old
     * 32-bit `String.hashCode`, which can collide two distinct dirs —

@@ -15,7 +15,11 @@ import graft.operators.{Dedup, Multimodal}
 /** Vector ANN lifecycle family (a01-a18 + PQ/IVF machinery) — one slice of [[AnalyticsQueries]], split along
   * COVERAGE.md's family boundaries (r10 verdict ask). Mixed back
   * into the single `AnalyticsQueries` facade; behavior unchanged.
-  * Members that cross family lines are `private[queries]`. */
+  * Members that cross family lines are `private[queries]`.
+  * CONVENTION: task closures (flatMapGroups/mapPartitions/...)
+  * must NOT reference trait-level vals/defs — that captures the
+  * whole facade (Task-not-serializable); hoist to a local first.
+  * `tools/closurelint.py` fails CI on the next violation. */
 private[queries] trait VectorAnnFamily { this: AnalyticsQueries.type =>
 
   import Sql._

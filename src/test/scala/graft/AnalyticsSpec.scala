@@ -542,6 +542,56 @@ class AnalyticsSpec extends AnyFunSuite {
       rows(graft.queries.AnalyticsQueries.a29MaxSimServed(spark, dir)))
   }
 
+  // a33: compaction of the generational token layout is a pure layout
+  // change — the compacted table must hold EXACTLY the rows a fresh
+  // full build (the a28 monolith) holds, serve the identical re-rank,
+  // and shrink the file population.
+  test("a33: compacted tokens ≡ a fresh full build; serve ≡ a29; fewer files") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def tokens(stage: String): Seq[(Long, Seq[Long])] =
+      spark.read.parquet(s"$stage/tokens")
+        .select(col("doc_id"), col("th"))
+        .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    val compacted = graft.queries.AnalyticsQueries.a33CompactedStage(spark, dir)
+    val fresh = graft.queries.AnalyticsQueries.tokenHashStage(spark, dir)
+    assert(tokens(compacted) == tokens(fresh),
+      "compacting base ∪ segment must reproduce a fresh full build row for row")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long)].collect().toSeq
+    assert(rows(graft.queries.AnalyticsQueries.a33CompactedRerank(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.a29MaxSimServed(spark, dir)),
+      "compaction changed the served re-rank")
+    val meta = spark.read.parquet(s"$compacted/meta").head
+    assert(meta.getAs[Long]("files_after") < meta.getAs[Long]("files_before"),
+      s"compaction did not shrink files: $meta")
+  }
+
+  // a34: soft delete (broadcast anti-join over base ∪ segment) and
+  // hard delete (purged table) serve the SAME re-rank; no tombstoned
+  // doc ever surfaces as a result OR as a query; the purged table
+  // drops exactly the tombstoned token rows.
+  test("a34: tombstone re-rank ≡ purged re-rank; deletes invisible, total") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long)].collect().toSeq
+    val soft = rows(graft.queries.AnalyticsQueries.a34TombstoneRerank(spark, dir))
+    val hard = rows(graft.queries.AnalyticsQueries.a34PurgedRerank(spark, dir))
+    assert(soft == hard, "purging compaction changed the served re-rank")
+    assert(soft.nonEmpty)
+    soft.foreach { case (qid, _, did, _) =>
+      assert(did % 7 != 3, s"tombstoned doc surfaced as a result: $did")
+      assert(qid % 7 != 3, s"tombstoned doc still serving as a query: $qid")
+    }
+    val stage = graft.queries.AnalyticsQueries.a34DeleteStage(spark, dir)
+    val meta = spark.read.parquet(s"$stage/meta").head
+    assert(meta.getAs[Long]("n_tomb") > 0, "fixture produced no tombstones")
+    assert(spark.read.parquet(s"$stage/purged").count() ==
+      meta.getAs[Long]("n") - meta.getAs[Long]("n_tomb"),
+      s"purged table must drop exactly the tombstoned rows: $meta")
+  }
+
   // s25 streams the increment in four batches; a30 applies it one-shot.
   // Token-hash rows are pure per-doc functions, so the merged MaxSim
   // readback must be row-identical — batch boundaries leave no trace.
@@ -659,6 +709,60 @@ class AnalyticsSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
     assert(rows(graft.queries.AnalyticsQueries.m10ImageNearDupAppended(spark, dir)) ==
       rows(graft.queries.AnalyticsQueries.m09ImageNearDupPrebuilt(spark, dir)))
+  }
+
+  // m11: compacting the generational image-hash layout is a pure
+  // layout change — the compacted table must hold EXACTLY what a fresh
+  // full build (the m09 monolith) holds, serve the identical near-dup,
+  // and shrink the file population.
+  test("m11: compacted hashes ≡ a fresh full build; serve ≡ m09; fewer files") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def hashes(path: String): Seq[(Long, Long, Long)] =
+      spark.read.parquet(path)
+        .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    val compacted = graft.queries.AnalyticsQueries.m11CompactedStage(spark, dir)
+    val fresh = graft.queries.AnalyticsQueries.imageHashStage(spark, dir)
+    assert(hashes(s"$compacted/hashes") == hashes(s"$fresh/hashes"),
+      "compacting base ∪ segment must reproduce a fresh full build row for row")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    assert(rows(graft.queries.AnalyticsQueries.m11CompactedNearDup(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.m09ImageNearDupPrebuilt(spark, dir)),
+      "compaction changed the served near-dup")
+    val meta = spark.read.parquet(s"$compacted/meta").head
+    assert(meta.getAs[Long]("files_after") < meta.getAs[Long]("files_before"),
+      s"compaction did not shrink files: $meta")
+  }
+
+  // m12: soft delete (broadcast anti-join over base ∪ segment) and
+  // hard delete (purged table) serve the SAME near-dup; no tombstoned
+  // media ever surfaces as a cluster representative; clusters recount
+  // their surviving members (deletion precedes the cluster aggregate).
+  test("m12: tombstone near-dup ≡ purged near-dup; representatives re-elected") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val soft = rows(graft.queries.AnalyticsQueries.m12TombstoneNearDup(spark, dir))
+    val hard = rows(graft.queries.AnalyticsQueries.m12PurgedNearDup(spark, dir))
+    assert(soft == hard, "purging compaction changed the served near-dup")
+    assert(soft.nonEmpty)
+    soft.foreach { r =>
+      assert(r.getLong(0) % 7 != 3 && r.getLong(1) % 7 != 3,
+        s"tombstoned media surfaced as a cluster representative: $r")
+    }
+    // deletion must shrink membership vs the undeleted serve (m11):
+    // equal sums would mean tombstones only renamed representatives
+    def memberSum(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getLong(2) + r.getLong(3)).sum
+    val full = rows(graft.queries.AnalyticsQueries.m11CompactedNearDup(spark, dir))
+    assert(memberSum(soft) < memberSum(full),
+      "tombstoned media still counted as cluster members")
+    val stage = graft.queries.AnalyticsQueries.m12DeleteStage(spark, dir)
+    val meta = spark.read.parquet(s"$stage/meta").head
+    assert(meta.getAs[Long]("n_tomb") > 0, "fixture produced no tombstones")
+    assert(spark.read.parquet(s"$stage/purged").count() ==
+      meta.getAs[Long]("n") - meta.getAs[Long]("n_tomb"),
+      s"purged table must drop exactly the tombstoned rows: $meta")
   }
 
   // s21 streams the PNG fixture through the real decode kernel in four

@@ -340,6 +340,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"banded near-dup join went cartesian:\n$p")
   }
 
+  test("m11: compacted image near-dup — ONE stored layout, ZERO decode at serve time") {
+    val p = planOf(graft.queries.AnalyticsQueries.m11CompactedNearDup(spark, dir))
+    // compaction must leave the media serving shape intact: one bare
+    // 24-byte hash scan (no generation union), and still zero object
+    // boundaries — a re-merge that re-decoded would defeat the whole
+    // decode-at-ingest economics
+    assert(p.contains("graft_m11ih"), s"serve must scan the compacted stage:\n$p")
+    assert(!p.contains("graft_m10ih"),
+      s"compacted serve still reads the pre-compaction generations:\n$p")
+    assert(!p.contains("MapPartitions"), s"decode (object boundary) in the serve plan:\n$p")
+    assert(!p.contains("DeserializeToObject"), s"object boundary in the serve plan:\n$p")
+    assert(!p.contains("payload"), s"serve plan touches media payload bytes:\n$p")
+    assert(!p.contains("documents.parquet"), s"serve plan scans the source corpus:\n$p")
+    assert(!p.contains("ExistingRDD"), s"serve plan contains build-time work:\n$p")
+    assert(!p.contains("CartesianProduct"), s"banded near-dup join went cartesian:\n$p")
+  }
+
+  test("m12: tombstoned image near-dup — broadcast anti-join over both generations, ZERO decode") {
+    val p = planOf(graft.queries.AnalyticsQueries.m12TombstoneNearDup(spark, dir))
+    // deletes on the media index: the tombstone id set joins as a
+    // broadcast anti onto the generation union BEFORE the cluster
+    // aggregate — no shuffle of the hash table, no rewrite of either
+    // generation, and still zero object boundaries
+    assert(p.contains("graft_m10ihbase"), s"serve must scan the frozen base generation:\n$p")
+    assert(p.contains("graft_m10ihseg"), s"serve must scan the landed increment segment:\n$p")
+    assert(p.contains("graft_m12del"), s"serve must consult the tombstone table:\n$p")
+    assert(p.contains("LeftAnti"), s"deletes must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"tombstones shuffled the hash table:\n$p")
+    assert(!p.contains("MapPartitions"), s"decode (object boundary) in the serve plan:\n$p")
+    assert(!p.contains("DeserializeToObject"), s"object boundary in the serve plan:\n$p")
+    assert(!p.contains("payload"), s"serve plan touches media payload bytes:\n$p")
+    assert(!p.contains("documents.parquet"), s"serve plan scans the source corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"banded near-dup join went cartesian:\n$p")
+  }
+
   test("a28: prebuilt MaxSim — stored token-hash table only, no text in the serving plan") {
     val p = planOf(graft.queries.AnalyticsQueries.a28MaxSimPrebuilt(spark, dir))
     // the late-interaction serving shape: both sides of the score —
@@ -437,6 +472,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("documents.parquet"),
       s"serving plan touches corpus text (tokenization belongs in the pinned shortlist job):\n$p")
     assert(!p.contains("SortMergeJoin"), s"re-rank shuffled into a sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"re-rank went cartesian:\n$p")
+  }
+
+  test("a33: compacted re-rank — ONE stored layout, pushdown survives compaction") {
+    val p = planOf(graft.queries.AnalyticsQueries.a33CompactedRerank(spark, dir))
+    // compaction must IMPROVE the serve path: one token scan instead
+    // of the generation union, with the candidate IN-list and the
+    // query doc_id slice still pushed onto the compacted layout —
+    // losing pushdown in a re-merge would trade files for row groups
+    // and give back the point-lookup economics
+    assert(p.contains("graft_a33th"), s"re-rank must read the compacted stage:\n$p")
+    assert(!p.contains("graft_a30th") && !p.contains("graft_a32seg"),
+      s"compacted serve still reads the pre-compaction generations:\n$p")
+    val scans = p.linesIterator.filter(l =>
+      l.contains("graft_a33th") && l.contains("PushedFilters")).toSeq
+    assert(scans.nonEmpty && scans.forall(l =>
+      l.contains("In(doc_id") || l.contains("LessThan(doc_id,10)")),
+      s"a compacted scan lacks the pushed doc_id probe:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"serving plan touches corpus text:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"re-rank shuffled into a sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"re-rank went cartesian:\n$p")
+  }
+
+  test("a34: tombstoned re-rank — broadcast anti-join, pushdown still reaches both generations") {
+    val p = planOf(graft.queries.AnalyticsQueries.a34TombstoneRerank(spark, dir))
+    // deletes must not degrade the generational serve: the tombstone
+    // set joins as a broadcast anti (never shuffles the token table),
+    // and the candidate/query probes still push through it into BOTH
+    // generation scans
+    assert(p.contains("graft_a30th"), s"serve must read the frozen base segment:\n$p")
+    assert(p.contains("graft_a32seg"), s"serve must read the increment segment:\n$p")
+    assert(p.contains("graft_a34del"), s"serve must consult the tombstone table:\n$p")
+    assert(p.contains("LeftAnti"), s"deletes must be a broadcast anti-join:\n$p")
+    for (seg <- Seq("a30th", "a32seg")) {
+      val scans = p.linesIterator.filter(l =>
+        l.contains(s"graft_$seg") && l.contains("PushedFilters")).toSeq
+      assert(scans.nonEmpty && scans.forall(l =>
+        l.contains("In(doc_id") || l.contains("LessThan(doc_id,10)")),
+        s"a $seg scan lost its pushed doc_id probe behind the anti-join:\n$p")
+    }
+    assert(!p.contains("SortMergeJoin"), s"tombstones shuffled the token table:\n$p")
     assert(!p.contains("CartesianProduct"), s"re-rank went cartesian:\n$p")
   }
 

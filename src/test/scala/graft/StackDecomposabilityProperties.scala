@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Properties}
+import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 import graft.queries.AnalyticsQueries
 
@@ -12,20 +12,35 @@ import graft.queries.AnalyticsQueries
   * fixed 4-batch split; this pins the quantifier the scaladoc argues:
   * every stage — keyword probe, RRF fusion, MMR greedy, MaxSim
   * re-rank — ranks each query against the FROZEN indexes alone, so
-  * batch boundaries cannot leak between queries). The generator draws
-  * random assignments of the 10 query ids to 1–3 batches, including
-  * the degenerate all-in-one batch (= the one-shot replay) and
-  * singleton batches. */
+  * batch boundaries cannot leak between queries).
+  *
+  * The partition space sampled is deliberately extreme-heavy (r11
+  * verdict ask): the generator draws up to 10 batches (not 3), and the
+  * two shapes where an accidental cross-query dependency would hide —
+  * ALL-SINGLETONS (every query served alone, 10 batches) and the
+  * LONER split (one query alone against the other nine) — run
+  * deterministically every time, not at the RNG's pleasure. A final
+  * property asserts the exercised shapes actually covered singleton
+  * batches and >3-batch partitions, so a generator regression (or an
+  * over-eager cost trim) fails loudly instead of silently shrinking
+  * coverage. */
 object StackDecomposabilityProperties extends Properties("ServedStack") {
 
   // each case runs the full four-index stack once per batch — cap the
-  // case count so the suite stays seconds, not minutes
+  // case count so the suite stays tens of seconds, not minutes
   override def overrideParameters(p: org.scalacheck.Test.Parameters)
       : org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(5).withWorkers(1)
 
   private lazy val spark = GraftSession.local(cores = 4, shufflePartitions = 4)
   private val dir = "/root/testdata/sf0.001"
+
+  /** Batch-size shapes exercised (sorted sizes per partition), fed by
+    * both the generated and the deterministic cases — the coverage
+    * property below asserts what was ACTUALLY run. */
+  private val seenShapes = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+  private def record(batches: Seq[Seq[Long]]): Unit =
+    synchronized { seenShapes += batches.map(_.size).sorted }
 
   /** Run the stack for the given query ids and CONSUME the result
     * (constructing the next stack releases this one's pinned
@@ -43,15 +58,48 @@ object StackDecomposabilityProperties extends Properties("ServedStack") {
   private lazy val oneShot: Set[(Long, Int, Long, Long)] =
     serveStack(0L until 10L).toSet
 
-  private val partitionGen: Gen[Seq[Seq[Long]]] =
-    Gen.listOfN(10, Gen.choose(0, 2)).map { labels =>
-      (0L until 10L).zip(labels).groupBy(_._2).values
-        .map(_.map(_._1).toSeq).toSeq
-    }
+  private def toBatches(labels: Seq[Int]): Seq[Seq[Long]] =
+    (0L until 10L).zip(labels).groupBy(_._2).values
+      .map(_.map(_._1).toSeq).toSeq
+
+  /** Up to 10 batches, weighted toward the shapes that would hide a
+    * cross-query dependency: fully-random labels (avg ~6 batches),
+    * coarse 1–3-batch splits (the s26 neighborhood), all-singletons,
+    * and loner splits. */
+  private val partitionGen: Gen[Seq[Seq[Long]]] = Gen.frequency(
+    4 -> Gen.listOfN(10, Gen.choose(0, 9)),
+    2 -> Gen.listOfN(10, Gen.choose(0, 2)),
+    1 -> Gen.const((0 to 9).toList),
+    1 -> Gen.choose(0, 9).map(i => List.tabulate(10)(j => if (j == i) 1 else 0)),
+  ).map(toBatches)
 
   property("union of per-batch serves == one-shot, for ANY query partition") =
     forAll(partitionGen) { batches =>
+      record(batches)
       val union = batches.flatMap(serveStack)
       union.size == oneShot.size && union.toSet == oneShot
+    }
+
+  // the two extreme shapes run EVERY time (computed once — scalacheck
+  // samples a constant Prop minSuccessfulTests times)
+  private lazy val extremesOk: Boolean = {
+    val allSingletons = (0L until 10L).map(Seq(_))
+    val lonerSplit = Seq(Seq(7L), (0L until 10L).filterNot(_ == 7L))
+    record(allSingletons)
+    record(lonerSplit)
+    val u1 = allSingletons.flatMap(serveStack)
+    val u2 = lonerSplit.flatMap(serveStack)
+    u1.size == oneShot.size && u1.toSet == oneShot &&
+      u2.size == oneShot.size && u2.toSet == oneShot
+  }
+
+  property("extreme shapes: all-singletons (10 batches) and loner split hold") =
+    Prop(extremesOk)
+
+  property("exercised shapes covered singleton batches AND >3-batch partitions") =
+    Prop {
+      val shapes = synchronized(seenShapes.toList)
+      shapes.exists(_.contains(1)) && shapes.exists(_.size > 3) &&
+        shapes.exists(_ == Seq.fill(10)(1))
     }
 }
