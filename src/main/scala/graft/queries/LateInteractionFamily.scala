@@ -19,7 +19,44 @@ import graft.operators.{Dedup, Multimodal}
   * CONVENTION: task closures (flatMapGroups/mapPartitions/...)
   * must NOT reference trait-level vals/defs — that captures the
   * whole facade (Task-not-serializable); hoist to a local first.
-  * `tools/closurelint.py` fails CI on the next violation. */
+  * `tools/closurelint.py` fails CI on the next violation; it also
+  * bans trait-level `object`s (every reference captures the facade
+  * when it serializes, even thunks built inside driver-side
+  * foreachBatch bodies — the r12 s05 incident): JVM-shared state
+  * goes at file top level. */
+/** Ledger for `localCheckpoint`-pinned QUERY-scale serving frames.
+  * A pin truncates lineage and holds blocks in the block manager
+  * with no public handle back, so a long-lived JVM that serves
+  * repeatedly (Bench rep loops, s26's per-micro-batch stacks) would
+  * otherwise accumulate one generation of pinned blocks per serve.
+  * [[openGeneration]] releases everything held under the tag before
+  * the new serve pins; [[release]] drops the final generation once
+  * its consumer has landed (s26 after the stream drains). Contract:
+  * a serve's returned frame must be consumed before the next serve
+  * under the same tag begins — true of every caller (Verify/Bench
+  * execute each rep to completion, streamed landings write inside
+  * the batch, stress rows count before the next row) — because a
+  * released checkpoint cannot be recomputed. */
+private[graft] object ServingPins {
+  private val held =
+    scala.collection.mutable.Map.empty[String, List[org.apache.spark.rdd.RDD[_]]]
+  def openGeneration(tag: String): Unit = release(tag)
+  def pin(tag: String, spark: SparkSession, df: DataFrame): DataFrame =
+    synchronized {
+      val out = df.localCheckpoint()
+      org.apache.spark.sql.graft.Internals.checkpointRdd(out).foreach { r =>
+        held(tag) = r :: held.getOrElse(tag, Nil)
+      }
+      out
+    }
+  def release(tag: String): Unit = synchronized {
+    held.remove(tag).getOrElse(Nil).foreach(_.unpersist(blocking = false))
+  }
+  private[graft] def heldCount(tag: String): Int =
+    synchronized(held.getOrElse(tag, Nil).size)
+}
+
+
 private[queries] trait LateInteractionFamily { this: AnalyticsQueries.type =>
 
   import Sql._
@@ -206,38 +243,6 @@ private[queries] trait LateInteractionFamily { this: AnalyticsQueries.type =>
   def a29MaxSimServed(spark: SparkSession, dir: String): DataFrame =
     maxSimRerankServed(spark, dir,
       spark.read.parquet(s"${stageTokenHashIndex(spark, dir)}/tokens"))
-
-  /** Ledger for `localCheckpoint`-pinned QUERY-scale serving frames.
-    * A pin truncates lineage and holds blocks in the block manager
-    * with no public handle back, so a long-lived JVM that serves
-    * repeatedly (Bench rep loops, s26's per-micro-batch stacks) would
-    * otherwise accumulate one generation of pinned blocks per serve.
-    * [[openGeneration]] releases everything held under the tag before
-    * the new serve pins; [[release]] drops the final generation once
-    * its consumer has landed (s26 after the stream drains). Contract:
-    * a serve's returned frame must be consumed before the next serve
-    * under the same tag begins — true of every caller (Verify/Bench
-    * execute each rep to completion, streamed landings write inside
-    * the batch, stress rows count before the next row) — because a
-    * released checkpoint cannot be recomputed. */
-  private[graft] object ServingPins {
-    private val held =
-      scala.collection.mutable.Map.empty[String, List[org.apache.spark.rdd.RDD[_]]]
-    def openGeneration(tag: String): Unit = release(tag)
-    def pin(tag: String, spark: SparkSession, df: DataFrame): DataFrame =
-      synchronized {
-        val out = df.localCheckpoint()
-        org.apache.spark.sql.graft.Internals.checkpointRdd(out).foreach { r =>
-          held(tag) = r :: held.getOrElse(tag, Nil)
-        }
-        out
-      }
-    def release(tag: String): Unit = synchronized {
-      held.remove(tag).getOrElse(Nil).foreach(_.unpersist(blocking = false))
-    }
-    private[graft] def heldCount(tag: String): Int =
-      synchronized(held.getOrElse(tag, Nil).size)
-  }
 
   /** The shared served-re-rank composition over ANY stored token-hash
     * frame `t` (doc_id, th): a19 shortlist at depth

@@ -1,0 +1,805 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+import graft.streaming.{InMemoryRecordProducer, KinesisSink, Replay, UpsertSink}
+
+/** JVM-shared sink state for s05: the producer must be one instance
+  * across tasks (closures serialize even in local mode), and the
+  * transient-failure injector needs a shared attempt count per
+  * record. In-proc demo sink, same caveat as s01. */
+private[queries] object S05 {
+  import java.util.concurrent.ConcurrentHashMap
+  val holders = new ConcurrentHashMap[String, InMemoryRecordProducer]()
+  private val attempts = new ConcurrentHashMap[String, Integer]()
+  def producer(key: String): InMemoryRecordProducer =
+    holders.computeIfAbsent(key, _ => new InMemoryRecordProducer(nShards = 4,
+      failWhen = r => {
+        val pay = key + "/" + new String(r.data, java.nio.charset.StandardCharsets.UTF_8)
+        // every fifth payload (by hash) fails its FIRST attempt only —
+        // a deterministic throttled-service model
+        math.floorMod(pay.hashCode, 5) == 0 &&
+          attempts.merge(pay, 1, (a, b) => a + b) == 1
+      }))
+  def drop(key: String): Unit = {
+    holders.remove(key)
+    attempts.keySet.removeIf(_.startsWith(key + "/"))
+  }
+}
+
+/** Streaming CORE family (s01–s13) — the Structured-Streaming
+  * machinery slice of [[StreamingQueries]] (r11 verdict ask: split the
+  * 1,701-line object along the ingest-twin vs serve-twin boundary
+  * before it follows AnalyticsQueries' growth curve): replay source +
+  * sink, windows, watermarks, stateful APIs, stream-stream joins,
+  * exactly-once sinks — plus the shared scaffolding every streamed
+  * query rides ([[withStreamShuffle]], [[streamedLandings]], the
+  * events-schema probes). Mixed back into the single
+  * `StreamingQueries` facade; behavior unchanged.
+  * CONVENTION: task closures (flatMapGroups/mapPartitions/...)
+  * must NOT reference trait-level vals/defs — that captures the
+  * whole facade (Task-not-serializable); hoist to a local first.
+  * `tools/closurelint.py` fails CI on the next violation; it also
+  * bans trait-level `object`s (every reference captures the facade
+  * when it serializes, even thunks built inside driver-side
+  * foreachBatch bodies — the r12 s05 incident): JVM-shared state
+  * goes at file top level. foreachBatch BODIES run on the driver
+  * and may call trait helpers — but nothing they build that
+  * serializes into tasks may touch trait members. */
+private[queries] trait StreamingCoreFamily { this: StreamingQueries.type =>
+
+  /** Scope `spark.sql.shuffle.partitions` down around a streaming
+    * query's START. Every stateful operator commits one state store
+    * per shuffle partition per micro-batch; at the session's 32
+    * partitions that fixed cost dwarfs these correctness-gate volumes
+    * (measured 23 s → 13 s cold on the stream-stream join). The value
+    * is captured in the query's own offset log at start, so the
+    * save/restore cannot leak into a later batch plan — and a real
+    * deployment sizes this to its data, which is exactly the point of
+    * it being a config. */
+  private[queries] def withStreamShuffle[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Streaming INPUT fixtures (staged parquet files a file-source
+    * stream admits batch by batch) are deterministic functions of the
+    * immutable testdata dir, so they are built once per (tag, dir) via
+    * [[PipelineQueries.stageOnce]] (versioned + locked + crash-clean).
+    * The operator's timed cost is then the STREAM — source admission,
+    * state-store commits, drain — not re-writing its own input files:
+    * the same layout-vs-query split q31 applies to storage. Mutable
+    * per-run state (s12's upsert ledger) must NOT go through this —
+    * only inputs. */
+  private[queries] def stageOnce(tag: String, dir: String, dataDirs: Seq[String] = Nil)(
+      build: => Unit): Unit =
+    PipelineQueries.stageOnce(tag, dir, dataDirs)(build)
+
+  /** The ONE streamed-landing scaffold the foreachBatch family shares
+    * (s17/s18/s20/s21/s24/s25/s26): stage the input frame once (the
+    * caller shapes it to 4 partitions — 4 files → 4 micro-batches
+    * under maxFilesPerTrigger=1), delete THIS RUN's landing root
+    * (mutable per-run state never goes through stageOnce), stream the
+    * staged files, hand each micro-batch to `onBatch` with the
+    * landing root — every batch writes batch-id-keyed paths, so a
+    * crash-replayed batch overwrites its own landing idempotently —
+    * drain with AvailableNow, and return the landing root for the
+    * post-stream readback. A fix to the landing protocol lands in
+    * every streamed query at once. */
+  private[queries] def streamedLandings(spark: SparkSession, dir: String, tag: String,
+      landingName: String)(input: => DataFrame)(
+      onBatch: (DataFrame, Long, String) => Unit): String = {
+    val root = java.nio.file.Paths.get(PipelineQueries.staging(tag, dir))
+    val staged = root.resolve("in")
+    stageOnce(s"${tag}in", dir, Seq(staged.toString)) {
+      input.write.mode("overwrite").parquet(staged.toString)
+    }
+    val landed = root.resolve(landingName).toString
+    val hfs = new org.apache.hadoop.fs.Path(landed)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(landed), true) // fresh run
+    val inSchema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          onBatch(batch, id, landed); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    landed
+  }
+
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations (see [[graft.Tables.events]]): TIMESTAMP(NANOS, ntz),
+    * readable only as BIGINT under the nanosAsLong legacy conf, and
+    * plain TIMESTAMP(MICROS, ntz). File-stream sources declare their
+    * schema up front, so probe the footer once (metadata-only) and
+    * derive (declared ts type, ts-normalizer SQL, replay-millis SQL)
+    * from what the file actually holds — both encodings then run the
+    * identical downstream plan on identical values. */
+  private[queries] def eventsTsIsLong(spark: SparkSession, dir: String): Boolean = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
+  }
+
+  private[queries] def eventsStreamSchema(tsIsLong: Boolean): StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", if (tsIsLong) LongType else TimestampNTZType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** SQL normalizing the declared ts column to TIMESTAMP (session-tz
+    * UTC everywhere in this library, so ntz → ltz is the identity on
+    * the underlying micros). Nanos floor-truncate to micros — the same
+    * narrowing DuckDB applies. */
+  private[queries] def tsNormExpr(tsIsLong: Boolean): String =
+    if (tsIsLong) "timestamp_micros(ts DIV 1000)" else "CAST(ts AS TIMESTAMP)"
+
+  /** SQL yielding epoch millis for the replay source's schedule. */
+  private[queries] def tsMillisExpr(tsIsLong: Boolean): String =
+    if (tsIsLong) "ts DIV 1000000" else "unix_millis(CAST(ts AS TIMESTAMP))"
+
+  /** s01 — T1/T2/T3/T4 + K3: replay the events table (timestamp-grouped,
+    * ascending) into the in-memory keyed sink, then read the sink back.
+    * One replay per event_type mirrors the reference's
+    * one-producer-per-reading-type model (main.py:51). */
+  def s01ReplaySink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"), col("props"),
+      unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
+    val types = ev.select(col("event_type")).distinct().as[String].collect().sorted
+    val producer = new InMemoryRecordProducer(nShards = 4)
+    types.foreach { t =>
+      Replay.replay(ev.filter(col("event_type") === t), col("ts_ms"), "props",
+        partitionKey = t, stream = "graft-stream", producer = producer, timeScale = 0.0)
+    }
+    val got = producer.records.map { case (_, key, _, data) =>
+      (key, new String(data, "UTF-8"))
+    }
+    spark.createDataset(got).toDF("partition_id", "payload")
+      .groupBy(col("partition_id"))
+      .agg(count(lit(1)).as("n"), min(col("payload")).as("min_payload"),
+        max(col("payload")).as("max_payload"))
+      .orderBy(col("partition_id"))
+  }
+
+  /** s02 — Structured Streaming: file-source stream over the events
+    * parquet → event-time tumbling window aggregate with watermark →
+    * memory sink (complete mode), drained synchronously with
+    * Trigger.AvailableNow. Same answer as the batch q20 shape. */
+  def s02StreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    // scoped conf: the file stream source consults it while the query
+    // runs; AvailableNow drains synchronously inside this method, so
+    // save/restore around awaitTermination is sound (the memory-table
+    // read below never touches parquet)
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try s02StreamWindowImpl(spark, dir)
+    finally prevNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
+  private def s02StreamWindowImpl(spark: SparkSession, dir: String): DataFrame = {
+    val tsIsLong = eventsTsIsLong(spark, dir)
+    val schema = eventsStreamSchema(tsIsLong)
+    // the file stream source wants a directory: stage the single-file
+    // table into a per-sf temp dir. Copy unconditionally — a staged
+    // file from an earlier run must not be served stale if the source
+    // table changed under the same path.
+    val staged = java.nio.file.Paths.get(PipelineQueries.staging("s02", dir))
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
+      staged.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+      .withColumn("ts", expr(tsNormExpr(tsIsLong)))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"s02_out_${System.nanoTime()}"
+    val q = withStreamShuffle(spark, 4) {
+      agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("w.start").cast("timestamp_ntz").as("hour"), col("event_type"), col("n"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** s03 — stateful running counts (mapGroupsWithState) drained over
+    * the events table as a two-batch stream; the final per-key state
+    * must equal the batch group-by counts. */
+  def s03StatefulCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // MemoryStream is a driver-fed demonstration source (real
+    // deployments read files/queues); feed it via toLocalIterator in
+    // bounded chunks so this query never collects the table at once
+    val total = Tables.events(spark, dir).count()
+    val it = Tables.events(spark, dir)
+      .select(col("event_type")).as[String].toLocalIterator()
+    val mem = MemoryStream[String]
+    val name = s"s03_${System.nanoTime()}"
+    val q = withStreamShuffle(spark, 4) {
+      graft.streaming.Stateful.runningCounts(mem.toDS())
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+    }
+    // feed in bounded chunks; process twice (mid + end) so the state
+    // provably crosses a micro-batch boundary without paying a full
+    // streaming cycle per chunk
+    var fed = 0L
+    var processedMid = false
+    val chunk = new scala.collection.mutable.ArrayBuffer[String](5000)
+    while (it.hasNext) {
+      chunk.clear()
+      while (it.hasNext && chunk.size < 5000) chunk += it.next()
+      mem.addData(chunk.toSeq: _*)
+      fed += chunk.size
+      if (!processedMid && fed >= total / 2) { q.processAllAvailable(); processedMid = true }
+    }
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .groupBy(col("key").as("event_type"))
+      .agg(max(col("n")).as("n")) // latest emission per key = running total
+      .orderBy(col("event_type"))
+  }
+
+  /** s04 — T1/T2 through the REAL streaming source: replay events via
+    * `graft-replay` (a rate-limited MicroBatchStream with
+    * checkpointable offsets — see ReplaySource), aggregate per
+    * partition key, drain with Trigger.AvailableNow. Same semantic
+    * contract as s01's driver loop, now restart-safe. */
+  def s04ReplaySource(spark: SparkSession, dir: String): DataFrame = {
+    val stream = spark.readStream.format("graft-replay")
+      .option("path", s"$dir/events.parquet")
+      .option("nanosAsLong", "true") // scoped to the source's staging read
+      .option("tsMillisExpr", tsMillisExpr(eventsTsIsLong(spark, dir)))
+      // drain cap: bound batches by DATA size, not group count — 100k
+      // single-row groups at sf0.1 in 10k-group batches would pay 10
+      // micro-batch fixed costs (~1.5s each) for no added coverage;
+      // bounded-batch admission itself is pinned by StreamingSpec
+      .option("maxGroupsPerTrigger", "1000000")
+      .option("keyExpr", "event_type")
+      .option("payloadExpr", "props")
+      .load()
+    val agg = stream.groupBy(col("partition_key").as("partition_id"))
+      .agg(count(lit(1)).as("n"), min(col("payload")).as("min_payload"),
+        max(col("payload")).as("max_payload"))
+    val name = s"s04_out_${System.nanoTime()}"
+    val q = withStreamShuffle(spark, 4) {
+      agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.table(name).orderBy(col("partition_id"))
+  }
+
+  /** s05 — the pipeline end-to-end in streaming form: the REAL replay
+    * source feeds foreachBatch, which produces every record to the
+    * keyed sink with the at-least-once flip ON (retries = 2) while a
+    * deterministic fault injector throttles every fifth record's first
+    * attempt. The sink's final contents must equal the batch
+    * aggregate — converged, no loss, no duplicates (successes are
+    * never resent). */
+  def s05StreamPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = s"s05_${System.nanoTime()}"
+    val stream = spark.readStream.format("graft-replay")
+      .option("path", s"$dir/events.parquet")
+      .option("nanosAsLong", "true")
+      .option("tsMillisExpr", tsMillisExpr(eventsTsIsLong(spark, dir)))
+      .option("keyExpr", "event_type")
+      .option("payloadExpr", "props")
+      .option("maxGroupsPerTrigger", "1000000")
+      .load()
+    val q = stream
+      .select(col("partition_key").as("partitionKey"),
+        col("payload").cast("binary").as("data"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val leftover = KinesisSink.produce(
+          batch, "graft-stream", () => S05.producer(key), retries = 2).count()
+        require(leftover == 0,
+          s"at-least-once retries must clear transient failures, $leftover left")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = S05.producer(key).records.map { case (_, k, _, data) =>
+      (k, new String(data, java.nio.charset.StandardCharsets.UTF_8))
+    }
+    S05.drop(key)
+    spark.createDataset(got).toDF("partition_id", "payload")
+      .groupBy(col("partition_id"))
+      .agg(count(lit(1)).as("n"), min(col("payload")).as("min_payload"),
+        max(col("payload")).as("max_payload"))
+      .orderBy(col("partition_id"))
+  }
+
+  /** s06 — streaming deduplication (the ingestion-time dedup stage of
+    * a training-data pipeline): a file-source stream over the documents
+    * table → exact dedup on (lang, text-fingerprint) via
+    * `dropDuplicates` → per-lang unique counts, drained with
+    * Trigger.AvailableNow. Dedup state is one 8-byte hash per distinct
+    * (lang, text) — the bounded-state production variant is
+    * `dropDuplicatesWithinWatermark` when an event-time column exists
+    * (the documents table has none). Keyed on (lang, fp), not fp, so
+    * per-lang counts are deterministic no matter which duplicate
+    * survives. */
+  def s06StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType)))
+    val staged = java.nio.file.Paths.get(PipelineQueries.staging("s06", dir))
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "documents.parquet"),
+      staged.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(col("lang"),
+        graft.expressions.PolyHash(lower(trim(col("text")))).as("fp"))
+      .dropDuplicates("lang", "fp")
+    val agg = stream.groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
+    val name = s"s06_out_${System.nanoTime()}"
+    val q = withStreamShuffle(spark, 4) {
+      agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.table(name).orderBy(col("lang"))
+  }
+
+  /** s07 — the native top-k aggregate INSIDE Structured Streaming:
+    * stream the documents table, keep each language's top-3 longest
+    * docs via `graft_top_k` in a complete-mode aggregation. The
+    * TypedImperativeAggregate's binary buffer round-trips through the
+    * streaming state store between micro-batches — the serialization
+    * path a batch-only test never exercises. Oracle = the batch window
+    * form. */
+  def s07StreamTopK(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType)))
+    // stage TWO disjoint halves and admit one file per trigger, so the
+    // aggregate state provably round-trips through the state store
+    // between micro-batches (a single batch would eval the buffer it
+    // just built and never exercise restore+merge)
+    val staged = java.nio.file.Paths.get(PipelineQueries.staging("s07", dir))
+    stageOnce("s07", dir, Seq(staged.toString)) {
+      val docs = Tables.documents(spark, dir)
+      val median = docs.count() / 2
+      def stageHalf(half: DataFrame, name: String): Unit = {
+        val tmp = staged.resolve(s"_stage_$name")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles(
+          (_: java.io.File, n: String) => n.endsWith(".parquet")).head
+        java.nio.file.Files.createDirectories(staged)
+        java.nio.file.Files.move(part.toPath, staged.resolve(s"$name.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      stageHalf(docs.filter(col("doc_id") < median), "a")
+      stageHalf(docs.filter(col("doc_id") >= median), "b")
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .select(col("lang"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"))
+    val agg = stream.groupBy(col("lang"))
+      .agg(graft.expressions.TopKByScore(col("n_words"), col("doc_id"), 3).as("top"))
+    val name = s"s07_out_${System.nanoTime()}"
+    val q = withStreamShuffle(spark, 4) {
+      agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("n_words"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** s08 — stream-stream INTERVAL JOIN as an oracle row (round-3
+    * verdict item 6 — previously this semantics lived only in
+    * StreamingSpec): click events join purchase events of the same
+    * user arriving within the next 30 minutes. Each side streams from
+    * its own staged directory in TWO files with one file per trigger,
+    * so the join state provably persists across micro-batches — a
+    * click from batch 1 must still match a purchase from batch 2.
+    * Watermarks bound state retention (the 100 TB property: state =
+    * one window of each side, not the whole stream); the delay here is
+    * deliberately generous so the drained result is exactly the batch
+    * join and the oracle can hash-check it. Late-data DROP semantics
+    * stay pinned in StreamingSpec, where nondeterministic arrival is
+    * controlled. */
+  def s08IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Paths.get(PipelineQueries.staging("s08", dir))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType)))
+    // two disjoint halves per side + maxFilesPerTrigger=1 ⇒ ≥2
+    // micro-batches per side crossing the join state store. ONE
+    // partitioned write stages all four files (partition columns are
+    // stripped from the data files, so the stream schema is unchanged)
+    val clickDir = staged.resolve("clicks").toString
+    val purchDir = staged.resolve("purchases").toString
+    stageOnce("s08", dir, Seq(staged.toString)) {
+      val stageTmp = staged.resolve("_stage")
+      ev.filter(col("event_type").isin("click", "purchase"))
+        .withColumn("half", (col("event_id") % 2).cast("int"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"), col("half"))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("event_type", "half")
+        .parquet(stageTmp.toString)
+      def stageSide(tag: String, typ: String): Unit = {
+        val side = staged.resolve(tag)
+        java.nio.file.Files.createDirectories(side)
+        Seq(0, 1).foreach { half =>
+          val src = stageTmp.resolve(s"event_type=$typ").resolve(s"half=$half")
+          // an absent/empty partition means the input has no rows for
+          // this (type, half) — fail with the actual problem, not a
+          // FileNotFoundException from deep inside the listing
+          require(java.nio.file.Files.isDirectory(src),
+            s"s08 staging: no '$typ' events with event_id % 2 = $half in $dir")
+          val parts = PipelineQueries.parquetFileSizes(spark, src.toString)
+          require(parts.nonEmpty,
+            s"s08 staging: empty partition for '$typ' half=$half in $dir")
+          java.nio.file.Files.move(src.resolve(parts.head._1),
+            side.resolve(s"$half.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      stageSide("clicks", "click")
+      stageSide("purchases", "purchase")
+    }
+    def sideStream(d: String, user: String, id: String, ts: String) =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+        .select(col("user_id").as(user), col("event_id").as(id),
+          expr("timestamp_micros(ts_us)").as(ts))
+        .withWatermark(ts, "3650 days")
+    val clicks = sideStream(clickDir, "c_user", "click_id", "c_ts")
+    val purchases = sideStream(purchDir, "p_user", "purchase_id", "p_ts")
+    val joined = clicks.join(purchases, expr(
+      "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"))
+    val name = s"s08_out_${System.nanoTime()}"
+    // a stream-stream join commits FOUR state stores per shuffle
+    // partition per micro-batch (keyed + key-with-index, each side);
+    // at 32 partitions × multiple batches that fixed cost dwarfs this
+    // data. Scope the partition count down for the streaming query
+    // (it is captured in the query's own offset log at start, so the
+    // save/restore cannot leak into a concurrent batch plan).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try joined.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_seconds(col("p_ts")) - unix_seconds(col("c_ts"))).as("lag_s"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** s09 — streaming dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keyed on (event_type, user_id).
+    * s06's `dropDuplicates` is exactly correct but keeps every key
+    * forever — state grows with the stream; within-watermark is the
+    * steady-state form a 100 TB stream actually runs, evicting keys
+    * once they age past the watermark horizon. The delay here is
+    * generous so the drained result equals the batch distinct count
+    * and the oracle can hash it; the EVICTION semantics (a re-arriving
+    * key after expiry re-emits) are pinned in StreamingSpec, where
+    * arrival order is controlled. */
+  def s09StreamDedupBounded(spark: SparkSession, dir: String): DataFrame = {
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try s09Impl(spark, dir)
+    finally prevNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
+  private def s09Impl(spark: SparkSession, dir: String): DataFrame = {
+    val tsIsLong = eventsTsIsLong(spark, dir)
+    val schema = eventsStreamSchema(tsIsLong)
+    val staged = java.nio.file.Paths.get(PipelineQueries.staging("s09", dir))
+    stageOnce("s09", dir, Seq(staged.toString)) {
+      java.nio.file.Files.createDirectories(staged)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
+        staged.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+      .withColumn("ts", expr(tsNormExpr(tsIsLong)))
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
+    val agg = stream.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    val name = s"s09_out_${System.nanoTime()}"
+    val q = withStreamShuffle(spark, 4) {
+      agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.table(name).orderBy(col("event_type"))
+  }
+
+  /** s10 — streaming SESSIONIZATION via `session_window`: the
+    * event-time analogue of batch q21, but as a native streaming
+    * aggregate whose windows MERGE as events arrive (two touching
+    * [ts, ts+gap) spans coalesce into one session in the state store).
+    * Session windows only support APPEND mode (Spark 4), and append
+    * emits a session only once the watermark passes its end — so the
+    * drain stages a SENTINEL flush event (dummy user, ts far past the
+    * data, second file via maxFilesPerTrigger=1) whose batch advances
+    * the watermark beyond every real session; the real sessions then
+    * flush from the state store and the sentinel's own never does
+    * (filtered out). This is the textbook watermark-close pattern for
+    * draining an append-mode session stream deterministically. Gap
+    * rule: a ≥ 30 min silence starts a new session (session_window
+    * spans are end-exclusive). Output: per-user session count and
+    * largest session. */
+  def s10SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try s10Impl(spark, dir)
+    finally prevNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
+  private def s10Impl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tsIsLong = eventsTsIsLong(spark, dir)
+    val schema = eventsStreamSchema(tsIsLong)
+    val staged = java.nio.file.Paths.get(PipelineQueries.staging("s10", dir))
+    stageOnce("s10", dir, Seq(staged.toString)) {
+      java.nio.file.Files.createDirectories(staged)
+      val dataFile = staged.resolve("events.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
+        dataFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // sentinel: one event a day past the data's max ts, for a user id
+      // that cannot occur. Staged as a SECOND file with a LATER mtime so
+      // maxFilesPerTrigger=1 processes data first, sentinel second —
+      // sentinel-first would mark all real data late and drop it
+      val flushTmp = staged.resolve("_flush_tmp")
+      val maxTsRow = spark.read.schema(schema).parquet(dataFile.toString)
+        .agg(max(col("ts"))).head
+      val sentinel =
+        if (tsIsLong)
+          Seq((-1L, maxTsRow.getLong(0) + 86400L * 1000000000L,
+            -1L, "flush", 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        else
+          Seq((-1L, maxTsRow.getAs[java.time.LocalDateTime](0).plusDays(1),
+            -1L, "flush", 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      sentinel.coalesce(1).write.mode("overwrite").parquet(flushTmp.toString)
+      val part = PipelineQueries.parquetFileSizes(spark, flushTmp.toString).head._1
+      java.nio.file.Files.move(flushTmp.resolve(part), staged.resolve("zz_flush.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dataFile,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+      java.nio.file.Files.setLastModifiedTime(staged.resolve("zz_flush.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      .withColumn("ts", expr(tsNormExpr(tsIsLong)))
+      .withWatermark("ts", "1 second")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+    val name = s"s10_out_${System.nanoTime()}"
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .filter(col("user_id") >= 0) // drop the sentinel's own session
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** s11 — stream-static enrichment join, the shape every streaming
+    * fact pipeline runs: the event stream joins a STATIC dimension
+    * snapshot (customer ⋈ nation) per micro-batch, then aggregates per
+    * nation. The static side is broadcast — at scale the stream only
+    * ever streams, the dimension rides the broadcast, and no stream
+    * row is shuffled for the join (only the groups×1 agg exchange).
+    * Money math routes through DECIMAL(18,4) on both engines so the
+    * cross-engine hash holds. */
+  def s11StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try s11Impl(spark, dir)
+    finally prevNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
+  private def s11Impl(spark: SparkSession, dir: String): DataFrame = {
+    val schema = eventsStreamSchema(eventsTsIsLong(spark, dir))
+    val staged = java.nio.file.Paths.get(PipelineQueries.staging("s11", dir))
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
+      staged.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(col("user_id"), col("value").cast("decimal(18,4)").as("v"))
+    val dim = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name"))
+    val agg = stream.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val name = s"s11_out_${System.nanoTime()}"
+    val q = withStreamShuffle(spark, 4) {
+      agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("n_name"), col("n"),
+        round(col("sv"), 2).cast("double").as("sum_value"))
+      .orderBy(col("n_name"))
+  }
+
+  /** s12 — foreachBatch idempotent keyed upsert, the exactly-once SINK
+    * pattern: the stream is split into four micro-batches
+    * (maxFilesPerTrigger=1 over a 4-file staging), each batch's per-key
+    * partial aggregate is MERGED into a parquet state table through
+    * [[UpsertSink.merge]] — full-outer join on the key, versioned
+    * snapshots whose ids double as commit evidence, and a
+    * committed-batch ledger so checkpoint replay of a batch after a
+    * crash is absorbed instead of double-counted (the replay and
+    * crash-window paths are pinned in StreamingSpec). State is one row per
+    * distinct key, dimension-scale; each batch touches only its own
+    * increments plus that table. */
+  def s12ForeachBatchUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try s12Impl(spark, dir)
+    finally prevNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
+  private def s12Impl(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s12", dir))
+    val staged = root.resolve("in")
+    // input fixture staged once; the upsert STATE is per-run mutable
+    // (merge is cumulative across batches) so it is deleted fresh —
+    // deliberately outside stageOnce
+    stageOnce("s12in", dir, Seq(staged.toString)) {
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("value"))
+        .repartition(4) // 4 files → 4 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    val stateDir = root.resolve("state").toString
+    val hfs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(stateDir), true) // fresh run
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val incr = batch.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,4)")).as("sv"))
+          UpsertSink.merge(spark, stateDir, incr, id)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    UpsertSink.readState(spark, stateDir)
+      .select(col("key").as("event_type"), col("n"),
+        round(col("sv"), 2).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** s13 — the ARBITRARY-STATE API (`transformWithState`, Spark 4):
+    * per-user stats kept in TYPED state variables — a ValueState
+    * counter, a MapState of seen event types, a ValueState running
+    * max ([[graft.streaming.Stateful.UserStatsProcessor]]) — the
+    * successor to mapGroupsWithState's single state blob, and the
+    * API a long-running keyed enrichment of the reference's telemetry
+    * would actually use today. Requires the RocksDB state store
+    * (scoped conf): per-variable storage is a state-store-backed
+    * column family, not an in-memory map. The events table streams in
+    * two MemoryStream chunks so state provably crosses a micro-batch
+    * boundary; every emitted stat is order-independent, so the
+    * latest emission per key equals the batch aggregate the oracle
+    * computes. */
+  def s13TransformWithState(spark: SparkSession, dir: String): DataFrame = {
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try s13Impl(spark, dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None    => spark.conf.unset(confKey)
+    }
+  }
+
+  private def s13Impl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.Encoders
+    import graft.streaming.Stateful
+    implicit val sqlCtx = spark.sqlContext
+    val total = Tables.events(spark, dir).count()
+    val it = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[Stateful.UserEvent].toLocalIterator()
+    val mem = MemoryStream[Stateful.UserEvent]
+    val out = mem.toDS()
+      .groupByKey(_.user_id)
+      .transformWithState(new Stateful.UserStatsProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        Encoders.product[Stateful.UserStats])
+    val name = s"s13_${System.nanoTime()}"
+    val q = withStreamShuffle(spark, 4) {
+      out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    }
+    // bounded chunks, processed twice (mid + end) — the s03 pattern
+    var fed = 0L
+    var processedMid = false
+    val chunk = new scala.collection.mutable.ArrayBuffer[Stateful.UserEvent](5000)
+    while (it.hasNext) {
+      chunk.clear()
+      while (it.hasNext && chunk.size < 5000) chunk += it.next()
+      mem.addData(chunk.toSeq: _*)
+      fed += chunk.size
+      if (!processedMid && fed >= total / 2) { q.processAllAvailable(); processedMid = true }
+    }
+    q.processAllAvailable()
+    q.stop()
+    // stats are monotone across batches: latest emission per key = max
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("n_types")).as("n_types"),
+        max(col("max_value")).as("max_value"))
+      .orderBy(col("user_id"))
+  }
+}

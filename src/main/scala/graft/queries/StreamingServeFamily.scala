@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+import graft.streaming.{InMemoryRecordProducer, KinesisSink, Replay, UpsertSink}
+
+/** Streaming SERVE-twin family (s18, s20, s26, s27) — one slice of
+  * [[StreamingQueries]]: every query here streams reads OUT of FROZEN
+  * stored artifacts (the t17 model, the keyword index, the composed
+  * four-index stack, the IVF-PQ index) — the request path of a
+  * serving loop. Nothing is built inside the stream; each micro-batch
+  * probes the stored layouts with its own pushed query predicate and
+  * lands results idempotently. Mixed back into the single
+  * `StreamingQueries` facade; behavior unchanged.
+  * CONVENTION: task closures (flatMapGroups/mapPartitions/...)
+  * must NOT reference trait-level vals/defs — that captures the
+  * whole facade (Task-not-serializable); hoist to a local first.
+  * `tools/closurelint.py` fails CI on the next violation; it also
+  * bans trait-level `object`s (every reference captures the facade
+  * when it serializes, even thunks built inside driver-side
+  * foreachBatch bodies — the r12 s05 incident): JVM-shared state
+  * goes at file top level. foreachBatch BODIES run on the driver
+  * and may call trait helpers — but nothing they build that
+  * serializes into tasks may touch trait members. */
+private[queries] trait StreamingServeFamily { this: StreamingQueries.type =>
+
+  /** s18 — streamed classifier scoring through the FROZEN t17 model:
+    * the filter fleet's steady state as a stream. The staged model
+    * (trained once on the even corpus half) is read before the stream
+    * starts — five longs, never touched again; each micro-batch of
+    * unseen odd-id documents is feature-projected and scored by the
+    * codegen'd dot product (a stateless 1:1 transform — T5's shape
+    * with a real model inside) and landed under a batch-id-keyed path,
+    * so a crash-replayed batch overwrites its own landing
+    * idempotently. The post-stream readback is hash-gated with t17's
+    * ORACLE: whether the unseen half arrives as one scan or as four
+    * micro-batches, the scored output is exactly the same — batch
+    * boundaries leave no trace, and no gradient ever runs inside the
+    * stream. */
+  def s18StreamClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val stage = AnalyticsQueries.qualityModelStage(spark, dir)
+    val w = spark.read.parquet(s"$stage/model").orderBy(col("j"))
+      .collect().map(_.getAs[Long]("w"))
+    val scored = streamedLandings(spark, dir, "s18", "scored")(
+      Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)) { (batch, id, landed) =>
+      AnalyticsQueries
+        .scoreQuality(AnalyticsQueries.qualityFeaturesOf(batch), w)
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
+    }
+    spark.read.parquet(scored)
+      .select(col("doc_id"), col("score4"), col("pred_keep"),
+        col("label_keep"), col("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** s20 — the ONLINE SERVING LOOP: queries arrive as a stream and are
+    * answered from the FROZEN a19 keyword index — the other half of
+    * the index lifecycle (s17 streams writes INTO the index; s20
+    * streams reads OUT of it, the request path of a retrieval
+    * service). The persisted index is staged before the stream starts
+    * and never touched again; each micro-batch of query documents is
+    * tokenized, pruned to its [[AnalyticsQueries.KwKeepTerms]] rarest
+    * terms against the broadcast stored dictionary, probed as an
+    * IN-list against the stored postings, and its ranked top-20 lands
+    * under a batch-id-keyed path (idempotent — a crash-replayed batch
+    * overwrites its own landing). Queries are independent rows, so the
+    * union of per-batch result landings must be ROW-IDENTICAL to the
+    * one-shot a19 batch search — the gate runs a19's own oracle, and
+    * the spec pins s20 ≡ a19 row for row: batch boundaries leave no
+    * trace in what the index serves. Scale shape: per batch the work
+    * is the query slice × index-probe only (Σ df over ≤ queries×8
+    * terms — corpus-independent, a19's serving economics verbatim);
+    * state is zero, landings are results-sized. */
+  def s20StreamSearch(spark: SparkSession, dir: String): DataFrame = {
+    val stage = AnalyticsQueries.keywordIndexStage(spark, dir)
+    val dict = spark.read.parquet(s"$stage/terms")
+      .select(col("term"), col("term_id"), col("df"))
+    val postings = spark.read.parquet(s"$stage/postings")
+    val served = streamedLandings(spark, dir, "s20", "served")(
+      Tables.documents(spark, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)) { (batch, id, landed) =>
+      val qt = batch
+        .select(col("doc_id").as("query_id"),
+          explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+        .distinct()
+      AnalyticsQueries.kwPrunedSearchFor(spark, qt, dict, postings)
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
+    }
+    spark.read.parquet(served)
+      .select(col("query_id"), col("kw_rank"), col("doc_id"), col("kw_score"))
+      .orderBy(col("query_id"), col("kw_rank"))
+  }
+
+  /** s26 — the COMPOSED serving stack under a STREAMED query load:
+    * s20's frozen-index serving loop run over the whole modern stack
+    * instead of the bare keyword channel. Queries arrive over four
+    * micro-batches; each batch runs the full a31 composition against
+    * the four FROZEN stored indexes — keyword shortlist (depth 50)
+    * from the inverted index, RRF fusion with the stored-IVF-PQ
+    * ranks, MMR diversification, MaxSim re-rank from the token-hash
+    * table — and lands its final ranking batch-id-keyed (idempotent
+    * overwrite on replay). Nothing is built inside the stream: every
+    * per-batch cost is a query-batch-scale probe of a stored artifact
+    * (the batch's ids push as IN-lists onto the vector, embedding,
+    * and token layouts — [[AnalyticsQueries.servingStackStagesFor]]).
+    * Every stage of the stack is per-query decomposable, so the
+    * union of per-batch landings must be row-identical to the
+    * one-shot a31 — batch boundaries leave no trace in what the
+    * indexes serve, and the gate is a31's ORACLE, which replays all
+    * four chains inline. */
+  def s26StreamStackServing(spark: SparkSession, dir: String): DataFrame = {
+    val served = streamedLandings(spark, dir, "s26", "served")(
+      Tables.documents(spark, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)) { (batch, id, landed) =>
+      val stages = AnalyticsQueries.servingStackStagesFor(spark, dir,
+        batch.select(col("doc_id"), col("text")))
+      stages.dropRight(1).foreach(_._2()) // shortlist → fuse → diversify
+      stages.last._2()
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
+    }
+    // each batch's stack construction released the previous batch's
+    // pinned intermediates (ServingPins generations); the landing
+    // write above consumed the last batch's, so drop it too
+    ServingPins.release(s"stack:$dir")
+    spark.read.parquet(served)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("ms_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s27 — streamed query load on the BARE VECTOR channel: s20's
+    * frozen-index serving loop pointed at the IVF-PQ index (the last
+    * channel whose serve side had no streamed twin — s14 streams
+    * writes INTO this index; s27 streams reads OUT of it). The stage
+    * is frozen before the stream starts; query ids then arrive over
+    * four micro-batches, and each batch probes the stored artifacts
+    * through [[AnalyticsQueries.a13SearchFor]] — the batch's ids push
+    * onto the query-side embedding scan, drive the probe assignment
+    * against the broadcast stored centroids, and everything
+    * downstream (ADC over probed cells, exact top-5 re-rank) is a13's
+    * serving algebra verbatim. Nothing is built inside the stream;
+    * per-batch cost is the batch's probes × cell mass, corpus-coupled
+    * only through the stored layout exactly as a13 is. Queries are
+    * independent rows (probes, LUT scoring, and re-rank are all
+    * per-query), so the union of batch landings must be ROW-IDENTICAL
+    * to the one-shot a13 — the gate is a13's own oracle (the full
+    * inline IVF-PQ CTE chain), and the spec pins s27 ≡ a13 row for
+    * row: batch boundaries leave no trace in what the index serves. */
+  def s27StreamVectorServing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    AnalyticsQueries.ivfIndexStage(spark, dir) // freeze before streaming
+    val served = streamedLandings(spark, dir, "s27", "served")(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id"))
+        .repartition(4)) { (batch, id, landed) =>
+      // batch-scale metadata collect (≤ the micro-batch size): the id
+      // list becomes the pushed query predicate on the stored layouts
+      val ids = batch.select(col("vec_id")).as[Long].collect().sorted.toSeq
+      AnalyticsQueries.a13SearchFor(spark, dir, col("vec_id").isin(ids: _*))
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
+    }
+    spark.read.parquet(served)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -19,7 +19,11 @@ import graft.operators.{Dedup, Multimodal}
   * CONVENTION: task closures (flatMapGroups/mapPartitions/...)
   * must NOT reference trait-level vals/defs — that captures the
   * whole facade (Task-not-serializable); hoist to a local first.
-  * `tools/closurelint.py` fails CI on the next violation. */
+  * `tools/closurelint.py` fails CI on the next violation; it also
+  * bans trait-level `object`s (every reference captures the facade
+  * when it serializes, even thunks built inside driver-side
+  * foreachBatch bodies — the r12 s05 incident): JVM-shared state
+  * goes at file top level. */
 private[queries] trait TextFamily { this: AnalyticsQueries.type =>
 
   import Sql._

@@ -683,7 +683,7 @@ class AnalyticsSpec extends AnyFunSuite {
   // ledger exists to prevent was one generation PER serve
   test("ServingPins: repeated serves hold one generation, not one per serve") {
     val dir = "/root/testdata/sf0.001"
-    val Pins = graft.queries.AnalyticsQueries.ServingPins
+    val Pins = graft.queries.ServingPins
     (1 to 3).foreach { _ =>
       graft.queries.AnalyticsQueries.a29MaxSimServed(spark, dir).collect()
       assert(Pins.heldCount(s"rerank:$dir") == 1,

@@ -522,6 +522,25 @@ class StreamingSpec extends AnyFunSuite {
       s"drained stream still reports backlog: $m")
   }
 
+  // s05 is the one query whose sink path serializes a producer THUNK
+  // into tasks (KinesisSink.produce's `() => S05.producer(key)`) — the
+  // exact shape that breaks if shared sink state ever moves back to
+  // trait level (the r12 split incident: a trait-member object made
+  // the thunk capture the whole facade, Task-not-serializable, and
+  // ONLY the Verify gate caught it). This smoke test makes that a
+  // unit failure: converged end-to-end counts per partition key, with
+  // the fault injector exercising the retry path.
+  test("s05: streamed pipeline with retries converges (producer-thunk serialization smoke)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.s05StreamPipeline(spark, dir)
+      .select(col("partition_id"), col("n")).as[(String, Long)].collect().toMap
+    val want = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want, "streamed pipeline sink diverged from the batch counts")
+  }
+
   // s14 streams the increment into the index in four micro-batches;
   // the one-shot a12 update is the ground truth. Equality pins that
   // batch boundaries leave no trace in the index (same codes, same

@@ -70,17 +70,36 @@ def strip_comments(src):
     return re.sub(r"//[^\n]*", lambda m: " " * len(m.group(0)), src)
 
 
+# trait-level object: EVERY reference compiles to `this.Obj()` and
+# captures the facade wherever the reference serializes — including
+# thunks built inside driver-side foreachBatch bodies, which is how
+# the hazard escaped the closure-op scan once (s05's
+# `() => S05.producer(key)` during the r12 streaming split). JVM-shared
+# state belongs at file top level (static MODULE$ access, no capture).
+TRAIT_OBJ_RE = re.compile(r"^  (?:private(?:\[\w+\])?\s+)?object\s+(\w+)", re.M)
+
+
 def lint_source(src, name="<src>"):
     findings = []
-    if not TRAIT_RE.search(src):
+    m = TRAIT_RE.search(src)
+    if not m:
         return findings
-    code = strip_comments(src)
+    # scan only the trait body — file-top-level helpers (e.g. a shared
+    # state object hoisted OUT of the trait) are static and safe
+    code = strip_comments(src)[m.start():]
+    base_line = src[:m.start()].count("\n")
     members = set(MEMBER_RE.findall(code))
+    for om in TRAIT_OBJ_RE.finditer(code):
+        line = base_line + code.count("\n", 0, om.start()) + 1
+        findings.append(
+            f"{name}:{line}: trait-level object `{om.group(1)}` — every "
+            f"reference captures the facade when it serializes (even via "
+            f"foreachBatch-built thunks); move it to file top level")
     for op, start, end in closure_spans(code):
         span = code[start:end]
         for mem in sorted(members):
             if re.search(r"\b" + re.escape(mem) + r"\b", span):
-                line = code.count("\n", 0, start) + 1
+                line = base_line + code.count("\n", 0, start) + 1
                 findings.append(
                     f"{name}:{line}: {op} closure references trait member "
                     f"`{mem}` — captures the facade; hoist to a local "
@@ -103,7 +122,26 @@ trait FooFamily { this: AnalyticsQueries.type =>
     not_a_family = bad.replace(
         "trait FooFamily { this: AnalyticsQueries.type =>",
         "object Foo {")
+    trait_obj = """
+trait FooFamily { this: AnalyticsQueries.type =>
+  private object Shared { val x = 1 }
+  def q(): Int = Shared.x
+}
+"""
+    hoisted_obj = """
+private object Shared { val x = 1 }
+trait FooFamily { this: AnalyticsQueries.type =>
+  def q(): Int = Shared.x
+}
+"""
     ok = True
+    f = lint_source(trait_obj, "tobj")
+    if not (len(f) == 1 and "Shared" in f[0] and "trait-level object" in f[0]):
+        print(f"FAIL self-test: trait-level object not flagged: {f}")
+        ok = False
+    if lint_source(hoisted_obj, "hobj"):
+        print("FAIL self-test: file-top-level object flagged")
+        ok = False
     f = lint_source(bad, "bad")
     if not (len(f) == 1 and "MmrSelect" in f[0]):
         print(f"FAIL self-test: capture not flagged: {f}")
