@@ -167,6 +167,8 @@ object AnalyticsQueries
     "a32_rerank_appended" -> a32RerankAppended _,
     "a33_compacted_rerank" -> a33CompactedRerank _,
     "a34_tombstone_rerank" -> a34TombstoneRerank _,
+    "a35_keyword_compacted" -> a35KeywordCompacted _,
+    "a36_keyword_tombstones" -> a36TombstoneSearch _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "d16_editdist_neardup" -> d16EditDistanceDup _,
@@ -242,5 +244,9 @@ object AnalyticsQueries
     ("a33_compacted_rerank" -> oracleSqlBase("a29_maxsim_served")) +
     // same on the image channel: compacted base ∪ segment must be
     // output-indistinguishable from every other arrival shape
-    ("m11_compacted_neardup" -> oracleSqlBase("m07_image_neardup"))
+    ("m11_compacted_neardup" -> oracleSqlBase("m07_image_neardup")) +
+    // keyword compaction is a RE-STAT (cross-document df/idf), and a
+    // re-stat over base ∪ segment is definitionally a fresh full
+    // build — a19's oracle pins it exactly
+    ("a35_keyword_compacted" -> oracleSqlBase("a19_keyword_search_prebuilt"))
 }

@@ -270,7 +270,6 @@ private[queries] trait LateInteractionFamily { this: AnalyticsQueries.type =>
 
   private[queries] def maxSimRerankServed(spark: SparkSession, dir: String,
       t: DataFrame): DataFrame = {
-    import graft.expressions.TopKByScore
     // pinned: the candIds collect below and the broadcast into the
     // final plan both consume the shortlist — unpinned, the whole
     // pruned probe (the one corpus-coupled term here) would execute
@@ -280,12 +279,25 @@ private[queries] trait LateInteractionFamily { this: AnalyticsQueries.type =>
     ServingPins.openGeneration(s"rerank:$dir")
     val shortlist = ServingPins.pin(s"rerank:$dir", spark,
       maxSimCandidateShortlist(spark, dir))
+    maxSimRerankTail(t, shortlist,
+      t.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("th").as("qh")))
+  }
+
+  /** The fetch + kernel + top-k tail every served re-rank shares:
+    * shortlist candidate ids collected to a driver IN-list pushed onto
+    * the doc_id-sorted token frame (row-group seeks — candidate-count
+    * cost), broadcast shortlist/query joins, native kernel on exactly
+    * the shortlist pairs, bounded-heap top-20. One definition for the
+    * one-shot serves (a29/a32/a33/a34) and the per-batch streamed
+    * serve ([[maxSimRerankServedBatch]] → s28). */
+  private def maxSimRerankTail(t: DataFrame, shortlist: DataFrame,
+      q: DataFrame): DataFrame = {
+    import graft.expressions.TopKByScore
     val candIds = shortlist.select(col("doc_id")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    val cands = t.filter(col("doc_id").isin(candIds: _*))
-    val q = t.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("query_id"), col("th").as("qh"))
-    cands.join(broadcast(shortlist), Seq("doc_id"))
+    t.filter(col("doc_id").isin(candIds: _*))
+      .join(broadcast(shortlist), Seq("doc_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("ms", graft.expressions.MaxSim(col("qh"), col("th")))
       .groupBy(col("query_id"))
@@ -294,6 +306,35 @@ private[queries] trait LateInteractionFamily { this: AnalyticsQueries.type =>
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("doc_id"), col("col.score").as("ms_score"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a29's served re-rank restricted to ONE batch of query docs
+    * (doc_id, text) — the per-micro-batch unit of the streamed serve
+    * twin s28: the keyword shortlist probes only this batch's terms,
+    * the token-table query slice is the batch's pushed IN-list, and
+    * pins are ledgered under the s28 tag so the serving loop holds
+    * one generation of checkpoint blocks, not one per batch. Every
+    * step is per-query (shortlist, fetch, kernel, rank), so the union
+    * of batch serves ≡ the one-shot a29 — its oracle gates s28
+    * unchanged. */
+  private[graft] def maxSimRerankServedBatch(spark: SparkSession, dir: String,
+      qdocs: DataFrame): DataFrame = {
+    val kwStage = stageKeywordIndex(spark, dir)
+    val qt = qdocs.select(col("doc_id").as("query_id"),
+      explode(TF.words(col("text"))).as("term")).distinct()
+    ServingPins.openGeneration(s"s28:$dir")
+    val shortlist = ServingPins.pin(s"s28:$dir", spark,
+      kwPrunedSearchFor(spark, qt,
+        spark.read.parquet(s"$kwStage/terms")
+          .select(col("term"), col("term_id"), col("df")),
+        spark.read.parquet(s"$kwStage/postings"), outK = MaxSimShortlist)
+        .select(col("query_id"), col("doc_id")))
+    val ids = qdocs.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val t = spark.read.parquet(s"${stageTokenHashIndex(spark, dir)}/tokens")
+    maxSimRerankTail(t, shortlist,
+      t.filter(col("doc_id").isin(ids: _*))
+        .select(col("doc_id").as("query_id"), col("th").as("qh")))
   }
 
   /** The COMPOSED modern serving stack, staged for stress
@@ -596,7 +637,8 @@ private[queries] trait LateInteractionFamily { this: AnalyticsQueries.type =>
     * retracted document cannot keep serving as a query vector).
     * The keyword shortlist still runs over the unpurged inverted
     * index, so tombstoned candidates waste their shortlist slots
-    * until that index's own compaction — the real asymmetry of
+    * until that index's own compaction (which exists: a35's
+    * re-statting merge + a36's purge) — the real asymmetry of
     * store-level deletes, priced honestly here and replayed by the
     * oracle (shortlist over the full corpus, tombstone filter at the
     * fetch join). At 100 TB the tombstone set is ids-only

@@ -30,8 +30,10 @@ object PipelineQueries {
     * v7: the m11 compacted image-hash stage sizes its output file
     * count dynamically — half the input file population — instead of
     * a constant 2, so compaction provably shrinks files at every
-    * scale.) */
-  val StagingFormatVersion = 7
+    * scale. v8: every keyword-index stage now goes through the shared
+    * stageKwIndexTable builder, whose meta carries max_term_id — the
+    * a19kw meta gained that column.) */
+  val StagingFormatVersion = 8
 
   /** Full-width digest key for a staging identity. Replaces the old
     * 32-bit `String.hashCode`, which can collide two distinct dirs —

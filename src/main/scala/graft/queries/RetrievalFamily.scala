@@ -125,32 +125,58 @@ private[queries] trait RetrievalFamily { this: AnalyticsQueries.type =>
     * Keyed by a content fingerprint of documents.parquet, so an
     * in-place-regenerated corpus invalidates the stage. */
   private[queries] def stageKeywordIndex(spark: SparkSession, dir: String,
-      force: Boolean = false): String = synchronized {
+      force: Boolean = false): String =
+    stageKwIndexTable(spark, dir, "a19kw", lit(true), force)
+
+  /** ONE builder for every persisted keyword-index layout (a19 full
+    * table, a20 even-half base, a35's odd-half segment): tokenize the
+    * selected documents ONCE into (doc_id, term, tf), derive the
+    * dictionary + term_id-sorted postings via [[writeKwLayout]], and
+    * write `meta` (n, max_term_id) LAST as the completeness marker
+    * (crash-path contract: StagingProtocolSpec). Keyed by a content
+    * fingerprint of documents.parquet. */
+  private[queries] def stageKwIndexTable(spark: SparkSession, dir: String,
+      tag: String, docFilter: Column, force: Boolean): String = synchronized {
     val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
-    val stage = PipelineQueries.staging("a19kw", s"$dir#$fp")
+    val stage = PipelineQueries.staging(tag, s"$dir#$fp")
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documents(spark, dir).filter(docFilter)
       val n = docs.count()
       val tf = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      tf.groupBy(col("term")).agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"))
-        .withColumn("term_id",
-          row_number().over(Window.orderBy(col("term"))).cast("long"))
-        .withColumn("idf", floor(lit(10000.0) * n / col("df")).cast("long"))
-        .select(col("term"), col("term_id"), col("df"), col("idf"),
-          (col("max_tf") * col("idf")).as("max_impact"))
-        .write.mode("overwrite").parquet(s"$stage/terms")
-      val terms = spark.read.parquet(s"$stage/terms")
-      tf.join(terms.select(col("term"), col("term_id"), col("idf")), Seq("term"))
-        .select(col("term_id"), col("doc_id"), (col("tf") * col("idf")).as("impact"))
-        .repartitionByRange(4, col("term_id"))
-        .sortWithinPartitions(col("term_id"), col("impact").desc, col("doc_id"))
-        .write.mode("overwrite").parquet(s"$stage/postings")
-      docs.agg(count(lit(1)).as("n")).write.mode("overwrite").parquet(s"$stage/meta")
+      val maxId = writeKwLayout(spark, stage, tf, n)
+      docs.agg(count(lit(1)).as("n")).withColumn("max_term_id", lit(maxId))
+        .write.mode("overwrite").parquet(s"$stage/meta")
     }
     stage
+  }
+
+  /** The standard impact-ordered inverted-index layout from a
+    * (doc_id, term, tf) frame: dictionary with dense lexicographic
+    * term_ids and ⌊10⁴·n/df⌋ idfs, postings range-partitioned + SORTED
+    * by term_id. Shared by the fresh builders ([[stageKwIndexTable]])
+    * and the a35 compaction-with-restat (which feeds it tf RECOVERED
+    * from stored impacts) — the "compaction ≡ fresh build" pin is this
+    * function being the only writer. Returns max term_id; the caller
+    * writes its own meta LAST. */
+  private[queries] def writeKwLayout(spark: SparkSession, stage: String,
+      tf: DataFrame, n: Long): Long = {
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"))
+      .withColumn("term_id",
+        row_number().over(Window.orderBy(col("term"))).cast("long"))
+      .withColumn("idf", floor(lit(10000.0) * n / col("df")).cast("long"))
+      .select(col("term"), col("term_id"), col("df"), col("idf"),
+        (col("max_tf") * col("idf")).as("max_impact"))
+      .write.mode("overwrite").parquet(s"$stage/terms")
+    val terms = spark.read.parquet(s"$stage/terms")
+    tf.join(terms.select(col("term"), col("term_id"), col("idf")), Seq("term"))
+      .select(col("term_id"), col("doc_id"), (col("tf") * col("idf")).as("impact"))
+      .repartitionByRange(4, col("term_id"))
+      .sortWithinPartitions(col("term_id"), col("impact").desc, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$stage/postings")
+    terms.agg(max(col("term_id"))).head.getLong(0)
   }
 
   /** Stress hook: rebuild the persisted keyword index unconditionally —
@@ -286,40 +312,12 @@ private[queries] trait RetrievalFamily { this: AnalyticsQueries.type =>
   /** The a20 CORPUS-HALF keyword index stage — a19's layout built
     * from the even doc_ids only, the frozen base an append-only text
     * index updates against (the a12 even/odd protocol replayed on the
-    * inverted index). Same three tables as [[stageKeywordIndex]]
-    * (terms / term_id-sorted postings / meta); meta additionally
-    * records max_term_id so increment-only vocabulary can be assigned
+    * inverted index). Same three tables as [[stageKeywordIndex]];
+    * meta's max_term_id lets increment-only vocabulary be assigned
     * ids ABOVE the frozen dictionary without renumbering it. */
   private[queries] def stageA20CorpusKwIndex(spark: SparkSession, dir: String,
-      force: Boolean = false): String = synchronized {
-    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
-    val stage = PipelineQueries.staging("a20kw", s"$dir#$fp")
-    val fs = new org.apache.hadoop.fs.Path(stage)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
-      val docs = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
-      val n = docs.count()
-      val tf = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      tf.groupBy(col("term")).agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"))
-        .withColumn("term_id",
-          row_number().over(Window.orderBy(col("term"))).cast("long"))
-        .withColumn("idf", floor(lit(10000.0) * n / col("df")).cast("long"))
-        .select(col("term"), col("term_id"), col("df"), col("idf"),
-          (col("max_tf") * col("idf")).as("max_impact"))
-        .write.mode("overwrite").parquet(s"$stage/terms")
-      val terms = spark.read.parquet(s"$stage/terms")
-      tf.join(terms.select(col("term"), col("term_id"), col("idf")), Seq("term"))
-        .select(col("term_id"), col("doc_id"), (col("tf") * col("idf")).as("impact"))
-        .repartitionByRange(4, col("term_id"))
-        .sortWithinPartitions(col("term_id"), col("impact").desc, col("doc_id"))
-        .write.mode("overwrite").parquet(s"$stage/postings")
-      val maxId = terms.agg(max(col("term_id"))).head.getLong(0)
-      docs.agg(count(lit(1)).as("n")).withColumn("max_term_id", lit(maxId))
-        .write.mode("overwrite").parquet(s"$stage/meta")
-    }
-    stage
-  }
+      force: Boolean = false): String =
+    stageKwIndexTable(spark, dir, "a20kw", col("doc_id") % 2 === 0, force)
 
   /** Test hook: the a20 frozen corpus-index staging path. */
   def a20CorpusKwIndexStage(spark: SparkSession, dir: String): String =
@@ -372,6 +370,160 @@ private[queries] trait RetrievalFamily { this: AnalyticsQueries.type =>
     kwPrunedSearch(spark, dir,
       dict.select(col("term"), col("term_id"), col("df")),
       spark.read.parquet(s"$stage/postings").unionByName(incPost))
+  }
+
+  /** The a35 odd-half keyword SEGMENT stage: a19's layout over the
+    * odd doc_ids only, with its own segment-local dictionary and
+    * per-segment df/idf — the standalone landed form a20's increment
+    * leaves once it is finalized as a segment (Lucene's flushed
+    * segment: self-contained stats, mergeable later). Input to the
+    * a35 compaction. */
+  private[queries] def stageA35Segment(spark: SparkSession, dir: String,
+      force: Boolean = false): String =
+    stageKwIndexTable(spark, dir, "a35seg", col("doc_id") % 2 === 1, force)
+
+  /** The a35 compaction stage — the keyword channel's segment MERGE,
+    * the one lifecycle cell a34's scaladoc left open ("tombstoned docs
+    * burn shortlist slots until the keyword index's own compaction").
+    * Unlike the token/image/vector channels, keyword stats are
+    * CROSS-document (df, idf), so a compaction here is a RE-STAT —
+    * and a re-stat over base ∪ segment is definitionally a fresh full
+    * build. The trick that keeps it index-bytes-only (Lucene's merge
+    * reads segments, never source text): per-doc tf is recovered
+    * EXACTLY from the stored artifacts as `impact DIV idf` — exact
+    * integers because impact := tf·idf with idf ≥ 10⁴ > 0 — so the
+    * merge never re-tokenizes a document. df/idf/term_ids are then
+    * re-derived over the merged tf through the SAME [[writeKwLayout]]
+    * the fresh builders use, which is the structural form of the
+    * "compaction ≡ fresh build" pin (AnalyticsSpec additionally pins
+    * terms, postings AND the served search row-identical to the a19
+    * monolith). File counts before/after in meta, written LAST. */
+  private[queries] def stageA35Compacted(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("a35kw", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val base = stageA20CorpusKwIndex(spark, dir)
+      val seg = stageA35Segment(spark, dir)
+      // tf recovered from each side's OWN stored dictionary: postings
+      // carry impact = tf·idf, so integer division is exact
+      def tfOf(st: String): DataFrame =
+        spark.read.parquet(s"$st/postings")
+          .join(spark.read.parquet(s"$st/terms")
+            .select(col("term_id"), col("term"), col("idf")), Seq("term_id"))
+          .select(col("doc_id"), col("term"), expr("impact DIV idf").as("tf"))
+      def dataFiles(p: String): Long = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+        var n = 0L
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+      val before = dataFiles(s"$base/postings") + dataFiles(s"$seg/postings")
+      val n = spark.read.parquet(s"$base/meta").head.getAs[Long]("n") +
+        spark.read.parquet(s"$seg/meta").head.getAs[Long]("n")
+      val maxId = writeKwLayout(spark, stage,
+        tfOf(base).unionByName(tfOf(seg)), n)
+      spark.range(1).select(lit(n).as("n"), lit(maxId).as("max_term_id"),
+          lit(before).as("files_before"),
+          lit(dataFiles(s"$stage/postings")).as("files_after"))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the a35 compacted keyword-index staging path. */
+  def a35CompactedKwStage(spark: SparkSession, dir: String): String =
+    stageA35Compacted(spark, dir)
+
+  /** a35 — keyword search served from the COMPACTED (re-statted)
+    * index: base ∪ segment merged into one fresh-layout index with
+    * exact global df/idf — the idf drift a20's append deliberately
+    * absorbs ("frozen until the next rebuild/merge") is HERE repaid,
+    * closing the keyword channel's lifecycle (build a19 → pruned
+    * serve → append a20 → streamed ingest s17 → compact a35 → delete
+    * a36). Search is a19's pruned probe verbatim over the compacted
+    * artifacts; hash-gated with a19's ORACLE — compaction-with-restat
+    * must be output-indistinguishable from a fresh full build. */
+  def a35KeywordCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageA35Compacted(spark, dir)
+    kwPrunedSearch(spark, dir,
+      spark.read.parquet(s"$stage/terms").select(col("term"), col("term_id"), col("df")),
+      spark.read.parquet(s"$stage/postings"))
+  }
+
+  /** The a36 delete stage for the keyword channel: tombstone ids
+    * (doc_id ≡ 3 mod 7) persisted beside the compacted index, plus
+    * the PURGED postings the next delete-applying compaction produces
+    * (compacted postings minus tombstoned doc rows, same layout —
+    * note stats stay FROZEN at purge time: re-statting is the NEXT
+    * a35-style merge's job, exactly a16's purged-codes-same-codebooks
+    * protocol). Meta written last. */
+  private[queries] def stageA36Tombstones(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("a36del", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val a35 = stageA35Compacted(spark, dir)
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/tombstones")
+      val tombs = spark.read.parquet(s"$stage/tombstones")
+      spark.read.parquet(s"$a35/postings")
+        .join(tombs, Seq("doc_id"), "left_anti")
+        .repartitionByRange(4, col("term_id"))
+        .sortWithinPartitions(col("term_id"), col("impact").desc, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$stage/purged")
+      Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+        .crossJoin(tombs.agg(count(lit(1)).as("n_tomb")))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the a36 delete-stage path (tombstones + purged table). */
+  def a36DeleteStage(spark: SparkSession, dir: String): String =
+    stageA36Tombstones(spark, dir)
+
+  /** Test hook: a19's search over the PURGED postings (the
+    * post-compaction hard-delete form — no anti-join in the plan).
+    * The spec pins it row-identical to [[a36TombstoneSearch]]. */
+  def a36PurgedSearch(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageA36Tombstones(spark, dir)
+    val a35 = stageA35Compacted(spark, dir)
+    kwPrunedSearch(spark, dir,
+      spark.read.parquet(s"$a35/terms").select(col("term"), col("term_id"), col("df")),
+      spark.read.parquet(s"$stage/purged"))
+  }
+
+  /** a36 — tombstone DELETES on the stored keyword index, the
+    * channel's last lifecycle step: the retracted-doc id list is
+    * consulted as a broadcast anti-join on the postings scan — a
+    * deleted doc can never be returned, with NO rewrite of the stored
+    * postings at delete time and the kept-term IN-list still pushed
+    * beneath the anti-join. Stats stay FROZEN: df/idf keep counting
+    * the tombstoned docs until the next compaction re-stats — exactly
+    * Lucene's live-docs semantics, where deleted docs inflate idf
+    * until segments merge — and the oracle replays precisely that
+    * (df over the FULL corpus, doc filter only at the scoring join).
+    * Queries are external text (the corpus-table slice), so a
+    * tombstoned doc can still ASK (a16's convention — deletion here
+    * is index-level, unlike the token channel's a34 where the query
+    * representation itself lived in the stored table). At 100 TB the
+    * tombstone set is ids-only, always broadcastable;
+    * [[a36PurgedSearch]] is the physical purge, pinned row-identical. */
+  def a36TombstoneSearch(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageA36Tombstones(spark, dir)
+    val a35 = stageA35Compacted(spark, dir)
+    val postings = spark.read.parquet(s"$a35/postings")
+      .join(broadcast(spark.read.parquet(s"$stage/tombstones")),
+        Seq("doc_id"), "left_anti")
+    kwPrunedSearch(spark, dir,
+      spark.read.parquet(s"$a35/terms").select(col("term"), col("term_id"), col("df")),
+      postings)
   }
 
   /** a21 — hybrid retrieval SERVED FROM THE PERSISTED INDEXES: a17's
@@ -967,6 +1119,36 @@ private[queries] trait RetrievalFamily { this: AnalyticsQueries.type =>
          |kw AS (SELECT qk.query_id, idx.doc_id,
          |    CAST(SUM(idx.impact) AS BIGINT) AS kw_score
          |  FROM idx JOIN qk USING (term) WHERE idx.doc_id <> qk.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, kw_rank, doc_id, kw_score FROM (
+         |  SELECT query_id, doc_id, kw_score, CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank
+         |  FROM kw) WHERE kw_rank <= 20
+         |ORDER BY query_id, kw_rank""".stripMargin,
+    // a19's chain with store-level deletes applied where the STORE
+    // applies them: df/idf computed over the FULL corpus (tombstoned
+    // docs still inflate the stats — Lucene live-docs semantics, until
+    // the next compaction re-stats), the doc filter only at the
+    // scoring join; queries are external text, so doc 3 still asks
+    "a36_keyword_tombstones" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |idf AS (SELECT term, df,
+         |    CAST(floor(10000.0 * n.n / df) AS BIGINT) AS idf
+         |  FROM dft CROSS JOIN n),
+         |idx AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS impact
+         |  FROM tf JOIN idf USING (term)),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+         |qk AS (SELECT query_id, term FROM (
+         |  SELECT qt.query_id, qt.term, ROW_NUMBER() OVER (
+         |      PARTITION BY qt.query_id ORDER BY idf.df ASC, qt.term ASC) AS trk
+         |  FROM qt JOIN idf USING (term)) WHERE trk <= $KwKeepTerms),
+         |kw AS (SELECT qk.query_id, idx.doc_id,
+         |    CAST(SUM(idx.impact) AS BIGINT) AS kw_score
+         |  FROM idx JOIN qk USING (term)
+         |  WHERE idx.doc_id <> qk.query_id AND idx.doc_id % 7 <> 3
          |  GROUP BY 1, 2)
          |SELECT query_id, kw_rank, doc_id, kw_score FROM (
          |  SELECT query_id, doc_id, kw_score, CAST(ROW_NUMBER() OVER (

@@ -29,6 +29,7 @@ object StreamingQueries
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s26_stream_stack_serving" -> s26StreamStackServing _,
     "s27_stream_vector_serving" -> s27StreamVectorServing _,
+    "s28_stream_rerank_serving" -> s28StreamRerankServing _,
     "s25_stream_token_hash_ingest" -> s25StreamTokenHashIngest _,
     "s24_stream_image_hash_ingest" -> s24StreamImageHashIngest _,
     "s23_stream_heavy_hitters" -> s23StreamHeavyHitters _,
@@ -73,6 +74,11 @@ object StreamingQueries
     // pins that batch boundaries leave no trace in vector serving
     "s27_stream_vector_serving" ->
       AnalyticsQueries.oracleSql("a13_ivfpq_search_prebuilt"),
+    // shortlist, fetch, kernel and rank are all per-query, so four
+    // query micro-batches against the frozen keyword + token indexes
+    // must union to exactly the one-shot a29 re-rank — the SAME
+    // full-replay oracle pins the streamed late-interaction serve
+    "s28_stream_rerank_serving" -> AnalyticsQueries.oracleSql("a29_maxsim_served"),
     // token hashes are a pure per-doc function, so base ∪ streamed
     // landings is EXACTLY the full inline index — the SAME oracle
     // hash pins a27 (inline), a28 (prebuilt), a30 (one-shot append),

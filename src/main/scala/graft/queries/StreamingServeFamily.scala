@@ -169,4 +169,39 @@ private[queries] trait StreamingServeFamily { this: StreamingQueries.type =>
       .select(col("query_id"), col("rank"), col("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** s28 — streamed query load on the BARE LATE-INTERACTION channel:
+    * s20's frozen-index serving loop pointed at a29's re-rank stack —
+    * the last serve path without a streamed twin (keyword → s20,
+    * vector → s27, composed stack → s26; the image channel's near-dup
+    * is an INDEX-level self-join with no per-query unit, so a
+    * per-batch serve doesn't decompose there by construction). The
+    * keyword and token indexes are frozen before the stream; each
+    * micro-batch of query docs runs
+    * [[AnalyticsQueries.maxSimRerankServedBatch]] — the batch's terms
+    * drive the pruned shortlist probe, the batch's ids are the pushed
+    * query slice on the token table, the candidate IN-list fetch and
+    * native-kernel re-rank are a29's verbatim — and lands its ranking
+    * batch-id-keyed (idempotent overwrite on replay). Shortlist,
+    * fetch, kernel and rank are all per-query, so the union of batch
+    * landings must be ROW-IDENTICAL to the one-shot a29 — the gate is
+    * a29's own oracle (the full inline tf/df/shortlist/MaxSim replay),
+    * and the spec pins s28 ≡ a29 row for row. Pins are ledgered per
+    * batch generation; the loop holds one, released after the drain. */
+  def s28StreamRerankServing(spark: SparkSession, dir: String): DataFrame = {
+    AnalyticsQueries.keywordIndexStage(spark, dir) // freeze before streaming
+    AnalyticsQueries.tokenHashStage(spark, dir)
+    val served = streamedLandings(spark, dir, "s28", "served")(
+      Tables.documents(spark, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)) { (batch, id, landed) =>
+      AnalyticsQueries.maxSimRerankServedBatch(spark, dir,
+          batch.select(col("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
+    }
+    ServingPins.release(s"s28:$dir")
+    spark.read.parquet(served)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("ms_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -529,6 +529,20 @@ class AnalyticsSpec extends AnyFunSuite {
       rows(graft.queries.AnalyticsQueries.a31StackServed(spark, dir)))
   }
 
+  // s28 streams the queries in four micro-batches through a29's
+  // served re-rank against the frozen keyword + token indexes; a29
+  // serves them in one shot. Shortlist, fetch, kernel and rank are
+  // all per-query, so the union of per-batch landings must be
+  // row-identical — batch boundaries leave no trace.
+  test("s28 streamed re-rank serving == one-shot a29, row for row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long)].collect().toSeq
+    assert(rows(graft.queries.StreamingQueries.s28StreamRerankServing(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.a29MaxSimServed(spark, dir)))
+  }
+
   // a32 serves the identical re-rank from the generational (base ∪
   // increment segment) layout; a29 from the monolithic table. The
   // layouts hold the same rows, so the served output must be
@@ -590,6 +604,63 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$stage/purged").count() ==
       meta.getAs[Long]("n") - meta.getAs[Long]("n_tomb"),
       s"purged table must drop exactly the tombstoned rows: $meta")
+  }
+
+  // a35: keyword compaction is a RE-STAT, and a re-stat over base ∪
+  // segment is definitionally a fresh full build — so the compacted
+  // artifacts must be row-identical to the a19 monolith's (dictionary
+  // AND postings, not just the served answer), recovered entirely from
+  // index bytes (tf = impact DIV idf), and the file population shrinks.
+  test("a35: compacted keyword index ≡ a fresh full build (terms, postings, serve); fewer files") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val compacted = graft.queries.AnalyticsQueries.a35CompactedKwStage(spark, dir)
+    val fresh = graft.queries.AnalyticsQueries.keywordIndexStage(spark, dir)
+    def terms(st: String) = spark.read.parquet(s"$st/terms")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    def postings(st: String) = spark.read.parquet(s"$st/postings")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(terms(compacted) == terms(fresh),
+      "re-statted dictionary must equal a fresh build's")
+    assert(postings(compacted) == postings(fresh),
+      "re-encoded postings must equal a fresh build's")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long)].collect().toSeq
+    assert(rows(graft.queries.AnalyticsQueries.a35KeywordCompacted(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.a19KeywordSearchPrebuilt(spark, dir)),
+      "compaction changed the served search")
+    val meta = spark.read.parquet(s"$compacted/meta").head
+    assert(meta.getAs[Long]("files_after") < meta.getAs[Long]("files_before"),
+      s"compaction did not shrink files: $meta")
+  }
+
+  // a36: soft delete (broadcast anti-join) and hard delete (purged
+  // postings) serve the SAME search; no tombstoned doc is ever
+  // returned, but a tombstoned doc can still ASK (queries are external
+  // text — deletion is index-level, a16's convention); the purge drops
+  // exactly the tombstoned posting rows and leaves stats frozen.
+  test("a36: tombstone search ≡ purged search; deletes invisible; external queries survive") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long)].collect().toSeq
+    val soft = rows(graft.queries.AnalyticsQueries.a36TombstoneSearch(spark, dir))
+    val hard = rows(graft.queries.AnalyticsQueries.a36PurgedSearch(spark, dir))
+    assert(soft == hard, "purging changed the served search")
+    assert(soft.nonEmpty)
+    soft.foreach { case (_, _, did, _) =>
+      assert(did % 7 != 3, s"tombstoned doc surfaced as a result: $did")
+    }
+    assert(soft.exists(_._1 == 3),
+      "query 3 (tombstoned as a DOC, external as a QUERY) must still serve")
+    val stage = graft.queries.AnalyticsQueries.a36DeleteStage(spark, dir)
+    val a35 = graft.queries.AnalyticsQueries.a35CompactedKwStage(spark, dir)
+    val meta = spark.read.parquet(s"$stage/meta").head
+    assert(meta.getAs[Long]("n_tomb") > 0, "fixture produced no tombstones")
+    val all = spark.read.parquet(s"$a35/postings")
+    val tomb = all.filter(pmod(col("doc_id"), lit(7)) === 3).count()
+    assert(tomb > 0 && spark.read.parquet(s"$stage/purged").count() == all.count() - tomb,
+      "purged postings must drop exactly the tombstoned doc rows")
   }
 
   // s25 streams the increment in four batches; a30 applies it one-shot.

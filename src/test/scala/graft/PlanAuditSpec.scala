@@ -517,6 +517,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"re-rank went cartesian:\n$p")
   }
 
+  test("a35: compacted keyword search — ONE stored index, pushdown survives the re-stat merge") {
+    val p = planOf(graft.queries.AnalyticsQueries.a35KeywordCompacted(spark, dir))
+    // compaction-with-restat must leave a19's serving shape fully
+    // intact: one postings layout (no base/segment union), kept-term
+    // IN-list pushed, only the query-slice corpus scan — a second
+    // documents scan would mean the merge leaked tokenization into
+    // the serve plan (it must read index bytes only, at BUILD time)
+    assert(p.contains("graft_a35kw"), s"search must scan the compacted index:\n$p")
+    assert(!p.contains("graft_a20kw") && !p.contains("graft_a35seg"),
+      s"compacted serve still reads the pre-merge base/segment:\n$p")
+    assert(p.contains("In(term_id"), s"kept-term IN-list not pushed to the postings scan:\n$p")
+    assert(p.contains("LessThan(doc_id,10)"),
+      s"query tokenization must be a pushed doc_id slice:\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).length == 1,
+      s"corpus scanned more than once — the merge leaked into the serve plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"keyword search shuffled into a sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"keyword search went cartesian:\n$p")
+  }
+
+  test("a36: tombstoned keyword search — broadcast anti-join, IN-list still pushed beneath it") {
+    val p = planOf(graft.queries.AnalyticsQueries.a36TombstoneSearch(spark, dir))
+    // deletes must not degrade the keyword serve: the tombstone set
+    // joins as a broadcast anti (the postings table never shuffles for
+    // it), and the kept-term probe still pushes through the anti-join
+    // onto the term_id-sorted scan
+    assert(p.contains("graft_a35kw"), s"search must scan the compacted index:\n$p")
+    assert(p.contains("graft_a36del"), s"search must consult the tombstone table:\n$p")
+    assert(p.contains("LeftAnti"), s"deletes must be a broadcast anti-join:\n$p")
+    assert(p.contains("In(term_id"),
+      s"kept-term IN-list lost beneath the anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"tombstones shuffled the postings scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"keyword search went cartesian:\n$p")
+  }
+
   test("a20: append-only keyword update — stored postings read, corpus never re-tokenized") {
     val p = planOf(graft.queries.AnalyticsQueries.a20KeywordIndexUpdate(spark, dir))
     // the segment shape: stored corpus postings + dictionary are READ
