@@ -98,6 +98,24 @@ object MultimodalStress {
           spark.read.parquet(genBase)
             .unionByName(spark.read.parquet(genSeg))).count()
       }
+      // m11's compaction: base ∪ segment re-merged into one
+      // media_id-sorted table — a linear rewrite of INDEX bytes (never
+      // pixels), priced here as the ingest-side cost appends defer;
+      // the compacted warm serve must price at-or-below the
+      // generational union (one scan boundary instead of two).
+      val compacted = StressFixtures.runDir(s"m11_$tag")
+      timed(s"$tag m11 compaction: base ∪ segment -> one sorted table (index bytes only)") {
+        spark.read.parquet(genBase).unionByName(spark.read.parquet(genSeg))
+          .repartitionByRange(2, col("media_id"))
+          .sortWithinPartitions(col("media_id"))
+          .write.mode("overwrite").parquet(compacted)
+        spark.read.parquet(compacted).count()
+      }
+      timed(s"$tag m11 warm near-dup serve from compacted (no decode)") {
+        graft.queries.AnalyticsQueries.nearDupFromHashes(
+          spark.read.parquet(compacted)).count()
+      }
+      StressFixtures.rmrf(spark, compacted)
       StressFixtures.rmrf(spark, genBase)
       StressFixtures.rmrf(spark, genSeg)
       // skew audit on the REAL self-join input: the join partitions on

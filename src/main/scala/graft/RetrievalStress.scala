@@ -106,6 +106,28 @@ object RetrievalStress {
       timed(s"a19 pruned search (warm) $tag") {
         graft.queries.AnalyticsQueries.a19KeywordSearchPrebuilt(spark, dir).count()
       }
+      // a35's compaction-with-restat: base + segment pre-built OUTSIDE
+      // the timing, so the merge row prices exactly the re-stat over
+      // INDEX bytes (tf = impact DIV idf — no tokenization anywhere);
+      // compare against the fresh "a19 index build" row above, which
+      // pays the full corpus tokenize. The compacted warm serve must
+      // price at a19's serving cost — it IS a fresh layout.
+      graft.queries.AnalyticsQueries.a20CorpusKwIndexStage(spark, dir)
+      graft.queries.AnalyticsQueries.a35SegmentStage(spark, dir)
+      timed(s"a35 re-stat merge (index bytes only) $tag") {
+        graft.queries.AnalyticsQueries.rebuildA35CompactedStage(spark, dir); 1L
+      }
+      timed(s"a35 compacted search (warm) $tag") {
+        graft.queries.AnalyticsQueries.a35KeywordCompacted(spark, dir).count()
+      }
+      // delete stage (tombstones + the purged rewrite) built OUTSIDE
+      // the timing — the serve row must price the standing cost of
+      // soft deletes (the broadcast anti probe), not the one-time
+      // purge rewrite
+      graft.queries.AnalyticsQueries.a36DeleteStage(spark, dir)
+      timed(s"a36 tombstone search (warm) $tag") {
+        graft.queries.AnalyticsQueries.a36TombstoneSearch(spark, dir).count()
+      }
       // vector channel: first a13 call stages the IVF-PQ index for this
       // dir (build+search), the repeat is the pure serving cost
       timed(s"a13 vector search (cold=build+search) $tag") {

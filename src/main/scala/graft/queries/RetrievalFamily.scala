@@ -437,6 +437,17 @@ private[queries] trait RetrievalFamily { this: AnalyticsQueries.type =>
   def a35CompactedKwStage(spark: SparkSession, dir: String): String =
     stageA35Compacted(spark, dir)
 
+  /** Test/stress hook: the a35 odd-half segment staging path. */
+  def a35SegmentStage(spark: SparkSession, dir: String): String =
+    stageA35Segment(spark, dir)
+
+  /** Stress hook: rebuild the compacted index unconditionally —
+    * isolates the RE-STAT MERGE cost (index bytes in, index bytes
+    * out) from the base/segment builds it consumes and the serving
+    * it amortizes. */
+  def rebuildA35CompactedStage(spark: SparkSession, dir: String): String =
+    stageA35Compacted(spark, dir, force = true)
+
   /** a35 — keyword search served from the COMPACTED (re-statted)
     * index: base ∪ segment merged into one fresh-layout index with
     * exact global df/idf — the idf drift a20's append deliberately
