@@ -585,4 +585,65 @@ private[queries] trait StreamingIngestFamily { this: StreamingQueries.type =>
       .withColumn("n_total", lit(n))
       .orderBy(col("freq").desc, col("bigram"))
   }
+
+  /** s29 — streamed DELETES against the generational token index:
+    * s15's retraction feed (GDPR/takedown id stream) replayed on the
+    * late-interaction channel, completing streamed-delete symmetry for
+    * the channels that delete per doc (vector s15, token s29, image
+    * s30; the keyword channel's a36 anti-join would compose the same
+    * way — the landing protocol is identical). Tombstone ids arrive
+    * over four micro-batches, each landed batch-id-keyed (idempotent
+    * overwrite — checkpoint replay re-lands the same file, so
+    * at-least-once delivery yields an exactly-once delete set), and
+    * the post-stream serve bars the ACCUMULATED set from base ∪
+    * segment via a34's broadcast anti-join — deletion total, neither
+    * candidate nor query. Hash-gated with a34's ORACLE: one-shot or
+    * streamed, whatever the batch boundaries, the served re-rank is
+    * EXACTLY the same; no stored token row is rewritten at delete
+    * time. Per-batch work is one ids-only file append; the standing
+    * serve cost is a34's broadcast anti probe. */
+  def s29StreamTokenDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val base = AnalyticsQueries.a30TokenBaseStage(spark, dir)
+    val seg = AnalyticsQueries.stageA32IncrementSegment(spark, dir)
+    val landed = streamedLandings(spark, dir, "s29", "tombstones")(
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id"))
+        .repartition(4)) { (batch, id, landedRoot) =>
+      batch.write.mode("overwrite").parquet(s"$landedRoot/batch=$id")
+    }
+    val t = spark.read.parquet(s"$base/tokens")
+      .unionByName(spark.read.parquet(s"$seg/tokens"))
+      .join(broadcast(spark.read.parquet(landed).select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    AnalyticsQueries.maxSimRerankServed(spark, dir, t)
+  }
+
+  /** s30 — streamed DELETES against the generational image-hash
+    * index: the same retraction feed pointed at the media channel.
+    * Tombstoned media ids land over four micro-batches; the
+    * post-stream near-dup serve anti-joins the accumulated set onto
+    * base ∪ segment BEFORE the cluster aggregate, so surviving
+    * clusters re-elect representatives and recount members exactly as
+    * m12's one-shot deletes do — m12's ORACLE gates it (batch
+    * boundaries leave no trace), and no stored hash row is rewritten.
+    * Zero decode anywhere: the stream carries 8-byte ids, the serve
+    * reads 24-byte hash rows. */
+  def s30StreamImageDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val basePath = s"${AnalyticsQueries.stageM10Generation(spark, dir, "m10ihbase",
+      col("media_id") % 2 === 0)}/hashes"
+    val segPath = s"${AnalyticsQueries.stageM10Generation(spark, dir, "m10ihseg",
+      col("media_id") % 2 === 1)}/hashes"
+    val landed = streamedLandings(spark, dir, "s30", "tombstones")(
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id").as("media_id"))
+        .repartition(4)) { (batch, id, landedRoot) =>
+      batch.write.mode("overwrite").parquet(s"$landedRoot/batch=$id")
+    }
+    AnalyticsQueries.nearDupFromHashes(
+      spark.read.parquet(basePath).unionByName(spark.read.parquet(segPath))
+        .join(broadcast(spark.read.parquet(landed).select(col("media_id"))),
+          Seq("media_id"), "left_anti"))
+  }
 }

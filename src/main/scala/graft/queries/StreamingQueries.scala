@@ -30,6 +30,8 @@ object StreamingQueries
     "s26_stream_stack_serving" -> s26StreamStackServing _,
     "s27_stream_vector_serving" -> s27StreamVectorServing _,
     "s28_stream_rerank_serving" -> s28StreamRerankServing _,
+    "s29_stream_token_deletes" -> s29StreamTokenDeletes _,
+    "s30_stream_image_deletes" -> s30StreamImageDeletes _,
     "s25_stream_token_hash_ingest" -> s25StreamTokenHashIngest _,
     "s24_stream_image_hash_ingest" -> s24StreamImageHashIngest _,
     "s23_stream_heavy_hitters" -> s23StreamHeavyHitters _,
@@ -79,6 +81,13 @@ object StreamingQueries
     // must union to exactly the one-shot a29 re-rank — the SAME
     // full-replay oracle pins the streamed late-interaction serve
     "s28_stream_rerank_serving" -> AnalyticsQueries.oracleSql("a29_maxsim_served"),
+    // the delete set applied exactly once, however it was batched:
+    // the streamed landings anti-joined over base ∪ segment must be
+    // indistinguishable from a34's one-shot tombstones — same oracle
+    "s29_stream_token_deletes" -> AnalyticsQueries.oracleSql("a34_tombstone_rerank"),
+    // same on the image channel: streamed retractions re-cluster the
+    // survivors exactly as m12's one-shot deletes — same oracle
+    "s30_stream_image_deletes" -> AnalyticsQueries.oracleSql("m12_tombstone_neardup"),
     // token hashes are a pure per-doc function, so base ∪ streamed
     // landings is EXACTLY the full inline index — the SAME oracle
     // hash pins a27 (inline), a28 (prebuilt), a30 (one-shot append),

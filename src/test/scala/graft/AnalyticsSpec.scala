@@ -663,6 +663,29 @@ class AnalyticsSpec extends AnyFunSuite {
       "purged postings must drop exactly the tombstoned doc rows")
   }
 
+  // s29 streams the tombstone ids in four batches; a34 applies the
+  // set one-shot. The accumulated landings anti-joined over base ∪
+  // segment must serve the identical re-rank — delete batch
+  // boundaries leave no trace in what the index can return.
+  test("s29 streamed token deletes == one-shot a34 tombstones, row for row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long)].collect().toSeq
+    assert(rows(graft.queries.StreamingQueries.s29StreamTokenDeletes(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.a34TombstoneRerank(spark, dir)))
+  }
+
+  // s30 streams the media retractions in four batches; m12 applies
+  // them one-shot. Deletion precedes the cluster aggregate in both, so
+  // survivors re-elect and recount identically.
+  test("s30 streamed image deletes == one-shot m12 tombstones, row for row") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    assert(rows(graft.queries.StreamingQueries.s30StreamImageDeletes(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.m12TombstoneNearDup(spark, dir)))
+  }
+
   // s25 streams the increment in four batches; a30 applies it one-shot.
   // Token-hash rows are pure per-doc functions, so the merged MaxSim
   // readback must be row-identical — batch boundaries leave no trace.
