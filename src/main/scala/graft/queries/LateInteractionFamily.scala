@@ -52,8 +52,20 @@ private[graft] object ServingPins {
   def release(tag: String): Unit = synchronized {
     held.remove(tag).getOrElse(Nil).foreach(_.unpersist(blocking = false))
   }
+  /** Loan pattern for a serve twin that fully CONSUMES its pinned
+    * frames inside `body` (streamed landings write inside the drain):
+    * releases the tag's final generation on the way out, throw or
+    * return — a serve twin that goes through here cannot re-introduce
+    * the one-generation-per-serve leak by forgetting the release
+    * call. Not for one-shot serves that RETURN a lazily-consumed
+    * frame (a29/a31): a released checkpoint cannot be recomputed, so
+    * their release point is the next serve's openGeneration. */
+  def withGeneration[A](tag: String)(body: => A): A =
+    try body finally release(tag)
   private[graft] def heldCount(tag: String): Int =
     synchronized(held.getOrElse(tag, Nil).size)
+  private[graft] def liveTags: Set[String] =
+    synchronized(held.filter(_._2.nonEmpty).keySet.toSet)
 }
 
 

@@ -320,11 +320,16 @@ private[queries] trait StreamingCoreFamily { this: StreamingQueries.type =>
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val got = S05.producer(key).records.map { case (_, k, _, data) =>
-      (k, new String(data, java.nio.charset.StandardCharsets.UTF_8))
-    }
-    S05.drop(key)
+    // drop in finally: if the in-batch require throws (or the stream
+    // fails), the per-run producer and its attempts entries would
+    // otherwise leak in the JVM-wide maps for the session lifetime
+    val got =
+      try {
+        q.awaitTermination()
+        S05.producer(key).records.map { case (_, k, _, data) =>
+          (k, new String(data, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      } finally S05.drop(key)
     spark.createDataset(got).toDF("partition_id", "payload")
       .groupBy(col("partition_id"))
       .agg(count(lit(1)).as("n"), min(col("payload")).as("min_payload"),

@@ -115,20 +115,23 @@ private[queries] trait StreamingServeFamily { this: StreamingQueries.type =>
     * indexes serve, and the gate is a31's ORACLE, which replays all
     * four chains inline. */
   def s26StreamStackServing(spark: SparkSession, dir: String): DataFrame = {
-    val served = streamedLandings(spark, dir, "s26", "served")(
-      Tables.documents(spark, dir).filter(col("doc_id") < 10)
-        .select(col("doc_id"), col("text"))
-        .repartition(4)) { (batch, id, landed) =>
-      val stages = AnalyticsQueries.servingStackStagesFor(spark, dir,
-        batch.select(col("doc_id"), col("text")))
-      stages.dropRight(1).foreach(_._2()) // shortlist → fuse → diversify
-      stages.last._2()
-        .write.mode("overwrite").parquet(s"$landed/batch=$id")
+    // loan pattern: each batch's stack construction releases the
+    // previous batch's pinned intermediates (ServingPins generations);
+    // the landing write inside the drain consumes the last batch's, so
+    // withGeneration drops it structurally on the way out — throw or
+    // return (the r12 verdict's "manual release convention" demerit)
+    val served = ServingPins.withGeneration(s"stack:$dir") {
+      streamedLandings(spark, dir, "s26", "served")(
+        Tables.documents(spark, dir).filter(col("doc_id") < 10)
+          .select(col("doc_id"), col("text"))
+          .repartition(4)) { (batch, id, landed) =>
+        val stages = AnalyticsQueries.servingStackStagesFor(spark, dir,
+          batch.select(col("doc_id"), col("text")))
+        stages.dropRight(1).foreach(_._2()) // shortlist → fuse → diversify
+        stages.last._2()
+          .write.mode("overwrite").parquet(s"$landed/batch=$id")
+      }
     }
-    // each batch's stack construction released the previous batch's
-    // pinned intermediates (ServingPins generations); the landing
-    // write above consumed the last batch's, so drop it too
-    ServingPins.release(s"stack:$dir")
     spark.read.parquet(served)
       .select(col("query_id"), col("rank"), col("doc_id"), col("ms_score"))
       .orderBy(col("query_id"), col("rank"))
@@ -191,15 +194,16 @@ private[queries] trait StreamingServeFamily { this: StreamingQueries.type =>
   def s28StreamRerankServing(spark: SparkSession, dir: String): DataFrame = {
     AnalyticsQueries.keywordIndexStage(spark, dir) // freeze before streaming
     AnalyticsQueries.tokenHashStage(spark, dir)
-    val served = streamedLandings(spark, dir, "s28", "served")(
-      Tables.documents(spark, dir).filter(col("doc_id") < 10)
-        .select(col("doc_id"), col("text"))
-        .repartition(4)) { (batch, id, landed) =>
-      AnalyticsQueries.maxSimRerankServedBatch(spark, dir,
-          batch.select(col("doc_id"), col("text")))
-        .write.mode("overwrite").parquet(s"$landed/batch=$id")
+    val served = ServingPins.withGeneration(s"s28:$dir") {
+      streamedLandings(spark, dir, "s28", "served")(
+        Tables.documents(spark, dir).filter(col("doc_id") < 10)
+          .select(col("doc_id"), col("text"))
+          .repartition(4)) { (batch, id, landed) =>
+        AnalyticsQueries.maxSimRerankServedBatch(spark, dir,
+            batch.select(col("doc_id"), col("text")))
+          .write.mode("overwrite").parquet(s"$landed/batch=$id")
+      }
     }
-    ServingPins.release(s"s28:$dir")
     spark.read.parquet(served)
       .select(col("query_id"), col("rank"), col("doc_id"), col("ms_score"))
       .orderBy(col("query_id"), col("rank"))

@@ -525,8 +525,12 @@ class AnalyticsSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select(col("query_id"), col("rank"), col("doc_id"), col("ms_score"))
         .as[(Long, Int, Long, Long)].collect().toSeq
-    assert(rows(graft.queries.StreamingQueries.s26StreamStackServing(spark, dir)) ==
-      rows(graft.queries.AnalyticsQueries.a31StackServed(spark, dir)))
+    val streamed = rows(graft.queries.StreamingQueries.s26StreamStackServing(spark, dir))
+    // the serve twin goes through the withGeneration loan: after it
+    // returns, ZERO pinned generations may remain under its tag
+    assert(graft.queries.ServingPins.heldCount(s"stack:$dir") == 0,
+      "s26 must leave no live pinned generation behind")
+    assert(streamed == rows(graft.queries.AnalyticsQueries.a31StackServed(spark, dir)))
   }
 
   // s28 streams the queries in four micro-batches through a29's
@@ -539,8 +543,10 @@ class AnalyticsSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Int, Long, Long)].collect().toSeq
-    assert(rows(graft.queries.StreamingQueries.s28StreamRerankServing(spark, dir)) ==
-      rows(graft.queries.AnalyticsQueries.a29MaxSimServed(spark, dir)))
+    val streamed = rows(graft.queries.StreamingQueries.s28StreamRerankServing(spark, dir))
+    assert(graft.queries.ServingPins.heldCount(s"s28:$dir") == 0,
+      "s28 must leave no live pinned generation behind")
+    assert(streamed == rows(graft.queries.AnalyticsQueries.a29MaxSimServed(spark, dir)))
   }
 
   // a32 serves the identical re-rank from the generational (base ∪
@@ -792,6 +798,28 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     Pins.release(s"stack:$dir")
     assert(Pins.heldCount(s"stack:$dir") == 0)
+  }
+
+  // the loan pattern the serve twins wrap their drains in: the tag's
+  // generation is released on the way out even when the body THROWS —
+  // a forgotten-release leak is structurally impossible through here
+  test("ServingPins.withGeneration releases on return AND on throw") {
+    val Pins = graft.queries.ServingPins
+    val tag = "loan:test"
+    val df = spark.range(3).toDF("x")
+    val out = Pins.withGeneration(tag) {
+      Pins.pin(tag, spark, df).count()
+    }
+    assert(out == 3 && Pins.heldCount(tag) == 0)
+    intercept[RuntimeException] {
+      Pins.withGeneration(tag) {
+        Pins.pin(tag, spark, df).count()
+        throw new RuntimeException("serve failed mid-drain")
+      }
+    }
+    assert(Pins.heldCount(tag) == 0,
+      "a throwing serve body must still release its pinned generation")
+    assert(!Pins.liveTags.contains(tag))
   }
 
   // m10 serves near-dup from the generational base ∪ segment layout;

@@ -93,13 +93,20 @@ object StackDecomposabilityProperties extends Properties("ServedStack") {
       u2.size == oneShot.size && u2.toSet == oneShot
   }
 
+  // Prop.apply(Boolean) is STRICT — without the delay, both bodies
+  // would evaluate at object initialization, BEFORE any forAll case
+  // runs, so the coverage check would only ever see the two extreme
+  // shapes it just recorded and could never catch a generator
+  // regression. Prop.delay defers evaluation to the runner's pass,
+  // which executes properties in registration order (workers=1) —
+  // by then the forAll cases above have recorded their shapes.
   property("extreme shapes: all-singletons (10 batches) and loner split hold") =
-    Prop(extremesOk)
+    Prop.delay(Prop(extremesOk))
 
   property("exercised shapes covered singleton batches AND >3-batch partitions") =
-    Prop {
+    Prop.delay {
       val shapes = synchronized(seenShapes.toList)
-      shapes.exists(_.contains(1)) && shapes.exists(_.size > 3) &&
-        shapes.exists(_ == Seq.fill(10)(1))
+      Prop(shapes.exists(_.contains(1)) && shapes.exists(_.size > 3) &&
+        shapes.exists(_ == Seq.fill(10)(1)))
     }
 }

@@ -31,8 +31,17 @@ class StagingProtocolSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   test("meta marker short-circuits when present; its absence forces a rebuild") {
-    val pred = col("media_id") % 2 === 1 // the m10 segment generation
-    val stage = AnalyticsQueries.stageM10Generation(spark, dir, "m10ihseg", pred)
+    val pred = col("media_id") % 2 === 1 // the m10 segment generation's shape
+    // A DEDICATED test-only stage tag: the injection below physically
+    // corrupts the stage on disk, and a failure/interrupt between the
+    // injection and the half-2 rebuild would leave a truncated-but-
+    // marked-complete stage that every later suite/bench run on this
+    // machine silently serves (the fingerprint-keyed cache never
+    // rebuilds it). Under its own tag the blast radius is this spec —
+    // and force=true at entry re-arms it even after a prior crashed
+    // run left the corrupted state behind.
+    val stage = AnalyticsQueries.stageM10Generation(
+      spark, dir, "m10ihspec", pred, force = true)
     val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
     val hashesPath = new Path(s"$stage/hashes")
     val metaPath = new Path(s"$stage/meta")
@@ -54,7 +63,7 @@ class StagingProtocolSpec extends AnyFunSuite {
     // builder trusts `meta` and does NOT rewrite. The injected 1-row
     // table surviving the call is the proof that `meta` (not the data
     // dir) is what gates the rebuild.
-    AnalyticsQueries.stageM10Generation(spark, dir, "m10ihseg", pred)
+    AnalyticsQueries.stageM10Generation(spark, dir, "m10ihspec", pred)
     assert(spark.read.parquet(s"$stage/hashes").count() == 1,
       "a present meta marker must short-circuit: stage was rewritten")
 
@@ -62,7 +71,7 @@ class StagingProtocolSpec extends AnyFunSuite {
     // call must detect the missing marker and rebuild the whole
     // generation instead of serving the 1-row truncation.
     fs.delete(metaPath, true)
-    AnalyticsQueries.stageM10Generation(spark, dir, "m10ihseg", pred)
+    AnalyticsQueries.stageM10Generation(spark, dir, "m10ihspec", pred)
     assert(fs.exists(metaPath), "rebuild must restore the completeness marker")
     assert(spark.read.parquet(s"$stage/hashes").count() == full,
       "missing meta must force a full rebuild, not serve the truncation")

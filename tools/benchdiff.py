@@ -75,7 +75,10 @@ def parse_tail(tail):
         region = region[qmark + len('"queries":{'):]
     queries = {k: float(v) for k, v in _PAIR.findall(region)}
     # Guard against trailer keys when `},"failures"` itself was cut off.
-    for meta in ("value", "reps", "cpus", "n", "rc"):
+    # "sf" and "elapsed" are numeric trailer keys too — a tail truncated
+    # before `},"failures"` that still shows `"sf":0.1` would otherwise
+    # count sf as a query median and skew the shared-query comparison.
+    for meta in ("value", "reps", "cpus", "n", "rc", "sf", "elapsed"):
         queries.pop(meta, None)
     return {"value": None, "spread": {}, "queries": queries,
             "partial_tail": True}

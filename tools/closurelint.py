@@ -30,9 +30,13 @@ QUERIES_DIR = Path(__file__).resolve().parent.parent / \
 # any family trait with a facade self-type (AnalyticsQueries.type,
 # StreamingQueries.type, ...) — the capture hazard is the same
 TRAIT_RE = re.compile(r"trait\s+\w+\s*\{\s*this:\s*\w+\.type\s*=>")
-# trait-level members: exactly two-space indent (trait body level)
+# trait-level members: exactly two-space indent (trait body level).
+# The modifier group must cover BARE private/protected and final too —
+# `private val X` referenced inside a task closure captures the facade
+# exactly like `private[queries] val X` does.
 MEMBER_RE = re.compile(
-    r"^  (?:private\[\w+\]\s+)?(?:lazy\s+)?(?:val|def)\s+(\w+)", re.M)
+    r"^  (?:(?:private|protected)(?:\[\w+\])?\s+)?(?:final\s+)?"
+    r"(?:lazy\s+)?(?:val|def)\s+(\w+)", re.M)
 CLOSURE_OPS = ("flatMapGroups", "mapGroups", "mapPartitions",
                "flatMapGroupsWithState", "mapGroupsWithState")
 OP_RE = re.compile(r"\.(" + "|".join(CLOSURE_OPS) + r")\b")
@@ -134,7 +138,20 @@ trait FooFamily { this: AnalyticsQueries.type =>
   def q(): Int = Shared.x
 }
 """
+    bare_private = """
+trait FooFamily { this: AnalyticsQueries.type =>
+  private val Budget = 4
+  def q(ds: Dataset[Long]) =
+    ds.groupByKey(identity).flatMapGroups { (k, it) =>
+      it.take(Budget)
+    }
+}
+"""
     ok = True
+    f = lint_source(bare_private, "bare")
+    if not (len(f) == 1 and "Budget" in f[0]):
+        print(f"FAIL self-test: bare-private member capture not flagged: {f}")
+        ok = False
     f = lint_source(trait_obj, "tobj")
     if not (len(f) == 1 and "Shared" in f[0] and "trait-level object" in f[0]):
         print(f"FAIL self-test: trait-level object not flagged: {f}")

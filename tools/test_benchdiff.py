@@ -104,6 +104,15 @@ rc, out = run(trunc, a, changed="")
 check("tail as reference: q1 not reported removed (absence unwitnessed)",
       rc == 0 and "removed in B" not in out, out)
 
+# 7b. tail truncated BEFORE `},"failures"` with a numeric "sf" trailer:
+# without the sf/elapsed pops, `"sf":0.1` would count as a query median
+# (shared==4 instead of 3) and skew the comparison.
+tail_presplit = ('ed":0.825,"q2":2.4,"q3":3.3,"q4":5.0,"sf":0.1,"elapsed":9.9')
+rc, out = run(a, {"n": 11, "rc": 0, "parsed": None, "tail": tail_presplit},
+              changed="q4")
+check("tail cut before failures: numeric sf/elapsed trailers excluded",
+      rc == 1 and "shared queries: 3" in out and "new in B" not in out, out)
+
 # 8. tail-vs-tail: both sides truncated (historical adjudication of two
 # committed driver artifacts).
 tail_a = ('ed":0.825,"q2":2.0,"q3":3.0,"q4":4.0},"failures":{},'
