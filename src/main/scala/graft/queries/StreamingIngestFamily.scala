@@ -646,4 +646,39 @@ private[queries] trait StreamingIngestFamily { this: StreamingQueries.type =>
         .join(broadcast(spark.read.parquet(landed).select(col("media_id"))),
           Seq("media_id"), "left_anti"))
   }
+
+  /** s31 — streamed DELETES against the compacted KEYWORD index: the
+    * retraction feed pointed at the last channel whose deletes had no
+    * streamed twin (vector s15, token s29, image s30 — keyword closes
+    * the matrix; s29's scaladoc argued the landing protocol "would
+    * compose the same way", and this query makes that claim a gated
+    * fact instead of prose). Tombstone ids arrive over four
+    * micro-batches, each landed batch-id-keyed (idempotent overwrite ⇒
+    * an exactly-once delete set under at-least-once delivery); the
+    * post-stream serve consults the ACCUMULATED set as a36 does — a
+    * broadcast anti-join on the stored postings scan with the
+    * kept-term IN-list still pushed beneath it, stats FROZEN (df/idf
+    * keep counting tombstoned docs until the next re-statting merge —
+    * Lucene live-docs semantics), queries external text so a
+    * tombstoned doc can still ask. Hash-gated with a36's ORACLE: one
+    * shot or streamed, whatever the batch boundaries, the served
+    * search is EXACTLY the same; no stored posting is rewritten at
+    * delete time. */
+  def s31StreamKeywordDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val a35 = AnalyticsQueries.a35CompactedKwStage(spark, dir)
+    val landed = streamedLandings(spark, dir, "s31", "tombstones")(
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id"))
+        .repartition(4)) { (batch, id, landedRoot) =>
+      batch.write.mode("overwrite").parquet(s"$landedRoot/batch=$id")
+    }
+    val postings = spark.read.parquet(s"$a35/postings")
+      .join(broadcast(spark.read.parquet(landed).select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    AnalyticsQueries.kwPrunedSearch(spark, dir,
+      spark.read.parquet(s"$a35/terms")
+        .select(col("term"), col("term_id"), col("df")),
+      postings)
+  }
 }

@@ -32,6 +32,7 @@ object StreamingQueries
     "s28_stream_rerank_serving" -> s28StreamRerankServing _,
     "s29_stream_token_deletes" -> s29StreamTokenDeletes _,
     "s30_stream_image_deletes" -> s30StreamImageDeletes _,
+    "s31_stream_keyword_deletes" -> s31StreamKeywordDeletes _,
     "s25_stream_token_hash_ingest" -> s25StreamTokenHashIngest _,
     "s24_stream_image_hash_ingest" -> s24StreamImageHashIngest _,
     "s23_stream_heavy_hitters" -> s23StreamHeavyHitters _,
@@ -88,6 +89,11 @@ object StreamingQueries
     // same on the image channel: streamed retractions re-cluster the
     // survivors exactly as m12's one-shot deletes — same oracle
     "s30_stream_image_deletes" -> AnalyticsQueries.oracleSql("m12_tombstone_neardup"),
+    // and on the keyword channel: the accumulated streamed landings
+    // anti-joined on the compacted postings must serve exactly a36's
+    // one-shot frozen-stats search — same oracle, closing the streamed
+    // delete matrix's last cell
+    "s31_stream_keyword_deletes" -> AnalyticsQueries.oracleSql("a36_keyword_tombstones"),
     // token hashes are a pure per-doc function, so base ∪ streamed
     // landings is EXACTLY the full inline index — the SAME oracle
     // hash pins a27 (inline), a28 (prebuilt), a30 (one-shot append),

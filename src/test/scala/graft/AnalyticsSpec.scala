@@ -692,6 +692,20 @@ class AnalyticsSpec extends AnyFunSuite {
       rows(graft.queries.AnalyticsQueries.m12TombstoneNearDup(spark, dir)))
   }
 
+  // s31 streams the tombstone ids in four batches; a36 applies the set
+  // one-shot. Both consult the accumulated ids as a broadcast anti-join
+  // on the SAME compacted postings with frozen stats, so the served
+  // search must be row-identical — delete batch boundaries leave no
+  // trace in what the keyword index returns.
+  test("s31 streamed keyword deletes == one-shot a36 tombstones, row for row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long)].collect().toSeq
+    assert(rows(graft.queries.StreamingQueries.s31StreamKeywordDeletes(spark, dir)) ==
+      rows(graft.queries.AnalyticsQueries.a36TombstoneSearch(spark, dir)))
+  }
+
   // s25 streams the increment in four batches; a30 applies it one-shot.
   // Token-hash rows are pure per-doc functions, so the merged MaxSim
   // readback must be row-identical — batch boundaries leave no trace.
