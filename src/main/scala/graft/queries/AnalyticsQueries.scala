@@ -23,7 +23,8 @@ object AnalyticsQueries
     with LateInteractionFamily
     with TextFamily
     with MultimodalFamily
-    with PipelineLayoutFamily {
+    with PipelineLayoutFamily
+    with LifecycleFamily {
 
   /** DuckDB-SQL twins of the Scala/Catalyst primitives. Fold order and
     * integer arithmetic must stay in lockstep with TextFunctions /
@@ -106,7 +107,8 @@ object AnalyticsQueries
   /** One entry per gated query; each def lives in its family trait
     * (DedupFamily, VectorAnnFamily, RetrievalFamily,
     * LateInteractionFamily, TextFamily, MultimodalFamily,
-    * PipelineLayoutFamily — split along COVERAGE.md's boundaries). */
+    * PipelineLayoutFamily, LifecycleFamily — split along COVERAGE.md's
+    * boundaries). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_domain_mixture" -> p16DomainMixture _,
     "p17_temperature_mixture" -> p17TemperatureMixture _,
@@ -169,6 +171,10 @@ object AnalyticsQueries
     "a34_tombstone_rerank" -> a34TombstoneRerank _,
     "a35_keyword_compacted" -> a35KeywordCompacted _,
     "a36_keyword_tombstones" -> a36TombstoneSearch _,
+    "a37_keyword_lifecycle" -> a37KeywordLifecycle _,
+    "a38_token_lifecycle" -> a38TokenLifecycle _,
+    "a39_vector_lifecycle" -> a39VectorLifecycle _,
+    "m13_image_lifecycle" -> m13ImageLifecycle _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
     "d16_editdist_neardup" -> d16EditDistanceDup _,
@@ -213,7 +219,7 @@ object AnalyticsQueries
     * disjoint by construction — each family carries its own queries). */
   private val oracleSqlBase: Map[String, String] =
     dedupOracles ++ vectorOracles ++ retrievalOracles ++ lateOracles ++
-      textOracles ++ multimodalOracles ++ pipelineOracles
+      textOracles ++ multimodalOracles ++ pipelineOracles ++ lifecycleOracles
 
   /** Aliased oracles: serving twins whose results must be
     * INDISTINGUISHABLE from their inline builders' — same SQL, same
@@ -248,5 +254,15 @@ object AnalyticsQueries
     // keyword compaction is a RE-STAT (cross-document df/idf), and a
     // re-stat over base ∪ segment is definitionally a fresh full
     // build — a19's oracle pins it exactly
-    ("a35_keyword_compacted" -> oracleSqlBase("a19_keyword_search_prebuilt"))
+    ("a35_keyword_compacted" -> oracleSqlBase("a19_keyword_search_prebuilt")) +
+    // the lifecycle cycles: token rows are pure per-doc functions and
+    // a38's deletion is total, so two merge rounds with an interleaved
+    // purge must serve exactly a34's one-shot soft delete
+    ("a38_token_lifecycle" -> oracleSqlBase("a34_tombstone_rerank")) +
+    // frozen codebooks for the whole loop: the twice-merged, purged
+    // code table must serve exactly a16's single soft-delete step
+    ("a39_vector_lifecycle" -> oracleSqlBase("a16_tombstone_search")) +
+    // deletion precedes the cluster aggregate either way, so survivors
+    // re-elect and recount exactly as m12's one-shot deletes
+    ("m13_image_lifecycle" -> oracleSqlBase("m12_tombstone_neardup"))
 }

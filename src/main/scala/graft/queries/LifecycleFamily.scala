@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Lifecycle-cycle family (a37–a39, m13) — the 100-TB STEADY STATE as
+  * gated queries. Every per-channel lifecycle step is pinned singly
+  * elsewhere (append a20/a30/a32/m10/a12, compaction a35/a33/m11/a15,
+  * deletes a36/a34/m12/a16, streamed twins s14–s31), but a production
+  * index never runs one step once: it loops — append a segment,
+  * absorb deletes, compact with purge, append again, merge again. Each
+  * query here drives one channel through TWO generations with deletes
+  * interleaved between the merges:
+  *
+  *   gen0 (frozen base) + segment 1  ── merge 1 ──▶ compacted₁
+  *   tombstones arrive (doc_id ≡ 3 mod 7)
+  *   compacted₁ + segment 2          ── merge 2 (delete-applying) ──▶ final
+  *
+  * and pins the FINAL index ≡ a fresh build over the surviving corpus
+  * (for the keyword channel: including the re-stat — df/idf over
+  * survivors, the drift a20's appends absorbed now fully repaid across
+  * two merge rounds). The second merge is the load-bearing novelty:
+  * its input is itself a compaction OUTPUT, so these queries prove the
+  * merge operators are CLOSED under iteration — re-stat of a re-stat,
+  * purge during merge, pushdown surviving the twice-merged layout
+  * (PlanAuditSpec) — which single-step pins cannot show.
+  *
+  * Segment membership: gen0 = even ids, segment 1 = ids ≡ 1 (mod 4),
+  * segment 2 = ids ≡ 3 (mod 4) — a disjoint cover of the corpus, so
+  * the surviving corpus after tombstones is exactly `id % 7 <> 3` and
+  * the existing delete oracles (a34/a16/m12) gate three of the four
+  * cycles unchanged; the keyword cycle re-stats, so it gets its own
+  * fresh-build-over-survivors oracle. All merges read INDEX BYTES
+  * only — no re-tokenization, no re-encode, no decode (each channel's
+  * compaction economics, now exercised twice in sequence).
+  * CONVENTION: task closures (flatMapGroups/mapPartitions/...)
+  * must NOT reference trait-level vals/defs — that captures the
+  * whole facade (Task-not-serializable); hoist to a local first.
+  * `tools/closurelint.py` fails CI on the next violation; it also
+  * bans trait-level `object`s: JVM-shared state goes at file top
+  * level. */
+private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
+
+  import Sql._
+
+  /** The a37 keyword two-merge cycle stage. Both merges are a35's
+    * index-bytes-only RE-STAT ([[kwRecoverTf]]: tf = impact DIV idf,
+    * exact; then [[writeKwLayout]], the one writer every fresh build
+    * uses): merge 1 re-stats base ∪ segment 1; tombstones then land
+    * beside the index; merge 2 recovers tf from the COMPACTED merge-1
+    * output (a re-stat of a re-stat — closure under iteration) plus
+    * segment 2, drops tombstoned docs BEFORE the stat pass, and
+    * re-stats over the survivor count — so deleted docs stop
+    * inflating df/idf exactly at the delete-applying merge, Lucene's
+    * merge semantics. Meta (n_live, n_tomb) written LAST. */
+  private[queries] def stageA37KwCycle(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("a37kw", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val base = stageA20CorpusKwIndex(spark, dir)
+      val seg1 = stageKwIndexTable(spark, dir, "a37s1",
+        col("doc_id") % 4 === 1, force = false)
+      def nOf(st: String): Long =
+        spark.read.parquet(s"$st/meta").head.getAs[Long]("n")
+      // merge 1: re-stat over gen0 ∪ segment 1 (no deletes yet) —
+      // a35's merge verbatim, landed as an intermediate generation
+      val n1 = nOf(base) + nOf(seg1)
+      writeKwLayout(spark, s"$stage/gen1",
+        kwRecoverTf(spark, base).unionByName(kwRecoverTf(spark, seg1)), n1)
+      // tombstones arrive between the merges (ids-only, broadcastable)
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/tombstones")
+      val nTomb = spark.read.parquet(s"$stage/tombstones").count()
+      val seg2 = stageKwIndexTable(spark, dir, "a37s2",
+        col("doc_id") % 4 === 3, force = false)
+      // merge 2, delete-applying: tf recovered from the COMPACTED
+      // merge-1 layout ∪ segment 2, tombstoned docs dropped before
+      // the stat pass, df/idf re-derived over the SURVIVOR count
+      val nLive = n1 + nOf(seg2) - nTomb
+      val tf2 = kwRecoverTf(spark, s"$stage/gen1")
+        .unionByName(kwRecoverTf(spark, seg2))
+        .join(broadcast(spark.read.parquet(s"$stage/tombstones")),
+          Seq("doc_id"), "left_anti")
+      writeKwLayout(spark, stage, tf2, nLive)
+      spark.range(1).select(lit(nLive).as("n_live"), lit(nTomb).as("n_tomb"))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the a37 twice-merged keyword staging path. */
+  def a37KwCycleStage(spark: SparkSession, dir: String): String =
+    stageA37KwCycle(spark, dir)
+
+  /** Test hook: a fresh single-pass keyword build over the surviving
+    * corpus — the ground truth the cycle's final layout is pinned
+    * against (terms, postings AND served search). */
+  def a37FreshSurvivorKwStage(spark: SparkSession, dir: String): String =
+    stageKwIndexTable(spark, dir, "a37fresh",
+      pmod(col("doc_id"), lit(7)) =!= 3, force = false)
+
+  /** a37 — keyword search served after the FULL lifecycle cycle:
+    * build → append seg1 → compact/re-stat → deletes → append seg2 →
+    * delete-applying compact/re-stat. Search is a19's pruned probe
+    * verbatim over the twice-merged index; hash-gated with a
+    * fresh-build-over-survivors ORACLE (df/idf over `doc_id % 7 <> 3`
+    * only — the post-purge re-stat is what distinguishes this from
+    * a36's frozen-stats soft delete). Queries stay external text, so
+    * a tombstoned doc still asks. */
+  def a37KeywordLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageA37KwCycle(spark, dir)
+    kwPrunedSearch(spark, dir,
+      spark.read.parquet(s"$stage/terms")
+        .select(col("term"), col("term_id"), col("df")),
+      spark.read.parquet(s"$stage/postings"))
+  }
+
+  /** The a38 token two-merge cycle stage: token-hash rows are pure
+    * per-doc functions, so both merges are pure LAYOUT rewrites (a33's
+    * linear re-merge of ~72 B/doc index bytes — no recompute exists to
+    * run). Merge 2's input is merge 1's output ∪ segment 2, tombstoned
+    * rows dropped during the merge — the delete-applying compaction
+    * a34's purged table previews, here produced by the actual loop. */
+  private[queries] def stageA38TokenCycle(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("a38th", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val base = stageA30TokenBase(spark, dir)
+      val seg1 = stageTokenTable(spark, dir, "a38s1",
+        col("doc_id") % 4 === 1, partitions = 2, force = false)
+      spark.read.parquet(s"$base/tokens")
+        .unionByName(spark.read.parquet(s"$seg1/tokens"))
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$stage/gen1")
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/tombstones")
+      val seg2 = stageTokenTable(spark, dir, "a38s2",
+        col("doc_id") % 4 === 3, partitions = 2, force = false)
+      spark.read.parquet(s"$stage/gen1")
+        .unionByName(spark.read.parquet(s"$seg2/tokens"))
+        .join(broadcast(spark.read.parquet(s"$stage/tombstones")),
+          Seq("doc_id"), "left_anti")
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$stage/tokens")
+      spark.read.parquet(s"$stage/tokens").agg(count(lit(1)).as("n_live"))
+        .crossJoin(spark.read.parquet(s"$stage/tombstones")
+          .agg(count(lit(1)).as("n_tomb")))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the a38 twice-merged token staging path. */
+  def a38TokenCycleStage(spark: SparkSession, dir: String): String =
+    stageA38TokenCycle(spark, dir)
+
+  /** a38 — the late-interaction re-rank served after the full token
+    * cycle (two generations appended, deletes interleaved, both
+    * compacted away): a29's serving composition reads ONE
+    * doc_id-sorted table that is provably ≡ a fresh token build over
+    * the survivors (spec-pinned row for row). Deletion is TOTAL —
+    * tombstoned docs are neither candidates nor queryable (a34's
+    * semantics), so a34's ORACLE gates the cycle unchanged. */
+  def a38TokenLifecycle(spark: SparkSession, dir: String): DataFrame =
+    maxSimRerankServed(spark, dir,
+      spark.read.parquet(s"${stageA38TokenCycle(spark, dir)}/tokens"))
+
+  /** The a39 vector two-merge cycle stage: codebooks stay FROZEN for
+    * the whole loop (a12's protocol — segments are ENCODED against
+    * them, never retrained; re-training is the scheduled offline event,
+    * not a merge side effect), so both merges are layout rewrites of
+    * 4 B/vector code rows and the purge drops tombstoned code rows
+    * with the codebooks untouched (a16's purged-codes-same-codebooks,
+    * produced here by the actual loop). */
+  private[queries] def stageA39VecCycle(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/embeddings.parquet")
+    val stage = PipelineQueries.staging("a39pq", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val a12 = stageA12Index(spark, dir)
+      val cbAll = spark.read.parquet(s"$a12/codebooks")
+      val emb = Tables.embeddings(spark, dir)
+      // segment 1 encoded against the frozen codebooks (FAISS add), then
+      // merge 1: gen0 codes ∪ segment-1 codes, one sorted layout
+      pqEncodeAgainst(pqSubcodes(emb.filter(col("vec_id") % 4 === 1)), cbAll)
+        .write.mode("overwrite").parquet(s"$stage/delta1")
+      spark.read.parquet(s"$a12/codes")
+        .unionByName(spark.read.parquet(s"$stage/delta1"))
+        .repartitionByRange(2, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$stage/gen1")
+      emb.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/tombstones")
+      pqEncodeAgainst(pqSubcodes(emb.filter(col("vec_id") % 4 === 3)), cbAll)
+        .write.mode("overwrite").parquet(s"$stage/delta2")
+      // merge 2, delete-applying: twice-merged codes minus tombstones
+      spark.read.parquet(s"$stage/gen1")
+        .unionByName(spark.read.parquet(s"$stage/delta2"))
+        .join(broadcast(spark.read.parquet(s"$stage/tombstones")),
+          Seq("vec_id"), "left_anti")
+        .repartitionByRange(2, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$stage/codes")
+      // n_corpus sizes the serve-time shortlist exactly as a15/a16 do
+      emb.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(spark.read.parquet(s"$stage/tombstones")
+          .agg(count(lit(1)).as("n_tomb")))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the a39 twice-merged code staging path. */
+  def a39VecCycleStage(spark: SparkSession, dir: String): String =
+    stageA39VecCycle(spark, dir)
+
+  /** a39 — PQ search served after the full vector cycle: the ADC +
+    * exact-re-rank algebra over the twice-merged, purged code table
+    * with the FROZEN a12 codebooks. Hash-gated with a16's ORACLE —
+    * however many merge rounds the loop ran, serving must be
+    * indistinguishable from the single soft-delete step (and from
+    * a16's one-shot purge, spec-pinned row for row). Queries are
+    * external embeddings, so a tombstoned vector still asks. */
+  def a39VectorLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageA39VecCycle(spark, dir)
+    val a12 = stageA12Index(spark, dir)
+    val cbAll = spark.read.parquet(s"$a12/codebooks")
+    val n = spark.read.parquet(s"$stage/meta").head.getAs[Long]("n_corpus")
+    val qside = pqSubcodes(Tables.embeddings(spark, dir).filter(col("vec_id") < 20))
+      .withColumnRenamed("vec_id", "query_id")
+    pqAdcTail(spark, dir, spark.read.parquet(s"$stage/codes"),
+      pqLutsFrom(qside, cbAll), math.max(PqL.toLong, n / 20).toInt)
+  }
+
+  /** The m13 image two-merge cycle stage: perceptual hashes are pure
+    * per-media functions, so both merges are linear rewrites of
+    * 24-byte hash rows — ZERO decode anywhere in the loop (each
+    * segment paid its own decode once, at its own ingest). */
+  private[queries] def stageM13ImageCycle(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("m13ih", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val base = stageM10Generation(spark, dir, "m10ihbase",
+        col("media_id") % 2 === 0)
+      val seg1 = stageM10Generation(spark, dir, "m13s1",
+        col("media_id") % 4 === 1)
+      spark.read.parquet(s"$base/hashes")
+        .unionByName(spark.read.parquet(s"$seg1/hashes"))
+        .repartitionByRange(2, col("media_id"))
+        .sortWithinPartitions(col("media_id"))
+        .write.mode("overwrite").parquet(s"$stage/gen1")
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id").as("media_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/tombstones")
+      val seg2 = stageM10Generation(spark, dir, "m13s2",
+        col("media_id") % 4 === 3)
+      spark.read.parquet(s"$stage/gen1")
+        .unionByName(spark.read.parquet(s"$seg2/hashes"))
+        .join(broadcast(spark.read.parquet(s"$stage/tombstones")),
+          Seq("media_id"), "left_anti")
+        .repartitionByRange(2, col("media_id"))
+        .sortWithinPartitions(col("media_id"))
+        .write.mode("overwrite").parquet(s"$stage/hashes")
+      spark.read.parquet(s"$stage/hashes").agg(count(lit(1)).as("n_live"))
+        .crossJoin(spark.read.parquet(s"$stage/tombstones")
+          .agg(count(lit(1)).as("n_tomb")))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
+  /** Test hook: the m13 twice-merged hash staging path. */
+  def m13ImageCycleStage(spark: SparkSession, dir: String): String =
+    stageM13ImageCycle(spark, dir)
+
+  /** m13 — image near-dedup served after the full media cycle: the
+    * exact-cluster → banded-Hamming tail over the twice-merged,
+    * purged hash table. Deletion preceded the cluster aggregate (it
+    * happened at merge time), so surviving clusters re-elected their
+    * representatives and recounted members — exactly m12's semantics,
+    * whose ORACLE (m07's arithmetic over the retracted corpus) gates
+    * the cycle unchanged. */
+  def m13ImageLifecycle(spark: SparkSession, dir: String): DataFrame =
+    nearDupFromHashes(
+      spark.read.parquet(s"${stageM13ImageCycle(spark, dir)}/hashes"))
+
+  /** This family's slice of the oracle-SQL map: only the keyword cycle
+    * needs new SQL — its delete-applying merge RE-STATS, so the oracle
+    * is a19's chain rebuilt from scratch over the surviving corpus
+    * (df/idf over `doc_id % 7 <> 3`; query side still the external
+    * full-table slice, so a tombstoned doc still asks and its
+    * surviving-vocabulary terms still probe). a38/a39/m13 alias their
+    * channels' delete oracles in [[AnalyticsQueries.oracleSql]]. */
+  private[queries] lazy val lifecycleOracles: Map[String, String] = Map(
+    "a37_keyword_lifecycle" ->
+      s"""WITH sv AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+         |t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM sv),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM sv),
+         |idf AS (SELECT term, df,
+         |    CAST(floor(10000.0 * n.n / df) AS BIGINT) AS idf
+         |  FROM dft CROSS JOIN n),
+         |idx AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS impact
+         |  FROM tf JOIN idf USING (term)),
+         |qe AS (SELECT doc_id AS query_id, unnest(${words("text")}) AS term
+         |  FROM documents WHERE doc_id < 10),
+         |qt AS (SELECT DISTINCT query_id, term FROM qe),
+         |qk AS (SELECT query_id, term FROM (
+         |  SELECT qt.query_id, qt.term, ROW_NUMBER() OVER (
+         |      PARTITION BY qt.query_id ORDER BY idf.df ASC, qt.term ASC) AS trk
+         |  FROM qt JOIN idf USING (term)) WHERE trk <= $KwKeepTerms),
+         |kw AS (SELECT qk.query_id, idx.doc_id,
+         |    CAST(SUM(idx.impact) AS BIGINT) AS kw_score
+         |  FROM idx JOIN qk USING (term) WHERE idx.doc_id <> qk.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, kw_rank, doc_id, kw_score FROM (
+         |  SELECT query_id, doc_id, kw_score, CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank
+         |  FROM kw) WHERE kw_rank <= 20
+         |ORDER BY query_id, kw_rank""".stripMargin,
+  )
+}

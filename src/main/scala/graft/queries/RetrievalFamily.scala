@@ -382,6 +382,18 @@ private[queries] trait RetrievalFamily { this: AnalyticsQueries.type =>
       force: Boolean = false): String =
     stageKwIndexTable(spark, dir, "a35seg", col("doc_id") % 2 === 1, force)
 
+  /** Per-doc tf recovered EXACTLY from a stored keyword layout's own
+    * artifacts: postings carry impact := tf·idf with idf ≥ 10⁴ > 0,
+    * so `impact DIV idf` is exact integer recovery — the trick that
+    * keeps every re-statting merge index-bytes-only (Lucene's merge
+    * reads segments, never source text). Shared by the a35 compaction
+    * and the a37 two-merge lifecycle cycle. */
+  private[queries] def kwRecoverTf(spark: SparkSession, st: String): DataFrame =
+    spark.read.parquet(s"$st/postings")
+      .join(spark.read.parquet(s"$st/terms")
+        .select(col("term_id"), col("term"), col("idf")), Seq("term_id"))
+      .select(col("doc_id"), col("term"), expr("impact DIV idf").as("tf"))
+
   /** The a35 compaction stage — the keyword channel's segment MERGE,
     * the one lifecycle cell a34's scaladoc left open ("tombstoned docs
     * burn shortlist slots until the keyword index's own compaction").
@@ -407,13 +419,7 @@ private[queries] trait RetrievalFamily { this: AnalyticsQueries.type =>
     if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
       val base = stageA20CorpusKwIndex(spark, dir)
       val seg = stageA35Segment(spark, dir)
-      // tf recovered from each side's OWN stored dictionary: postings
-      // carry impact = tf·idf, so integer division is exact
-      def tfOf(st: String): DataFrame =
-        spark.read.parquet(s"$st/postings")
-          .join(spark.read.parquet(s"$st/terms")
-            .select(col("term_id"), col("term"), col("idf")), Seq("term_id"))
-          .select(col("doc_id"), col("term"), expr("impact DIV idf").as("tf"))
+      def tfOf(st: String): DataFrame = kwRecoverTf(spark, st)
       def dataFiles(p: String): Long = {
         val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
         var n = 0L

@@ -551,6 +551,72 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"keyword search went cartesian:\n$p")
   }
 
+  test("a37: twice-merged keyword search — pushdown survives the SECOND re-stat merge") {
+    val p = planOf(graft.queries.AnalyticsQueries.a37KeywordLifecycle(spark, dir))
+    // the lifecycle cycle's serve must be a19's shape over the final
+    // layout ONLY: no intermediate generation, no segment, no
+    // pre-cycle base in the plan — and the kept-term IN-list still
+    // pushed onto the twice-merged postings scan (a merge operator
+    // that lost sort order or pushdown on its own output would
+    // degrade serving a little more every compaction round)
+    assert(p.contains("graft_a37kw"), s"search must scan the final cycle layout:\n$p")
+    assert(!p.contains("gen1"), s"serve still reads the intermediate merge:\n$p")
+    assert(!p.contains("graft_a20kw") && !p.contains("graft_a37s1") &&
+      !p.contains("graft_a37s2"),
+      s"serve still reads a pre-merge base/segment:\n$p")
+    assert(p.contains("In(term_id"), s"kept-term IN-list not pushed to the postings scan:\n$p")
+    assert(p.contains("LessThan(doc_id,10)"),
+      s"query tokenization must be a pushed doc_id slice:\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).length == 1,
+      s"corpus scanned more than once — a merge leaked into the serve plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"keyword search shuffled into a sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"keyword search went cartesian:\n$p")
+  }
+
+  test("a38: twice-merged token re-rank — ONE layout, probes pushed after two merges") {
+    val p = planOf(graft.queries.AnalyticsQueries.a38TokenLifecycle(spark, dir))
+    assert(p.contains("graft_a38th"), s"re-rank must read the final cycle layout:\n$p")
+    assert(!p.contains("gen1"), s"serve still reads the intermediate merge:\n$p")
+    assert(!p.contains("graft_a30th") && !p.contains("graft_a38s1") &&
+      !p.contains("graft_a38s2"),
+      s"serve still reads a pre-merge base/segment:\n$p")
+    val scans = p.linesIterator.filter(l =>
+      l.contains("graft_a38th") && l.contains("PushedFilters")).toSeq
+    assert(scans.nonEmpty && scans.forall(l =>
+      l.contains("In(doc_id") || l.contains("LessThan(doc_id,10)")),
+      s"a final-layout scan lacks the pushed doc_id probe:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"serving plan touches corpus text:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"re-rank shuffled into a sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"re-rank went cartesian:\n$p")
+  }
+
+  test("a39: twice-merged code search — one scan, frozen codebooks, no training") {
+    val p = planOf(graft.queries.AnalyticsQueries.a39VectorLifecycle(spark, dir))
+    assert(p.contains("graft_a39pq"), s"search must read the final cycle layout:\n$p")
+    assert(!p.contains("gen1") && !p.contains("delta1") && !p.contains("delta2"),
+      s"serve still reads an intermediate merge or delta:\n$p")
+    assert(!p.contains("Union"), s"cycled search must be ONE code scan, not a union:\n$p")
+    assert(!p.contains("ExistingRDD"), s"search plan contains training checkpoints:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"codes must stream past broadcast LUTs:\n$p")
+    assert(!p.contains("Window"), s"per-query top-k must not plan a window:\n$p")
+  }
+
+  test("m13: twice-merged image near-dup — ONE layout, ZERO decode after two merges") {
+    val p = planOf(graft.queries.AnalyticsQueries.m13ImageLifecycle(spark, dir))
+    assert(p.contains("graft_m13ih"), s"serve must scan the final cycle layout:\n$p")
+    assert(!p.contains("gen1"), s"serve still reads the intermediate merge:\n$p")
+    assert(!p.contains("graft_m10ih") && !p.contains("graft_m13s1") &&
+      !p.contains("graft_m13s2"),
+      s"serve still reads a pre-merge base/segment:\n$p")
+    assert(!p.contains("MapPartitions"), s"decode (object boundary) in the serve plan:\n$p")
+    assert(!p.contains("DeserializeToObject"), s"object boundary in the serve plan:\n$p")
+    assert(!p.contains("payload"), s"serve plan touches media payload bytes:\n$p")
+    assert(!p.contains("documents.parquet"), s"serve plan scans the source corpus:\n$p")
+    assert(!p.contains("ExistingRDD"), s"serve plan contains build-time work:\n$p")
+    assert(!p.contains("CartesianProduct"), s"banded near-dup join went cartesian:\n$p")
+  }
+
   test("a20: append-only keyword update — stored postings read, corpus never re-tokenized") {
     val p = planOf(graft.queries.AnalyticsQueries.a20KeywordIndexUpdate(spark, dir))
     // the segment shape: stored corpus postings + dictionary are READ

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+
+/** The lifecycle-cycle invariant (a37–a39, m13), pinned at CONTENT
+  * level: after two append generations, interleaved deletes, and two
+  * merge rounds (the second delete-applying), each channel's final
+  * stored layout must hold EXACTLY what a fresh single-pass build over
+  * the surviving corpus produces — and serve exactly what the
+  * channel's one-shot delete query serves. The oracle gate checks the
+  * served RESULTS; this spec additionally opens the stored artifacts,
+  * so a merge that produced the right top-20 from wrong stored stats
+  * (compensating errors) still fails here. */
+class LifecycleCycleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, shufflePartitions = 4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("a37: twice-merged keyword index == fresh build over survivors (terms, postings, serve)") {
+    val cycle = AnalyticsQueries.a37KwCycleStage(spark, dir)
+    val fresh = AnalyticsQueries.a37FreshSurvivorKwStage(spark, dir)
+    val meta = spark.read.parquet(s"$cycle/meta").head
+    assert(meta.getAs[Long]("n_tomb") > 0, "fixture produced no tombstones")
+    // the re-stat of a re-stat must land the exact fresh-build
+    // dictionary: same survivor df/idf, same dense lexicographic
+    // term_ids, same max_impact bounds
+    assert(sortedRows(spark.read.parquet(s"$cycle/terms")) ==
+      sortedRows(spark.read.parquet(s"$fresh/terms")),
+      "cycle dictionary drifted from the fresh survivor build")
+    assert(sortedRows(spark.read.parquet(s"$cycle/postings")) ==
+      sortedRows(spark.read.parquet(s"$fresh/postings")),
+      "cycle postings drifted from the fresh survivor build")
+    // and the serve over the cycle layout == a19's probe over the
+    // fresh survivor layout, row for row
+    def serve(stage: String) = AnalyticsQueries.kwPrunedSearch(spark, dir,
+      spark.read.parquet(s"$stage/terms")
+        .select(col("term"), col("term_id"), col("df")),
+      spark.read.parquet(s"$stage/postings")).collect().toSeq
+    assert(serve(cycle) == serve(fresh))
+  }
+
+  test("a38: twice-merged token table == fresh survivor build; serve == one-shot a34") {
+    import spark.implicits._
+    val cycle = AnalyticsQueries.a38TokenCycleStage(spark, dir)
+    val fresh = AnalyticsQueries.stageTokenTable(spark, dir, "a38fresh",
+      pmod(col("doc_id"), lit(7)) =!= 3, partitions = 4, force = false)
+    def rows(p: String) = spark.read.parquet(p)
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    assert(rows(s"$cycle/tokens") == rows(s"$fresh/tokens"),
+      "cycle token table drifted from the fresh survivor build")
+    def served(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long)].collect().toSeq
+    assert(served(AnalyticsQueries.a38TokenLifecycle(spark, dir)) ==
+      served(AnalyticsQueries.a34TombstoneRerank(spark, dir)))
+  }
+
+  test("a39: twice-merged code table == a16's purged codes; serve == one-shot a16") {
+    val cycle = AnalyticsQueries.a39VecCycleStage(spark, dir)
+    val purged = s"${AnalyticsQueries.a16DeleteStage(spark, dir)}/purged"
+    // codebooks frozen throughout, so the ground truth is the
+    // delete-applying compaction's purged code table (a fresh build
+    // would retrain — deliberately NOT this channel's loop semantics)
+    assert(sortedRows(spark.read.parquet(s"$cycle/codes")) ==
+      sortedRows(spark.read.parquet(purged)),
+      "cycle code table drifted from the purged compaction ground truth")
+    assert(AnalyticsQueries.a39VectorLifecycle(spark, dir).collect().toSeq ==
+      AnalyticsQueries.a16TombstoneSearch(spark, dir).collect().toSeq)
+  }
+
+  test("m13: twice-merged hash table == fresh survivor build; serve == one-shot m12") {
+    val cycle = AnalyticsQueries.m13ImageCycleStage(spark, dir)
+    val fresh = AnalyticsQueries.stageM10Generation(spark, dir, "m13fresh",
+      pmod(col("media_id"), lit(7)) =!= 3)
+    assert(sortedRows(spark.read.parquet(s"$cycle/hashes")) ==
+      sortedRows(spark.read.parquet(s"$fresh/hashes")),
+      "cycle hash table drifted from the fresh survivor build")
+    assert(AnalyticsQueries.m13ImageLifecycle(spark, dir).collect().toSeq ==
+      AnalyticsQueries.m12TombstoneNearDup(spark, dir).collect().toSeq)
+  }
+}
