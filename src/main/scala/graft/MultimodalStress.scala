@@ -115,6 +115,36 @@ object MultimodalStress {
         graft.queries.AnalyticsQueries.nearDupFromHashes(
           spark.read.parquet(compacted)).count()
       }
+      // m13's STEADY-STATE LOOP: two merge rounds, tombstones applied
+      // at the second (base ∪ half-segment → merge; merged ∪ rest,
+      // minus retracted ids → delete-applying merge) — both linear
+      // rewrites of 24-byte index bytes, so the loop's recurring cost
+      // must stay flat however many rounds have run before.
+      val cyc1 = StressFixtures.runDir(s"m13g1_$tag")
+      val cyc2 = StressFixtures.runDir(s"m13f_$tag")
+      timed(s"$tag m13 two-merge cycle (merge, tombstones, delete-applying merge)") {
+        spark.read.parquet(genBase)
+          .unionByName(
+            spark.read.parquet(genSeg).filter(col("media_id") % 4 === 1))
+          .repartitionByRange(2, col("media_id"))
+          .sortWithinPartitions(col("media_id"))
+          .write.mode("overwrite").parquet(cyc1)
+        spark.read.parquet(cyc1)
+          .unionByName(
+            spark.read.parquet(genSeg).filter(col("media_id") % 4 === 3))
+          .join(broadcast(ih.filter(pmod(col("media_id"), lit(7)) === 3)
+            .select(col("media_id"))), Seq("media_id"), "left_anti")
+          .repartitionByRange(2, col("media_id"))
+          .sortWithinPartitions(col("media_id"))
+          .write.mode("overwrite").parquet(cyc2)
+        spark.read.parquet(cyc2).count()
+      }
+      timed(s"$tag m13 warm near-dup serve from cycled table (no decode)") {
+        graft.queries.AnalyticsQueries.nearDupFromHashes(
+          spark.read.parquet(cyc2)).count()
+      }
+      StressFixtures.rmrf(spark, cyc1)
+      StressFixtures.rmrf(spark, cyc2)
       StressFixtures.rmrf(spark, compacted)
       StressFixtures.rmrf(spark, genBase)
       StressFixtures.rmrf(spark, genSeg)

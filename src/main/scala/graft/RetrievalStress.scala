@@ -128,6 +128,19 @@ object RetrievalStress {
       timed(s"a36 tombstone search (warm) $tag") {
         graft.queries.AnalyticsQueries.a36TombstoneSearch(spark, dir).count()
       }
+      // the a37 STEADY-STATE LOOP: base + two segments pre-built
+      // outside the timing (each is ingest, priced by the build rows
+      // above), so this row prices exactly what the loop pays per
+      // round at scale — TWO re-stat merges (the second consuming the
+      // first's output) + the tombstone landing, index bytes only.
+      // Compare: one a35 merge, and the fresh "a19 index build" row.
+      graft.queries.AnalyticsQueries.a37CycleInputsStage(spark, dir)
+      timed(s"a37 two-merge cycle (2 re-stats, index bytes) $tag") {
+        graft.queries.AnalyticsQueries.rebuildA37CycleStage(spark, dir); 1L
+      }
+      timed(s"a37 cycled search (warm) $tag") {
+        graft.queries.AnalyticsQueries.a37KeywordLifecycle(spark, dir).count()
+      }
       // vector channel: first a13 call stages the IVF-PQ index for this
       // dir (build+search), the repeat is the pure serving cost
       timed(s"a13 vector search (cold=build+search) $tag") {

@@ -97,6 +97,21 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
   def a37KwCycleStage(spark: SparkSession, dir: String): String =
     stageA37KwCycle(spark, dir)
 
+  /** Stress hook: pre-build the cycle's INPUTS (base + both segments,
+    * each priced as ingest elsewhere) so a forced cycle rebuild times
+    * exactly the two re-stat merges + the tombstone landing — the
+    * steady-state loop's recurring cost, index bytes only. */
+  def a37CycleInputsStage(spark: SparkSession, dir: String): Unit = {
+    stageA20CorpusKwIndex(spark, dir)
+    stageKwIndexTable(spark, dir, "a37s1", col("doc_id") % 4 === 1, force = false)
+    stageKwIndexTable(spark, dir, "a37s2", col("doc_id") % 4 === 3, force = false)
+  }
+
+  /** Stress hook: re-run the two-merge cycle unconditionally (inputs
+    * build-if-missing — pre-stage via [[a37CycleInputsStage]]). */
+  def rebuildA37CycleStage(spark: SparkSession, dir: String): String =
+    stageA37KwCycle(spark, dir, force = true)
+
   /** Test hook: a fresh single-pass keyword build over the surviving
     * corpus — the ground truth the cycle's final layout is pinned
     * against (terms, postings AND served search). */
