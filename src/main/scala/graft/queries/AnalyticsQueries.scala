@@ -24,6 +24,7 @@ object AnalyticsQueries
     with TextFamily
     with MultimodalFamily
     with PipelineLayoutFamily
+    with VectorOracleSql
     with LifecycleFamily {
 
   /** DuckDB-SQL twins of the Scala/Catalyst primitives. Fold order and
