@@ -25,6 +25,7 @@ object AnalyticsQueries
     with MultimodalFamily
     with PipelineLayoutFamily
     with VectorOracleSql
+    with RetrievalOracleSql
     with LifecycleFamily {
 
   /** DuckDB-SQL twins of the Scala/Catalyst primitives. Fold order and
