@@ -81,11 +81,22 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
       // merge 2, delete-applying: tf recovered from the COMPACTED
       // merge-1 layout ∪ segment 2, tombstoned docs dropped before
       // the stat pass, df/idf re-derived over the SURVIVOR count
-      val nLive = n1 + nOf(seg2) - nTomb
       val tf2 = kwRecoverTf(spark, s"$stage/gen1")
         .unionByName(kwRecoverTf(spark, seg2))
         .join(broadcast(spark.read.parquet(s"$stage/tombstones")),
           Seq("doc_id"), "left_anti")
+      // n_live COUNTED from the anti-joined survivor rows (every doc
+      // in testdata tokenizes to ≥1 term, so distinct doc_ids = docs);
+      // the arithmetic n1 + |seg2| − |tombstones| holds only while
+      // gen0/seg1/seg2 form an exact disjoint cover AND every
+      // tombstone falls inside it — assert the equivalence so a
+      // segment-predicate edit fails HERE at build time instead of
+      // silently skewing df/idf until LifecycleCycleSpec notices
+      val nLive = tf2.select(col("doc_id")).distinct().count()
+      val arith = n1 + nOf(seg2) - nTomb
+      require(nLive == arith,
+        s"a37 survivor count drifted: counted=$nLive, arithmetic=$arith — " +
+          "segment predicates no longer cover, or a tombstone fell outside")
       writeKwLayout(spark, stage, tf2, nLive)
       spark.range(1).select(lit(nLive).as("n_live"), lit(nTomb).as("n_tomb"))
         .write.mode("overwrite").parquet(s"$stage/meta")

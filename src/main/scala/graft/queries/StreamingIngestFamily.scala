@@ -681,4 +681,107 @@ private[queries] trait StreamingIngestFamily { this: StreamingQueries.type =>
         .select(col("term"), col("term_id"), col("df")),
       postings)
   }
+
+  /** s32 — the keyword lifecycle cycle DRIVEN BY STREAMS: a37's
+    * two-merge steady-state loop with every input arriving over the
+    * batch-id-keyed landing protocol instead of driver-staged parquet
+    * writes (the r13 residual: the streamed twins covered each
+    * lifecycle step singly — s17 appends, s31 deletes — while the
+    * cycles ran on pre-staged inputs; this composes them). The
+    * production shape: landings arrive AS streams, merges fire
+    * BETWEEN drains.
+    *
+    *   drain 1 — segment-1 docs (ids ≡ 1 mod 4) arrive over four
+    *     micro-batches; each batch is tokenized ONCE (the only moment
+    *     text is touched) and lands its term-vector rows (doc_id,
+    *     term, tf) batch-id-keyed — the per-segment in-writer state,
+    *     index-scale, idempotent under checkpoint replay.
+    *   merge 1 fires — a35's re-stat over base ∪ accumulated
+    *     landings: base tf recovered from index bytes (impact DIV
+    *     idf), landed tf read back as landed — no re-tokenization.
+    *   drain 2 — the CDC feed: tombstone ids (ids ≡ 3 mod 7) and
+    *     segment-2 docs (ids ≡ 3 mod 4) INTERLEAVED in the same
+    *     stream (repartitioned together, so every micro-batch carries
+    *     a mix of appends and deletes, arrival order arbitrary); each
+    *     batch lands both kinds under its own batch id. A tombstone
+    *     may precede ITS OWN doc's arrival in a later batch — the
+    *     accumulated delete set applies at merge time, so order
+    *     within the drain cannot matter.
+    *   merge 2 fires — delete-applying re-stat: tf recovered from
+    *     merge 1's OUTPUT (a re-stat of a re-stat) ∪ landed segment-2
+    *     rows, the accumulated tombstone set broadcast-anti-joined
+    *     BEFORE the stat pass, df/idf re-derived over the COUNTED
+    *     survivor set.
+    *
+    * Hash-gated with a37's fresh-build-over-survivors ORACLE, and
+    * spec-pinned layout-identical to the batch cycle
+    * (LifecycleCycleSpec): driver-staged or stream-landed, one merge
+    * discipline, one answer. Per-batch work is tokenize + an
+    * index-scale landing append — merge cost is paid ONLY at the two
+    * merge points, not per batch (the economics a37's stress row
+    * prices). */
+  def s32StreamKeywordLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val base = AnalyticsQueries.a20CorpusKwIndexStage(spark, dir)
+    // drain 1: segment-1 generation arrives as a stream
+    val tf1Landed = streamedLandings(spark, dir, "s32a", "tf")(
+      Tables.documents(spark, dir).filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)) { (batch, id, landed) =>
+      batch.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
+    }
+    // merge 1 fires between the drains: re-stat over base ∪ landings
+    // (merge outputs are per-run mutable state — fresh root each run,
+    // never through stageOnce)
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s32m", dir)).toString
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh run
+    val tf1 = spark.read.parquet(tf1Landed)
+      .select(col("doc_id"), col("term"), col("tf"))
+    val n1 = spark.read.parquet(s"$base/meta").head.getAs[Long]("n") +
+      tf1.select(col("doc_id")).distinct().count()
+    AnalyticsQueries.writeKwLayout(spark, s"$root/gen1",
+      AnalyticsQueries.kwRecoverTf(spark, base).unionByName(tf1), n1)
+    // drain 2: deletes and segment-2 appends interleaved in one stream
+    val cdcLanded = streamedLandings(spark, dir, "s32b", "cdc")(
+      Tables.documents(spark, dir).filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("text"), lit("doc").as("kind"))
+        .unionByName(Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit("del").as("kind")))
+        .repartition(4)) { (batch, id, landed) =>
+      batch.filter(col("kind") === "doc")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(s"$landed/tf/batch=$id")
+      batch.filter(col("kind") === "del").select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$landed/tomb/batch=$id")
+    }
+    // merge 2, delete-applying: merge 1's OUTPUT ∪ landed segment-2
+    // rows, accumulated tombstones anti-joined before the stat pass
+    val tf2seg = spark.read.parquet(s"$cdcLanded/tf")
+      .select(col("doc_id"), col("term"), col("tf"))
+    val tomb = spark.read.parquet(s"$cdcLanded/tomb").select(col("doc_id"))
+    val tf2 = AnalyticsQueries.kwRecoverTf(spark, s"$root/gen1")
+      .unionByName(tf2seg)
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    // n_live counted from the survivor rows, asserted against the
+    // cover arithmetic — same drift guard as the batch cycle
+    val nLive = tf2.select(col("doc_id")).distinct().count()
+    val arith = n1 + tf2seg.select(col("doc_id")).distinct().count() - tomb.count()
+    require(nLive == arith,
+      s"s32 survivor count drifted: counted=$nLive, arithmetic=$arith")
+    AnalyticsQueries.writeKwLayout(spark, root, tf2, nLive)
+    spark.range(1).select(lit(nLive).as("n_live"))
+      .write.mode("overwrite").parquet(s"$root/meta")
+    AnalyticsQueries.kwPrunedSearch(spark, dir,
+      spark.read.parquet(s"$root/terms")
+        .select(col("term"), col("term_id"), col("df")),
+      spark.read.parquet(s"$root/postings"))
+  }
 }

@@ -27,6 +27,7 @@ object StreamingQueries
     with StreamingServeFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s32_stream_keyword_lifecycle" -> s32StreamKeywordLifecycle _,
     "s26_stream_stack_serving" -> s26StreamStackServing _,
     "s27_stream_vector_serving" -> s27StreamVectorServing _,
     "s28_stream_rerank_serving" -> s28StreamRerankServing _,
@@ -94,6 +95,12 @@ object StreamingQueries
     // one-shot frozen-stats search — same oracle, closing the streamed
     // delete matrix's last cell
     "s31_stream_keyword_deletes" -> AnalyticsQueries.oracleSql("a36_keyword_tombstones"),
+    // the stream-driven cycle must serve exactly what the batch cycle
+    // serves — a37's fresh-build-over-survivors oracle (df/idf re-
+    // statted over the surviving corpus), however the segments and
+    // tombstones were batched onto the landing protocol
+    "s32_stream_keyword_lifecycle" ->
+      AnalyticsQueries.oracleSql("a37_keyword_lifecycle"),
     // token hashes are a pure per-doc function, so base ∪ streamed
     // landings is EXACTLY the full inline index — the SAME oracle
     // hash pins a27 (inline), a28 (prebuilt), a30 (one-shot append),

@@ -97,16 +97,21 @@ object StackDecomposabilityProperties extends Properties("ServedStack") {
   // would evaluate at object initialization, BEFORE any forAll case
   // runs, so the coverage check would only ever see the two extreme
   // shapes it just recorded and could never catch a generator
-  // regression. Prop.delay defers evaluation to the runner's pass,
-  // which executes properties in registration order (workers=1) —
-  // by then the forAll cases above have recorded their shapes.
+  // regression. Prop.delay defers evaluation to the runner's pass.
   property("extreme shapes: all-singletons (10 batches) and loner split hold") =
     Prop.delay(Prop(extremesOk))
 
   property("exercised shapes covered singleton batches AND >3-batch partitions") =
     Prop.delay {
+      // force the deterministic extremes BEFORE asserting (lazy val —
+      // computed once however many properties touch it), so the check
+      // holds under ANY property execution order, parallel runners
+      // included; the in-order run additionally records every
+      // generated forAll shape first. The ordering assumption the r13
+      // advice flagged is now enforced, not assumed.
+      val det = extremesOk
       val shapes = synchronized(seenShapes.toList)
-      Prop(shapes.exists(_.contains(1)) && shapes.exists(_.size > 3) &&
+      Prop(det && shapes.exists(_.contains(1)) && shapes.exists(_.size > 3) &&
         shapes.exists(_ == Seq.fill(10)(1)))
     }
 }

@@ -45,6 +45,25 @@ class LifecycleCycleSpec extends AnyFunSuite {
     assert(serve(cycle) == serve(fresh))
   }
 
+  test("s32: stream-driven cycle lands the exact batch-cycle layout (terms, postings, serve)") {
+    // run the streamed cycle first (it rebuilds its merge root per
+    // run), THEN open its stored artifacts — driver-staged (a37) or
+    // stream-landed (s32), the two merge disciplines must land
+    // byte-equal dictionaries and postings and serve identical rows
+    val servedStream = StreamingQueries.s32StreamKeywordLifecycle(spark, dir)
+      .collect().toSeq
+    val streamRoot = PipelineQueries.staging("s32m", dir)
+    val cycle = AnalyticsQueries.a37KwCycleStage(spark, dir)
+    assert(sortedRows(spark.read.parquet(s"$streamRoot/terms")) ==
+      sortedRows(spark.read.parquet(s"$cycle/terms")),
+      "stream-driven cycle dictionary drifted from the batch cycle")
+    assert(sortedRows(spark.read.parquet(s"$streamRoot/postings")) ==
+      sortedRows(spark.read.parquet(s"$cycle/postings")),
+      "stream-driven cycle postings drifted from the batch cycle")
+    assert(servedStream ==
+      AnalyticsQueries.a37KeywordLifecycle(spark, dir).collect().toSeq)
+  }
+
   test("a38: twice-merged token table == fresh survivor build; serve == one-shot a34") {
     import spark.implicits._
     val cycle = AnalyticsQueries.a38TokenCycleStage(spark, dir)

@@ -19,7 +19,7 @@ warm fixtures.
 
 Usage:
   python3 tools/benchone.py <query> <refA> <refB>
-         [--reps 3] [--sf /root/testdata/sf0.1] [--cpus 32] [--json out]
+         [--reps 5] [--sf /root/testdata/sf0.1] [--cpus 32] [--json out]
   python3 tools/benchone.py --self-test
 
 Verdict rule (constants stated here, not tuned per episode): sides are
@@ -31,6 +31,7 @@ the verdict is the output, not the exit code.
 """
 
 import argparse
+import hashlib
 import json
 import re
 import subprocess
@@ -66,8 +67,11 @@ def ensure_checkout(ref):
     """Path to run in: the repo itself for '.', else a detached worktree."""
     if ref == ".":
         return REPO
+    # include a short hash of the RAW ref so distinct refs that
+    # sanitize identically (feat/x vs feat_x) get distinct worktrees
     safe = re.sub(r"[^A-Za-z0-9_.-]", "_", ref)
-    wt = Path(f"/tmp/benchone_wt_{safe}")
+    digest = hashlib.md5(ref.encode()).hexdigest()[:8]
+    wt = Path(f"/tmp/benchone_wt_{safe}_{digest}")
     if wt.exists():
         # reuse the worktree (keeps its compiled target/) but re-pin the ref
         subprocess.run(["git", "-C", str(wt), "checkout", "--detach", ref],
@@ -119,7 +123,9 @@ def main():
     ap.add_argument("query")
     ap.add_argument("refA")
     ap.add_argument("refB")
-    ap.add_argument("--reps", type=int, default=3)
+    # 5 reps/side: 3 can only ever say INDISTINGUISHABLE under the
+    # conservative disjoint-ranges rule; 5 lets it actually call a move
+    ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--cpus", default="32")
     ap.add_argument("--json", default=None)
