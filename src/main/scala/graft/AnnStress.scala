@@ -233,6 +233,26 @@ object AnnStress {
         queries.AnalyticsQueries.a16PurgedSearch(spark, stageDir))
       println(f"[stress] a16 soft live-recall@5 = ${liveRecall(soft)}%.3f, " +
         f"purged live-recall@5 = ${liveRecall(hard)}%.3f")
+      // a39's STEADY-STATE LOOP: codebooks frozen, segments
+      // pre-ENCODED outside the timing (encoding is ingest — a12's
+      // append path prices it), so the cycle row prices exactly what
+      // the vector loop pays per round — two layout merges of
+      // 4 B/vector code rows (the second purging tombstones) + the
+      // tombstone landing. The cycled warm serve must price at a16's
+      // purged serve — it reads one merged, purged code table.
+      val ts = System.nanoTime()
+      queries.AnalyticsQueries.a39CycleInputsStage(spark, stageDir)
+      println(f"[stress] a39 cycle inputs (2 segment encodes) took " +
+        f"${(System.nanoTime() - ts) / 1e9}%.1f s (one-time, = ingest)")
+      val tm = System.nanoTime()
+      queries.AnalyticsQueries.rebuildA39CycleStage(spark, stageDir)
+      println(f"[stress] a39 two-merge cycle (2 layout merges + tombstone landing) " +
+        f"took ${(System.nanoTime() - tm) / 1e9}%.1f s")
+      val cycled = topsOf(timed("a39 cycled search (1st)")(
+        queries.AnalyticsQueries.a39VectorLifecycle(spark, stageDir)))
+      timed("a39 cycled search (2nd)")(
+        queries.AnalyticsQueries.a39VectorLifecycle(spark, stageDir))
+      println(f"[stress] a39 cycled live-recall@5 = ${liveRecall(cycled)}%.3f")
     }
     spark.stop()
   }

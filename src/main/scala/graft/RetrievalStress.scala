@@ -196,6 +196,20 @@ object RetrievalStress {
       timed(s"a28 token index build     $tag") {
         graft.queries.AnalyticsQueries.rebuildTokenHashStage(spark, dir); 1L
       }
+      // the a38 STEADY-STATE LOOP: base + both token segments
+      // pre-built outside the timing (tokenize+hash is each segment's
+      // ingest, priced by the a28 build row), so this row prices
+      // exactly what the token loop pays per round — two PURE LAYOUT
+      // merges of ~72 B/doc rows (the second consuming the first's
+      // output, tombstones anti-joined during it) + the tombstone
+      // landing. No tokenize, no kernel, no recompute exists to run.
+      graft.queries.AnalyticsQueries.a38CycleInputsStage(spark, dir)
+      timed(s"a38 two-merge cycle (2 layout merges, index bytes) $tag") {
+        graft.queries.AnalyticsQueries.rebuildA38CycleStage(spark, dir); 1L
+      }
+      timed(s"a38 cycled re-rank (warm) $tag") {
+        graft.queries.AnalyticsQueries.a38TokenLifecycle(spark, dir).count()
+      }
       // the COMPOSED modern serving stack — keyword shortlist → RRF
       // fuse with stored-IVF-PQ ranks → MMR diversification → MaxSim
       // re-rank — with per-stage wall + shuffle-record rows. Each

@@ -191,6 +191,25 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
   def a38TokenCycleStage(spark: SparkSession, dir: String): String =
     stageA38TokenCycle(spark, dir)
 
+  /** Stress hook: pre-build the a38 cycle's INPUTS (base + both token
+    * segments — each segment's tokenize+hash is ingest, priced by the
+    * a28 build row) so a forced cycle rebuild times exactly the two
+    * layout merges + the tombstone landing — the token loop's
+    * recurring cost, ~72 B/doc index bytes, no tokenize anywhere. */
+  def a38CycleInputsStage(spark: SparkSession, dir: String): Unit = {
+    stageA30TokenBase(spark, dir)
+    stageTokenTable(spark, dir, "a38s1", col("doc_id") % 4 === 1,
+      partitions = 2, force = false)
+    stageTokenTable(spark, dir, "a38s2", col("doc_id") % 4 === 3,
+      partitions = 2, force = false)
+  }
+
+  /** Stress hook: re-run the a38 two-merge cycle unconditionally
+    * (inputs build-if-missing — pre-stage via
+    * [[a38CycleInputsStage]]). */
+  def rebuildA38CycleStage(spark: SparkSession, dir: String): String =
+    stageA38TokenCycle(spark, dir, force = true)
+
   /** a38 — the late-interaction re-rank served after the full token
     * cycle (two generations appended, deletes interleaved, both
     * compacted away): a29's serving composition reads ONE
@@ -202,13 +221,40 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     maxSimRerankServed(spark, dir,
       spark.read.parquet(s"${stageA38TokenCycle(spark, dir)}/tokens"))
 
+  /** A segment's code rows encoded against the FROZEN a12 codebooks
+    * (FAISS add), fingerprint-keyed build-if-missing: encoding is the
+    * segment's INGEST cost — paid once when the segment arrives
+    * (a12's append path prices it), never re-paid by a merge. Staged
+    * separately from the cycle so a forced cycle rebuild times the
+    * merges alone. Meta (n) written LAST. */
+  private[queries] def stageA39Delta(spark: SparkSession, dir: String,
+      tag: String, residue: Int): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/embeddings.parquet")
+    val stage = PipelineQueries.staging(tag, s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
+      val a12 = stageA12Index(spark, dir)
+      val cbAll = spark.read.parquet(s"$a12/codebooks")
+      pqEncodeAgainst(pqSubcodes(Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 4 === residue)), cbAll)
+        .write.mode("overwrite").parquet(s"$stage/codes")
+      spark.read.parquet(s"$stage/codes").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$stage/meta")
+    }
+    stage
+  }
+
   /** The a39 vector two-merge cycle stage: codebooks stay FROZEN for
     * the whole loop (a12's protocol — segments are ENCODED against
     * them, never retrained; re-training is the scheduled offline event,
     * not a merge side effect), so both merges are layout rewrites of
     * 4 B/vector code rows and the purge drops tombstoned code rows
     * with the codebooks untouched (a16's purged-codes-same-codebooks,
-    * produced here by the actual loop). */
+    * produced here by the actual loop). Segment encodes live in their
+    * own stages ([[stageA39Delta]] — ingest cost, paid at arrival),
+    * so a forced rebuild here prices exactly the loop's recurring
+    * work: two merges + the tombstone landing. */
   private[queries] def stageA39VecCycle(spark: SparkSession, dir: String,
       force: Boolean = false): String = synchronized {
     val fp = PipelineQueries.contentFingerprint(spark, s"$dir/embeddings.parquet")
@@ -217,24 +263,21 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
       val a12 = stageA12Index(spark, dir)
-      val cbAll = spark.read.parquet(s"$a12/codebooks")
       val emb = Tables.embeddings(spark, dir)
-      // segment 1 encoded against the frozen codebooks (FAISS add), then
+      // segment 1 arrives pre-encoded (its own ingest stage), then
       // merge 1: gen0 codes ∪ segment-1 codes, one sorted layout
-      pqEncodeAgainst(pqSubcodes(emb.filter(col("vec_id") % 4 === 1)), cbAll)
-        .write.mode("overwrite").parquet(s"$stage/delta1")
+      val d1 = stageA39Delta(spark, dir, "a39d1", 1)
       spark.read.parquet(s"$a12/codes")
-        .unionByName(spark.read.parquet(s"$stage/delta1"))
+        .unionByName(spark.read.parquet(s"$d1/codes"))
         .repartitionByRange(2, col("vec_id"))
         .sortWithinPartitions(col("vec_id"))
         .write.mode("overwrite").parquet(s"$stage/gen1")
       emb.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id"))
         .coalesce(1).write.mode("overwrite").parquet(s"$stage/tombstones")
-      pqEncodeAgainst(pqSubcodes(emb.filter(col("vec_id") % 4 === 3)), cbAll)
-        .write.mode("overwrite").parquet(s"$stage/delta2")
+      val d2 = stageA39Delta(spark, dir, "a39d2", 3)
       // merge 2, delete-applying: twice-merged codes minus tombstones
       spark.read.parquet(s"$stage/gen1")
-        .unionByName(spark.read.parquet(s"$stage/delta2"))
+        .unionByName(spark.read.parquet(s"$d2/codes"))
         .join(broadcast(spark.read.parquet(s"$stage/tombstones")),
           Seq("vec_id"), "left_anti")
         .repartitionByRange(2, col("vec_id"))
@@ -252,6 +295,23 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
   /** Test hook: the a39 twice-merged code staging path. */
   def a39VecCycleStage(spark: SparkSession, dir: String): String =
     stageA39VecCycle(spark, dir)
+
+  /** Stress hook: pre-build the a39 cycle's INPUTS (trained index +
+    * both segments pre-ENCODED against the frozen codebooks) so a
+    * forced cycle rebuild times exactly the two layout merges + the
+    * tombstone landing — the vector loop's recurring cost, 4 B/vector
+    * code rows, no encoding anywhere. */
+  def a39CycleInputsStage(spark: SparkSession, dir: String): Unit = {
+    stageA12Index(spark, dir)
+    stageA39Delta(spark, dir, "a39d1", 1)
+    stageA39Delta(spark, dir, "a39d2", 3)
+  }
+
+  /** Stress hook: re-run the a39 two-merge cycle unconditionally
+    * (inputs build-if-missing — pre-stage via
+    * [[a39CycleInputsStage]]). */
+  def rebuildA39CycleStage(spark: SparkSession, dir: String): String =
+    stageA39VecCycle(spark, dir, force = true)
 
   /** a39 — PQ search served after the full vector cycle: the ADC +
     * exact-re-rank algebra over the twice-merged, purged code table
