@@ -55,9 +55,9 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     * inflating df/idf exactly at the delete-applying merge, Lucene's
     * merge semantics. Meta (n_live, n_tomb) written LAST. */
   private[queries] def stageA37KwCycle(spark: SparkSession, dir: String,
-      force: Boolean = false): String = synchronized {
+      force: Boolean = false, tag: String = "a37kw"): String = synchronized {
     val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
-    val stage = PipelineQueries.staging("a37kw", s"$dir#$fp")
+    val stage = PipelineQueries.staging(tag, s"$dir#$fp")
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/meta"))) {
@@ -107,6 +107,14 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
   /** Test hook: the a37 twice-merged keyword staging path. */
   def a37KwCycleStage(spark: SparkSession, dir: String): String =
     stageA37KwCycle(spark, dir)
+
+  /** Test hook (StagingProtocolSpec): the keyword cycle staged under a
+    * DEDICATED tag, so crash injection can physically corrupt its
+    * multi-artifact intermediates (gen1, tombstones) without touching
+    * the shared a37 stage every other suite and bench serves from. */
+  def a37KwCycleStageTagged(spark: SparkSession, dir: String, tag: String,
+      force: Boolean = false): String =
+    stageA37KwCycle(spark, dir, force, tag)
 
   /** Stress hook: pre-build the cycle's INPUTS (base + both segments,
     * each priced as ingest elsewhere) so a forced cycle rebuild times

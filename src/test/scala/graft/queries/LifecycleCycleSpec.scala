@@ -92,6 +92,45 @@ class LifecycleCycleSpec extends AnyFunSuite {
       AnalyticsQueries.a16TombstoneSearch(spark, dir).collect().toSeq)
   }
 
+  test("a39: recall@5 of the twice-merged purged index vs brute force over SURVIVORS") {
+    // a18 gates recall on the fresh index; this points the same
+    // harness at the cycle's layout. Ground truth is brute-force
+    // cosine top-5 over the SURVIVING corpus only (not the full-corpus
+    // truth post-filtered — a survivor ranked 6th overall belongs in
+    // this truth set). Queries stay the external vec_id<10 slice the
+    // serve uses, so tombstoned vectors still ask. The row-identity
+    // pin above makes a39 ≡ a16; this measures the VALUE that
+    // identity implies: the lifecycle loop must not silently degrade
+    // what the index is for.
+    import graft.expressions.{DoubleSortKey, TopKByScore}
+    import graft.functions.Vectors
+    val idx = AnalyticsQueries.a39VectorLifecycle(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.normSq(col("embedding")).as("nsq"))
+    val q = e.filter(col("vec_id") < 20).toDF("query_id", "qe", "qn")
+    val exact = e.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+      .toDF("neighbor_id", "ce", "cn")
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        Vectors.cosine(col("qe"), col("ce"), col("qn"), col("cn")))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore(DoubleSortKey(col("sim")), col("neighbor_id"), 5).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t").getField("id").as("neighbor_id"))
+    val nTruth = exact.count()
+    val hits = exact.join(idx, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hits.toDouble / nTruth
+    info(f"a39 cycled recall@5 vs survivor ground truth = $recall%.3f ($hits/$nTruth)")
+    // floor 0.6: measured 0.73 on the current sf0.001 fixture — the
+    // gate catches collapse (a broken merge scores random codes at
+    // ~L/n), not small fixture-regeneration drift
+    assert(recall >= 0.6,
+      f"recall@5 after the two-merge cycle collapsed to $recall%.3f — " +
+        "the purged, twice-merged index no longer finds what brute force finds")
+  }
+
   test("m13: twice-merged hash table == fresh survivor build; serve == one-shot m12") {
     val cycle = AnalyticsQueries.m13ImageCycleStage(spark, dir)
     val fresh = AnalyticsQueries.stageM10Generation(spark, dir, "m13fresh",

@@ -78,4 +78,77 @@ class StagingProtocolSpec extends AnyFunSuite {
     val n = spark.read.parquet(s"$stage/meta").head.getAs[Long]("n")
     assert(n == full, "meta row count must match the rebuilt generation")
   }
+
+  // ── the CYCLE shape (r13 verdict ask): the a37 staging block lands
+  // gen1 (itself a terms+postings layout), tombstones, the final
+  // layout, and meta IN SEQUENCE, with only the stage-level meta as
+  // the completeness marker. A crash anywhere inside that window
+  // leaves multi-artifact orphans — possibly TRUNCATED mid-write —
+  // that the next force=false build must ignore wholesale, because
+  // nothing below meta is individually trusted. This is exactly the
+  // crash window a 100-TB compactor lives in. Both tests run under a
+  // DEDICATED tag (same blast-radius argument as m10ihspec above),
+  // re-armed by force=true at entry.
+
+  private def sortedRows(path: String): Seq[String] =
+    spark.read.parquet(path).collect().map(_.toString).toSeq.sorted
+
+  /** Physically replace `path` with a 1-row parquet of the same
+    * schema — the state a crash mid-write can leave behind. */
+  private def truncateToOneRow(path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val one = spark.read.parquet(path).limit(1)
+    val rows = one.collect().toSeq
+    val schema = one.schema
+    fs.delete(new Path(path), true)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.parquet(path)
+  }
+
+  test("cycle staging: crash between merge 1 and merge 2 (truncated gen1, no marker) -> full rebuild") {
+    val tag = "a37spec"
+    val stage = AnalyticsQueries.a37KwCycleStageTagged(spark, dir, tag, force = true)
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val refTerms = sortedRows(s"$stage/terms")
+    val refPostings = sortedRows(s"$stage/postings")
+    val gen1Full = spark.read.parquet(s"$stage/gen1/postings").count()
+    assert(gen1Full > 1, "fixture too small to distinguish truncation")
+    // the crash state: merge 1's output landed but TRUNCATED mid-write;
+    // tombstones never landed, merge 2 never ran, no marker
+    truncateToOneRow(s"$stage/gen1/postings")
+    Seq("tombstones", "terms", "postings", "meta").foreach(d =>
+      fs.delete(new Path(s"$stage/$d"), true))
+    AnalyticsQueries.a37KwCycleStageTagged(spark, dir, tag)
+    assert(fs.exists(new Path(s"$stage/meta")),
+      "rebuild must restore the completeness marker")
+    assert(spark.read.parquet(s"$stage/gen1/postings").count() == gen1Full,
+      "rebuild must overwrite the truncated merge-1 orphan, not resume from it")
+    assert(sortedRows(s"$stage/terms") == refTerms,
+      "post-crash rebuild drifted the cycle dictionary")
+    assert(sortedRows(s"$stage/postings") == refPostings,
+      "post-crash rebuild drifted the cycle postings")
+  }
+
+  test("cycle staging: crash between tombstone landing and merge 2 (truncated tombstones) -> full rebuild") {
+    val tag = "a37spec2"
+    val stage = AnalyticsQueries.a37KwCycleStageTagged(spark, dir, tag, force = true)
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val refTerms = sortedRows(s"$stage/terms")
+    val refPostings = sortedRows(s"$stage/postings")
+    val nTomb = spark.read.parquet(s"$stage/meta").head.getAs[Long]("n_tomb")
+    assert(nTomb > 1, "fixture too small to distinguish truncation")
+    // the crash state: gen1 complete, tombstones landed but TRUNCATED
+    // mid-write, merge 2 never ran, no marker. A rebuild that trusted
+    // the landed tombstone set would under-delete and inflate df/idf.
+    truncateToOneRow(s"$stage/tombstones")
+    Seq("terms", "postings", "meta").foreach(d =>
+      fs.delete(new Path(s"$stage/$d"), true))
+    AnalyticsQueries.a37KwCycleStageTagged(spark, dir, tag)
+    assert(spark.read.parquet(s"$stage/meta").head.getAs[Long]("n_tomb") == nTomb,
+      "rebuild must re-land the full delete set, not trust the truncated orphan")
+    assert(sortedRows(s"$stage/terms") == refTerms,
+      "post-crash rebuild drifted the cycle dictionary")
+    assert(sortedRows(s"$stage/postings") == refPostings,
+      "post-crash rebuild drifted the cycle postings")
+  }
 }
