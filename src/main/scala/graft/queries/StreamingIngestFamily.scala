@@ -720,6 +720,31 @@ private[queries] trait StreamingIngestFamily { this: StreamingQueries.type =>
     * index-scale landing append — merge cost is paid ONLY at the two
     * merge points, not per batch (the economics a37's stress row
     * prices). */
+  /** The interleaved CDC input every stream-driven cycle's second
+    * drain shares: segment-2 rows tagged kind='doc' unioned with
+    * tombstone ids tagged kind='del' (the segment's payload columns
+    * null on delete rows), repartitioned TOGETHER so every micro-batch
+    * carries a mix of appends and deletes — the arrival shape a real
+    * change feed has, order arbitrary because the accumulated delete
+    * set applies at merge time. */
+  private[queries] def cdcInterleave(seg: DataFrame, tomb: DataFrame): DataFrame =
+    seg.withColumn("kind", lit("doc"))
+      .unionByName(tomb.withColumn("kind", lit("del")),
+        allowMissingColumns = true)
+      .repartition(4)
+
+  /** A per-run merge root for the stream-driven cycles (mutable state
+    * rebuilt from this run's landings — never through stageOnce):
+    * deleted at entry so every run re-lands its merges. */
+  private[queries] def freshRunRoot(spark: SparkSession, dir: String,
+      tag: String): String = {
+    val root = java.nio.file.Paths.get(PipelineQueries.staging(tag, dir)).toString
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh run
+    root
+  }
+
   def s32StreamKeywordLifecycle(spark: SparkSession, dir: String): DataFrame = {
     val base = AnalyticsQueries.a20CorpusKwIndexStage(spark, dir)
     // drain 1: segment-1 generation arrives as a stream
@@ -733,12 +758,7 @@ private[queries] trait StreamingIngestFamily { this: StreamingQueries.type =>
         .write.mode("overwrite").parquet(s"$landed/batch=$id")
     }
     // merge 1 fires between the drains: re-stat over base ∪ landings
-    // (merge outputs are per-run mutable state — fresh root each run,
-    // never through stageOnce)
-    val root = java.nio.file.Paths.get(PipelineQueries.staging("s32m", dir)).toString
-    val hfs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    hfs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh run
+    val root = freshRunRoot(spark, dir, "s32m")
     val tf1 = spark.read.parquet(tf1Landed)
       .select(col("doc_id"), col("term"), col("tf"))
     val n1 = spark.read.parquet(s"$base/meta").head.getAs[Long]("n") +
@@ -783,5 +803,172 @@ private[queries] trait StreamingIngestFamily { this: StreamingQueries.type =>
       spark.read.parquet(s"$root/terms")
         .select(col("term"), col("term_id"), col("df")),
       spark.read.parquet(s"$root/postings"))
+  }
+
+  /** s33 — the TOKEN lifecycle cycle driven by streams: s32's
+    * composition on the late-interaction channel. Segment-1 docs land
+    * over one drain (tokenize+polyHash ONCE per batch — s25's landing,
+    * ~72 B/doc index rows); merge 1 fires (a33's pure layout rewrite:
+    * base ∪ landings into one doc_id-sorted table — token hashes are
+    * per-doc functions, no recompute exists); then the CDC drain lands
+    * tombstone ids and segment-2 rows interleaved, and the
+    * delete-applying merge 2 rewrites merge 1's output ∪ landings
+    * minus the accumulated delete set. Hash-gated with a34's ORACLE
+    * (deletion total — neither candidate nor query) and spec-pinned
+    * row-identical to the a38 batch cycle: driver-staged or
+    * stream-landed, one merge discipline, one answer. */
+  def s33StreamTokenLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val base = AnalyticsQueries.a30TokenBaseStage(spark, dir)
+    val thLanded = streamedLandings(spark, dir, "s33a", "th")(
+      Tables.documents(spark, dir).filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)) { (batch, id, landed) =>
+      batch.select(col("doc_id"),
+          AnalyticsQueries.tokHashes(col("text")).as("th"))
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
+    }
+    val root = freshRunRoot(spark, dir, "s33m")
+    spark.read.parquet(s"$base/tokens")
+      .unionByName(spark.read.parquet(thLanded).select(col("doc_id"), col("th")))
+      .repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$root/gen1")
+    val cdc = streamedLandings(spark, dir, "s33b", "cdc")(
+      cdcInterleave(
+        Tables.documents(spark, dir).filter(col("doc_id") % 4 === 3)
+          .select(col("doc_id"), col("text")),
+        Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select(col("doc_id")))) { (batch, id, landed) =>
+      batch.filter(col("kind") === "doc")
+        .select(col("doc_id"),
+          AnalyticsQueries.tokHashes(col("text")).as("th"))
+        .write.mode("overwrite").parquet(s"$landed/th/batch=$id")
+      batch.filter(col("kind") === "del").select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$landed/tomb/batch=$id")
+    }
+    spark.read.parquet(s"$root/gen1")
+      .unionByName(spark.read.parquet(s"$cdc/th").select(col("doc_id"), col("th")))
+      .join(broadcast(spark.read.parquet(s"$cdc/tomb").select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      .repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$root/tokens")
+    AnalyticsQueries.maxSimRerankServed(spark, dir,
+      spark.read.parquet(s"$root/tokens"))
+  }
+
+  /** s34 — the VECTOR lifecycle cycle driven by streams: segment-1
+    * embeddings arrive over one drain and each batch pays its OWN
+    * encode against the frozen a12 codebooks (s14's landing — FAISS
+    * `add` per micro-batch, the only per-batch cost; codebooks are
+    * never retrained inside the loop, a12's protocol); merge 1 fires
+    * (layout rewrite of 4 B/vector code rows); the CDC drain lands
+    * tombstone ids and segment-2 embeddings interleaved (delete rows
+    * are ids-only — no embedding ever rides the retraction feed), and
+    * the delete-applying merge 2 purges the accumulated set while
+    * rewriting. Hash-gated with a16's ORACLE and spec-pinned
+    * row-identical to the a39 batch cycle's purged code table. */
+  def s34StreamVectorLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val a12 = AnalyticsQueries.a12CorpusIndexStage(spark, dir)
+    val cbAll = spark.read.parquet(s"$a12/codebooks")
+    val codesLanded = streamedLandings(spark, dir, "s34a", "codes")(
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 4 === 1)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(4)) { (batch, id, landed) =>
+      AnalyticsQueries.pqEncodeAgainst(
+        AnalyticsQueries.pqSubcodes(batch), cbAll)
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
+    }
+    val root = freshRunRoot(spark, dir, "s34m")
+    val corpusCodes = spark.read.parquet(s"$a12/codes")
+    val codeCols = corpusCodes.columns.map(col).toIndexedSeq
+    corpusCodes
+      .unionByName(spark.read.parquet(codesLanded).select(codeCols: _*))
+      .repartitionByRange(2, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$root/gen1")
+    val cdc = streamedLandings(spark, dir, "s34b", "cdc")(
+      cdcInterleave(
+        Tables.embeddings(spark, dir).filter(col("vec_id") % 4 === 3)
+          .select(col("vec_id"), col("embedding")),
+        Tables.embeddings(spark, dir).filter(pmod(col("vec_id"), lit(7)) === 3)
+          .select(col("vec_id")))) { (batch, id, landed) =>
+      AnalyticsQueries.pqEncodeAgainst(
+        AnalyticsQueries.pqSubcodes(batch.filter(col("kind") === "doc")), cbAll)
+        .write.mode("overwrite").parquet(s"$landed/codes/batch=$id")
+      batch.filter(col("kind") === "del").select(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$landed/tomb/batch=$id")
+    }
+    spark.read.parquet(s"$root/gen1")
+      .unionByName(spark.read.parquet(s"$cdc/codes").select(codeCols: _*))
+      .join(broadcast(spark.read.parquet(s"$cdc/tomb").select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      .repartitionByRange(2, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$root/codes")
+    val n = spark.read.parquet(s"$a12/meta").head.getAs[Long]("n")
+    val qside = AnalyticsQueries.pqSubcodes(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 20))
+      .withColumnRenamed("vec_id", "query_id")
+    AnalyticsQueries.pqAdcTail(spark, dir, spark.read.parquet(s"$root/codes"),
+      AnalyticsQueries.pqLutsFrom(qside, cbAll),
+      math.max(AnalyticsQueries.PqL.toLong, n / 20).toInt)
+  }
+
+  /** s35 — the IMAGE lifecycle cycle driven by streams: segment-1
+    * media payloads arrive over one drain and each batch pays its OWN
+    * ImageIO decode + perceptual hash (s24's landing — the only moment
+    * pixels are touched, m09's decode-at-ingest economics); merge 1
+    * fires (layout rewrite of 24-byte hash rows, ZERO decode); the CDC
+    * drain lands tombstoned media ids and segment-2 payloads
+    * interleaved, and the delete-applying merge 2 purges while
+    * rewriting — so surviving clusters re-elect representatives and
+    * recount exactly as the one-shot m12. Hash-gated with m12's ORACLE
+    * and spec-pinned row-identical to the m13 batch cycle. */
+  def s35StreamImageLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val basePath = s"${AnalyticsQueries.stageM10Generation(spark, dir, "m10ihbase",
+      col("media_id") % 2 === 0)}/hashes"
+    def payloads(pred: org.apache.spark.sql.Column): DataFrame =
+      Tables.documents(spark, dir).filter(pred)
+        .select(col("doc_id")).as[Long]
+        .repartition(4) // decode distributes over the 4 batch files
+        .mapPartitions(_.map(id =>
+          (id, graft.operators.Multimodal.synthPng(id, 16, 16))))
+        .toDF("media_id", "payload")
+    val hashLanded = streamedLandings(spark, dir, "s35a", "hashes")(
+      payloads(col("doc_id") % 4 === 1)) { (batch, id, landed) =>
+      graft.operators.Multimodal.aHash8(batch).toDF()
+        .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+        .write.mode("overwrite").parquet(s"$landed/batch=$id")
+    }
+    val root = freshRunRoot(spark, dir, "s35m")
+    spark.read.parquet(basePath)
+      .unionByName(spark.read.parquet(hashLanded)
+        .select(col("media_id"), col("hash_hi"), col("hash_lo")))
+      .repartitionByRange(2, col("media_id"))
+      .sortWithinPartitions(col("media_id"))
+      .write.mode("overwrite").parquet(s"$root/gen1")
+    val cdc = streamedLandings(spark, dir, "s35b", "cdc")(
+      cdcInterleave(
+        payloads(col("doc_id") % 4 === 3),
+        Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select(col("doc_id").as("media_id")))) { (batch, id, landed) =>
+      graft.operators.Multimodal.aHash8(
+        batch.filter(col("kind") === "doc").select(col("media_id"), col("payload"))).toDF()
+        .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+        .write.mode("overwrite").parquet(s"$landed/hashes/batch=$id")
+      batch.filter(col("kind") === "del").select(col("media_id"))
+        .write.mode("overwrite").parquet(s"$landed/tomb/batch=$id")
+    }
+    spark.read.parquet(s"$root/gen1")
+      .unionByName(spark.read.parquet(s"$cdc/hashes")
+        .select(col("media_id"), col("hash_hi"), col("hash_lo")))
+      .join(broadcast(spark.read.parquet(s"$cdc/tomb").select(col("media_id"))),
+        Seq("media_id"), "left_anti")
+      .repartitionByRange(2, col("media_id"))
+      .sortWithinPartitions(col("media_id"))
+      .write.mode("overwrite").parquet(s"$root/hashes")
+    AnalyticsQueries.nearDupFromHashes(spark.read.parquet(s"$root/hashes"))
   }
 }

@@ -27,6 +27,9 @@ object StreamingQueries
     with StreamingServeFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s35_stream_image_lifecycle" -> s35StreamImageLifecycle _,
+    "s34_stream_vector_lifecycle" -> s34StreamVectorLifecycle _,
+    "s33_stream_token_lifecycle" -> s33StreamTokenLifecycle _,
     "s32_stream_keyword_lifecycle" -> s32StreamKeywordLifecycle _,
     "s26_stream_stack_serving" -> s26StreamStackServing _,
     "s27_stream_vector_serving" -> s27StreamVectorServing _,
@@ -101,6 +104,17 @@ object StreamingQueries
     // tombstones were batched onto the landing protocol
     "s32_stream_keyword_lifecycle" ->
       AnalyticsQueries.oracleSql("a37_keyword_lifecycle"),
+    // the other three channels' merges are pure layout rewrites, so
+    // their stream-driven cycles are gated by the same delete oracles
+    // that gate the batch cycles (a38/a39/m13): however the segments
+    // and tombstones arrived, serving after the loop must be
+    // indistinguishable from the one-shot delete step
+    "s33_stream_token_lifecycle" ->
+      AnalyticsQueries.oracleSql("a34_tombstone_rerank"),
+    "s34_stream_vector_lifecycle" ->
+      AnalyticsQueries.oracleSql("a16_tombstone_search"),
+    "s35_stream_image_lifecycle" ->
+      AnalyticsQueries.oracleSql("m12_tombstone_neardup"),
     // token hashes are a pure per-doc function, so base ∪ streamed
     // landings is EXACTLY the full inline index — the SAME oracle
     // hash pins a27 (inline), a28 (prebuilt), a30 (one-shot append),

@@ -64,6 +64,36 @@ class LifecycleCycleSpec extends AnyFunSuite {
       AnalyticsQueries.a37KeywordLifecycle(spark, dir).collect().toSeq)
   }
 
+  test("s33/s34/s35: stream-driven cycles land their batch cycles' exact layouts and serves") {
+    // one test, three channels: run each streamed cycle (rebuilds its
+    // merge root per run), then pin its final stored layout
+    // row-identical to the driver-staged batch cycle and its served
+    // rows identical to the batch cycle's serve
+    val s33Serve = StreamingQueries.s33StreamTokenLifecycle(spark, dir).collect().toSeq
+    assert(sortedRows(spark.read.parquet(
+        s"${PipelineQueries.staging("s33m", dir)}/tokens")) ==
+      sortedRows(spark.read.parquet(
+        s"${AnalyticsQueries.a38TokenCycleStage(spark, dir)}/tokens")),
+      "stream-driven token cycle drifted from the a38 batch cycle")
+    assert(s33Serve == AnalyticsQueries.a38TokenLifecycle(spark, dir).collect().toSeq)
+
+    val s34Serve = StreamingQueries.s34StreamVectorLifecycle(spark, dir).collect().toSeq
+    assert(sortedRows(spark.read.parquet(
+        s"${PipelineQueries.staging("s34m", dir)}/codes")) ==
+      sortedRows(spark.read.parquet(
+        s"${AnalyticsQueries.a39VecCycleStage(spark, dir)}/codes")),
+      "stream-driven vector cycle drifted from the a39 batch cycle")
+    assert(s34Serve == AnalyticsQueries.a39VectorLifecycle(spark, dir).collect().toSeq)
+
+    val s35Serve = StreamingQueries.s35StreamImageLifecycle(spark, dir).collect().toSeq
+    assert(sortedRows(spark.read.parquet(
+        s"${PipelineQueries.staging("s35m", dir)}/hashes")) ==
+      sortedRows(spark.read.parquet(
+        s"${AnalyticsQueries.m13ImageCycleStage(spark, dir)}/hashes")),
+      "stream-driven image cycle drifted from the m13 batch cycle")
+    assert(s35Serve == AnalyticsQueries.m13ImageLifecycle(spark, dir).collect().toSeq)
+  }
+
   test("a38: twice-merged token table == fresh survivor build; serve == one-shot a34") {
     import spark.implicits._
     val cycle = AnalyticsQueries.a38TokenCycleStage(spark, dir)
