@@ -971,4 +971,72 @@ private[queries] trait StreamingIngestFamily { this: StreamingQueries.type =>
       .write.mode("overwrite").parquet(s"$root/hashes")
     AnalyticsQueries.nearDupFromHashes(spark.read.parquet(s"$root/hashes"))
   }
+
+  /** s36 — POLICY-TRIGGERED compaction inside the ingest stream: the
+    * compaction DAEMON shape. s32–s35 fire their merges at fixed
+    * points between two drains; a production index runs one continuous
+    * ingest whose merges fire whenever a MERGE POLICY trips (Lucene's
+    * TieredMergePolicy shape — segment count, not calendar position).
+    * Here the corpus arrives as one stream of four micro-batches; each
+    * batch is tokenized once and lands as its own SEGMENT layout with
+    * segment-local stats (per-batch df/idf — Lucene's per-segment
+    * semantics, n = the batch's docs); after every landing the policy
+    * runs INSIDE the stream (foreachBatch bodies execute on the
+    * driver, so the landing job and the compaction daemon are the same
+    * job): when ≥ 2 unmerged segments have accumulated, ALL current
+    * nodes — the standing compacted generation plus the new
+    * segments — re-stat-merge into the next generation (index bytes
+    * only, tf recovered exactly). With four batches the policy fires
+    * TWICE mid-stream and leaves exactly one node; a defensive
+    * post-drain sweep merges any remainder (what a real daemon does at
+    * shutdown). Serve is a19's pruned probe over the final generation,
+    * hash-gated with a19's ORACLE: a fresh monolithic build, a fixed
+    * two-merge cycle, or policy-scheduled merges inside the stream —
+    * one answer. KwMergeConfluenceProperties is the algebra that makes
+    * the policy a pure COST decision; this key proves the daemon
+    * machinery end-to-end. */
+  def s36StreamPolicyCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val root = freshRunRoot(spark, dir, "s36m")
+    // driver-side daemon state: the current node set (path, n). The
+    // foreachBatch body mutates it; merge outputs are generation-
+    // numbered so a replayed batch rewrites the same paths.
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var unmergedSegs = 0
+    var gen = 0
+    def fireMerge(sp: SparkSession): Unit = {
+      gen += 1
+      val out = s"$root/gen$gen"
+      val tf = nodes.map(n => AnalyticsQueries.kwRecoverTf(sp, n._1))
+        .reduce(_ unionByName _)
+      val n = nodes.map(_._2).sum
+      AnalyticsQueries.writeKwLayout(sp, out, tf, n)
+      nodes.clear()
+      nodes += ((out, n))
+      unmergedSegs = 0
+    }
+    streamedLandings(spark, dir, "s36", "segs")(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)) { (batch, id, landed) =>
+      val sp = batch.sparkSession
+      val tf = batch.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // tokenize once: n-count + layout write
+      val nSeg = tf.select(col("doc_id")).distinct().count()
+      AnalyticsQueries.writeKwLayout(sp, s"$landed/batch=$id", tf, nSeg)
+      nodes += ((s"$landed/batch=$id", nSeg))
+      unmergedSegs += 1
+      // the merge policy, evaluated after every landing
+      if (unmergedSegs >= 2) fireMerge(sp)
+    }
+    if (nodes.size > 1) fireMerge(spark) // post-drain sweep
+    val finalGen = nodes.head._1
+    spark.range(1).select(lit(gen).as("n_merges"), lit(nodes.head._2).as("n"))
+      .write.mode("overwrite").parquet(s"$root/meta")
+    AnalyticsQueries.kwPrunedSearch(spark, dir,
+      spark.read.parquet(s"$finalGen/terms")
+        .select(col("term"), col("term_id"), col("df")),
+      spark.read.parquet(s"$finalGen/postings"))
+  }
 }

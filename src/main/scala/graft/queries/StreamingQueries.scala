@@ -27,6 +27,7 @@ object StreamingQueries
     with StreamingServeFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s36_stream_policy_compaction" -> s36StreamPolicyCompaction _,
     "s35_stream_image_lifecycle" -> s35StreamImageLifecycle _,
     "s34_stream_vector_lifecycle" -> s34StreamVectorLifecycle _,
     "s33_stream_token_lifecycle" -> s33StreamTokenLifecycle _,
@@ -115,6 +116,12 @@ object StreamingQueries
       AnalyticsQueries.oracleSql("a16_tombstone_search"),
     "s35_stream_image_lifecycle" ->
       AnalyticsQueries.oracleSql("m12_tombstone_neardup"),
+    // policy-scheduled merges inside the stream must serve exactly the
+    // fresh monolithic build — a19's oracle; WHEN the daemon merged is
+    // invisible in what it serves (KwMergeConfluenceProperties is the
+    // quantified algebra behind this)
+    "s36_stream_policy_compaction" ->
+      AnalyticsQueries.oracleSql("a19_keyword_search_prebuilt"),
     // token hashes are a pure per-doc function, so base ∪ streamed
     // landings is EXACTLY the full inline index — the SAME oracle
     // hash pins a27 (inline), a28 (prebuilt), a30 (one-shot append),

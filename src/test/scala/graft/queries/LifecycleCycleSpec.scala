@@ -94,6 +94,27 @@ class LifecycleCycleSpec extends AnyFunSuite {
     assert(s35Serve == AnalyticsQueries.m13ImageLifecycle(spark, dir).collect().toSeq)
   }
 
+  test("s36: the merge policy fired mid-stream and landed the fresh monolith") {
+    // the oracle gates the served rows; this opens the daemon's own
+    // artifacts: the policy must have fired TWICE inside the stream
+    // (two segment landings per trip, four landings — a post-drain
+    // sweep alone would mean the in-stream policy never ran), and the
+    // final generation must hold exactly the fresh monolithic build
+    val serve = StreamingQueries.s36StreamPolicyCompaction(spark, dir).collect().toSeq
+    val root = PipelineQueries.staging("s36m", dir)
+    val meta = spark.read.parquet(s"$root/meta").head
+    assert(meta.getAs[Int]("n_merges") == 2,
+      s"expected the policy to fire twice mid-stream, got ${meta.getAs[Int]("n_merges")}")
+    val fresh = AnalyticsQueries.keywordIndexStage(spark, dir)
+    assert(sortedRows(spark.read.parquet(s"$root/gen2/terms")) ==
+      sortedRows(spark.read.parquet(s"$fresh/terms")),
+      "policy-compacted dictionary drifted from the fresh monolith")
+    assert(sortedRows(spark.read.parquet(s"$root/gen2/postings")) ==
+      sortedRows(spark.read.parquet(s"$fresh/postings")),
+      "policy-compacted postings drifted from the fresh monolith")
+    assert(serve == AnalyticsQueries.a19KeywordSearchPrebuilt(spark, dir).collect().toSeq)
+  }
+
   test("a38: twice-merged token table == fresh survivor build; serve == one-shot a34") {
     import spark.implicits._
     val cycle = AnalyticsQueries.a38TokenCycleStage(spark, dir)
