@@ -176,6 +176,8 @@ object AnalyticsQueries
     "a37_keyword_lifecycle" -> a37KeywordLifecycle _,
     "a38_token_lifecycle" -> a38TokenLifecycle _,
     "a39_vector_lifecycle" -> a39VectorLifecycle _,
+    "a40_index_time_travel" -> a40IndexTimeTravel _,
+    "p28_index_vacuum"  -> p28IndexVacuum _,
     "m13_image_lifecycle" -> m13ImageLifecycle _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
@@ -266,5 +268,9 @@ object AnalyticsQueries
     ("a39_vector_lifecycle" -> oracleSqlBase("a16_tombstone_search")) +
     // deletion precedes the cluster aggregate either way, so survivors
     // re-elect and recount exactly as m12's one-shot deletes
-    ("m13_image_lifecycle" -> oracleSqlBase("m12_tombstone_neardup"))
+    ("m13_image_lifecycle" -> oracleSqlBase("m12_tombstone_neardup")) +
+    // vacuum reclaims HISTORY only: the current snapshot it serves
+    // afterwards must be exactly the twice-merged survivor index —
+    // a37's fresh-build-over-survivors oracle gates it unchanged
+    ("p28_index_vacuum" -> oracleSqlBase("a37_keyword_lifecycle"))
 }

@@ -395,14 +395,255 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     nearDupFromHashes(
       spark.read.parquet(s"${stageM13ImageCycle(spark, dir)}/hashes"))
 
+  /** The a40 COMMIT LOG stage: the keyword channel's lifecycle epochs
+    * recorded as a versioned metadata log (p23's lakehouse commit-log
+    * pattern applied to the INDEX rather than the table). The log is
+    * four rows — (version, kind, path) — pointing at artifacts the
+    * lifecycle ALREADY retains: v0 the frozen a20 base build, v1 the
+    * a37 cycle's first re-stat merge output, v2 the tombstone id list
+    * (merge-on-read — no layout rewrite happened at delete time), v3
+    * the delete-applying second merge. Building the log costs ZERO
+    * index bytes (TimeTravelSpec pins the stage dir to commit_log +
+    * marker only): at 100 TB, index history is free until vacuum
+    * because generational merging already keeps every epoch's layout
+    * on disk — the log just names them. Marker written LAST. */
+  private[queries] def stageA40CommitLog(spark: SparkSession, dir: String)
+      : String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging("a40log", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stage/done"))) {
+      import spark.implicits._
+      val cyc = stageA37KwCycle(spark, dir)
+      val base = stageA20CorpusKwIndex(spark, dir)
+      Seq((0, "layout", base), (1, "layout", s"$cyc/gen1"),
+          (2, "tombstones", s"$cyc/tombstones"), (3, "layout", cyc))
+        .toDF("version", "kind", "path")
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/commit_log")
+      spark.range(1).write.mode("overwrite").parquet(s"$stage/done")
+    }
+    stage
+  }
+
+  /** Test hook: the a40 commit-log staging path. */
+  def a40CommitLogStage(spark: SparkSession, dir: String): String =
+    stageA40CommitLog(spark, dir)
+
+  /** The AS-OF snapshot serve over a keyword-index commit log: resolve
+    * the newest layout commit with version ≤ v, apply any tombstone
+    * commits in (layout_version, v] merge-on-read (broadcast ids-only
+    * anti-join at scoring, stats FROZEN — a36's live-docs semantics;
+    * tombstones at or before the layout's version are already folded
+    * into it by a delete-applying merge), then run a19's pruned probe
+    * over that snapshot. Scan cost is the SNAPSHOT's bytes only —
+    * TimeTravelSpec pins that an epoch's plan never references another
+    * epoch's files. Shared by a40 (shared-artifact log) and p28
+    * (owned-copy log, so vacuum can physically reclaim). */
+  private[queries] def kwServeAsOfLog(spark: SparkSession, dir: String,
+      logStage: String, v: Int): DataFrame = {
+    val log = spark.read.parquet(s"$logStage/commit_log").collect()
+      .map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"),
+        r.getAs[String]("path")))
+      .filter(_._1 <= v)
+    val (lv, _, layout) = log.filter(_._2 == "layout").maxBy(_._1)
+    val tombs = log.filter(t => t._2 == "tombstones" && t._1 > lv).map(_._3)
+    val postings = tombs.foldLeft(spark.read.parquet(s"$layout/postings")) {
+      (p, t) => p.join(broadcast(spark.read.parquet(t)), Seq("doc_id"), "left_anti")
+    }
+    kwPrunedSearch(spark, dir,
+      spark.read.parquet(s"$layout/terms")
+        .select(col("term"), col("term_id"), col("df")),
+      postings)
+  }
+
+  /** Test hook (TimeTravelSpec): one epoch's serve off the a40 log. */
+  def a40ServeAsOf(spark: SparkSession, dir: String, v: Int): DataFrame =
+    kwServeAsOfLog(spark, dir, stageA40CommitLog(spark, dir), v)
+
+  /** a40 — INDEX TIME TRAVEL: the a19 probe served AS OF every epoch
+    * of the keyword index's lifecycle, off the commit log. Epoch 0 is
+    * the frozen base build (stats over the even-id half); epoch 1 the
+    * first re-stat merge (stats over `doc_id % 4 <> 3`); epoch 2 the
+    * soft-delete snapshot — SAME layout and stats as epoch 1, the
+    * tombstone list applied merge-on-read at scoring only (a36's
+    * frozen-stats semantics, reproduced here by log resolution rather
+    * than by a dedicated query); epoch 3 the delete-applying second
+    * merge (fresh stats over the full-corpus survivors). The oracle
+    * replays all four epochs from their definitions — each epoch's
+    * df/idf over ITS population, epoch 2's delete visible in scoring
+    * but invisible in stats — so one hash gates both the snapshot
+    * RESOLUTION rule (layout ≤ v, tombstones after it) and every
+    * epoch's scoring. Queries stay external text in every epoch: a
+    * doc deleted in epoch 3 still asks. Reproducibility is the 100-TB
+    * point: "which index did this training run retrieve from" has an
+    * exact, replayable answer as long as vacuum hasn't reclaimed the
+    * epoch (p28 prices that reclaim). */
+  def a40IndexTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageA40CommitLog(spark, dir)
+    (0 to 3).map { v =>
+      kwServeAsOfLog(spark, dir, stage, v).withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .select(col("version"), col("query_id"), col("kw_rank"),
+        col("doc_id"), col("kw_score"))
+      .orderBy(col("version"), col("query_id"), col("kw_rank"))
+  }
+
+  /** The p28 OWNED commit-log stage: the same four epochs as a40, but
+    * with every artifact COPIED into log-owned storage — the table-
+    * format ownership model (Delta/Iceberg: the log's files are the
+    * table's files), which is what makes physical reclaim safe: p28's
+    * vacuum deletes ONLY directories this stage owns, never the
+    * shared lifecycle stages other queries serve from. Copies are
+    * index bytes (no recompute — the layouts already exist); `tag`
+    * lets tests stage a private log they can corrupt or vacuum
+    * without touching the shared one. Marker written LAST; a crash
+    * mid-copy leaves no marker and the next build wipes and recopies
+    * wholesale (StagingProtocolSpec's contract). */
+  private[queries] def stageP28OwnedLog(spark: SparkSession, dir: String,
+      tag: String = "p28vac"): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
+    val stage = PipelineQueries.staging(tag, s"$dir#$fp")
+    val conf = spark.sessionState.newHadoopConf()
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val fs = stagePath.getFileSystem(conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stage/done"))) {
+      import spark.implicits._
+      fs.delete(stagePath, true)
+      val cyc = stageA37KwCycle(spark, dir)
+      val base = stageA20CorpusKwIndex(spark, dir)
+      def own(src: String, dst: String): String = {
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(src), fs,
+          new org.apache.hadoop.fs.Path(s"$stage/$dst"), false, conf)
+        s"$stage/$dst"
+      }
+      val v0 = s"$stage/v0"; val v1 = s"$stage/v1"; val v3 = s"$stage/v3"
+      own(s"$base/terms", "v0/terms"); own(s"$base/postings", "v0/postings")
+      own(s"$cyc/gen1/terms", "v1/terms"); own(s"$cyc/gen1/postings", "v1/postings")
+      val t2 = own(s"$cyc/tombstones", "tomb2")
+      own(s"$cyc/terms", "v3/terms"); own(s"$cyc/postings", "v3/postings")
+      Seq((0, "layout", v0), (1, "layout", v1), (2, "tombstones", t2),
+          (3, "layout", v3))
+        .toDF("version", "kind", "path")
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/commit_log")
+      spark.range(1).write.mode("overwrite").parquet(s"$stage/done")
+    }
+    stage
+  }
+
+  /** Test hook (TimeTravelSpec): a PRIVATE owned log under `tag`. */
+  def p28OwnedLogStageTagged(spark: SparkSession, dir: String,
+      tag: String): String =
+    stageP28OwnedLog(spark, dir, tag)
+
+  /** VACUUM over an owned commit log: physically delete every
+    * artifact directory superseded by the newest layout commit (older
+    * layouts, and tombstone lists already folded in by a
+    * delete-applying merge). The LOG ROWS stay — history remains
+    * enumerable as metadata, but an as-of read into a vacuumed epoch
+    * now fails at planning (Delta/Iceberg's VACUUM-beyond-retention
+    * semantics). Idempotent: already-deleted paths are skipped.
+    * Returns the paths it reclaimed this call. */
+  def p28VacuumRun(spark: SparkSession, logStage: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = spark.read.parquet(s"$logStage/commit_log").collect()
+      .map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"),
+        r.getAs[String]("path")))
+    val keepFrom = log.filter(_._2 == "layout").map(_._1).max
+    log.filter(_._1 < keepFrom).map(_._3).toSeq.sorted.flatMap { p =>
+      // an owned layout's version dir holds terms+postings; reclaim the
+      // version dir as a unit (tombstone commits are a single dir)
+      val root = new org.apache.hadoop.fs.Path(
+        if (p.endsWith("/terms") || p.endsWith("/postings"))
+          p.substring(0, p.lastIndexOf('/')) else p)
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) { fs.delete(root, true); Some(root.toString) }
+      else None
+    }
+  }
+
+  /** p28 — INDEX VACUUM: storage reclaim as a first-class maintenance
+    * operator. Build the owned four-epoch log (copies priced once,
+    * fingerprint-keyed), VACUUM it — v0, v1 and the folded tombstone
+    * list are physically deleted, the current layout and the log's
+    * history rows survive — then serve the CURRENT snapshot. Gated by
+    * a37's fresh-build-over-survivors oracle: reclaiming history must
+    * not perturb the present by a single row (TimeTravelSpec
+    * additionally pins the files physically gone, as-of reads into
+    * vacuumed epochs failing, and vacuum idempotence). At 100 TB this
+    * is the knob that bounds index storage at O(live bytes) instead
+    * of O(live × epochs): time travel (a40) is free BECAUSE old
+    * generations linger; vacuum is the scheduled decision to stop
+    * paying for them. */
+  def p28IndexVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageP28OwnedLog(spark, dir)
+    p28VacuumRun(spark, stage)
+    kwServeAsOfLog(spark, dir, stage, 3)
+  }
+
   /** This family's slice of the oracle-SQL map: only the keyword cycle
     * needs new SQL — its delete-applying merge RE-STATS, so the oracle
     * is a19's chain rebuilt from scratch over the surviving corpus
     * (df/idf over `doc_id % 7 <> 3`; query side still the external
     * full-table slice, so a tombstoned doc still asks and its
     * surviving-vocabulary terms still probe). a38/a39/m13 alias their
-    * channels' delete oracles in [[AnalyticsQueries.oracleSql]]. */
+    * channels' delete oracles in [[AnalyticsQueries.oracleSql]], and
+    * p28 aliases a37's (vacuum must not perturb the current serve).
+    * a40's oracle is the epoch chain below, once per version. */
+
+  /** One epoch of the a40 time-travel oracle: a19's full chain with
+    * the INDEX population restricted to `pop` (stats — df, n, idf —
+    * computed over exactly the docs that epoch's layout indexed) and
+    * an optional extra scoring predicate (`scoreAnd`, the soft-delete
+    * epoch's doc filter — visible in scoring, invisible in stats:
+    * a36's live-docs split, expressed as SQL). The query side is
+    * always the external full-corpus doc_id < 10 slice; pruning ties
+    * are (df ASC, term ASC) because every epoch's layout assigns
+    * dense lexicographic term_ids. */
+  private def kwEpochSql(version: Int, pop: String, scoreAnd: String): String =
+    s"""SELECT $version AS version, query_id, kw_rank, doc_id, kw_score FROM (
+       |WITH sv AS (SELECT doc_id, text FROM documents WHERE $pop),
+       |t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM sv),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM sv),
+       |idf AS (SELECT term, df,
+       |    CAST(floor(10000.0 * n.n / df) AS BIGINT) AS idf
+       |  FROM dft CROSS JOIN n),
+       |idx AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS impact
+       |  FROM tf JOIN idf USING (term)),
+       |qe AS (SELECT doc_id AS query_id, unnest(${words("text")}) AS term
+       |  FROM documents WHERE doc_id < 10),
+       |qt AS (SELECT DISTINCT query_id, term FROM qe),
+       |qk AS (SELECT query_id, term FROM (
+       |  SELECT qt.query_id, qt.term, ROW_NUMBER() OVER (
+       |      PARTITION BY qt.query_id ORDER BY idf.df ASC, qt.term ASC) AS trk
+       |  FROM qt JOIN idf USING (term)) WHERE trk <= $KwKeepTerms),
+       |kw AS (SELECT qk.query_id, idx.doc_id,
+       |    CAST(SUM(idx.impact) AS BIGINT) AS kw_score
+       |  FROM idx JOIN qk USING (term)
+       |  WHERE idx.doc_id <> qk.query_id$scoreAnd
+       |  GROUP BY 1, 2)
+       |SELECT query_id, kw_rank, doc_id, kw_score FROM (
+       |  SELECT query_id, doc_id, kw_score, CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank
+       |  FROM kw) WHERE kw_rank <= 20)""".stripMargin
+
   private[queries] lazy val lifecycleOracles: Map[String, String] = Map(
+    // the four epochs from their definitions: v0 the frozen even-half
+    // base, v1 the first re-stat merge (pop % 4 <> 3), v2 the SAME
+    // stats with the delete applied at scoring only, v3 the fresh
+    // survivor re-stat — one hash gates resolution rule + every epoch
+    "a40_index_time_travel" ->
+      s"""${kwEpochSql(0, "doc_id % 2 = 0", "")}
+         |UNION ALL
+         |${kwEpochSql(1, "doc_id % 4 <> 3", "")}
+         |UNION ALL
+         |${kwEpochSql(2, "doc_id % 4 <> 3", " AND idx.doc_id % 7 <> 3")}
+         |UNION ALL
+         |${kwEpochSql(3, "doc_id % 7 <> 3", "")}
+         |ORDER BY version, query_id, kw_rank""".stripMargin,
     "a37_keyword_lifecycle" ->
       s"""WITH sv AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
          |t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM sv),

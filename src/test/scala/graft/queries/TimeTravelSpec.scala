@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.Path
+import graft.GraftSession
+
+/** Pins on the index commit log (a40) and its vacuum (p28) that the
+  * DuckDB oracles cannot see: the log stage owning zero index bytes,
+  * per-epoch plan isolation (an as-of read plans ONLY its snapshot's
+  * files), and vacuum's physical contract — history files gone, the
+  * present untouched row for row, vacuumed epochs failing at read,
+  * the log's metadata history surviving, idempotence. */
+class TimeTravelSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(cores = 4, shufflePartitions = 4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("a40: the commit log owns ZERO index bytes — metadata plus marker only") {
+    val stage = AnalyticsQueries.a40CommitLogStage(spark, dir)
+    val entries = fs(stage).listStatus(new Path(stage))
+      .map(_.getPath.getName).toSet
+    assert(entries == Set("commit_log", "done"),
+      s"a40's stage must only NAME the lifecycle's artifacts, never copy " +
+        s"them — found: $entries")
+  }
+
+  test("a40: each epoch's plan reads only that snapshot's layout files") {
+    def files(v: Int): Seq[String] =
+      AnalyticsQueries.a40ServeAsOf(spark, dir, v).inputFiles.toSeq
+    // v0: the frozen base build — nothing from the a37 cycle stage
+    val f0 = files(0)
+    assert(f0.exists(_.contains("graft_a20kw_")), s"v0 must plan the base: $f0")
+    assert(!f0.exists(_.contains("graft_a37kw_")),
+      s"v0 leaked cycle-stage files: ${f0.filter(_.contains("graft_a37kw_"))}")
+    // v1: merge 1's output only — no base, no tombstones, no final
+    val f1 = files(1)
+    assert(f1.exists(f => f.contains("graft_a37kw_") && f.contains("/gen1/")),
+      s"v1 must plan gen1: $f1")
+    assert(!f1.exists(_.contains("graft_a20kw_")), s"v1 leaked the base: $f1")
+    assert(f1.filter(_.contains("graft_a37kw_")).forall(_.contains("/gen1/")),
+      s"v1 leaked non-gen1 cycle files: $f1")
+    // v2: gen1 + the tombstone id list (merge-on-read) — still no final
+    val f2 = files(2)
+    assert(f2.exists(_.contains("/tombstones/")), s"v2 must plan tombstones: $f2")
+    assert(f2.filter(_.contains("graft_a37kw_"))
+      .forall(f => f.contains("/gen1/") || f.contains("/tombstones/")),
+      s"v2 leaked the final layout: $f2")
+    // v3: the twice-merged final only — deletes folded in, no tombstone read
+    val f3 = files(3)
+    assert(f3.exists(f => f.contains("graft_a37kw_") && !f.contains("/gen1/")),
+      s"v3 must plan the final layout: $f3")
+    assert(!f3.exists(f => f.contains("/gen1/") || f.contains("/tombstones/") ||
+      f.contains("graft_a20kw_")),
+      s"v3 leaked historical files: $f3")
+  }
+
+  test("p28: vacuum reclaims history, preserves the present, is idempotent") {
+    val tag = "p28spec"
+    // force a FRESH owned log: a prior suite run may have left a
+    // vacuumed stage under this fingerprint in /tmp
+    val stale = AnalyticsQueries.p28OwnedLogStageTagged(spark, dir, tag)
+    fs(stale).delete(new Path(stale), true)
+    val stage = AnalyticsQueries.p28OwnedLogStageTagged(spark, dir, tag)
+
+    def serve(v: Int) =
+      AnalyticsQueries.kwServeAsOfLog(spark, dir, stage, v)
+    val before = serve(3).collect().map(_.toString).toSeq
+    assert(serve(0).count() > 0 && serve(1).count() > 0,
+      "pre-vacuum: every epoch must be readable from the owned log")
+
+    val reclaimed = AnalyticsQueries.p28VacuumRun(spark, stage)
+    assert(reclaimed.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
+      Set("v0", "v1", "tomb2"),
+      s"vacuum must reclaim exactly the superseded epochs: $reclaimed")
+    Seq("v0", "v1", "tomb2").foreach(d =>
+      assert(!fs(stage).exists(new Path(s"$stage/$d")),
+        s"$d must be physically gone"))
+    assert(fs(stage).exists(new Path(s"$stage/v3/postings")),
+      "the current layout must survive vacuum")
+
+    // the present: row-identical serve off the surviving layout
+    val after = serve(3).collect().map(_.toString).toSeq
+    assert(after == before, "vacuum perturbed the CURRENT snapshot")
+    // history: the log still ENUMERATES four commits (metadata
+    // survives), but an as-of read into a vacuumed epoch fails at read
+    assert(spark.read.parquet(s"$stage/commit_log").count() == 4,
+      "vacuum must not rewrite the log's history rows")
+    intercept[Exception] { serve(1).count() }
+    // idempotence: a second vacuum finds nothing to reclaim
+    assert(AnalyticsQueries.p28VacuumRun(spark, stage).isEmpty,
+      "second vacuum must be a no-op")
+  }
+}
