@@ -558,6 +558,52 @@ object PipelineQueries {
         .select(lit(v).as("version"), col("n_docs"), col("sum_chars"))
     }.reduce(_.unionByName(_)).orderBy(col("version"))
 
+  /** The p29 change-feed reader: every commit in `(from, to]` emitted
+    * as change rows — insert deltas with their payload, delete commits
+    * as ids-only events (`kind='delete'`, payload null). Plans EXACTLY
+    * the in-range commits' files (TimeTravelSpec pins that reading
+    * changes after v0 never touches the v0 delta): the consumer's cost
+    * is the CHANGED bytes, not the table. Delete events are emitted as
+    * the log recorded them — an ids-only tombstone list — because on a
+    * merge-on-read table that IS the change (the standard CDC-feed
+    * contract, p11's input shape; applying a delete for a row the
+    * consumer never had is a no-op downstream). Public as the test
+    * hook. */
+  def p29ChangesBetween(spark: SparkSession, dir: String,
+      from: Int, to: Int): DataFrame = {
+    val root = stageVersionedTable(spark, dir)
+    val log = spark.read.parquet(s"$root/commit_log").collect()
+      .map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"),
+        r.getAs[String]("path")))
+      .filter(c => c._1 > from && c._1 <= to).sortBy(_._1)
+    log.map {
+      case (v, "insert", p) =>
+        spark.read.parquet(p)
+          .select(lit(v).as("version"), lit("insert").as("kind"),
+            col("doc_id"), col("lang"), col("n_chars"))
+      case (v, _, p) =>
+        spark.read.parquet(p)
+          .select(lit(v).as("version"), lit("delete").as("kind"),
+            col("doc_id"), lit(null).cast("string").as("lang"),
+            lit(null).cast("long").as("n_chars"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("version"), col("kind"), col("doc_id"))
+  }
+
+  /** p29 — INCREMENTAL CHANGE FEED (Delta CDF / `table_changes`
+    * semantics, public): "give me everything that changed since the
+    * snapshot I trained on" as one read off the commit log. A
+    * downstream consumer holding the as-of-0 snapshot reads commits
+    * (0, 3]: the v1 and v2 insert deltas with their payloads, and the
+    * v3 delete as ids-only events. This is the op that turns
+    * retraining from O(table) to O(changes) at 100 TB: the
+    * incremental-ingest ledger (p15) dedups FILES on the way in; this
+    * is the same economics on the way OUT — versioned, replayable,
+    * ordered. Composes with p23: `as_of(0) + changes(0,3] ≡ as_of(3)`
+    * is pinned row-for-row in TimeTravelSpec. */
+  def p29LogChanges(spark: SparkSession, dir: String): DataFrame =
+    p29ChangesBetween(spark, dir, 0, 3)
+
   /** p25 — WebDataset-style tar shard export (the tar-of-samples
     * convention ML data loaders stream — Aizman et al. '19, public;
     * and the write-side dual of the S4 tar SOURCE): documents are
@@ -620,6 +666,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p25_webdataset_export" -> p25WebdatasetExport _,
     "p23_time_travel"     -> p23TimeTravel _,
+    "p29_log_changes"     -> p29LogChanges _,
     "p15_incremental_ingest" -> p15IncrementalIngest _,
     "p14_zorder_layout"   -> p14ZOrderLayout _,
     "p13_sort_layout"     -> p13SortLayout _,
@@ -648,6 +695,20 @@ object PipelineQueries {
     // insert residues 0..min(v,2); the v3 delete (doc_id % 3 = 0)
     // applies only at version 3 — earlier snapshots still count those
     // rows, which is exactly the isolation the hash gate checks
+    // the change set between commits 0 and 3 from the definitions:
+    // v1/v2 insert their residue classes with payload, v3's delete is
+    // the ids-only tombstone list as the log recorded it
+    "p29_log_changes" ->
+      """SELECT CAST(1 AS INT) AS version, 'insert' AS kind, doc_id, lang, n_chars
+        |FROM documents WHERE doc_id % 4 = 1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'insert', doc_id, lang, n_chars
+        |FROM documents WHERE doc_id % 4 = 2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'delete', doc_id,
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY version, kind, doc_id""".stripMargin,
     "p23_time_travel" ->
       """WITH vs AS (SELECT unnest(range(0, 4)) AS version),
         |snap AS (SELECT v.version, d.doc_id, d.n_chars

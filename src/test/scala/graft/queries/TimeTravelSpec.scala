@@ -93,4 +93,63 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(AnalyticsQueries.p28VacuumRun(spark, stage).isEmpty,
       "second vacuum must be a no-op")
   }
+
+  test("a commit log written over the STREAMED cycle's artifacts serves every epoch ≡ a40") {
+    import org.apache.spark.sql.functions._
+    // drive the s32 stream-driven cycle once: its run root retains the
+    // same epoch artifacts the batch cycle stages (gen1, the landed
+    // tombstones, the twice-merged final)
+    StreamingQueries.queries("s32_stream_keyword_lifecycle")(spark, dir).collect()
+    val base = AnalyticsQueries.a20CorpusKwIndexStage(spark, dir)
+    val s32m = java.nio.file.Paths.get(
+      PipelineQueries.staging("s32m", dir)).toString
+    val tomb = java.nio.file.Paths.get(
+      PipelineQueries.staging("s32b", dir)).resolve("cdc/tomb").toString
+    // the daemon's commit log: one metadata row per retained artifact
+    val logStage = s"${sys.props("java.io.tmpdir")}/graft_ttspec_streamlog"
+    fs(logStage).delete(new Path(logStage), true)
+    import spark.implicits._
+    Seq((0, "layout", base), (1, "layout", s"$s32m/gen1"),
+        (2, "tombstones", tomb), (3, "layout", s32m))
+      .toDF("version", "kind", "path")
+      .coalesce(1).write.mode("overwrite").parquet(s"$logStage/commit_log")
+    // every epoch's as-of serve off the stream-written log must be
+    // row-identical to a40's serve off the batch cycle's log: the
+    // stream's retained state IS time-travelable history
+    (0 to 3).foreach { v =>
+      val streamed = AnalyticsQueries.kwServeAsOfLog(spark, dir, logStage, v)
+        .collect().map(_.toString).toSeq
+      val batch = AnalyticsQueries.a40ServeAsOf(spark, dir, v)
+        .collect().map(_.toString).toSeq
+      assert(streamed == batch, s"epoch $v drifted between the stream-" +
+        "written log and the batch log")
+    }
+  }
+
+  test("p29: a change-feed read plans only the in-range commits' files") {
+    val files = PipelineQueries.p29ChangesBetween(spark, dir, 0, 3)
+      .inputFiles.toSeq
+    assert(!files.exists(_.contains("delta_v0")),
+      s"changes after v0 must never touch the v0 delta: $files")
+    assert(files.exists(_.contains("delta_v1")) &&
+      files.exists(_.contains("delta_v2")) &&
+      files.exists(_.contains("tombstones_v3")),
+      s"changes (0,3] must plan v1+v2 deltas and the v3 tombstones: $files")
+  }
+
+  test("p29 ∘ p23: as_of(0) + changes(0,3] ≡ as_of(3), row for row") {
+    import org.apache.spark.sql.functions.col
+    val ch = PipelineQueries.p29ChangesBetween(spark, dir, 0, 3)
+    val ins = ch.filter(col("kind") === "insert")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val del = ch.filter(col("kind") === "delete").select(col("doc_id"))
+    val applied = PipelineQueries.p23SnapshotAsOf(spark, dir, 0)
+      .unionByName(ins)
+      .join(del, Seq("doc_id"), "left_anti")
+      .collect().map(_.toString).toSeq.sorted
+    val target = PipelineQueries.p23SnapshotAsOf(spark, dir, 3)
+      .collect().map(_.toString).toSeq.sorted
+    assert(applied == target,
+      "replaying the change feed onto the old snapshot must land the new one")
+  }
 }
