@@ -93,6 +93,11 @@ object RetrievalStress {
       println(f"[stress] $label rows=$rows took $wall%.1f s " +
         s"shufRecords=${drained() - c0}")
     }
+    def timedReturning[A](label: String)(body: => A): A = {
+      var out: Option[A] = None
+      timed(label) { out = Some(body); 1L }
+      out.get
+    }
     Seq(("1x", sfDir), (s"${copies}x", stageDir)).foreach { case (tag, dir) =>
       timed(s"a17 inline hybrid        $tag") {
         graft.queries.AnalyticsQueries.a17HybridSearch(spark, dir).count()
@@ -140,6 +145,29 @@ object RetrievalStress {
       }
       timed(s"a37 cycled search (warm) $tag") {
         graft.queries.AnalyticsQueries.a37KeywordLifecycle(spark, dir).count()
+      }
+      // the index's HISTORY: recording an epoch in the a40 commit log
+      // must price at metadata (one row per retained artifact — the
+      // layouts already exist, the log only names them); the four-epoch
+      // time-travel serve prices at 4 × one pruned probe (each epoch's
+      // plan reads only its snapshot's files — TimeTravelSpec); p28's
+      // ownership copies are linear in index bytes (no recompute), its
+      // vacuum is file deletes (metadata-scale), and the post-vacuum
+      // serve is exactly one probe of the surviving layout.
+      timed(s"a40 commit-log build (metadata only) $tag") {
+        graft.queries.AnalyticsQueries.rebuildA40CommitLogStage(spark, dir); 1L
+      }
+      timed(s"a40 time-travel serve (4 epochs, warm) $tag") {
+        graft.queries.AnalyticsQueries.a40IndexTimeTravel(spark, dir).count()
+      }
+      val p28Stage = timedReturning(s"p28 owned-log copies (index bytes) $tag") {
+        graft.queries.AnalyticsQueries.rebuildP28OwnedLogStage(spark, dir)
+      }
+      timed(s"p28 vacuum (file deletes) $tag") {
+        graft.queries.AnalyticsQueries.p28VacuumRun(spark, p28Stage).size.toLong
+      }
+      timed(s"p28 post-vacuum serve (warm) $tag") {
+        graft.queries.AnalyticsQueries.p28ServeCurrent(spark, dir, p28Stage).count()
       }
       // vector channel: first a13 call stages the IVF-PQ index for this
       // dir (build+search), the repeat is the pure serving cost

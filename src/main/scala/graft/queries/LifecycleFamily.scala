@@ -407,13 +407,13 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     * marker only): at 100 TB, index history is free until vacuum
     * because generational merging already keeps every epoch's layout
     * on disk — the log just names them. Marker written LAST. */
-  private[queries] def stageA40CommitLog(spark: SparkSession, dir: String)
-      : String = synchronized {
+  private[queries] def stageA40CommitLog(spark: SparkSession, dir: String,
+      force: Boolean = false): String = synchronized {
     val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
     val stage = PipelineQueries.staging("a40log", s"$dir#$fp")
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stage/done"))) {
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/done"))) {
       import spark.implicits._
       val cyc = stageA37KwCycle(spark, dir)
       val base = stageA20CorpusKwIndex(spark, dir)
@@ -429,6 +429,13 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
   /** Test hook: the a40 commit-log staging path. */
   def a40CommitLogStage(spark: SparkSession, dir: String): String =
     stageA40CommitLog(spark, dir)
+
+  /** Stress hook: re-land the a40 commit log unconditionally (the
+    * lifecycle artifacts build-if-missing) — prices exactly what
+    * recording an epoch costs at scale: one metadata row per retained
+    * artifact, zero index bytes. */
+  def rebuildA40CommitLogStage(spark: SparkSession, dir: String): String =
+    stageA40CommitLog(spark, dir, force = true)
 
   /** The AS-OF snapshot serve over a keyword-index commit log: resolve
     * the newest layout commit with version ≤ v, apply any tombstone
@@ -501,13 +508,13 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     * mid-copy leaves no marker and the next build wipes and recopies
     * wholesale (StagingProtocolSpec's contract). */
   private[queries] def stageP28OwnedLog(spark: SparkSession, dir: String,
-      tag: String = "p28vac"): String = synchronized {
+      tag: String = "p28vac", force: Boolean = false): String = synchronized {
     val fp = PipelineQueries.contentFingerprint(spark, s"$dir/documents.parquet")
     val stage = PipelineQueries.staging(tag, s"$dir#$fp")
     val conf = spark.sessionState.newHadoopConf()
     val stagePath = new org.apache.hadoop.fs.Path(stage)
     val fs = stagePath.getFileSystem(conf)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stage/done"))) {
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/done"))) {
       import spark.implicits._
       fs.delete(stagePath, true)
       val cyc = stageA37KwCycle(spark, dir)
@@ -536,6 +543,17 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
   def p28OwnedLogStageTagged(spark: SparkSession, dir: String,
       tag: String): String =
     stageP28OwnedLog(spark, dir, tag)
+
+  /** Stress hook: re-copy the owned log unconditionally (lifecycle
+    * artifacts build-if-missing) — prices the one-time ownership
+    * copies: linear in index bytes, no recompute. */
+  def rebuildP28OwnedLogStage(spark: SparkSession, dir: String): String =
+    stageP28OwnedLog(spark, dir, force = true)
+
+  /** Stress/test hook: the current-snapshot serve off an owned log. */
+  def p28ServeCurrent(spark: SparkSession, dir: String,
+      logStage: String): DataFrame =
+    kwServeAsOfLog(spark, dir, logStage, 3)
 
   /** VACUUM over an owned commit log: physically delete every
     * artifact directory superseded by the newest layout commit (older

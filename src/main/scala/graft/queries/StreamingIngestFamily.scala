@@ -1039,4 +1039,71 @@ private[queries] trait StreamingIngestFamily { this: StreamingQueries.type =>
         .select(col("term"), col("term_id"), col("df")),
       spark.read.parquet(s"$finalGen/postings"))
   }
+
+  /** s37 — the CHANGE FEED consumed as a stream: a downstream replica
+    * of the versioned table (p23's commit log) kept in sync by
+    * applying p29's CDC events batch by batch — the consumer half of
+    * the change-feed contract, and the op that makes a 100-TB training
+    * corpus MIRROR cost O(changes) per sync instead of O(table). The
+    * feed is staged one file per commit (v1/v2 inserts with payload,
+    * v3's ids-only delete), admitted one commit per micro-batch; each
+    * batch MERGES into a versioned replica state snapshot
+    * ([[graft.streaming.UpsertSink]]'s crash discipline: derive
+    * `v<B+1>` from the newest COMPLETE snapshot ≤ B, so a replayed
+    * batch rewrites its own snapshot idempotently) with CDC
+    * resolution: per doc_id keep the event with the HIGHEST COMMIT
+    * VERSION — `max(struct(version, …))`, one hash-agg — which makes
+    * file-admission ORDER irrelevant (a file source does not promise
+    * commit order; a real feed consumer resolves by sequence number,
+    * not arrival). The replica seeds from the as-of-0 snapshot
+    * (version-0 insert events) and must land EXACTLY as_of(3):
+    * inserts applied, deletes absent — the oracle recomputes that
+    * membership from the definitions, and TimeTravelSpec pins the
+    * same algebra on the batch path (as_of(0) + changes ≡ as_of(3)). */
+  def s37StreamCdcReplica(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(PipelineQueries.staging("s37", dir))
+    val staged = root.resolve("in")
+    stageOnce("s37in", dir, Seq(staged.toString)) {
+      (1 to 3).foreach { v =>
+        PipelineQueries.p29ChangesBetween(spark, dir, v - 1, v)
+          .coalesce(1).write.mode("overwrite").parquet(s"$staged/v$v")
+      }
+    }
+    val stateDir = root.resolve("state").toString
+    val hfs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(stateDir), true) // fresh run
+    // seed: the consumer's starting snapshot, as version-0 events
+    PipelineQueries.p23SnapshotAsOf(spark, dir, 0)
+      .select(lit(0).as("version"), lit("insert").as("kind"),
+        col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$stateDir/v0")
+    def latestState(upTo: Long): String =
+      (0L to upTo).reverse.map(b => s"$stateDir/v$b").find(p =>
+        hfs.exists(new org.apache.hadoop.fs.Path(s"$p/_SUCCESS"))).get
+    val inSchema = spark.read.parquet(s"$staged/v1").schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$staged/v*")
+    val q = withStreamShuffle(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val sp = batch.sparkSession
+          sp.read.parquet(latestState(id)).unionByName(batch)
+            .groupBy(col("doc_id"))
+            .agg(max(struct(col("version"), col("kind"), col("lang"),
+              col("n_chars"))).as("e"))
+            .select(col("doc_id"), col("e.version").as("version"),
+              col("e.kind").as("kind"), col("e.lang").as("lang"),
+              col("e.n_chars").as("n_chars"))
+            .write.mode("overwrite").parquet(s"$stateDir/v${id + 1}")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.read.parquet(latestState(3))
+      .filter(col("kind") === "insert")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
 }

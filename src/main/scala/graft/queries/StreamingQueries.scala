@@ -27,6 +27,7 @@ object StreamingQueries
     with StreamingServeFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s37_stream_cdc_replica" -> s37StreamCdcReplica _,
     "s36_stream_policy_compaction" -> s36StreamPolicyCompaction _,
     "s35_stream_image_lifecycle" -> s35StreamImageLifecycle _,
     "s34_stream_vector_lifecycle" -> s34StreamVectorLifecycle _,
@@ -122,6 +123,15 @@ object StreamingQueries
     // quantified algebra behind this)
     "s36_stream_policy_compaction" ->
       AnalyticsQueries.oracleSql("a19_keyword_search_prebuilt"),
+    // the replica after consuming the whole feed must be EXACTLY the
+    // as-of-3 snapshot's membership, recomputed from the definitions:
+    // v0+v1+v2 inserts (doc_id % 4 <= 2) minus the v3 delete
+    // (doc_id % 3 = 0) — commit-version resolution makes the file
+    // source's admission order invisible in the answer
+    "s37_stream_cdc_replica" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 4 <= 2 AND doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
     // token hashes are a pure per-doc function, so base ∪ streamed
     // landings is EXACTLY the full inline index — the SAME oracle
     // hash pins a27 (inline), a28 (prebuilt), a30 (one-shot append),
