@@ -568,6 +568,13 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     val log = spark.read.parquet(s"$logStage/commit_log").collect()
       .map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"),
         r.getAs[String]("path")))
+    // ownership guard: vacuum deletes files, so it may ONLY run on a
+    // log whose artifacts it owns (every commit path inside the log's
+    // own stage). The a40 SHARED log names the live lifecycle stages —
+    // vacuuming it would delete artifacts other queries serve from.
+    require(log.forall(_._3.startsWith(logStage)),
+      s"refusing to vacuum a log with commits it does not own " +
+        s"(log=$logStage, foreign=${log.filterNot(_._3.startsWith(logStage)).map(_._3).toSeq})")
     val keepFrom = log.filter(_._2 == "layout").map(_._1).max
     log.filter(_._1 < keepFrom).map(_._3).toSeq.sorted.flatMap { p =>
       // an owned layout's version dir holds terms+postings; reclaim the

@@ -94,6 +94,15 @@ class TimeTravelSpec extends AnyFunSuite {
       "second vacuum must be a no-op")
   }
 
+  test("p28: vacuum REFUSES a log whose artifacts it does not own") {
+    // the a40 shared log names live lifecycle stages other queries
+    // serve from — deleting those would be cross-query corruption
+    val shared = AnalyticsQueries.a40CommitLogStage(spark, dir)
+    intercept[IllegalArgumentException] {
+      AnalyticsQueries.p28VacuumRun(spark, shared)
+    }
+  }
+
   test("a commit log written over the STREAMED cycle's artifacts serves every epoch ≡ a40") {
     import org.apache.spark.sql.functions._
     // drive the s32 stream-driven cycle once: its run root retains the
