@@ -413,10 +413,14 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     val stage = PipelineQueries.staging("a40log", s"$dir#$fp")
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // dependency revalidation OUTSIDE the marker check: the log only
+    // NAMES the lifecycle's artifacts, so a surviving log marker must
+    // not outlive the stages it points at (both build-if-missing —
+    // warm cost is two marker stats)
+    val cyc = stageA37KwCycle(spark, dir)
+    val base = stageA20CorpusKwIndex(spark, dir)
     if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/done"))) {
       import spark.implicits._
-      val cyc = stageA37KwCycle(spark, dir)
-      val base = stageA20CorpusKwIndex(spark, dir)
       Seq((0, "layout", base), (1, "layout", s"$cyc/gen1"),
           (2, "tombstones", s"$cyc/tombstones"), (3, "layout", cyc))
         .toDF("version", "kind", "path")
@@ -556,14 +560,22 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     kwServeAsOfLog(spark, dir, logStage, 3)
 
   /** VACUUM over an owned commit log: physically delete every
-    * artifact directory superseded by the newest layout commit (older
+    * artifact directory superseded by the RETENTION HORIZON — the
+    * `retainLayouts`-th newest layout commit (Delta's retention
+    * window, expressed in epochs rather than hours: keep the newest K
+    * servable snapshots, reclaim everything strictly older — older
     * layouts, and tombstone lists already folded in by a
-    * delete-applying merge). The LOG ROWS stay — history remains
-    * enumerable as metadata, but an as-of read into a vacuumed epoch
-    * now fails at planning (Delta/Iceberg's VACUUM-beyond-retention
-    * semantics). Idempotent: already-deleted paths are skipped.
-    * Returns the paths it reclaimed this call. */
-  def p28VacuumRun(spark: SparkSession, logStage: String): Seq[String] = {
+    * delete-applying merge at or before the horizon). The LOG ROWS
+    * stay — history remains enumerable as metadata, but an as-of read
+    * into a vacuumed epoch now fails at planning (Delta/Iceberg's
+    * VACUUM-beyond-retention semantics); as-of reads AT or after the
+    * horizon still serve, including merge-on-read epochs whose
+    * tombstone lists are newer than the horizon. Idempotent:
+    * already-deleted paths are skipped. Returns the paths it
+    * reclaimed this call. */
+  def p28VacuumRun(spark: SparkSession, logStage: String,
+      retainLayouts: Int = 1): Seq[String] = {
+    require(retainLayouts >= 1, "retention must keep at least the newest layout")
     val conf = spark.sessionState.newHadoopConf()
     val log = spark.read.parquet(s"$logStage/commit_log").collect()
       .map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"),
@@ -575,7 +587,8 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     require(log.forall(_._3.startsWith(logStage)),
       s"refusing to vacuum a log with commits it does not own " +
         s"(log=$logStage, foreign=${log.filterNot(_._3.startsWith(logStage)).map(_._3).toSeq})")
-    val keepFrom = log.filter(_._2 == "layout").map(_._1).max
+    val keepFrom = log.filter(_._2 == "layout").map(_._1)
+      .sorted(Ordering[Int].reverse).take(retainLayouts).last
     log.filter(_._1 < keepFrom).map(_._3).toSeq.sorted.flatMap { p =>
       // an owned layout's version dir holds terms+postings; reclaim the
       // version dir as a unit (tombstone commits are a single dir)

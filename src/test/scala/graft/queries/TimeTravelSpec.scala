@@ -94,6 +94,35 @@ class TimeTravelSpec extends AnyFunSuite {
       "second vacuum must be a no-op")
   }
 
+  test("p28: retention-windowed vacuum reclaims only beyond the horizon") {
+    val tag = "p28ret"
+    val stale = AnalyticsQueries.p28OwnedLogStageTagged(spark, dir, tag)
+    fs(stale).delete(new Path(stale), true)
+    val stage = AnalyticsQueries.p28OwnedLogStageTagged(spark, dir, tag)
+    def serve(v: Int) = AnalyticsQueries.kwServeAsOfLog(spark, dir, stage, v)
+    val at1 = serve(1).collect().map(_.toString).toSeq
+    val at2 = serve(2).collect().map(_.toString).toSeq
+    // keep the newest TWO layouts (v1 and v3): only v0 is reclaimable
+    val first = AnalyticsQueries.p28VacuumRun(spark, stage, retainLayouts = 2)
+    assert(first.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("v0"),
+      s"retain=2 must reclaim exactly v0: $first")
+    // epochs at/after the horizon still serve — including the
+    // merge-on-read epoch 2, whose tombstone list is newer than v1
+    assert(serve(1).collect().map(_.toString).toSeq == at1,
+      "epoch 1 must survive a retain=2 vacuum")
+    assert(serve(2).collect().map(_.toString).toSeq == at2,
+      "epoch 2 (merge-on-read) must survive a retain=2 vacuum")
+    intercept[Exception] { serve(0).count() }
+    // tightening the window to 1 reclaims the rest (v1 + tombstones)
+    val second = AnalyticsQueries.p28VacuumRun(spark, stage)
+    assert(second.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
+      Set("v1", "tomb2"), s"retain=1 must reclaim v1 + tomb2: $second")
+    assert(serve(3).count() > 0, "the present must survive every vacuum")
+    // a retention wider than history is a no-op
+    assert(AnalyticsQueries.p28VacuumRun(spark, stage, retainLayouts = 10).isEmpty,
+      "retention wider than history must reclaim nothing")
+  }
+
   test("p28: vacuum REFUSES a log whose artifacts it does not own") {
     // the a40 shared log names live lifecycle stages other queries
     // serve from — deleting those would be cross-query corruption
