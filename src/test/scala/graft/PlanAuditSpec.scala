@@ -573,6 +573,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"keyword search went cartesian:\n$p")
   }
 
+  test("a40: epoch-2 as-of serve — IN-list pushed beneath the log-resolved anti-join") {
+    // the soft-delete epoch is the one the commit log RESOLVES (layout
+    // v1 + the v2 tombstone list merge-on-read): the kept-term IN-list
+    // must stay a pushed parquet filter on gen1's postings UNDERNEATH
+    // the broadcast tombstone anti-join, the tombstone side must
+    // broadcast (ids-only), and the plan must reference no other
+    // epoch's layout — a40's serve is a36's audited shape, arrived at
+    // by log resolution instead of a dedicated query
+    val p = planOf(graft.queries.AnalyticsQueries.a40ServeAsOf(spark, dir, 2))
+    assert(p.contains("gen1"), s"epoch 2 must serve from the v1 layout:\n$p")
+    assert(p.contains("tombstones"), s"epoch 2 must apply the tombstone list:\n$p")
+    assert(!p.contains("graft_a20kw"), s"epoch 2 leaked the v0 base:\n$p")
+    assert(p.contains("In(term_id"),
+      s"kept-term IN-list not pushed beneath the anti-join:\n$p")
+    assert(p.contains("LessThan(doc_id,10)"),
+      s"query tokenization must be a pushed doc_id slice:\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).length == 1,
+      s"corpus scanned more than once in an as-of serve:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"tombstone anti-join must broadcast the ids-only side:\n$p")
+  }
+
   test("a38: twice-merged token re-rank — ONE layout, probes pushed after two merges") {
     val p = planOf(graft.queries.AnalyticsQueries.a38TokenLifecycle(spark, dir))
     assert(p.contains("graft_a38th"), s"re-rank must read the final cycle layout:\n$p")
