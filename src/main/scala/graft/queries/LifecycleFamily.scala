@@ -457,7 +457,10 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
       .map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"),
         r.getAs[String]("path")))
       .filter(_._1 <= v)
-    val (lv, _, layout) = log.filter(_._2 == "layout").maxBy(_._1)
+    val layouts = log.filter(_._2 == "layout")
+    require(layouts.nonEmpty,
+      s"no snapshot exists at or before version $v in $logStage")
+    val (lv, _, layout) = layouts.maxBy(_._1)
     val tombs = log.filter(t => t._2 == "tombstones" && t._1 > lv).map(_._3)
     val postings = tombs.foldLeft(spark.read.parquet(s"$layout/postings")) {
       (p, t) => p.join(broadcast(spark.read.parquet(t)), Seq("doc_id"), "left_anti")
@@ -529,11 +532,17 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
           new org.apache.hadoop.fs.Path(s"$stage/$dst"), false, conf)
         s"$stage/$dst"
       }
-      val v0 = s"$stage/v0"; val v1 = s"$stage/v1"; val v3 = s"$stage/v3"
-      own(s"$base/terms", "v0/terms"); own(s"$base/postings", "v0/postings")
-      own(s"$cyc/gen1/terms", "v1/terms"); own(s"$cyc/gen1/postings", "v1/postings")
+      // every commit-log path comes from own()'s RETURN, so the log can
+      // never point at a directory that was not actually copied
+      def ownLayout(srcRoot: String, name: String): String = {
+        own(s"$srcRoot/terms", s"$name/terms")
+        own(s"$srcRoot/postings", s"$name/postings")
+        s"$stage/$name"
+      }
+      val v0 = ownLayout(base, "v0")
+      val v1 = ownLayout(s"$cyc/gen1", "v1")
       val t2 = own(s"$cyc/tombstones", "tomb2")
-      own(s"$cyc/terms", "v3/terms"); own(s"$cyc/postings", "v3/postings")
+      val v3 = ownLayout(cyc, "v3")
       Seq((0, "layout", v0), (1, "layout", v1), (2, "tombstones", t2),
           (3, "layout", v3))
         .toDF("version", "kind", "path")
@@ -543,10 +552,12 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     stage
   }
 
-  /** Test hook (TimeTravelSpec): a PRIVATE owned log under `tag`. */
+  /** Test hook (TimeTravelSpec): a PRIVATE owned log under `tag`;
+    * `force` rebuilds wholesale so a spec gets pre-vacuum state in ONE
+    * copy pass instead of build-delete-rebuild. */
   def p28OwnedLogStageTagged(spark: SparkSession, dir: String,
-      tag: String): String =
-    stageP28OwnedLog(spark, dir, tag)
+      tag: String, force: Boolean = false): String =
+    stageP28OwnedLog(spark, dir, tag, force)
 
   /** Stress hook: re-copy the owned log unconditionally (lifecycle
     * artifacts build-if-missing) — prices the one-time ownership
@@ -630,18 +641,20 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     * p28 aliases a37's (vacuum must not perturb the current serve).
     * a40's oracle is the epoch chain below, once per version. */
 
-  /** One epoch of the a40 time-travel oracle: a19's full chain with
-    * the INDEX population restricted to `pop` (stats — df, n, idf —
-    * computed over exactly the docs that epoch's layout indexed) and
-    * an optional extra scoring predicate (`scoreAnd`, the soft-delete
-    * epoch's doc filter — visible in scoring, invisible in stats:
-    * a36's live-docs split, expressed as SQL). The query side is
-    * always the external full-corpus doc_id < 10 slice; pruning ties
-    * are (df ASC, term ASC) because every epoch's layout assigns
-    * dense lexicographic term_ids. */
-  private def kwEpochSql(version: Int, pop: String, scoreAnd: String): String =
-    s"""SELECT $version AS version, query_id, kw_rank, doc_id, kw_score FROM (
-       |WITH sv AS (SELECT doc_id, text FROM documents WHERE $pop),
+  /** The population-parameterized a19 oracle chain — the ONE SQL body
+    * behind a37's gate (epoch 3 alone, survivor population) and every
+    * a40 epoch: the index population restricted to `pop` (stats — df,
+    * n, idf — computed over exactly the docs that epoch's layout
+    * indexed) plus an optional extra scoring predicate (`scoreAnd`,
+    * the soft-delete epoch's doc filter — visible in scoring,
+    * invisible in stats: a36's live-docs split, expressed as SQL).
+    * The query side is always the external full-corpus doc_id < 10
+    * slice; pruning ties are (df ASC, term ASC) because every epoch's
+    * layout assigns dense lexicographic term_ids. Single-sourced so a
+    * scoring or idf fix cannot decouple a37's gate (and its s32/p28
+    * aliases) from a40's. */
+  private def kwChainSql(pop: String, scoreAnd: String): String =
+    s"""WITH sv AS (SELECT doc_id, text FROM documents WHERE $pop),
        |t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM sv),
        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -666,7 +679,12 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
        |SELECT query_id, kw_rank, doc_id, kw_score FROM (
        |  SELECT query_id, doc_id, kw_score, CAST(ROW_NUMBER() OVER (
        |      PARTITION BY query_id ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank
-       |  FROM kw) WHERE kw_rank <= 20)""".stripMargin
+       |  FROM kw) WHERE kw_rank <= 20""".stripMargin
+
+  /** One a40 epoch: the chain wrapped with its commit version. */
+  private def kwEpochSql(version: Int, pop: String, scoreAnd: String): String =
+    s"""SELECT $version AS version, query_id, kw_rank, doc_id, kw_score FROM (
+       |${kwChainSql(pop, scoreAnd)})""".stripMargin
 
   private[queries] lazy val lifecycleOracles: Map[String, String] = Map(
     // the four epochs from their definitions: v0 the frozen even-half
@@ -682,32 +700,11 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
          |UNION ALL
          |${kwEpochSql(3, "doc_id % 7 <> 3", "")}
          |ORDER BY version, query_id, kw_rank""".stripMargin,
+    // the same chain, survivor population, no version column — a37's
+    // gate (and through [[AnalyticsQueries.oracleSql]] its s32 and p28
+    // aliases) and a40's epoch 3 are now literally one SQL body
     "a37_keyword_lifecycle" ->
-      s"""WITH sv AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
-         |t AS (SELECT doc_id, unnest(${words("text")}) AS term FROM sv),
-         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
-         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |n AS (SELECT COUNT(*) AS n FROM sv),
-         |idf AS (SELECT term, df,
-         |    CAST(floor(10000.0 * n.n / df) AS BIGINT) AS idf
-         |  FROM dft CROSS JOIN n),
-         |idx AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS impact
-         |  FROM tf JOIN idf USING (term)),
-         |qe AS (SELECT doc_id AS query_id, unnest(${words("text")}) AS term
-         |  FROM documents WHERE doc_id < 10),
-         |qt AS (SELECT DISTINCT query_id, term FROM qe),
-         |qk AS (SELECT query_id, term FROM (
-         |  SELECT qt.query_id, qt.term, ROW_NUMBER() OVER (
-         |      PARTITION BY qt.query_id ORDER BY idf.df ASC, qt.term ASC) AS trk
-         |  FROM qt JOIN idf USING (term)) WHERE trk <= $KwKeepTerms),
-         |kw AS (SELECT qk.query_id, idx.doc_id,
-         |    CAST(SUM(idx.impact) AS BIGINT) AS kw_score
-         |  FROM idx JOIN qk USING (term) WHERE idx.doc_id <> qk.query_id
-         |  GROUP BY 1, 2)
-         |SELECT query_id, kw_rank, doc_id, kw_score FROM (
-         |  SELECT query_id, doc_id, kw_score, CAST(ROW_NUMBER() OVER (
-         |      PARTITION BY query_id ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank
-         |  FROM kw) WHERE kw_rank <= 20
+      s"""${kwChainSql("doc_id % 7 <> 3", "")}
          |ORDER BY query_id, kw_rank""".stripMargin,
   )
 }

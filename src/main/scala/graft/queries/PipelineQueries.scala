@@ -576,17 +576,31 @@ object PipelineQueries {
       .map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"),
         r.getAs[String]("path")))
       .filter(c => c._1 > from && c._1 <= to).sortBy(_._1)
-    log.map {
+    val frames = log.map {
       case (v, "insert", p) =>
         spark.read.parquet(p)
           .select(lit(v).as("version"), lit("insert").as("kind"),
             col("doc_id"), col("lang"), col("n_chars"))
-      case (v, _, p) =>
+      case (v, "delete", p) =>
         spark.read.parquet(p)
           .select(lit(v).as("version"), lit("delete").as("kind"),
             col("doc_id"), lit(null).cast("string").as("lang"),
             lit(null).cast("long").as("n_chars"))
-    }.reduce(_.unionByName(_))
+      case (v, kind, _) =>
+        // emitting an unknown commit kind as anything would corrupt a
+        // downstream replica silently (a 'layout' file's ids read as
+        // retractions); fail loudly instead
+        throw new IllegalArgumentException(
+          s"p29: unknown commit kind '$kind' at version $v — " +
+            "the change-feed reader understands insert/delete only")
+    }
+    // an empty range ("what changed since the head?") is the most
+    // common CDC ask — answer it with an empty feed, not a crash
+    if (frames.isEmpty)
+      spark.range(0).select(lit(0).as("version"), lit("").as("kind"),
+        col("id").as("doc_id"), lit(null).cast("string").as("lang"),
+        lit(null).cast("long").as("n_chars"))
+    else frames.reduce(_.unionByName(_))
       .orderBy(col("version"), col("kind"), col("doc_id"))
   }
 

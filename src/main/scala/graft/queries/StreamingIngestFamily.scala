@@ -1078,9 +1078,19 @@ private[queries] trait StreamingIngestFamily { this: StreamingQueries.type =>
       .select(lit(0).as("version"), lit("insert").as("kind"),
         col("doc_id"), col("lang"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$stateDir/v0")
-    def latestState(upTo: Long): String =
-      (0L to upTo).reverse.map(b => s"$stateDir/v$b").find(p =>
-        hfs.exists(new org.apache.hadoop.fs.Path(s"$p/_SUCCESS"))).get
+    // newest COMPLETE snapshot at or below `upTo` (UpsertSink's
+    // resolution rule): listed from the state dir, so the post-drain
+    // readback follows however many commits the feed actually carried
+    // instead of hardcoding the current log length
+    def latestState(upTo: Long): String = {
+      val versions = hfs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+        .toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption)
+        .filter(b => b <= upTo &&
+          hfs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v$b/_SUCCESS")))
+      require(versions.nonEmpty, s"no complete replica snapshot ≤ v$upTo")
+      s"$stateDir/v${versions.max}"
+    }
     val inSchema = spark.read.parquet(s"$staged/v1").schema
     val stream = spark.readStream.schema(inSchema)
       .option("maxFilesPerTrigger", "1").parquet(s"$staged/v*")
@@ -1101,7 +1111,7 @@ private[queries] trait StreamingIngestFamily { this: StreamingQueries.type =>
         .trigger(Trigger.AvailableNow()).start()
     }
     q.awaitTermination()
-    spark.read.parquet(latestState(3))
+    spark.read.parquet(latestState(Long.MaxValue))
       .filter(col("kind") === "insert")
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))

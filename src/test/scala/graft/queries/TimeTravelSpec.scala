@@ -59,11 +59,10 @@ class TimeTravelSpec extends AnyFunSuite {
 
   test("p28: vacuum reclaims history, preserves the present, is idempotent") {
     val tag = "p28spec"
-    // force a FRESH owned log: a prior suite run may have left a
-    // vacuumed stage under this fingerprint in /tmp
-    val stale = AnalyticsQueries.p28OwnedLogStageTagged(spark, dir, tag)
-    fs(stale).delete(new Path(stale), true)
-    val stage = AnalyticsQueries.p28OwnedLogStageTagged(spark, dir, tag)
+    // force a FRESH owned log in one copy pass: a prior suite run may
+    // have left a vacuumed stage under this fingerprint in /tmp
+    val stage = AnalyticsQueries.p28OwnedLogStageTagged(spark, dir, tag,
+      force = true)
 
     def serve(v: Int) =
       AnalyticsQueries.kwServeAsOfLog(spark, dir, stage, v)
@@ -96,9 +95,8 @@ class TimeTravelSpec extends AnyFunSuite {
 
   test("p28: retention-windowed vacuum reclaims only beyond the horizon") {
     val tag = "p28ret"
-    val stale = AnalyticsQueries.p28OwnedLogStageTagged(spark, dir, tag)
-    fs(stale).delete(new Path(stale), true)
-    val stage = AnalyticsQueries.p28OwnedLogStageTagged(spark, dir, tag)
+    val stage = AnalyticsQueries.p28OwnedLogStageTagged(spark, dir, tag,
+      force = true)
     def serve(v: Int) = AnalyticsQueries.kwServeAsOfLog(spark, dir, stage, v)
     val at1 = serve(1).collect().map(_.toString).toSeq
     val at2 = serve(2).collect().map(_.toString).toSeq
