@@ -151,4 +151,28 @@ class StagingProtocolSpec extends AnyFunSuite {
     assert(sortedRows(s"$stage/postings") == refPostings,
       "post-crash rebuild drifted the cycle postings")
   }
+
+  test("p28 owned log: crash mid-copy (truncated v1, no marker) -> wholesale recopy") {
+    val tag = "p28crash"
+    val stage = AnalyticsQueries.p28OwnedLogStageTagged(spark, dir, tag, force = true)
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val refServe = AnalyticsQueries.kwServeAsOfLog(spark, dir, stage, 3)
+      .collect().map(_.toString).toSeq
+    val v1Full = spark.read.parquet(s"$stage/v1/postings").count()
+    assert(v1Full > 1, "fixture too small to distinguish truncation")
+    // the crash state: the v1 copy landed TRUNCATED mid-write, the
+    // later copies and the marker never landed. A rebuild that trusted
+    // the orphaned partial copies would serve a hole in history.
+    truncateToOneRow(s"$stage/v1/postings")
+    Seq("v3", "commit_log", "done").foreach(d =>
+      fs.delete(new Path(s"$stage/$d"), true))
+    AnalyticsQueries.p28OwnedLogStageTagged(spark, dir, tag)
+    assert(fs.exists(new Path(s"$stage/done")),
+      "rebuild must restore the completeness marker")
+    assert(spark.read.parquet(s"$stage/v1/postings").count() == v1Full,
+      "rebuild must recopy the truncated epoch wholesale, not resume from it")
+    assert(AnalyticsQueries.kwServeAsOfLog(spark, dir, stage, 3)
+      .collect().map(_.toString).toSeq == refServe,
+      "post-crash rebuild drifted the current snapshot's serve")
+  }
 }
