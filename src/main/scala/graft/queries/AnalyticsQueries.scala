@@ -177,6 +177,7 @@ object AnalyticsQueries
     "a38_token_lifecycle" -> a38TokenLifecycle _,
     "a39_vector_lifecycle" -> a39VectorLifecycle _,
     "a40_index_time_travel" -> a40IndexTimeTravel _,
+    "a41_vector_time_travel" -> a41VectorTimeTravel _,
     "p28_index_vacuum"  -> p28IndexVacuum _,
     "m13_image_lifecycle" -> m13ImageLifecycle _,
     "d12_semdedup"      -> d12SemDedup _,

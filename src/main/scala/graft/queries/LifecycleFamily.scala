@@ -503,6 +503,95 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
       .orderBy(col("version"), col("query_id"), col("kw_rank"))
   }
 
+  /** The a41 commit-log stage — a40's discipline on the VECTOR
+    * channel, proving the log is channel-agnostic: four metadata rows
+    * naming artifacts the a39 cycle and the a12 index already retain
+    * (v0 the frozen even-half code table, v1 the first layout merge's
+    * output, v2 the tombstone id list, v3 the purged twice-merged
+    * codes). Codebooks are NOT epoch state: they stay frozen for the
+    * whole lifecycle (a12's protocol — retraining is a scheduled
+    * offline event that would open a new log), so every epoch serves
+    * through the SAME broadcast LUTs and only the code-row population
+    * time-travels. Zero index bytes, marker last, dependencies
+    * revalidated outside the marker check (a40's self-heal rule). */
+  private[queries] def stageA41VecCommitLog(spark: SparkSession,
+      dir: String): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/embeddings.parquet")
+    val stage = PipelineQueries.staging("a41log", s"$dir#$fp")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cyc = stageA39VecCycle(spark, dir)
+    val a12 = stageA12Index(spark, dir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stage/done"))) {
+      import spark.implicits._
+      Seq((0, "layout", s"$a12/codes"), (1, "layout", s"$cyc/gen1"),
+          (2, "tombstones", s"$cyc/tombstones"), (3, "layout", s"$cyc/codes"))
+        .toDF("version", "kind", "path")
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/commit_log")
+      spark.range(1).write.mode("overwrite").parquet(s"$stage/done")
+    }
+    stage
+  }
+
+  /** The vector channel's as-of serve: same log-resolution rule as
+    * [[kwServeAsOfLog]] (newest layout ≤ v; tombstone commits after it
+    * anti-joined merge-on-read — a16's soft-delete semantics falling
+    * out of resolution), then a16's ADC + exact-re-rank serve over the
+    * snapshot's code rows with the FROZEN a12 codebooks. Shortlist
+    * depth is sized by the full-corpus count in EVERY epoch — depth is
+    * a serving parameter, not index state, so it must not time-travel
+    * (the oracle sizes identically). */
+  private[queries] def pqServeAsOfLog(spark: SparkSession, dir: String,
+      logStage: String, v: Int): DataFrame = {
+    val log = spark.read.parquet(s"$logStage/commit_log").collect()
+      .map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"),
+        r.getAs[String]("path")))
+      .filter(_._1 <= v)
+    val layouts = log.filter(_._2 == "layout")
+    require(layouts.nonEmpty,
+      s"no snapshot exists at or before version $v in $logStage")
+    val (lv, _, layout) = layouts.maxBy(_._1)
+    val tombs = log.filter(t => t._2 == "tombstones" && t._1 > lv).map(_._3)
+    val codes = tombs.foldLeft(spark.read.parquet(layout)) { (c, t) =>
+      c.join(broadcast(spark.read.parquet(t)), Seq("vec_id"), "left_anti")
+    }
+    val a12 = stageA12Index(spark, dir)
+    val cbAll = spark.read.parquet(s"$a12/codebooks")
+    val n = spark.read.parquet(s"$a12/meta").head.getAs[Long]("n")
+    val qside = pqSubcodes(Tables.embeddings(spark, dir).filter(col("vec_id") < 20))
+      .withColumnRenamed("vec_id", "query_id")
+    pqAdcTail(spark, dir, codes, pqLutsFrom(qside, cbAll),
+      math.max(PqL.toLong, n / 20).toInt)
+  }
+
+  /** Test hook (TimeTravelSpec): one epoch's serve off the a41 log. */
+  def a41ServeAsOf(spark: SparkSession, dir: String, v: Int): DataFrame =
+    pqServeAsOfLog(spark, dir, stageA41VecCommitLog(spark, dir), v)
+
+  /** a41 — INDEX TIME TRAVEL on the vector channel: the a16-style PQ
+    * search served AS OF every epoch of the a39 lifecycle, off the
+    * commit log. Epoch 0 is the frozen even-half index; epoch 1 the
+    * first layout merge (gen0 ∪ segment 1); epoch 2 the soft-delete
+    * snapshot — SAME code rows as epoch 1, tombstones anti-joined at
+    * serve (a16's search-invisible deletes, produced by log resolution
+    * rather than a dedicated query); epoch 3 the purged twice-merged
+    * table. One oracle replays all four epochs: the SAME frozen-
+    * codebook training (even half, a12's protocol) in every epoch,
+    * only the candidate population varying — which is exactly the
+    * invariant a vector store's history must keep (codes never
+    * re-encode, codebooks never retrain, deletes never reshape
+    * surviving rows). With a40 this pins the commit-log discipline as
+    * CHANNEL-AGNOSTIC: the resolution rule neither knows nor cares
+    * whether the layout under it is postings or code rows. */
+  def a41VectorTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageA41VecCommitLog(spark, dir)
+    (0 to 3).map { v =>
+      pqServeAsOfLog(spark, dir, stage, v).withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .select(col("version"), col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("version"), col("query_id"), col("rank"))
+  }
+
   /** The p28 OWNED commit-log stage: the same four epochs as a40, but
     * with every artifact COPIED into log-owned storage — the table-
     * format ownership model (Delta/Iceberg: the log's files are the
@@ -686,6 +775,16 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     s"""SELECT $version AS version, query_id, kw_rank, doc_id, kw_score FROM (
        |${kwChainSql(pop, scoreAnd)})""".stripMargin
 
+  /** One a41 epoch: a16's PQ oracle ([[pqOracle]] — a12's frozen
+    * even-half codebook training in EVERY epoch, full-corpus shortlist
+    * sizing) with the candidate population restricted to the epoch's
+    * code rows, wrapped with its commit version. */
+  private def pqEpochSql(version: Int, corpusWhere: String): String =
+    s"""SELECT $version AS version, query_id, rank, neighbor_id FROM (
+       |${pqOracle(PqM, PqSubDim, PqK, PqL,
+            trainWhere = "vec_id % 2 = 0", initCut = 2 * PqK,
+            corpusWhere = corpusWhere)})""".stripMargin
+
   private[queries] lazy val lifecycleOracles: Map[String, String] = Map(
     // the four epochs from their definitions: v0 the frozen even-half
     // base, v1 the first re-stat merge (pop % 4 <> 3), v2 the SAME
@@ -706,5 +805,18 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     "a37_keyword_lifecycle" ->
       s"""${kwChainSql("doc_id % 7 <> 3", "")}
          |ORDER BY query_id, kw_rank""".stripMargin,
+    // the vector epochs: v0 the frozen even-half index, v1 the first
+    // layout merge (% 4 <> 3), v2 the same rows with tombstones barred
+    // from candidacy, v3 the purged final — one hash gates resolution
+    // + every epoch's candidate population, codebooks frozen throughout
+    "a41_vector_time_travel" ->
+      s"""${pqEpochSql(0, "aa0.vec_id % 2 = 0")}
+         |UNION ALL
+         |${pqEpochSql(1, "aa0.vec_id % 4 <> 3")}
+         |UNION ALL
+         |${pqEpochSql(2, "aa0.vec_id % 4 <> 3 AND aa0.vec_id % 7 <> 3")}
+         |UNION ALL
+         |${pqEpochSql(3, "aa0.vec_id % 7 <> 3")}
+         |ORDER BY version, query_id, rank""".stripMargin,
   )
 }

@@ -93,6 +93,35 @@ class TimeTravelSpec extends AnyFunSuite {
       "second vacuum must be a no-op")
   }
 
+  test("a41: each vector epoch's plan reads only that snapshot's code rows") {
+    // the frozen codebooks + meta (a12pq, non-codes) legitimately
+    // appear in EVERY epoch — they are serving state, not epoch state;
+    // what must time-travel is the code-row layout alone
+    def files(v: Int): Seq[String] =
+      AnalyticsQueries.a41ServeAsOf(spark, dir, v).inputFiles.toSeq
+    def a12Codes(f: String) = f.contains("graft_a12pq_") && f.contains("/codes/")
+    val f0 = files(0)
+    assert(f0.exists(a12Codes), s"v0 must plan the frozen base codes: $f0")
+    assert(!f0.exists(_.contains("graft_a39pq_")), s"v0 leaked cycle layouts: $f0")
+    val f1 = files(1)
+    assert(f1.exists(f => f.contains("graft_a39pq_") && f.contains("/gen1/")),
+      s"v1 must plan gen1: $f1")
+    assert(!f1.exists(a12Codes) && !f1.exists(_.contains("/tombstones/")),
+      s"v1 leaked another epoch: $f1")
+    assert(f1.filter(_.contains("graft_a39pq_")).forall(_.contains("/gen1/")),
+      s"v1 leaked non-gen1 cycle files: $f1")
+    val f2 = files(2)
+    assert(f2.exists(_.contains("/tombstones/")), s"v2 must plan tombstones: $f2")
+    assert(f2.filter(_.contains("graft_a39pq_"))
+      .forall(f => f.contains("/gen1/") || f.contains("/tombstones/")),
+      s"v2 leaked the final layout: $f2")
+    val f3 = files(3)
+    assert(f3.exists(f => f.contains("graft_a39pq_") && f.contains("/codes/")),
+      s"v3 must plan the purged final codes: $f3")
+    assert(!f3.exists(f => f.contains("/gen1/") || f.contains("/tombstones/") ||
+      a12Codes(f)), s"v3 leaked historical files: $f3")
+  }
+
   test("p28: retention-windowed vacuum reclaims only beyond the horizon") {
     val tag = "p28ret"
     val stage = AnalyticsQueries.p28OwnedLogStageTagged(spark, dir, tag,
