@@ -122,6 +122,22 @@ class TimeTravelSpec extends AnyFunSuite {
       a12Codes(f)), s"v3 leaked historical files: $f3")
   }
 
+  test("the newest epoch IS the lifecycle serve: a40(3) ≡ a37, a41(3) ≡ a39") {
+    // time travel must collapse to the present when asked for it: the
+    // log's newest epoch serves row-identically to the lifecycle
+    // queries that produced the layout (same artifacts, same probe)
+    assert(AnalyticsQueries.a40ServeAsOf(spark, dir, 3)
+      .collect().map(_.toString).toSeq ==
+      AnalyticsQueries.a37KeywordLifecycle(spark, dir)
+        .collect().map(_.toString).toSeq,
+      "a40's newest epoch drifted from a37's lifecycle serve")
+    assert(AnalyticsQueries.a41ServeAsOf(spark, dir, 3)
+      .collect().map(_.toString).toSeq ==
+      AnalyticsQueries.a39VectorLifecycle(spark, dir)
+        .collect().map(_.toString).toSeq,
+      "a41's newest epoch drifted from a39's lifecycle serve")
+  }
+
   test("p28: retention-windowed vacuum reclaims only beyond the horizon") {
     val tag = "p28ret"
     val stage = AnalyticsQueries.p28OwnedLogStageTagged(spark, dir, tag,
