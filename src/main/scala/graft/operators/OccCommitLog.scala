@@ -1,0 +1,174 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Optimistic-concurrency commit log: file-per-version commits claimed
+  * by an atomic PUT-IF-ABSENT, the Delta/Iceberg core protocol
+  * (Armbrust et al., "Delta Lake: High-Performance ACID Table Storage
+  * over Cloud Object Stores", VLDB '20 — the `_delta_log/N.json`
+  * mutual-exclusion trick; Iceberg's atomic metadata-pointer swap is
+  * the same contract). This is what the repo's parquet commit logs
+  * (a40/a41/p23/p28) deliberately do NOT have: those are single-writer
+  * by construction (`synchronized` driver blocks), which is honest for
+  * a build pipeline but not for a 100-TB deployment where a continuous
+  * ingest writer, a compaction daemon, and a scheduled vacuum race on
+  * ONE table. Here the log directory itself is the arbiter:
+  *
+  *   - a commit is ONE file named `%08d.commit` whose content is the
+  *     commit body (kind TAB path) — versions are dense integers, so
+  *     the committed prefix is always contiguous and "the table at
+  *     version v" is well-defined;
+  *   - a writer claims version v by publishing the file atomically
+  *     if-absent: exactly one contender wins, losers get a conflict
+  *     and RETRY at the new tail (blind retry is correct for
+  *     commutative commits — segment appends, tombstone lists; a
+  *     non-commutative writer would re-validate its read set first,
+  *     which is Delta's conflict-resolution layer, not needed by any
+  *     caller here);
+  *   - readers LIST the directory and parse names — a metadata-scale
+  *     operation, one file per commit, no data bytes.
+  *
+  * The put-if-absent primitive per filesystem: on HDFS-like stores the
+  * content is written to a hidden temp file and `rename`d — HDFS
+  * rename is atomic in the namespace and FAILS when the destination
+  * exists, which is exactly the claim semantics. On `file:` the local
+  * rename(2) would silently OVERWRITE, so the claim is a hard
+  * `Files.createLink` instead — POSIX link(2) is atomic and fails
+  * with EEXIST, giving the same one-winner guarantee with the content
+  * already fully present at publish time (readers never observe a
+  * partial commit on either path). S3-style stores without
+  * put-if-absent need an external coordination service (Delta's
+  * LogStore); that boundary is documented, not papered over. */
+object OccCommitLog {
+
+  /** One committed log entry. `kind` and `path` carry the same
+    * layout/tombstones vocabulary as the parquet logs, so
+    * [[graft.queries.PipelineQueries.resolveAsOf]] applies unchanged. */
+  final case class Commit(version: Int, kind: String, path: String)
+
+  private def commitFile(logDir: String, v: Int): Path =
+    new Path(logDir, f"$v%08d.commit")
+
+  /** The committed log, parsed from the directory listing: one read
+    * per commit FILE (bytes: one line each), no data bytes. Returns
+    * commits sorted by version. Density is the protocol invariant
+    * (version v is only ever claimed after v−1 is visible), but a
+    * LISTING taken while a publish lands can transiently surface v
+    * without v−1 (directory iteration order is not insertion order),
+    * so a gap triggers a bounded re-list before it is treated as the
+    * corruption it would then actually be. */
+  def read(fs: FileSystem, logDir: String): Seq[Commit] = {
+    def listOnce(): Seq[Commit] = {
+      val dir = new Path(logDir)
+      if (!fs.exists(dir)) return Seq.empty
+      fs.listStatus(dir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".commit"))
+        .map { st =>
+          val v = st.getPath.getName.stripSuffix(".commit").toInt
+          val in = fs.open(st.getPath)
+          val body =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          val Array(kind, path) = body.split("\t", 2)
+          Commit(v, kind, path)
+        }
+        .sortBy(_.version)
+    }
+    def dense(cs: Seq[Commit]): Boolean =
+      cs.zipWithIndex.forall { case (c, i) => c.version == i }
+    var commits = listOnce()
+    var relists = 0
+    while (!dense(commits) && relists < 5) { commits = listOnce(); relists += 1 }
+    require(dense(commits),
+      s"commit log $logDir has a version gap (${commits.map(_.version)}) — " +
+        "a commit was lost or published outside the protocol")
+    commits
+  }
+
+  /** Convenience: read as the (version, kind, path) triples the
+    * parquet-log consumers already speak. */
+  def readTriples(fs: FileSystem, logDir: String): Seq[(Int, String, String)] =
+    read(fs, logDir).map(c => (c.version, c.kind, c.path))
+
+  /** One optimistic attempt to claim `version`: true iff THIS caller
+    * published it. The content is durable before the claim becomes
+    * visible on both filesystem paths (rename publishes a fully
+    * written temp file; link publishes a fully written inode). */
+  def tryCommit(fs: FileSystem, logDir: String, version: Int,
+      kind: String, path: String): Boolean = {
+    val dst = commitFile(logDir, version)
+    if (fs.exists(dst)) return false // cheap pre-check; the claim below is the arbiter
+    fs.mkdirs(new Path(logDir))
+    val tmp = new Path(logDir,
+      s".tmp-${java.util.UUID.randomUUID().toString}")
+    val out = fs.create(tmp, false)
+    try out.write(s"$kind\t$path\n".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val won =
+      if ("file" == dst.toUri.getScheme || dst.toUri.getScheme == null) {
+        // local rename(2) overwrites — claim with link(2) instead
+        val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
+        val tmpNio = java.nio.file.Paths.get(
+          fs.makeQualified(tmp).toUri.getPath)
+        try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else fs.rename(tmp, dst) // HDFS: atomic, fails if dst exists
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    won
+  }
+
+  /** Commit `kind`/`path` at the log's tail, retrying on conflict: read
+    * the current tail, attempt tail+1, and on losing the race re-read
+    * and go again (correct because every caller's commits commute —
+    * appends and tombstone lists are set-valued). Returns the version
+    * won. `maxAttempts` bounds pathological contention; in practice a
+    * loser converges in one re-read because each conflict means
+    * somebody else MADE progress — the lock-free argument. */
+  def commit(fs: FileSystem, logDir: String, kind: String, path: String,
+      maxAttempts: Int = 1000): Int = {
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      val next = read(fs, logDir).lastOption.map(_.version + 1).getOrElse(0)
+      if (tryCommit(fs, logDir, next, kind, path)) return next
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit to $logDir after $maxAttempts attempts")
+  }
+
+  /** VACUUM over an OCC log whose artifacts it OWNS: physically delete
+    * every artifact directory superseded by the retention horizon (the
+    * `retainLayouts`-th newest layout commit — p28's epoch-window rule
+    * on the concurrent log). The commit FILES stay: history remains
+    * enumerable, an as-of read into a reclaimed epoch fails at
+    * planning. Safe to run WHILE writers append and readers serve:
+    * vacuum reads one log snapshot and deletes only commits strictly
+    * older than the horizon in that snapshot, so any reader serving at
+    * a version ≥ its own snapshot's horizon never plans a reclaimed
+    * file — the retention window is the contract that in-flight serves
+    * finish before their epoch ages past it (Delta's
+    * VACUUM-beyond-retention reasoning, in epochs instead of hours).
+    * Ownership guard as p28: every commit path must live under the
+    * log's stage, separator-checked. Idempotent. Returns reclaimed
+    * paths. */
+  def vacuum(fs: FileSystem, logDir: String, ownedRoot: String,
+      retainLayouts: Int = 1): Seq[String] = {
+    require(retainLayouts >= 1, "retention must keep at least the newest layout")
+    val log = read(fs, logDir)
+    val owned = ownedRoot.stripSuffix("/") + "/"
+    require(log.forall(_.path.startsWith(owned)),
+      s"refusing to vacuum a log with commits it does not own " +
+        s"(root=$ownedRoot, foreign=${log.filterNot(_.path.startsWith(owned)).map(_.path)})")
+    val layoutVersions = log.filter(_.kind == "layout").map(_.version)
+    if (layoutVersions.isEmpty) return Seq.empty
+    val keepFrom = layoutVersions.sorted(Ordering[Int].reverse)
+      .take(retainLayouts).last
+    log.filter(_.version < keepFrom).map(_.path).sorted.distinct.flatMap { p =>
+      val root = new Path(p)
+      if (fs.exists(root)) { fs.delete(root, true); Some(root.toString) }
+      else None
+    }
+  }
+}

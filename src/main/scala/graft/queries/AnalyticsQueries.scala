@@ -179,6 +179,8 @@ object AnalyticsQueries
     "a40_index_time_travel" -> a40IndexTimeTravel _,
     "a41_vector_time_travel" -> a41VectorTimeTravel _,
     "p28_index_vacuum"  -> p28IndexVacuum _,
+    "p30_vector_vacuum" -> p30VectorVacuum _,
+    "p31_concurrent_commits" -> p31ConcurrentCommits _,
     "m13_image_lifecycle" -> m13ImageLifecycle _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
@@ -273,5 +275,16 @@ object AnalyticsQueries
     // vacuum reclaims HISTORY only: the current snapshot it serves
     // afterwards must be exactly the twice-merged survivor index —
     // a37's fresh-build-over-survivors oracle gates it unchanged
-    ("p28_index_vacuum" -> oracleSqlBase("a37_keyword_lifecycle"))
+    ("p28_index_vacuum" -> oracleSqlBase("a37_keyword_lifecycle")) +
+    // vector-channel vacuum: the same reclaim operator (p28VacuumRun
+    // verbatim) on the owned a41 log — the serve after reclaim must be
+    // exactly the purged twice-merged table's, a16's one-shot soft
+    // delete, codebooks untouched
+    ("p30_vector_vacuum" -> oracleSqlBase("a16_tombstone_search")) +
+    // optimistic-concurrency commits: whatever version assignment the
+    // three-writer race produced, the commit SET is deterministic and
+    // the delete-applying re-stat over what the log names must be a
+    // fresh build over the survivors — a37's oracle, arbitration
+    // leaving no trace in the index
+    ("p31_concurrent_commits" -> oracleSqlBase("a37_keyword_lifecycle"))
 }

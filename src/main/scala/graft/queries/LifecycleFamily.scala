@@ -453,15 +453,8 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     * (owned-copy log, so vacuum can physically reclaim). */
   private[queries] def kwServeAsOfLog(spark: SparkSession, dir: String,
       logStage: String, v: Int): DataFrame = {
-    val log = spark.read.parquet(s"$logStage/commit_log").collect()
-      .map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"),
-        r.getAs[String]("path")))
-      .filter(_._1 <= v)
-    val layouts = log.filter(_._2 == "layout")
-    require(layouts.nonEmpty,
-      s"no snapshot exists at or before version $v in $logStage")
-    val (lv, _, layout) = layouts.maxBy(_._1)
-    val tombs = log.filter(t => t._2 == "tombstones" && t._1 > lv).map(_._3)
+    val (layout, tombs) = PipelineQueries.resolveAsOf(
+      PipelineQueries.readCommitLog(spark, logStage), v, logStage)
     val postings = tombs.foldLeft(spark.read.parquet(s"$layout/postings")) {
       (p, t) => p.join(broadcast(spark.read.parquet(t)), Seq("doc_id"), "left_anti")
     }
@@ -515,14 +508,14 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     * time-travels. Zero index bytes, marker last, dependencies
     * revalidated outside the marker check (a40's self-heal rule). */
   private[queries] def stageA41VecCommitLog(spark: SparkSession,
-      dir: String): String = synchronized {
+      dir: String, force: Boolean = false): String = synchronized {
     val fp = PipelineQueries.contentFingerprint(spark, s"$dir/embeddings.parquet")
     val stage = PipelineQueries.staging("a41log", s"$dir#$fp")
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val cyc = stageA39VecCycle(spark, dir)
     val a12 = stageA12Index(spark, dir)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stage/done"))) {
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/done"))) {
       import spark.implicits._
       Seq((0, "layout", s"$a12/codes"), (1, "layout", s"$cyc/gen1"),
           (2, "tombstones", s"$cyc/tombstones"), (3, "layout", s"$cyc/codes"))
@@ -532,6 +525,13 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     }
     stage
   }
+
+  /** Stress/test hook: re-land the a41 commit log unconditionally (the
+    * lifecycle artifacts build-if-missing) — the same rebuild parity
+    * a40 has: one metadata row per retained artifact, zero index
+    * bytes. */
+  def rebuildA41CommitLogStage(spark: SparkSession, dir: String): String =
+    stageA41VecCommitLog(spark, dir, force = true)
 
   /** The vector channel's as-of serve: same log-resolution rule as
     * [[kwServeAsOfLog]] (newest layout ≤ v; tombstone commits after it
@@ -543,15 +543,8 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     * (the oracle sizes identically). */
   private[queries] def pqServeAsOfLog(spark: SparkSession, dir: String,
       logStage: String, v: Int): DataFrame = {
-    val log = spark.read.parquet(s"$logStage/commit_log").collect()
-      .map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"),
-        r.getAs[String]("path")))
-      .filter(_._1 <= v)
-    val layouts = log.filter(_._2 == "layout")
-    require(layouts.nonEmpty,
-      s"no snapshot exists at or before version $v in $logStage")
-    val (lv, _, layout) = layouts.maxBy(_._1)
-    val tombs = log.filter(t => t._2 == "tombstones" && t._1 > lv).map(_._3)
+    val (layout, tombs) = PipelineQueries.resolveAsOf(
+      PipelineQueries.readCommitLog(spark, logStage), v, logStage)
     val codes = tombs.foldLeft(spark.read.parquet(layout)) { (c, t) =>
       c.join(broadcast(spark.read.parquet(t)), Seq("vec_id"), "left_anti")
     }
@@ -615,12 +608,8 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
       fs.delete(stagePath, true)
       val cyc = stageA37KwCycle(spark, dir)
       val base = stageA20CorpusKwIndex(spark, dir)
-      def own(src: String, dst: String): String = {
-        org.apache.hadoop.fs.FileUtil.copy(fs,
-          new org.apache.hadoop.fs.Path(src), fs,
-          new org.apache.hadoop.fs.Path(s"$stage/$dst"), false, conf)
-        s"$stage/$dst"
-      }
+      def own(src: String, dst: String): String =
+        PipelineQueries.copyDir(spark, src, s"$stage/$dst")
       // every commit-log path comes from own()'s RETURN, so the log can
       // never point at a directory that was not actually copied
       def ownLayout(srcRoot: String, name: String): String = {
@@ -677,16 +666,18 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
       retainLayouts: Int = 1): Seq[String] = {
     require(retainLayouts >= 1, "retention must keep at least the newest layout")
     val conf = spark.sessionState.newHadoopConf()
-    val log = spark.read.parquet(s"$logStage/commit_log").collect()
-      .map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"),
-        r.getAs[String]("path")))
+    val log = PipelineQueries.readCommitLog(spark, logStage)
     // ownership guard: vacuum deletes files, so it may ONLY run on a
     // log whose artifacts it owns (every commit path inside the log's
     // own stage). The a40 SHARED log names the live lifecycle stages —
     // vacuuming it would delete artifacts other queries serve from.
-    require(log.forall(_._3.startsWith(logStage)),
+    // Containment is checked against the stage WITH a trailing
+    // separator: a sibling stage whose path merely extends this one
+    // (".../graft_x_abc" vs ".../graft_x_abc2") must read as foreign.
+    val owned = logStage.stripSuffix("/") + "/"
+    require(log.forall(_._3.startsWith(owned)),
       s"refusing to vacuum a log with commits it does not own " +
-        s"(log=$logStage, foreign=${log.filterNot(_._3.startsWith(logStage)).map(_._3).toSeq})")
+        s"(log=$logStage, foreign=${log.filterNot(_._3.startsWith(owned)).map(_._3).toSeq})")
     val keepFrom = log.filter(_._2 == "layout").map(_._1)
       .sorted(Ordering[Int].reverse).take(retainLayouts).last
     log.filter(_._1 < keepFrom).map(_._3).toSeq.sorted.flatMap { p =>
@@ -718,6 +709,175 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     val stage = stageP28OwnedLog(spark, dir)
     p28VacuumRun(spark, stage)
     kwServeAsOfLog(spark, dir, stage, 3)
+  }
+
+  /** The p30 OWNED vector commit-log stage: p28's ownership model on
+    * the a41 log, proving reclaim is channel-agnostic the way a41
+    * proved serving — the same four epochs, every artifact COPIED into
+    * log-owned storage so vacuum deletes only what this stage owns,
+    * never the shared a12/a39 stages other queries serve from. Vector
+    * layouts are single code-table directories (no terms/postings
+    * split), so each epoch owns one dir. Codebooks are NOT copied:
+    * they are serving state, not epoch state (a41's invariant), and
+    * vacuum must never touch them. Marker last; crash mid-copy leaves
+    * no marker → wholesale recopy (StagingProtocolSpec's contract). */
+  private[queries] def stageP30OwnedVecLog(spark: SparkSession, dir: String,
+      tag: String = "p30vac", force: Boolean = false): String = synchronized {
+    val fp = PipelineQueries.contentFingerprint(spark, s"$dir/embeddings.parquet")
+    val stage = PipelineQueries.staging(tag, s"$dir#$fp")
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val fs = stagePath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/done"))) {
+      import spark.implicits._
+      fs.delete(stagePath, true)
+      val cyc = stageA39VecCycle(spark, dir)
+      val a12 = stageA12Index(spark, dir)
+      val v0 = PipelineQueries.copyDir(spark, s"$a12/codes", s"$stage/v0")
+      val v1 = PipelineQueries.copyDir(spark, s"$cyc/gen1", s"$stage/v1")
+      val t2 = PipelineQueries.copyDir(spark, s"$cyc/tombstones", s"$stage/tomb2")
+      val v3 = PipelineQueries.copyDir(spark, s"$cyc/codes", s"$stage/v3")
+      Seq((0, "layout", v0), (1, "layout", v1), (2, "tombstones", t2),
+          (3, "layout", v3))
+        .toDF("version", "kind", "path")
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/commit_log")
+      spark.range(1).write.mode("overwrite").parquet(s"$stage/done")
+    }
+    stage
+  }
+
+  /** Test hook (TimeTravelSpec): a PRIVATE owned vector log under
+    * `tag`; `force` rebuilds wholesale for pre-vacuum state. */
+  def p30OwnedVecLogStageTagged(spark: SparkSession, dir: String,
+      tag: String, force: Boolean = false): String =
+    stageP30OwnedVecLog(spark, dir, tag, force)
+
+  /** Test hook (TimeTravelSpec): one epoch's serve off an owned
+    * vector log. */
+  def p30ServeAsOf(spark: SparkSession, dir: String, logStage: String,
+      v: Int): DataFrame =
+    pqServeAsOfLog(spark, dir, logStage, v)
+
+  /** p30 — VECTOR-CHANNEL VACUUM: p28's retention reclaim run on the
+    * a41 log's owned copy, with [[p28VacuumRun]] REUSED verbatim — the
+    * horizon rule and ownership guard never look inside a layout, so
+    * the operator that reclaims postings reclaims code tables
+    * unchanged (reclaim now proven channel-agnostic the way a41 proved
+    * serving). v0, v1 and the folded tombstone list are physically
+    * deleted; the current purged code table and the log's history rows
+    * survive; the serve afterwards is gated by a16's ORACLE — however
+    * much history was reclaimed, the present must not move by a row.
+    * Codebooks sit outside the log and are untouched: at 100 TB the
+    * reclaim bounds CODE storage at O(live bytes) while the shared
+    * serving state (LUT-sized) never enters the retention math. */
+  def p30VectorVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageP30OwnedVecLog(spark, dir)
+    p28VacuumRun(spark, stage)
+    pqServeAsOfLog(spark, dir, stage, 3)
+  }
+
+  /** p31 — CONCURRENT COMMITS: the optimistic-concurrency commit
+    * protocol ([[graft.operators.OccCommitLog]] — put-if-absent
+    * version files, retry-on-conflict; Delta's core trick) exercised
+    * as a gated query. Three writers race on ONE fresh log with no
+    * coordination beyond the protocol: one commits the pre-staged base
+    * index, one commits both segment layouts, one commits the
+    * tombstone list — four commits, three threads, a barrier releasing
+    * them together so the version race is real. The log that emerges
+    * has arbitrary version ASSIGNMENT but a deterministic commit SET
+    * (OccCommitLog.read asserts density — no commit lost, the
+    * protocol's whole point), and the resolution here is set-valued —
+    * union of committed segments minus committed tombstones — so the
+    * delete-applying re-stat merge over what the log names is
+    * interleaving-invariant: gated by a37's fresh-build-over-survivors
+    * ORACLE, whatever order the race produced. The thread bodies are
+    * pure metadata operations (the segments were ingested and priced
+    * elsewhere; a commit is one small file), which is exactly the
+    * production claim: arbitration costs log writes, not index bytes.
+    * OccProtocolSpec drives the harder schedules (two-writer firehose,
+    * vacuum racing an ingest daemon racing an as-of reader). */
+  def p31ConcurrentCommits(spark: SparkSession, dir: String): DataFrame = {
+    // per-run root: the race is the subject, so nothing here is cached
+    val root = PipelineQueries.staging("p31occ", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(rootPath, true)
+    val logDir = s"$root/log"
+    // pre-staged inputs (fingerprint-keyed shared stages — ingest cost
+    // priced by a20/a37's rows) plus this run's tombstone list
+    val base = stageA20CorpusKwIndex(spark, dir)
+    val seg1 = stageKwIndexTable(spark, dir, "a37s1",
+      col("doc_id") % 4 === 1, force = false)
+    val seg2 = stageKwIndexTable(spark, dir, "a37s2",
+      col("doc_id") % 4 === 3, force = false)
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/tombstones")
+    // three writers, one log, released together
+    val barrier = new java.util.concurrent.CyclicBarrier(3)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = Seq(
+      Seq(("segment", base)),
+      Seq(("segment", seg1), ("segment", seg2)),
+      Seq(("tombstones", s"$root/tombstones")),
+    ).map { commits =>
+      new Thread(() =>
+        try {
+          barrier.await()
+          commits.foreach { case (kind, path) =>
+            graft.operators.OccCommitLog.commit(fs, logDir, kind, path)
+          }
+        } catch { case t: Throwable => failures.add(t) })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
+    // read back: density asserted inside read(); the commit SET must
+    // be exactly what the three writers published
+    val log = graft.operators.OccCommitLog.readTriples(fs, logDir)
+    require(log.size == 4 && log.map(_._1) == Seq(0, 1, 2, 3),
+      s"commit set damaged by the race: $log")
+    val segs = log.filter(_._2 == "segment").map(_._3)
+    val tombPaths = log.filter(_._2 == "tombstones").map(_._3)
+    require(segs.size == 3 && tombPaths.size == 1,
+      s"commit kinds damaged by the race: $log")
+    // delete-applying re-stat over everything the log names — the same
+    // merge discipline as a37's second merge, inputs from the log
+    val tf = segs.map(kwRecoverTf(spark, _)).reduce(_ unionByName _)
+      .join(broadcast(spark.read.parquet(tombPaths.head)),
+        Seq("doc_id"), "left_anti")
+    val nLive = tf.select(col("doc_id")).distinct().count()
+    writeKwLayout(spark, s"$root/merged", tf, nLive)
+    kwPrunedSearch(spark, dir,
+      spark.read.parquet(s"$root/merged/terms")
+        .select(col("term"), col("term_id"), col("df")),
+      spark.read.parquet(s"$root/merged/postings"))
+  }
+
+  /** The a40 index-log CHANGE FEED reader (p29's contract lifted from
+    * the doc table's log to the INDEX's): every commit in `(from, to]`
+    * as an epoch-granularity event — layout commits become `replace`
+    * (an index layout commit names a COMPLETE new layout, so the
+    * change event is a snapshot replacement, not a row delta),
+    * tombstone commits become ids-only `delete` events. The feed rows
+    * are METADATA (version, kind, path): index replication ships
+    * segment files, not rows (Lucene/Solr segment-replication model,
+    * public), so a consumer pulls exactly the named artifacts — the
+    * changed bytes, never the whole index, and a feed read itself
+    * plans ZERO index bytes. Unknown commit kinds fail loudly (p29's
+    * rule). */
+  def a40IndexChangesBetween(spark: SparkSession, dir: String,
+      from: Int, to: Int): DataFrame = {
+    import spark.implicits._
+    val stage = stageA40CommitLog(spark, dir)
+    PipelineQueries.readCommitLog(spark, stage)
+      .filter(c => c._1 > from && c._1 <= to).sortBy(_._1)
+      .map {
+        case (v, "layout", p) => (v, "replace", p)
+        case (v, "tombstones", p) => (v, "delete", p)
+        case (v, kind, _) => throw new IllegalArgumentException(
+          s"a40 feed: unknown commit kind '$kind' at version $v — " +
+            "the index change feed understands layout/tombstones only")
+      }
+      .toDF("version", "kind", "path")
   }
 
   /** This family's slice of the oracle-SQL map: only the keyword cycle

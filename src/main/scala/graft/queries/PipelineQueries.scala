@@ -145,6 +145,47 @@ object PipelineQueries {
       .sortBy(_._1)
   }
 
+  /** A parquet commit log read into (version, kind, path) triples —
+    * the one read every log consumer shares (the a40/a41 serves, the
+    * p23 snapshot reader, the p29 change feed, p28's vacuum). The
+    * collect is metadata-scale by construction: one row per commit. */
+  def readCommitLog(spark: SparkSession, logRoot: String): Seq[(Int, String, String)] =
+    spark.read.parquet(s"$logRoot/commit_log").collect()
+      .map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"),
+        r.getAs[String]("path")))
+      .toSeq
+
+  /** The as-of resolution rule over layout/tombstones commit kinds,
+    * extracted so a rule fix cannot land in one channel and miss the
+    * other: the newest layout commit with version ≤ v, plus every
+    * tombstone commit in (layout_version, v] to apply merge-on-read
+    * (tombstones at or before the layout's version are already folded
+    * into it by a delete-applying merge). Returns (layoutPath,
+    * tombstonePaths). */
+  def resolveAsOf(log: Seq[(Int, String, String)], v: Int,
+      logStage: String): (String, Seq[String]) = {
+    val visible = log.filter(_._1 <= v)
+    val layouts = visible.filter(_._2 == "layout")
+    require(layouts.nonEmpty,
+      s"no snapshot exists at or before version $v in $logStage")
+    val (lv, _, layout) = layouts.maxBy(_._1)
+    (layout, visible.filter(t => t._2 == "tombstones" && t._1 > lv).map(_._3))
+  }
+
+  /** Copy one directory into log-owned storage and return the
+    * destination — the ownership-copy primitive every owned commit log
+    * shares (p28's keyword log, p30's vector log). Index bytes, no
+    * recompute: the artifacts already exist, ownership is what makes
+    * physical reclaim safe. */
+  def copyDir(spark: SparkSession, src: String, dst: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    val fs = dstPath.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(src), fs, dstPath, false, conf)
+    dst
+  }
+
   /** p01 — S1/K5: write events Hive-partitioned by (event_type, day),
     * read back with partition filters (Catalyst prunes to 2 of ~180
     * directories — PlanAuditSpec pins that), aggregate per day. */
@@ -530,9 +571,7 @@ object PipelineQueries {
     * id list. Public as the test hook. */
   def p23SnapshotAsOf(spark: SparkSession, dir: String, v: Int): DataFrame = {
     val root = stageVersionedTable(spark, dir)
-    val log = spark.read.parquet(s"$root/commit_log").collect()
-      .map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"), r.getAs[String]("path")))
-      .filter(_._1 <= v)
+    val log = readCommitLog(spark, root).filter(_._1 <= v)
     val inserts = log.filter(_._2 == "insert").map(_._3).sorted
     val tombs = log.filter(_._2 == "delete").map(_._3).sorted
     val data = spark.read.parquet(inserts.toIndexedSeq: _*)
@@ -572,9 +611,7 @@ object PipelineQueries {
   def p29ChangesBetween(spark: SparkSession, dir: String,
       from: Int, to: Int): DataFrame = {
     val root = stageVersionedTable(spark, dir)
-    val log = spark.read.parquet(s"$root/commit_log").collect()
-      .map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"),
-        r.getAs[String]("path")))
+    val log = readCommitLog(spark, root)
       .filter(c => c._1 > from && c._1 <= to).sortBy(_._1)
     val frames = log.map {
       case (v, "insert", p) =>

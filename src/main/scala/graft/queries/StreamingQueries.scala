@@ -24,9 +24,12 @@ import graft.streaming.{InMemoryRecordProducer, KinesisSink, Replay, UpsertSink}
 object StreamingQueries
     extends StreamingCoreFamily
     with StreamingIngestFamily
+    with StreamingLifecycleFamily
     with StreamingServeFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s39_stream_token_policy_compaction" -> s39StreamTokenPolicyCompaction _,
+    "s38_stream_index_replica" -> s38StreamIndexReplica _,
     "s37_stream_cdc_replica" -> s37StreamCdcReplica _,
     "s36_stream_policy_compaction" -> s36StreamPolicyCompaction _,
     "s35_stream_image_lifecycle" -> s35StreamImageLifecycle _,
@@ -123,6 +126,19 @@ object StreamingQueries
     // quantified algebra behind this)
     "s36_stream_policy_compaction" ->
       AnalyticsQueries.oracleSql("a19_keyword_search_prebuilt"),
+    // the streamed index replica, resolved at head, must serve exactly
+    // the source log's epoch 3 — a37's fresh-build-over-survivors body
+    // (a40's epoch-3 slice): segment shipping and admission order
+    // leave no trace in what the replica serves
+    "s38_stream_index_replica" ->
+      AnalyticsQueries.oracleSql("a37_keyword_lifecycle"),
+    // the token-channel daemon: policy-scheduled layout merges inside
+    // the stream must serve a29's shortlist re-rank exactly as the
+    // monolithic table does — a29's oracle, the same hash that already
+    // pins a32 (generational) and a33 (one-shot compaction); the
+    // daemon adds the policy-scheduled arrival shape
+    "s39_stream_token_policy_compaction" ->
+      AnalyticsQueries.oracleSql("a29_maxsim_served"),
     // the replica after consuming the whole feed must be EXACTLY the
     // as-of-3 snapshot's membership, recomputed from the definitions:
     // v0+v1+v2 inserts (doc_id % 4 <= 2) minus the v3 delete

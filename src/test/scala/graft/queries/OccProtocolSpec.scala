@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import graft.GraftSession
+import graft.operators.OccCommitLog
+
+/** The optimistic-concurrency commit protocol under REAL interleaving
+  * ([[graft.operators.OccCommitLog]] — put-if-absent version files,
+  * retry-on-conflict; the Delta/Iceberg core invariant the repo's
+  * single-writer parquet logs deliberately lacked until r15). Three
+  * schedules, each with genuinely concurrent threads on one log:
+  *
+  *  1. the two-writer firehose — every commit survives, versions stay
+  *     dense, nothing is double-claimed (mutual exclusion);
+  *  2. the claim primitive — a version file, once present, can never
+  *     be won again;
+  *  3. the production triangle — an ingest daemon APPENDING layout
+  *     commits while a vacuum loop RECLAIMS beyond retention while an
+  *     as-of reader SERVES the head: no serve ever plans a reclaimed
+  *     file, no commit is lost, and the retention window is exactly
+  *     the contract that keeps the reader safe.
+  *
+  * The p31 gated query drives the same protocol through the oracle
+  * gate (arbitration must leave no trace in the index); this spec owns
+  * the schedules an oracle hash cannot see. */
+class OccProtocolSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession =
+    GraftSession.local(cores = 4, shufflePartitions = 4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def freshRoot(tag: String): String = {
+    val root = PipelineQueries.staging(tag, dir)
+    fs(root).delete(new Path(root), true)
+    root
+  }
+
+  /** Run `bodies` on their own threads, released together; rethrow the
+    * first failure after all join so an assertion in a thread fails
+    * the test instead of dying silently. */
+  private def race(bodies: Seq[() => Unit]): Unit = {
+    val barrier = new java.util.concurrent.CyclicBarrier(bodies.size)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = bodies.map { b =>
+      new Thread(() =>
+        try { barrier.await(); b() }
+        catch { case t: Throwable => failures.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
+  }
+
+  test("two-writer firehose: no commit lost, versions dense, no double-claims") {
+    val root = freshRoot("occspec1")
+    val logDir = s"$root/log"
+    val hfs = fs(root)
+    val perWriter = 15
+    val won = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    race(Seq("a", "b").map { w => () =>
+      (0 until perWriter).foreach { i =>
+        won.add(OccCommitLog.commit(hfs, logDir, "segment", s"$root/art/$w$i"))
+      }
+    })
+    val log = OccCommitLog.read(hfs, logDir) // density asserted inside
+    assert(log.size == 2 * perWriter, s"commits lost: ${log.size}")
+    // each version won exactly once — the mutual-exclusion claim
+    import scala.jdk.CollectionConverters._
+    assert(won.asScala.toSeq.sorted == (0 until 2 * perWriter),
+      "a version was double-claimed or skipped")
+    // every body published exactly once, none rewritten by the race
+    val bodies = log.map(_.path).sorted
+    assert(bodies == Seq("a", "b").flatMap(w =>
+      (0 until perWriter).map(i => s"$root/art/$w$i")).sorted,
+      s"commit bodies damaged by the race: $bodies")
+  }
+
+  test("the claim primitive: a present version can never be won again") {
+    val root = freshRoot("occspec2")
+    val logDir = s"$root/log"
+    val hfs = fs(root)
+    assert(OccCommitLog.tryCommit(hfs, logDir, 0, "layout", s"$root/l0"))
+    assert(!OccCommitLog.tryCommit(hfs, logDir, 0, "layout", s"$root/other"),
+      "a second claim of version 0 must lose")
+    assert(OccCommitLog.read(hfs, logDir).head.path == s"$root/l0",
+      "the losing claim must not alter the committed body")
+  }
+
+  test("vacuum ownership guard: separator-checked, sibling prefixes are foreign") {
+    val root = freshRoot("occspec3")
+    val hfs = fs(root)
+    // a commit naming a SIBLING whose path merely extends the owned
+    // root without a separator must read as foreign
+    OccCommitLog.commit(hfs, s"$root/log", "layout", s"${root}2/l0")
+    intercept[IllegalArgumentException] {
+      OccCommitLog.vacuum(hfs, s"$root/log", root)
+    }
+  }
+
+  test("ingest daemon vs vacuum vs as-of reader: no serve plans a reclaimed file, no commit lost") {
+    val root = freshRoot("occspec4")
+    val logDir = s"$root/log"
+    val hfs = fs(root)
+    val sp = spark
+    import sp.implicits._
+    val nLayouts = 10
+    // the retention window is the reader-safety contract: the reader's
+    // resolve→scan gap must fit inside (retain−1) commit intervals.
+    // Writer paces 30 ms/commit and the scan below is warmed, so a
+    // 6-layout window gives ~150 ms of margin per serve.
+    val retain = 6
+    // the artifacts exist BEFORE their commit (a commit names a fully
+    // landed layout — the staging discipline every stage already has)
+    (0 until nLayouts).foreach { i =>
+      Seq(i.toLong).toDF("v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/art/l$i")
+    }
+    sp.read.parquet(s"$root/art/l0").head // warm the scan path pre-race
+    @volatile var writerDone = false
+    val serves = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reclaimedAll = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    race(Seq(
+      // the ingest daemon: one layout commit after another
+      () => {
+        (0 until nLayouts).foreach { i =>
+          OccCommitLog.commit(hfs, logDir, "layout", s"$root/art/l$i")
+          Thread.sleep(30)
+        }
+        writerDone = true
+      },
+      // the vacuum loop: reclaim beyond retention, repeatedly, WHILE
+      // the writer appends — retention ≥ in-flight serve depth is the
+      // contract that keeps the reader below safe
+      () => {
+        while (!writerDone) {
+          OccCommitLog.vacuum(hfs, logDir, root, retainLayouts = retain)
+            .foreach(reclaimedAll.add)
+          Thread.sleep(15)
+        }
+      },
+      // the as-of reader: serve the HEAD snapshot in a loop; a planned
+      // reclaimed file would throw here and fail the race
+      () => {
+        while (!writerDone) {
+          val log = OccCommitLog.readTriples(hfs, logDir)
+          if (log.nonEmpty) {
+            val (layout, tombs) =
+              PipelineQueries.resolveAsOf(log, log.map(_._1).max, logDir)
+            assert(tombs.isEmpty)
+            val v = sp.read.parquet(layout).head.getLong(0)
+            // the artifact named l<i> was committed at version i (one
+            // ordered writer), so the head serve must read ITS row
+            assert(layout.endsWith(s"/l$v"),
+              s"head serve read the wrong epoch: $layout -> $v")
+            serves.incrementAndGet()
+          }
+          Thread.sleep(10)
+        }
+      },
+    ))
+    assert(serves.get() > 0, "the reader never got a serve in — no race happened")
+    val log = OccCommitLog.read(hfs, logDir)
+    assert(log.size == nLayouts, s"commits lost under the race: ${log.size}")
+    // drain the remaining history: only the newest layout survives
+    OccCommitLog.vacuum(hfs, logDir, root, retainLayouts = 1)
+      .foreach(reclaimedAll.add)
+    import scala.jdk.CollectionConverters._
+    val gone = reclaimedAll.asScala.toSeq.sorted
+    assert(gone == (0 until nLayouts - 1).map(i => s"$root/art/l$i").sorted,
+      s"vacuum must have reclaimed exactly the superseded layouts: $gone")
+    assert(fs(root).exists(new Path(s"$root/art/l${nLayouts - 1}")),
+      "the head layout must survive every vacuum")
+    // an as-of read into a reclaimed epoch fails at PLANNING, with the
+    // log's history rows still enumerable
+    val (oldLayout, _) = PipelineQueries.resolveAsOf(
+      OccCommitLog.readTriples(hfs, logDir), 0, logDir)
+    intercept[Exception] { sp.read.parquet(oldLayout).count() }
+    // idempotence: nothing left to reclaim
+    assert(OccCommitLog.vacuum(hfs, logDir, root, retainLayouts = 1).isEmpty)
+  }
+}

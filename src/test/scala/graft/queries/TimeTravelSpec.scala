@@ -166,6 +166,67 @@ class TimeTravelSpec extends AnyFunSuite {
       "retention wider than history must reclaim nothing")
   }
 
+  test("p30: the VECTOR vacuum reclaims history, preserves the present, is idempotent") {
+    // p28VacuumRun reused verbatim on the vector channel's owned log —
+    // the reclaim operator must neither know nor care that the layouts
+    // under it are code tables instead of postings
+    val stage = AnalyticsQueries.p30OwnedVecLogStageTagged(spark, dir,
+      "p30spec", force = true)
+    def serve(v: Int) = AnalyticsQueries.p30ServeAsOf(spark, dir, stage, v)
+    val before = serve(3).collect().map(_.toString).toSeq
+    assert(serve(0).count() > 0 && serve(2).count() > 0,
+      "pre-vacuum: every vector epoch must be readable from the owned log")
+    val reclaimed = AnalyticsQueries.p28VacuumRun(spark, stage)
+    assert(reclaimed.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
+      Set("v0", "v1", "tomb2"),
+      s"vacuum must reclaim exactly the superseded vector epochs: $reclaimed")
+    Seq("v0", "v1", "tomb2").foreach(d =>
+      assert(!fs(stage).exists(new Path(s"$stage/$d")),
+        s"$d must be physically gone"))
+    assert(serve(3).collect().map(_.toString).toSeq == before,
+      "vacuum perturbed the CURRENT vector snapshot")
+    assert(spark.read.parquet(s"$stage/commit_log").count() == 4,
+      "vacuum must not rewrite the vector log's history rows")
+    intercept[Exception] { serve(1).count() }
+    assert(AnalyticsQueries.p28VacuumRun(spark, stage).isEmpty,
+      "second vector vacuum must be a no-op")
+    // the codebooks are serving state OUTSIDE the log: the a12 stage
+    // must be untouched by however much vector history was reclaimed
+    val a12 = AnalyticsQueries.a12CorpusIndexStage(spark, dir)
+    assert(fs(a12).exists(new Path(s"$a12/codebooks")),
+      "vacuum must never reach the shared frozen codebooks")
+  }
+
+  test("a40 feed: changes (from, to] name only the in-range commits' artifacts") {
+    import org.apache.spark.sql.functions._
+    val rows = AnalyticsQueries.a40IndexChangesBetween(spark, dir, 0, 3)
+      .orderBy(col("version")).collect()
+    assert(rows.map(r => (r.getAs[Int]("version"), r.getAs[String]("kind"))).toSeq ==
+      Seq((1, "replace"), (2, "delete"), (3, "replace")),
+      s"the (0,3] feed must carry exactly the three later epochs: ${rows.toSeq}")
+    // the v0 base layout is OUT of range — the feed must not name it
+    assert(!rows.exists(_.getAs[String]("path").contains("graft_a20kw_")),
+      "a (0,3] feed leaked the v0 base layout")
+    // an empty range is the everyday "changes since head" ask
+    assert(AnalyticsQueries.a40IndexChangesBetween(spark, dir, 3, 3).count() == 0)
+  }
+
+  test("s38: the replica owns exactly the artifacts the feed named, and serves ≡ the source head") {
+    val replica = StreamingQueries
+      .queries("s38_stream_index_replica")(spark, dir)
+      .collect().map(_.toString).toSeq
+    val source = AnalyticsQueries.a40ServeAsOf(spark, dir, 3)
+      .collect().map(_.toString).toSeq
+    assert(replica == source,
+      "the streamed replica drifted from the source log's head serve")
+    val state = java.nio.file.Paths.get(
+      PipelineQueries.staging("s38", dir)).resolve("state").toString
+    val entries = fs(state).listStatus(new Path(state))
+      .map(_.getPath.getName).toSet
+    assert(entries == Set("layout_v0", "layout_v1", "tomb_v2", "layout_v3"),
+      s"replica storage must hold exactly the shipped artifacts: $entries")
+  }
+
   test("p28: vacuum REFUSES a log whose artifacts it does not own") {
     // the a40 shared log names live lifecycle stages other queries
     // serve from — deleting those would be cross-query corruption
