@@ -60,31 +60,63 @@ object OccCommitLog {
     * so a gap triggers a bounded re-list before it is treated as the
     * corruption it would then actually be. */
   def read(fs: FileSystem, logDir: String): Seq[Commit] = {
+    def slurp(p: Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    def parseLine(line: String): Commit = {
+      val Array(v, kind, path) = line.split("\t", 3)
+      Commit(v.toInt, kind, path)
+    }
     def listOnce(): Seq[Commit] = {
       val dir = new Path(logDir)
       if (!fs.exists(dir)) return Seq.empty
-      fs.listStatus(dir).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".commit"))
+      val entries = fs.listStatus(dir).toSeq.filter(_.isFile)
+      // newest checkpoint wins; commits at or before it read from the
+      // ONE checkpoint file (Delta's N.checkpoint pattern: the log
+      // read is O(commits since last checkpoint), and cleanLog may
+      // have reclaimed the individual files it folded in)
+      val cpVersions = entries.map(_.getPath.getName)
+        .filter(_.endsWith(".checkpoint"))
+        .map(_.stripSuffix(".checkpoint").toInt)
+      val base = cpVersions.maxOption.toSeq.flatMap { cv =>
+        slurp(new Path(logDir, f"$cv%08d.checkpoint"))
+          .split("\n").toSeq.filter(_.nonEmpty).map(parseLine)
+      }
+      val cpHead = base.map(_.version).maxOption.getOrElse(-1)
+      val tail = entries
+        .filter(st => st.getPath.getName.endsWith(".commit") &&
+          st.getPath.getName.stripSuffix(".commit").toInt > cpHead)
         .map { st =>
           val v = st.getPath.getName.stripSuffix(".commit").toInt
-          val in = fs.open(st.getPath)
-          val body =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
-          val Array(kind, path) = body.split("\t", 2)
+          val Array(kind, path) = slurp(st.getPath).split("\t", 2)
           Commit(v, kind, path)
         }
-        .sortBy(_.version)
+      (base ++ tail).sortBy(_.version)
     }
+    // a listing can race a concurrent publish (gap) or a concurrent
+    // cleanLog (a listed commit file deleted before it is opened —
+    // surfacing as FileNotFound); both are transient — bounded re-list
+    // before calling corruption. An empty log is a fresh log.
+    def listTolerant(): Option[Seq[Commit]] =
+      try Some(listOnce())
+      catch { case _: java.io.FileNotFoundException => None }
     def dense(cs: Seq[Commit]): Boolean =
       cs.zipWithIndex.forall { case (c, i) => c.version == i }
-    var commits = listOnce()
+    var commits = listTolerant()
     var relists = 0
-    while (!dense(commits) && relists < 5) { commits = listOnce(); relists += 1 }
-    require(dense(commits),
-      s"commit log $logDir has a version gap (${commits.map(_.version)}) — " +
+    while (!commits.exists(dense) && relists < 5) {
+      Thread.sleep(2) // let the in-flight publish/cleanup settle
+      commits = listTolerant(); relists += 1
+    }
+    val out = commits.getOrElse(
+      throw new IllegalStateException(
+        s"commit log $logDir kept vanishing underneath its readers"))
+    require(dense(out),
+      s"commit log $logDir has a version gap (${out.map(_.version)}) — " +
         "a commit was lost or published outside the protocol")
-    commits
+    out
   }
 
   /** Convenience: read as the (version, kind, path) triples the
@@ -92,19 +124,20 @@ object OccCommitLog {
   def readTriples(fs: FileSystem, logDir: String): Seq[(Int, String, String)] =
     read(fs, logDir).map(c => (c.version, c.kind, c.path))
 
-  /** One optimistic attempt to claim `version`: true iff THIS caller
-    * published it. The content is durable before the claim becomes
-    * visible on both filesystem paths (rename publishes a fully
-    * written temp file; link publishes a fully written inode). */
-  def tryCommit(fs: FileSystem, logDir: String, version: Int,
-      kind: String, path: String): Boolean = {
-    val dst = commitFile(logDir, version)
+  /** The atomic PUT-IF-ABSENT publish both file kinds share: write the
+    * full content to a hidden temp, then claim the destination name —
+    * exactly one contender wins, and on both filesystem paths the
+    * content is durable before the claim becomes visible (rename
+    * publishes a fully written temp file; link publishes a fully
+    * written inode), so readers never observe a partial file. */
+  private def putIfAbsent(fs: FileSystem, logDir: String, dst: Path,
+      content: String): Boolean = {
     if (fs.exists(dst)) return false // cheap pre-check; the claim below is the arbiter
     fs.mkdirs(new Path(logDir))
     val tmp = new Path(logDir,
       s".tmp-${java.util.UUID.randomUUID().toString}")
     val out = fs.create(tmp, false)
-    try out.write(s"$kind\t$path\n".getBytes(StandardCharsets.UTF_8))
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val won =
       if ("file" == dst.toUri.getScheme || dst.toUri.getScheme == null) {
@@ -118,6 +151,12 @@ object OccCommitLog {
     if (fs.exists(tmp)) fs.delete(tmp, false)
     won
   }
+
+  /** One optimistic attempt to claim `version`: true iff THIS caller
+    * published it. */
+  def tryCommit(fs: FileSystem, logDir: String, version: Int,
+      kind: String, path: String): Boolean =
+    putIfAbsent(fs, logDir, commitFile(logDir, version), s"$kind\t$path\n")
 
   /** Commit `kind`/`path` at the log's tail, retrying on conflict: read
     * the current tail, attempt tail+1, and on losing the race re-read
@@ -136,6 +175,51 @@ object OccCommitLog {
     }
     throw new IllegalStateException(
       s"could not commit to $logDir after $maxAttempts attempts")
+  }
+
+  /** CHECKPOINT the log at its current tail (Delta's `N.checkpoint`
+    * compaction, public): one `%08d.checkpoint` file holding every
+    * commit ≤ the tail, so a reader's cost becomes O(commits since the
+    * last checkpoint) instead of O(all commits) — at one commit per
+    * ingest batch a year-old table's log is millions of files without
+    * this, and the DIRECTORY LISTING becomes the read bottleneck long
+    * before any data does. The checkpoint is derived data (identical
+    * content from any writer at the same version), published through
+    * the same put-if-absent primitive as commits, so concurrent
+    * checkpointers collapse to one file and a half-written checkpoint
+    * is never visible. Returns the checkpointed version, None on an
+    * empty log. */
+  def checkpoint(fs: FileSystem, logDir: String): Option[Int] = {
+    val log = read(fs, logDir)
+    log.lastOption.map { tail =>
+      val content = log.map(c => s"${c.version}\t${c.kind}\t${c.path}")
+        .mkString("", "\n", "\n")
+      putIfAbsent(fs, logDir,
+        new Path(logDir, f"${tail.version}%08d.checkpoint"), content)
+      tail.version
+    }
+  }
+
+  /** LOG CLEANUP: physically delete every commit FILE already folded
+    * into the newest checkpoint (Delta's log-retention expiry — the
+    * knob that bounds the log's FILE COUNT the way vacuum bounds the
+    * table's data bytes; history is still fully enumerable, now from
+    * the checkpoint). Commits after the newest checkpoint are never
+    * touched; a log with no checkpoint is left whole. Idempotent.
+    * Returns the versions whose files were reclaimed this call. */
+  def cleanLog(fs: FileSystem, logDir: String): Seq[Int] = {
+    val dir = new Path(logDir)
+    if (!fs.exists(dir)) return Seq.empty
+    val names = fs.listStatus(dir).toSeq.filter(_.isFile)
+      .map(_.getPath.getName)
+    val newestCp = names.filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toInt).maxOption
+    newestCp.toSeq.flatMap { cv =>
+      names.filter(_.endsWith(".commit"))
+        .map(_.stripSuffix(".commit").toInt)
+        .filter(_ <= cv).sorted
+        .filter(v => fs.delete(commitFile(logDir, v), false))
+    }
   }
 
   /** VACUUM over an OCC log whose artifacts it OWNS: physically delete

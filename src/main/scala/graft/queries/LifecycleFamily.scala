@@ -789,12 +789,16 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     * union of committed segments minus committed tombstones — so the
     * delete-applying re-stat merge over what the log names is
     * interleaving-invariant: gated by a37's fresh-build-over-survivors
-    * ORACLE, whatever order the race produced. The thread bodies are
-    * pure metadata operations (the segments were ingested and priced
-    * elsewhere; a commit is one small file), which is exactly the
-    * production claim: arbitration costs log writes, not index bytes.
-    * OccProtocolSpec drives the harder schedules (two-writer firehose,
-    * vacuum racing an ingest daemon racing an as-of reader). */
+    * ORACLE, whatever order the race produced. The settled log is then
+    * CHECKPOINTED and its folded commit files expired (Delta's
+    * N.checkpoint + log retention), and the readback resolves through
+    * the compacted form — one gate covering arbitration AND lossless
+    * log compaction. The thread bodies are pure metadata operations
+    * (the segments were ingested and priced elsewhere; a commit is one
+    * small file), which is exactly the production claim: arbitration
+    * costs log writes, not index bytes. OccProtocolSpec drives the
+    * harder schedules (two-writer firehose, vacuum racing an ingest
+    * daemon racing an as-of reader, checkpoint racing writers). */
   def p31ConcurrentCommits(spark: SparkSession, dir: String): DataFrame = {
     // per-run root: the race is the subject, so nothing here is cached
     val root = PipelineQueries.staging("p31occ", dir)
@@ -830,6 +834,14 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     }
     writers.foreach(_.start()); writers.foreach(_.join())
     if (!failures.isEmpty) throw failures.peek()
+    // checkpoint the settled log and expire the folded commit files
+    // (Delta's N.checkpoint + log retention): the readback below goes
+    // THROUGH the compacted form, so the gate also pins that
+    // checkpointing is lossless — at one commit per ingest batch the
+    // directory listing, not the data, is what this keeps metadata-
+    // scale at 100 TB
+    graft.operators.OccCommitLog.checkpoint(fs, logDir)
+    graft.operators.OccCommitLog.cleanLog(fs, logDir)
     // read back: density asserted inside read(); the commit SET must
     // be exactly what the three writers published
     val log = graft.operators.OccCommitLog.readTriples(fs, logDir)

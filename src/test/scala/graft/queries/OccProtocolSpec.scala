@@ -90,6 +90,74 @@ class OccProtocolSpec extends AnyFunSuite {
       "the losing claim must not alter the committed body")
   }
 
+  test("checkpoint + cleanLog: the compacted log reads identically, files bounded") {
+    val root = freshRoot("occspec5")
+    val logDir = s"$root/log"
+    val hfs = fs(root)
+    (0 until 30).foreach(i =>
+      OccCommitLog.commit(hfs, logDir, "segment", s"$root/art/p$i"))
+    val whole = OccCommitLog.read(hfs, logDir)
+    assert(OccCommitLog.checkpoint(hfs, logDir) == Some(29))
+    // cleanup expires exactly the folded files; the read is unchanged
+    assert(OccCommitLog.cleanLog(hfs, logDir) == (0 until 30))
+    assert(!fs(root).exists(new Path(f"$logDir/${0}%08d.commit")),
+      "a folded commit file must be physically gone after cleanLog")
+    assert(OccCommitLog.read(hfs, logDir) == whole,
+      "reading through the checkpoint must be lossless")
+    // commits keep landing AFTER the checkpoint at the right versions
+    assert(OccCommitLog.commit(hfs, logDir, "segment", s"$root/art/p30") == 30)
+    assert(OccCommitLog.read(hfs, logDir).size == 31)
+    // a second checkpoint folds the tail; cleanup expires only the new file
+    assert(OccCommitLog.checkpoint(hfs, logDir) == Some(30))
+    assert(OccCommitLog.cleanLog(hfs, logDir) == Seq(30))
+    assert(OccCommitLog.read(hfs, logDir).size == 31)
+    // idempotence
+    assert(OccCommitLog.cleanLog(hfs, logDir).isEmpty)
+    // the directory now holds two checkpoint files and zero commit
+    // files — the listing is bounded however long history grows
+    val names = fs(root).listStatus(new Path(logDir))
+      .map(_.getPath.getName).toSeq
+    assert(names.count(_.endsWith(".commit")) == 0 &&
+      names.count(_.endsWith(".checkpoint")) == 2, s"log dir: $names")
+  }
+
+  test("checkpoint races a writer: reads stay lossless throughout") {
+    val root = freshRoot("occspec6")
+    val logDir = s"$root/log"
+    val hfs = fs(root)
+    OccCommitLog.commit(hfs, logDir, "segment", s"$root/art/seed")
+    @volatile var writerDone = false
+    race(Seq(
+      () => {
+        (0 until 25).foreach { i =>
+          OccCommitLog.commit(hfs, logDir, "segment", s"$root/art/w$i")
+          Thread.sleep(5)
+        }
+        writerDone = true
+      },
+      // the maintenance loop: checkpoint + expire, repeatedly, while
+      // commits land — readers must never see a torn or shrunken log
+      () => {
+        while (!writerDone) {
+          OccCommitLog.checkpoint(hfs, logDir)
+          OccCommitLog.cleanLog(hfs, logDir)
+          Thread.sleep(10)
+        }
+      },
+      () => {
+        var last = 0
+        while (!writerDone) {
+          val n = OccCommitLog.read(hfs, logDir).size
+          assert(n >= last, s"a read went BACKWARDS: $last -> $n")
+          last = n
+          Thread.sleep(5)
+        }
+      },
+    ))
+    assert(OccCommitLog.read(hfs, logDir).size == 26,
+      "commits lost under the checkpoint race")
+  }
+
   test("vacuum ownership guard: separator-checked, sibling prefixes are foreign") {
     val root = freshRoot("occspec3")
     val hfs = fs(root)
