@@ -455,6 +455,15 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
       logStage: String, v: Int): DataFrame = {
     val (layout, tombs) = PipelineQueries.resolveAsOf(
       PipelineQueries.readCommitLog(spark, logStage), v, logStage)
+    kwServeSnapshot(spark, dir, layout, tombs)
+  }
+
+  /** The keyword serve over one RESOLVED snapshot — (layout, pending
+    * tombstone lists) however they were resolved: from a shared log
+    * (a40), an owned log (p28), or a replica's shipped artifacts
+    * (s38). Tombstones apply merge-on-read, stats frozen. */
+  private[queries] def kwServeSnapshot(spark: SparkSession, dir: String,
+      layout: String, tombs: Seq[String]): DataFrame = {
     val postings = tombs.foldLeft(spark.read.parquet(s"$layout/postings")) {
       (p, t) => p.join(broadcast(spark.read.parquet(t)), Seq("doc_id"), "left_anti")
     }
@@ -545,6 +554,14 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
       logStage: String, v: Int): DataFrame = {
     val (layout, tombs) = PipelineQueries.resolveAsOf(
       PipelineQueries.readCommitLog(spark, logStage), v, logStage)
+    pqServeSnapshot(spark, dir, layout, tombs)
+  }
+
+  /** The vector serve over one RESOLVED snapshot — the ADC +
+    * exact-re-rank tail with the FROZEN a12 codebooks, shared by the
+    * as-of serves (a41/p30) and the replica consumer (s40). */
+  private[queries] def pqServeSnapshot(spark: SparkSession, dir: String,
+      layout: String, tombs: Seq[String]): DataFrame = {
     val codes = tombs.foldLeft(spark.read.parquet(layout)) { (c, t) =>
       c.join(broadcast(spark.read.parquet(t)), Seq("vec_id"), "left_anti")
     }
@@ -876,21 +893,31 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     * changed bytes, never the whole index, and a feed read itself
     * plans ZERO index bytes. Unknown commit kinds fail loudly (p29's
     * rule). */
-  def a40IndexChangesBetween(spark: SparkSession, dir: String,
+  private def indexChangesFromLog(spark: SparkSession, logStage: String,
       from: Int, to: Int): DataFrame = {
     import spark.implicits._
-    val stage = stageA40CommitLog(spark, dir)
-    PipelineQueries.readCommitLog(spark, stage)
+    PipelineQueries.readCommitLog(spark, logStage)
       .filter(c => c._1 > from && c._1 <= to).sortBy(_._1)
       .map {
         case (v, "layout", p) => (v, "replace", p)
         case (v, "tombstones", p) => (v, "delete", p)
         case (v, kind, _) => throw new IllegalArgumentException(
-          s"a40 feed: unknown commit kind '$kind' at version $v — " +
-            "the index change feed understands layout/tombstones only")
+          s"index feed: unknown commit kind '$kind' at version $v in " +
+            s"$logStage — the change feed understands layout/tombstones only")
       }
       .toDF("version", "kind", "path")
   }
+
+  def a40IndexChangesBetween(spark: SparkSession, dir: String,
+      from: Int, to: Int): DataFrame =
+    indexChangesFromLog(spark, stageA40CommitLog(spark, dir), from, to)
+
+  /** The same feed off the VECTOR log — the mapping is one shared
+    * function of the (version, kind, path) triples, so the feed is
+    * channel-agnostic by construction, not by parallel code. */
+  def a41IndexChangesBetween(spark: SparkSession, dir: String,
+      from: Int, to: Int): DataFrame =
+    indexChangesFromLog(spark, stageA41VecCommitLog(spark, dir), from, to)
 
   /** This family's slice of the oracle-SQL map: only the keyword cycle
     * needs new SQL — its delete-applying merge RE-STATS, so the oracle

@@ -486,19 +486,21 @@ private[queries] trait StreamingLifecycleFamily { this: StreamingQueries.type =>
     * claim: the replica's storage holds only artifacts the feed's
     * range named — consuming changes after v0 never copies v0's
     * layout. */
-  def s38StreamIndexReplica(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Paths.get(PipelineQueries.staging("s38", dir))
+  /** The segment-shipping replica consumer s38/s40 share: stage the
+    * feed one file per commit, stream it with arbitrary admission
+    * order, copy each event's named artifact into version-keyed
+    * replica storage (a checkpoint-replayed batch re-copies the same
+    * paths idempotently), then RESOLVE the replica with the source
+    * log's own as-of rule and hand (layoutPath, tombstonePaths) to the
+    * channel's snapshot serve. `stageFeed(staged)` writes the feed
+    * files (runs under stageOnce); `serve` is the channel half. */
+  private[queries] def streamedIndexReplica(spark: SparkSession, dir: String,
+      tag: String)(stageFeed: String => Unit)(
+      serve: (String, Seq[String]) => DataFrame): DataFrame = {
+    val root = java.nio.file.Paths.get(PipelineQueries.staging(tag, dir))
     val staged = root.resolve("in")
-    // dependency revalidation OUTSIDE the marker check (a40's rule):
-    // the staged feed ships PATHS into the a40 stage, so a surviving
-    // s38in marker must not outlive the artifacts those paths name
-    // (both build-if-missing — warm cost is marker stats)
-    AnalyticsQueries.a40CommitLogStage(spark, dir)
-    stageOnce("s38in", dir, Seq(staged.toString)) {
-      (0 to 3).foreach { v =>
-        AnalyticsQueries.a40IndexChangesBetween(spark, dir, v - 1, v)
-          .coalesce(1).write.mode("overwrite").parquet(s"$staged/v$v")
-      }
+    stageOnce(s"${tag}in", dir, Seq(staged.toString)) {
+      stageFeed(staged.toString)
     }
     val state = root.resolve("state").toString
     val hfs = new org.apache.hadoop.fs.Path(state)
@@ -519,7 +521,7 @@ private[queries] trait StreamingLifecycleFamily { this: StreamingQueries.type =>
               case "replace" => s"layout_v$v"
               case "delete"  => s"tomb_v$v"
               case other => throw new IllegalArgumentException(
-                s"s38 replica: unknown feed event kind '$other' at v$v")
+                s"$tag replica: unknown feed event kind '$other' at v$v")
             }
             val dst = new org.apache.hadoop.fs.Path(s"$state/$dstName")
             hfs.delete(dst, true) // replay rewrites its own copy
@@ -541,13 +543,47 @@ private[queries] trait StreamingLifecycleFamily { this: StreamingQueries.type =>
       }
     val head = triples.map(_._1).max
     val (layout, tombs) = PipelineQueries.resolveAsOf(triples, head, state)
-    val postings = tombs.foldLeft(spark.read.parquet(s"$layout/postings")) {
-      (p, t) => p.join(broadcast(spark.read.parquet(t)), Seq("doc_id"), "left_anti")
+    serve(layout, tombs)
+  }
+
+  def s38StreamIndexReplica(spark: SparkSession, dir: String): DataFrame = {
+    // dependency revalidation OUTSIDE the marker check (a40's rule):
+    // the staged feed ships PATHS into the a40 stage, so a surviving
+    // s38in marker must not outlive the artifacts those paths name
+    // (both build-if-missing — warm cost is marker stats)
+    AnalyticsQueries.a40CommitLogStage(spark, dir)
+    streamedIndexReplica(spark, dir, "s38") { staged =>
+      (0 to 3).foreach { v =>
+        AnalyticsQueries.a40IndexChangesBetween(spark, dir, v - 1, v)
+          .coalesce(1).write.mode("overwrite").parquet(s"$staged/v$v")
+      }
+    } { (layout, tombs) =>
+      AnalyticsQueries.kwServeSnapshot(spark, dir, layout, tombs)
     }
-    AnalyticsQueries.kwPrunedSearch(spark, dir,
-      spark.read.parquet(s"$layout/terms")
-        .select(col("term"), col("term_id"), col("df")),
-      postings)
+  }
+
+  /** s40 — s38's replica consumer on the VECTOR channel, proving
+    * segment shipping is channel-agnostic the way a41 proved as-of
+    * serving and p30 proved reclaim: the SAME feed mapping
+    * ([[AnalyticsQueries.a41IndexChangesBetween]] — one shared
+    * function of the log triples), the SAME consumer machinery
+    * ([[streamedIndexReplica]] — one shared body), only the snapshot
+    * serve differs (the ADC + exact-re-rank tail through the frozen
+    * a12 codebooks, which are serving state the feed never ships).
+    * Resolved at head ≡ the a39 purged table, gated by a16's ORACLE —
+    * the replica's admission order, like every other arrival shape on
+    * this channel, leaves no trace in what it serves. */
+  def s40StreamVectorReplica(spark: SparkSession, dir: String): DataFrame = {
+    // dependency revalidation outside the marker check (a40's rule)
+    AnalyticsQueries.stageA41VecCommitLog(spark, dir)
+    streamedIndexReplica(spark, dir, "s40") { staged =>
+      (0 to 3).foreach { v =>
+        AnalyticsQueries.a41IndexChangesBetween(spark, dir, v - 1, v)
+          .coalesce(1).write.mode("overwrite").parquet(s"$staged/v$v")
+      }
+    } { (layout, tombs) =>
+      AnalyticsQueries.pqServeSnapshot(spark, dir, layout, tombs)
+    }
   }
 
   /** s39 — the POLICY-TRIGGERED compaction daemon on the TOKEN

@@ -28,6 +28,7 @@ object StreamingQueries
     with StreamingServeFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s40_stream_vector_replica" -> s40StreamVectorReplica _,
     "s39_stream_token_policy_compaction" -> s39StreamTokenPolicyCompaction _,
     "s38_stream_index_replica" -> s38StreamIndexReplica _,
     "s37_stream_cdc_replica" -> s37StreamCdcReplica _,
@@ -132,6 +133,12 @@ object StreamingQueries
     // leave no trace in what the replica serves
     "s38_stream_index_replica" ->
       AnalyticsQueries.oracleSql("a37_keyword_lifecycle"),
+    // the vector replica resolved at head must serve the a39 purged
+    // table exactly — a16's oracle, the same hash pinning a16/a39/s34
+    // and p30: one more arrival shape under one answer, the frozen
+    // codebooks never shipped because serving state is not epoch state
+    "s40_stream_vector_replica" ->
+      AnalyticsQueries.oracleSql("a16_tombstone_search"),
     // the token-channel daemon: policy-scheduled layout merges inside
     // the stream must serve a29's shortlist re-rank exactly as the
     // monolithic table does — a29's oracle, the same hash that already

@@ -227,6 +227,28 @@ class TimeTravelSpec extends AnyFunSuite {
       s"replica storage must hold exactly the shipped artifacts: $entries")
   }
 
+  test("s40: the vector replica owns exactly the shipped artifacts, serves ≡ the source head") {
+    val replica = StreamingQueries
+      .queries("s40_stream_vector_replica")(spark, dir)
+      .collect().map(_.toString).toSeq
+    val source = AnalyticsQueries.a41ServeAsOf(spark, dir, 3)
+      .collect().map(_.toString).toSeq
+    assert(replica == source,
+      "the streamed vector replica drifted from the a41 head serve")
+    val state = java.nio.file.Paths.get(
+      PipelineQueries.staging("s40", dir)).resolve("state").toString
+    val entries = fs(state).listStatus(new Path(state))
+      .map(_.getPath.getName).toSet
+    assert(entries == Set("layout_v0", "layout_v1", "tomb_v2", "layout_v3"),
+      s"vector replica storage must hold exactly the shipped artifacts: $entries")
+    // the in-range rule is the same shared function on this channel:
+    // a (0,3] feed must not name the v0 base codes
+    val rows = AnalyticsQueries.a41IndexChangesBetween(spark, dir, 0, 3).collect()
+    assert(rows.length == 3 &&
+      !rows.exists(_.getAs[String]("path").contains("graft_a12pq_")),
+      s"the (0,3] vector feed leaked the v0 base: ${rows.toSeq}")
+  }
+
   test("p28: vacuum REFUSES a log whose artifacts it does not own") {
     // the a40 shared log names live lifecycle stages other queries
     // serve from — deleting those would be cross-query corruption
