@@ -115,6 +115,24 @@ class LifecycleCycleSpec extends AnyFunSuite {
     assert(serve == AnalyticsQueries.a19KeywordSearchPrebuilt(spark, dir).collect().toSeq)
   }
 
+  test("s39: the token daemon's policy fired mid-stream and landed the full table") {
+    // s36's pin on the token channel: the policy must have fired TWICE
+    // inside the stream, and the final generation must hold exactly
+    // the monolithic a28 token table — a merge here is a pure layout
+    // rewrite, so the daemon's schedule can leave no trace at all
+    val serve = StreamingQueries.s39StreamTokenPolicyCompaction(spark, dir)
+      .collect().toSeq
+    val root = PipelineQueries.staging("s39m", dir)
+    val meta = spark.read.parquet(s"$root/meta").head
+    assert(meta.getAs[Int]("n_merges") == 2,
+      s"expected the policy to fire twice mid-stream, got ${meta.getAs[Int]("n_merges")}")
+    val full = AnalyticsQueries.tokenHashStage(spark, dir)
+    assert(sortedRows(spark.read.parquet(s"$root/gen2")) ==
+      sortedRows(spark.read.parquet(s"$full/tokens")),
+      "policy-compacted token table drifted from the monolithic build")
+    assert(serve == AnalyticsQueries.a29MaxSimServed(spark, dir).collect().toSeq)
+  }
+
   test("a38: twice-merged token table == fresh survivor build; serve == one-shot a34") {
     import spark.implicits._
     val cycle = AnalyticsQueries.a38TokenCycleStage(spark, dir)
