@@ -212,9 +212,8 @@ class TimeTravelSpec extends AnyFunSuite {
   }
 
   test("s38: the replica owns exactly the artifacts the feed named, and serves ≡ the source head") {
-    val replica = StreamingQueries
-      .queries("s38_stream_index_replica")(spark, dir)
-      .collect().map(_.toString).toSeq
+    val df = StreamingQueries.queries("s38_stream_index_replica")(spark, dir)
+    val replica = df.collect().map(_.toString).toSeq
     val source = AnalyticsQueries.a40ServeAsOf(spark, dir, 3)
       .collect().map(_.toString).toSeq
     assert(replica == source,
@@ -225,16 +224,33 @@ class TimeTravelSpec extends AnyFunSuite {
       .map(_.getPath.getName).toSet
     assert(entries == Set("layout_v0", "layout_v1", "tomb_v2", "layout_v3"),
       s"replica storage must hold exactly the shipped artifacts: $entries")
+    // serve isolation: the replica serves from ITS OWN storage — no
+    // plan file may reach back into the source lifecycle stages (that
+    // would make "replica" a label, not a fact)
+    val indexFiles = df.inputFiles.toSeq
+      .filterNot(_.contains("documents.parquet")) // external query text
+    assert(indexFiles.nonEmpty &&
+      indexFiles.forall(_.contains("graft_s38_")),
+      s"the replica serve planned source-side files: " +
+        s"${indexFiles.filterNot(_.contains("graft_s38_"))}")
   }
 
   test("s40: the vector replica owns exactly the shipped artifacts, serves ≡ the source head") {
-    val replica = StreamingQueries
-      .queries("s40_stream_vector_replica")(spark, dir)
-      .collect().map(_.toString).toSeq
+    val df = StreamingQueries.queries("s40_stream_vector_replica")(spark, dir)
+    val replica = df.collect().map(_.toString).toSeq
     val source = AnalyticsQueries.a41ServeAsOf(spark, dir, 3)
       .collect().map(_.toString).toSeq
     assert(replica == source,
       "the streamed vector replica drifted from the a41 head serve")
+    // serve isolation: code rows come from replica storage only; the
+    // a12 stage legitimately appears for the frozen codebooks + meta
+    // (serving state the feed never ships) and the external queries
+    val codeFiles = df.inputFiles.toSeq.filterNot(f =>
+      f.contains("embeddings.parquet") ||
+        (f.contains("graft_a12pq_") && !f.contains("/codes/")))
+    assert(codeFiles.nonEmpty && codeFiles.forall(_.contains("graft_s40_")),
+      s"the vector replica serve planned source-side code files: " +
+        s"${codeFiles.filterNot(_.contains("graft_s40_"))}")
     val state = java.nio.file.Paths.get(
       PipelineQueries.staging("s40", dir)).resolve("state").toString
     val entries = fs(state).listStatus(new Path(state))
