@@ -181,6 +181,7 @@ object AnalyticsQueries
     "p28_index_vacuum"  -> p28IndexVacuum _,
     "p30_vector_vacuum" -> p30VectorVacuum _,
     "p31_concurrent_commits" -> p31ConcurrentCommits _,
+    "p32_occ_maintained_index" -> p32OccMaintainedIndex _,
     "m13_image_lifecycle" -> m13ImageLifecycle _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
@@ -286,5 +287,10 @@ object AnalyticsQueries
     // the delete-applying re-stat over what the log names must be a
     // fresh build over the survivors — a37's oracle, arbitration
     // leaving no trace in the index
-    ("p31_concurrent_commits" -> oracleSqlBase("a37_keyword_lifecycle"))
+    ("p31_concurrent_commits" -> oracleSqlBase("a37_keyword_lifecycle")) +
+    // the maintained OCC log: writer, vacuum, and checkpoint racing on
+    // one log of real artifacts must leave the head serve exactly the
+    // twice-merged survivor index — maintenance is invisible in the
+    // present, a37's oracle once more
+    ("p32_occ_maintained_index" -> oracleSqlBase("a37_keyword_lifecycle"))
 }

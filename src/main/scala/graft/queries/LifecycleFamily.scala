@@ -881,6 +881,86 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
       spark.read.parquet(s"$root/merged/postings"))
   }
 
+  /** p32 — the MAINTAINED OCC index log: the production triangle
+    * (ingest writer, retention vacuum, checkpoint compaction) run
+    * concurrently over REAL index artifacts, then served through what
+    * survives. The four keyword epochs are first COPIED into log-owned
+    * storage (p28's ownership model — arbitration and reclaim may only
+    * ever touch owned bytes), then one thread commits them in order
+    * through [[graft.operators.OccCommitLog]] while a maintenance
+    * thread RACES retention vacuum (keep the newest layout),
+    * checkpoint, and log cleanup against the arriving history — the
+    * schedule every deployment actually runs, arbitrated by nothing
+    * but the put-if-absent protocol. After the race settles: history
+    * is still enumerable (from the checkpoint — the commit files may
+    * be expired), superseded epochs are physically gone, and the as-of
+    * head serve over the one surviving layout must be EXACTLY the
+    * twice-merged survivor index — a37's oracle, maintenance leaving
+    * no trace in the present. p31 gates arbitration alone;
+    * OccProtocolSpec drives the adversarial schedules; this key is the
+    * composition on real postings. */
+  def p32OccMaintainedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val root = PipelineQueries.staging("p32occ", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(rootPath, true) // per-run: the race is the subject
+    val logDir = s"$root/log"
+    // own the epochs BEFORE any commit names them (a commit names a
+    // fully landed artifact — the staging discipline)
+    val cyc = stageA37KwCycle(spark, dir)
+    val base = stageA20CorpusKwIndex(spark, dir)
+    def ownLayout(srcRoot: String, name: String): String = {
+      PipelineQueries.copyDir(spark, s"$srcRoot/terms", s"$root/$name/terms")
+      PipelineQueries.copyDir(spark, s"$srcRoot/postings", s"$root/$name/postings")
+      s"$root/$name"
+    }
+    val commits = Seq(
+      ("layout", ownLayout(base, "v0")),
+      ("layout", ownLayout(s"$cyc/gen1", "v1")),
+      ("tombstones",
+        PipelineQueries.copyDir(spark, s"$cyc/tombstones", s"$root/tomb2")),
+      ("layout", ownLayout(cyc, "v3")))
+    @volatile var writerDone = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val occ = graft.operators.OccCommitLog
+    val threads = Seq(
+      // the ingest writer: one epoch after another
+      new Thread(() => try {
+        commits.foreach { case (kind, path) =>
+          occ.commit(fs, logDir, kind, path); Thread.sleep(20)
+        }
+        writerDone = true
+      } catch { case t: Throwable => failures.add(t); writerDone = true }),
+      // the maintenance daemon: vacuum + checkpoint + log cleanup,
+      // racing the writer on the same log
+      new Thread(() => try {
+        while (!writerDone) {
+          occ.vacuum(fs, logDir, root, retainLayouts = 1)
+          occ.checkpoint(fs, logDir)
+          occ.cleanLog(fs, logDir)
+          Thread.sleep(12)
+        }
+      } catch { case t: Throwable => failures.add(t) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
+    // the post-drain maintenance pass (what a daemon does at shutdown)
+    occ.vacuum(fs, logDir, root, retainLayouts = 1)
+    occ.checkpoint(fs, logDir)
+    occ.cleanLog(fs, logDir)
+    // history: all four commits enumerable (the checkpoint carries any
+    // expired files); storage: only the head layout survives
+    val log = occ.readTriples(fs, logDir)
+    require(log.map(_._1) == Seq(0, 1, 2, 3),
+      s"maintenance lost history: $log")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v0")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1")),
+      "retention vacuum must have reclaimed the superseded epochs")
+    val (layout, tombs) = PipelineQueries.resolveAsOf(log, 3, logDir)
+    require(tombs.isEmpty,
+      "the head layout is delete-applying — no tombstones may be pending")
+    kwServeSnapshot(spark, dir, layout, tombs)
+  }
+
   /** The a40 index-log CHANGE FEED reader (p29's contract lifted from
     * the doc table's log to the INDEX's): every commit in `(from, to]`
     * as an epoch-granularity event — layout commits become `replace`
