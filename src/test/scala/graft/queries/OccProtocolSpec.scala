@@ -158,6 +158,25 @@ class OccProtocolSpec extends AnyFunSuite {
       "commits lost under the checkpoint race")
   }
 
+  test("a writer crash mid-publish leaves no observable commit") {
+    // the crash window: a writer dies after writing its temp file but
+    // before the claim — the orphaned temp must be invisible to
+    // readers, and the version it was about to claim stays claimable
+    val root = freshRoot("occspec7")
+    val logDir = s"$root/log"
+    val hfs = fs(root)
+    OccCommitLog.commit(hfs, logDir, "segment", s"$root/art/p0")
+    val orphan = new Path(logDir, ".tmp-crashed-writer")
+    val out = hfs.create(orphan, false)
+    try out.write("segment\tnever-committed\n".getBytes("UTF-8"))
+    finally out.close()
+    assert(OccCommitLog.read(hfs, logDir).map(_.path) == Seq(s"$root/art/p0"),
+      "an orphaned temp file must be invisible to readers")
+    // the next commit claims version 1 as if the crash never happened
+    assert(OccCommitLog.commit(hfs, logDir, "segment", s"$root/art/p1") == 1)
+    assert(OccCommitLog.read(hfs, logDir).size == 2)
+  }
+
   test("vacuum ownership guard: separator-checked, sibling prefixes are foreign") {
     val root = freshRoot("occspec3")
     val hfs = fs(root)
