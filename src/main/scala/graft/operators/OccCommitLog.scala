@@ -16,8 +16,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * ONE table. Here the log directory itself is the arbiter:
   *
   *   - a commit is ONE file named `%08d.commit` whose content is the
-  *     commit body (kind TAB path) — versions are dense integers, so
-  *     the committed prefix is always contiguous and "the table at
+  *     commit body (kind TAB path, plus an optional writer-transaction
+  *     identity — see below) — versions are dense integers, so the
+  *     committed prefix is always contiguous and "the table at
   *     version v" is well-defined;
   *   - a writer claims version v by publishing the file atomically
   *     if-absent: exactly one contender wins, losers get a conflict
@@ -27,28 +28,63 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     which is Delta's conflict-resolution layer, not needed by any
   *     caller here);
   *   - readers LIST the directory and parse names — a metadata-scale
-  *     operation, one file per commit, no data bytes.
+  *     operation, one file per commit, no data bytes;
+  *   - a commit may carry a WRITER-TRANSACTION identity `(appId,
+  *     txnVersion)` — Delta's `txn` (SetTransaction) action, the
+  *     exactly-once contract for checkpoint-replayed streaming
+  *     writers: a writer that already committed `(app, v)` and is
+  *     replayed from its checkpoint finds its own txn in the log and
+  *     SKIPS instead of double-committing. This is the one idempotence
+  *     mechanism production has; the repo's batch-id-keyed landing
+  *     ledgers are the file-level half of the same discipline.
   *
-  * The put-if-absent primitive per filesystem: on HDFS-like stores the
-  * content is written to a hidden temp file and `rename`d — HDFS
-  * rename is atomic in the namespace and FAILS when the destination
-  * exists, which is exactly the claim semantics. On `file:` the local
+  * The put-if-absent primitive per filesystem: on `file:` the local
   * rename(2) would silently OVERWRITE, so the claim is a hard
   * `Files.createLink` instead — POSIX link(2) is atomic and fails
-  * with EEXIST, giving the same one-winner guarantee with the content
-  * already fully present at publish time (readers never observe a
-  * partial commit on either path). S3-style stores without
-  * put-if-absent need an external coordination service (Delta's
-  * LogStore); that boundary is documented, not papered over. */
+  * with EEXIST, giving the one-winner guarantee with the content
+  * already fully present at publish time. On HDFS-like stores the
+  * content is written to a hidden temp file and `rename`d — atomic in
+  * the namespace and FAILING when the destination exists, which is
+  * exactly the claim semantics; that holds only for an ALLOWLIST of
+  * schemes (hdfs/viewfs/webhdfs). On everything else — S3-style
+  * object stores, where rename is copy+delete and silently REPLACES
+  * the destination, so two racing writers would both "win" — the
+  * publish throws UnsupportedOperationException instead of silently
+  * degrading: those stores need an external put-if-absent service
+  * (Delta's LogStore boundary), documented, not papered over. */
 object OccCommitLog {
 
   /** One committed log entry. `kind` and `path` carry the same
     * layout/tombstones vocabulary as the parquet logs, so
-    * [[graft.queries.PipelineQueries.resolveAsOf]] applies unchanged. */
-  final case class Commit(version: Int, kind: String, path: String)
+    * [[graft.queries.PipelineQueries.resolveAsOf]] applies unchanged.
+    * `txnApp`/`txnVersion`, when present, are the committing writer's
+    * transaction identity (Delta's `txn` action): the log remembers
+    * the highest txnVersion each appId has applied, and a replayed
+    * commit at or below it is skipped. */
+  final case class Commit(version: Int, kind: String, path: String,
+      txnApp: Option[String] = None, txnVersion: Option[Long] = None)
 
   private def commitFile(logDir: String, v: Int): Path =
     new Path(logDir, f"$v%08d.commit")
+
+  /** Commit body serialization: `kind TAB path [TAB app TAB txnVer]`.
+    * One line; tabs are the field separator, so neither kind, path,
+    * nor app may contain them (enforced at publish). */
+  private def body(kind: String, path: String,
+      txn: Option[(String, Long)]): String =
+    txn match {
+      case Some((app, v)) => s"$kind\t$path\t$app\t$v\n"
+      case None           => s"$kind\t$path\n"
+    }
+
+  private def parseBody(v: Int, line: String): Commit =
+    line.split("\t") match {
+      case Array(kind, path)         => Commit(v, kind, path)
+      case Array(kind, path, app, t) =>
+        Commit(v, kind, path, Some(app), Some(t.toLong))
+      case other => throw new IllegalStateException(
+        s"unparseable commit body at version $v: ${other.mkString("|")}")
+    }
 
   /** The committed log, parsed from the directory listing: one read
     * per commit FILE (bytes: one line each), no data bytes. Returns
@@ -56,17 +92,16 @@ object OccCommitLog {
     * (version v is only ever claimed after v−1 is visible), but a
     * LISTING taken while a publish lands can transiently surface v
     * without v−1 (directory iteration order is not insertion order),
-    * so a gap triggers a bounded re-list before it is treated as the
-    * corruption it would then actually be. */
+    * so a gap triggers a bounded re-list — exponential backoff up to
+    * ~1 s total, wide enough that a GC pause or a slow filesystem
+    * during a concurrent publish/cleanup cannot make a healthy reader
+    * call corruption — before it is treated as the corruption it
+    * would then actually be. */
   def read(fs: FileSystem, logDir: String): Seq[Commit] = {
     def slurp(p: Path): String = {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    }
-    def parseLine(line: String): Commit = {
-      val Array(v, kind, path) = line.split("\t", 3)
-      Commit(v.toInt, kind, path)
     }
     def listOnce(): Seq[Commit] = {
       val dir = new Path(logDir)
@@ -81,7 +116,10 @@ object OccCommitLog {
         .map(_.stripSuffix(".checkpoint").toInt)
       val base = cpVersions.maxOption.toSeq.flatMap { cv =>
         slurp(new Path(logDir, f"$cv%08d.checkpoint"))
-          .split("\n").toSeq.filter(_.nonEmpty).map(parseLine)
+          .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+            val Array(v, rest) = line.split("\t", 2)
+            parseBody(v.toInt, rest)
+          }
       }
       val cpHead = base.map(_.version).maxOption.getOrElse(-1)
       val tail = entries
@@ -89,25 +127,25 @@ object OccCommitLog {
           st.getPath.getName.stripSuffix(".commit").toInt > cpHead)
         .map { st =>
           val v = st.getPath.getName.stripSuffix(".commit").toInt
-          val Array(kind, path) = slurp(st.getPath).split("\t", 2)
-          Commit(v, kind, path)
+          parseBody(v, slurp(st.getPath))
         }
       (base ++ tail).sortBy(_.version)
     }
     // a listing can race a concurrent publish (gap) or a concurrent
     // cleanLog (a listed commit file deleted before it is opened —
-    // surfacing as FileNotFound); both are transient — bounded re-list
-    // before calling corruption. An empty log is a fresh log.
+    // surfacing as FileNotFound); both are transient — backed-off
+    // re-list before calling corruption. An empty log is a fresh log.
     def listTolerant(): Option[Seq[Commit]] =
       try Some(listOnce())
       catch { case _: java.io.FileNotFoundException => None }
     def dense(cs: Seq[Commit]): Boolean =
       cs.zipWithIndex.forall { case (c, i) => c.version == i }
     var commits = listTolerant()
-    var relists = 0
-    while (!commits.exists(dense) && relists < 5) {
-      Thread.sleep(2) // let the in-flight publish/cleanup settle
-      commits = listTolerant(); relists += 1
+    var backoffMs = 2L
+    while (!commits.exists(dense) && backoffMs <= 512L) {
+      Thread.sleep(backoffMs) // let the in-flight publish/cleanup settle
+      backoffMs *= 2 // 2,4,…,512 ms ≈ 1 s total budget
+      commits = listTolerant()
     }
     val out = commits.getOrElse(
       throw new IllegalStateException(
@@ -123,14 +161,47 @@ object OccCommitLog {
   def readTriples(fs: FileSystem, logDir: String): Seq[(Int, String, String)] =
     read(fs, logDir).map(c => (c.version, c.kind, c.path))
 
+  /** The highest txnVersion `appId` has committed to this log, if any
+    * — what a checkpoint-replayed writer consults to skip work it
+    * already published (Delta's `txn` readback). */
+  def txnVersion(fs: FileSystem, logDir: String, appId: String): Option[Long] =
+    txnVersionIn(read(fs, logDir), appId)
+
+  private def txnVersionIn(log: Seq[Commit], appId: String): Option[Long] =
+    log.filter(_.txnApp.contains(appId)).flatMap(_.txnVersion).maxOption
+
+  /** Schemes whose `FileSystem.rename` is atomic in the namespace AND
+    * fails when the destination exists — the two properties the claim
+    * needs. Object stores (s3a/gcs/abfs/…) have neither: rename is a
+    * copy that silently replaces, so two racing writers would both
+    * "win" and the later one would overwrite the earlier commit — the
+    * exact failure the protocol exists to prevent. Those need an
+    * external put-if-absent service (Delta's LogStore boundary). */
+  private val AtomicRenameSchemes = Set("hdfs", "viewfs", "webhdfs")
+
   /** The atomic PUT-IF-ABSENT publish both file kinds share: write the
     * full content to a hidden temp, then claim the destination name —
     * exactly one contender wins, and on both filesystem paths the
     * content is durable before the claim becomes visible (rename
     * publishes a fully written temp file; link publishes a fully
-    * written inode), so readers never observe a partial file. */
+    * written inode), so readers never observe a partial file. Throws
+    * UnsupportedOperationException on filesystems with no atomic
+    * fail-if-present primitive rather than silently degrading. */
   private def putIfAbsent(fs: FileSystem, logDir: String, dst: Path,
       content: String): Boolean = {
+    // qualify ONCE and derive both the scheme branch and the local
+    // paths from it, so a relative logDir resolves against the Hadoop
+    // working directory, never the JVM cwd
+    val qualified = fs.makeQualified(dst)
+    val scheme = qualified.toUri.getScheme
+    val isLocal = scheme == null || scheme == "file"
+    if (!isLocal && !AtomicRenameSchemes.contains(scheme))
+      throw new UnsupportedOperationException(
+        s"commit log on scheme '$scheme' has no atomic put-if-absent: " +
+          "rename there overwrites an existing destination, so racing " +
+          "writers would silently lose commits — use a store with " +
+          "atomic fail-if-present rename (hdfs/viewfs/webhdfs), the " +
+          "local FS, or an external LogStore-style coordination service")
     if (fs.exists(dst)) return false // cheap pre-check; the claim below is the arbiter
     fs.mkdirs(new Path(logDir))
     val tmp = new Path(logDir,
@@ -139,14 +210,14 @@ object OccCommitLog {
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val won =
-      if ("file" == dst.toUri.getScheme || dst.toUri.getScheme == null) {
+      if (isLocal) {
         // local rename(2) overwrites — claim with link(2) instead
-        val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
+        val dstNio = java.nio.file.Paths.get(qualified.toUri.getPath)
         val tmpNio = java.nio.file.Paths.get(
           fs.makeQualified(tmp).toUri.getPath)
         try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else fs.rename(tmp, dst) // HDFS: atomic, fails if dst exists
+      } else fs.rename(tmp, dst) // allowlisted: atomic, fails if dst exists
     if (fs.exists(tmp)) fs.delete(tmp, false)
     won
   }
@@ -154,8 +225,13 @@ object OccCommitLog {
   /** One optimistic attempt to claim `version`: true iff THIS caller
     * published it. */
   def tryCommit(fs: FileSystem, logDir: String, version: Int,
-      kind: String, path: String): Boolean =
-    putIfAbsent(fs, logDir, commitFile(logDir, version), s"$kind\t$path\n")
+      kind: String, path: String,
+      txn: Option[(String, Long)] = None): Boolean = {
+    Seq(Some(kind), Some(path), txn.map(_._1)).flatten.foreach(f =>
+      require(!f.contains("\t") && !f.contains("\n"),
+        s"commit fields are one tab-separated line — '$f' breaks that"))
+    putIfAbsent(fs, logDir, commitFile(logDir, version), body(kind, path, txn))
+  }
 
   /** Commit `kind`/`path` at the log's tail, retrying on conflict: read
     * the current tail, attempt tail+1, and on losing the race re-read
@@ -163,13 +239,37 @@ object OccCommitLog {
     * appends and tombstone lists are set-valued). Returns the version
     * won. `maxAttempts` bounds pathological contention; in practice a
     * loser converges in one re-read because each conflict means
-    * somebody else MADE progress — the lock-free argument. */
+    * somebody else MADE progress — the lock-free argument.
+    *
+    * With `txn = Some((appId, txnVersion))` the commit is idempotent
+    * under replay (Delta's `txn` action): if the log already carries a
+    * commit by `appId` at txnVersion ≥ this one, the write is SKIPPED
+    * and the existing commit's version returned — the exactly-once
+    * contract for a streaming writer restarted from its checkpoint,
+    * which would otherwise re-run its foreachBatch and double-commit.
+    * The skip check runs inside the retry loop, so two racing replicas
+    * of the SAME writer collapse to one commit: the loser's re-read
+    * sees the winner's txn and skips. */
   def commit(fs: FileSystem, logDir: String, kind: String, path: String,
-      maxAttempts: Int = 1000): Int = {
+      txn: Option[(String, Long)] = None, maxAttempts: Int = 1000): Int = {
     var attempts = 0
     while (attempts < maxAttempts) {
-      val next = read(fs, logDir).lastOption.map(_.version + 1).getOrElse(0)
-      if (tryCommit(fs, logDir, next, kind, path)) return next
+      val log = read(fs, logDir)
+      val already = txn.flatMap { case (app, txnV) =>
+        val mine = log.filter(_.txnApp.contains(app))
+        // prefer the commit carrying EXACTLY this txnVersion (the
+        // replayed batch's own landing) over any newer one, so every
+        // replica of a replayed batch resolves to one version
+        mine.filter(_.txnVersion.contains(txnV)).map(_.version).maxOption
+          .orElse(mine.filter(_.txnVersion.exists(_ >= txnV))
+            .map(_.version).maxOption)
+      }
+      already match {
+        case Some(v) => return v // this writer already applied ≥ txnV
+        case None =>
+          val next = log.lastOption.map(_.version + 1).getOrElse(0)
+          if (tryCommit(fs, logDir, next, kind, path, txn)) return next
+      }
       attempts += 1
     }
     throw new IllegalStateException(
@@ -178,20 +278,23 @@ object OccCommitLog {
 
   /** CHECKPOINT the log at its current tail (Delta's `N.checkpoint`
     * compaction, public): one `%08d.checkpoint` file holding every
-    * commit ≤ the tail, so a reader's cost becomes O(commits since the
-    * last checkpoint) instead of O(all commits) — at one commit per
-    * ingest batch a year-old table's log is millions of files without
-    * this, and the DIRECTORY LISTING becomes the read bottleneck long
-    * before any data does. The checkpoint is derived data (identical
-    * content from any writer at the same version), published through
-    * the same put-if-absent primitive as commits, so concurrent
-    * checkpointers collapse to one file and a half-written checkpoint
-    * is never visible. Returns the checkpointed version, None on an
-    * empty log. */
+    * commit ≤ the tail — txn identities included, so replay dedup
+    * survives compaction — so a reader's cost becomes O(commits since
+    * the last checkpoint) instead of O(all commits) — at one commit
+    * per ingest batch a year-old table's log is millions of files
+    * without this, and the DIRECTORY LISTING becomes the read
+    * bottleneck long before any data does. The checkpoint is derived
+    * data (identical content from any writer at the same version),
+    * published through the same put-if-absent primitive as commits, so
+    * concurrent checkpointers collapse to one file and a half-written
+    * checkpoint is never visible. Returns the checkpointed version,
+    * None on an empty log. */
   def checkpoint(fs: FileSystem, logDir: String): Option[Int] = {
     val log = read(fs, logDir)
     log.lastOption.map { tail =>
-      val content = log.map(c => s"${c.version}\t${c.kind}\t${c.path}")
+      val content = log.map(c =>
+        s"${c.version}\t${body(c.kind, c.path,
+          c.txnApp.zip(c.txnVersion)).stripSuffix("\n")}")
         .mkString("", "\n", "\n")
       putIfAbsent(fs, logDir,
         new Path(logDir, f"${tail.version}%08d.checkpoint"), content)
@@ -203,9 +306,13 @@ object OccCommitLog {
     * into the newest checkpoint (Delta's log-retention expiry — the
     * knob that bounds the log's FILE COUNT the way vacuum bounds the
     * table's data bytes; history is still fully enumerable, now from
-    * the checkpoint). Commits after the newest checkpoint are never
-    * touched; a log with no checkpoint is left whole. Idempotent.
-    * Returns the versions whose files were reclaimed this call. */
+    * the checkpoint), and every SUPERSEDED checkpoint file (one older
+    * than the newest — fully subsumed by it, Delta's checkpoint
+    * expiry; without this a long-lived log accumulates O(n/interval)
+    * checkpoints of O(n) bytes each, O(n²) storage). Commits after the
+    * newest checkpoint are never touched; a log with no checkpoint is
+    * left whole. Idempotent. Returns the COMMIT versions whose files
+    * were reclaimed this call. */
   def cleanLog(fs: FileSystem, logDir: String): Seq[Int] = {
     val dir = new Path(logDir)
     if (!fs.exists(dir)) return Seq.empty
@@ -214,6 +321,13 @@ object OccCommitLog {
     val newestCp = names.filter(_.endsWith(".checkpoint"))
       .map(_.stripSuffix(".checkpoint").toInt).maxOption
     newestCp.toSeq.flatMap { cv =>
+      // superseded checkpoints first: readers that already listed an
+      // old one and race this delete re-list (FileNotFound tolerance)
+      names.filter(_.endsWith(".checkpoint"))
+        .map(_.stripSuffix(".checkpoint").toInt)
+        .filter(_ < cv)
+        .foreach(v =>
+          fs.delete(new Path(logDir, f"$v%08d.checkpoint"), false))
       names.filter(_.endsWith(".commit"))
         .map(_.stripSuffix(".commit").toInt)
         .filter(_ <= cv).sorted
@@ -233,9 +347,12 @@ object OccCommitLog {
     * file — the retention window is the contract that in-flight serves
     * finish before their epoch ages past it (Delta's
     * VACUUM-beyond-retention reasoning, in epochs instead of hours).
-    * Ownership guard as p28: every commit path must live under the
-    * log's stage, separator-checked. Idempotent. Returns reclaimed
-    * paths. */
+    * A path named by BOTH a reclaimed commit and a retained one (a
+    * layout re-published after a rollback) is LIVE and never deleted —
+    * liveness is set membership over the retained commits, not the
+    * version of the oldest commit naming the path. Ownership guard as
+    * p28: every commit path must live under the log's stage,
+    * separator-checked. Idempotent. Returns reclaimed paths. */
   def vacuum(fs: FileSystem, logDir: String, ownedRoot: String,
       retainLayouts: Int = 1): Seq[String] = {
     require(retainLayouts >= 1, "retention must keep at least the newest layout")
@@ -248,10 +365,12 @@ object OccCommitLog {
     if (layoutVersions.isEmpty) return Seq.empty
     val keepFrom = layoutVersions.sorted(Ordering[Int].reverse)
       .take(retainLayouts).last
-    log.filter(_.version < keepFrom).map(_.path).sorted.distinct.flatMap { p =>
-      val root = new Path(p)
-      if (fs.exists(root)) { fs.delete(root, true); Some(root.toString) }
-      else None
-    }
+    val live = log.filter(_.version >= keepFrom).map(_.path).toSet
+    log.filter(_.version < keepFrom).map(_.path).sorted.distinct
+      .filterNot(live).flatMap { p =>
+        val root = new Path(p)
+        if (fs.exists(root)) { fs.delete(root, true); Some(root.toString) }
+        else None
+      }
   }
 }

@@ -26,7 +26,8 @@ object AnalyticsQueries
     with PipelineLayoutFamily
     with VectorOracleSql
     with RetrievalOracleSql
-    with LifecycleFamily {
+    with LifecycleFamily
+    with OccFamily {
 
   /** DuckDB-SQL twins of the Scala/Catalyst primitives. Fold order and
     * integer arithmetic must stay in lockstep with TextFunctions /

@@ -179,10 +179,21 @@ object PipelineQueries {
     * physical reclaim safe. */
   def copyDir(spark: SparkSession, src: String, dst: String): String = {
     val conf = spark.sessionState.newHadoopConf()
+    val srcPath = new org.apache.hadoop.fs.Path(src)
     val dstPath = new org.apache.hadoop.fs.Path(dst)
     val fs = dstPath.getFileSystem(conf)
-    org.apache.hadoop.fs.FileUtil.copy(fs,
-      new org.apache.hadoop.fs.Path(src), fs, dstPath, false, conf)
+    // the feed-behind-the-retention-horizon contract, pinned as its
+    // own failure instead of whatever FileUtil.copy happens to throw:
+    // a change-feed consumer pulling an artifact that vacuum already
+    // reclaimed must fail LOUDLY at pull time — silently skipping the
+    // epoch would desynchronize the replica forever
+    if (!fs.exists(srcPath))
+      throw new IllegalStateException(
+        s"artifact $src no longer exists — it names a commit behind the " +
+          "retention horizon that vacuum already reclaimed; a consumer " +
+          "this far behind must re-seed from a current snapshot, not " +
+          "skip the epoch")
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcPath, fs, dstPath, false, conf)
     dst
   }
 

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Streaming OCC family (s41–s42) — the composition round 15 left
+  * open: a streaming lifecycle DAEMON whose every landing and merge is
+  * an [[graft.operators.OccCommitLog]] commit, and whose ONLY state is
+  * the log. s36/s39 keep the daemon's node set in driver memory and
+  * make replay safe with batch-id-keyed landing ledgers; p31/p32 drive
+  * the OCC protocol with driver threads. These keys fuse the two: the
+  * foreachBatch body derives the node set FROM the log on every batch
+  * (newest layout commit + segment commits after it), so a daemon
+  * restarted mid-drain resumes exactly where the log says it was — the
+  * actual Delta-writer shape, where recovery is a log read, not a
+  * driver-state reconstruction. Replay safety is the protocol's `txn`
+  * action (writer identity, Delta's SetTransaction): every landing
+  * commits as (`<tag>-ingest`, batchId) and every merge as
+  * (`<tag>-daemon`, generation), and the drain is followed by an
+  * explicit REPLAY of every landing commit — the log must not move, in
+  * the same run the oracle gates. One daemon body
+  * ([[occPolicyDaemon]]), two channels (keyword re-stat merges /
+  * token layout rewrites), one answer each — gated by the same a19/a29
+  * oracles that gate s36/s39, so committing through the OCC log must
+  * leave NO trace in what the daemon serves.
+  * CONVENTION: task closures (flatMapGroups/mapPartitions/...)
+  * must NOT reference trait-level vals/defs — that captures the
+  * whole facade (Task-not-serializable); hoist to a local first.
+  * foreachBatch BODIES run on the driver and may call trait
+  * helpers — but nothing they build that serializes into tasks may
+  * touch trait members. */
+private[queries] trait StreamingOccFamily { this: StreamingQueries.type =>
+
+  /** The OCC-committed policy daemon s41/s42 share: stream the corpus
+    * in four micro-batches; each batch `land`s its segment layout
+    * batch-id-keyed (file-level idempotence) and PUBLISHES it as an
+    * OCC `segment` commit with txn identity (`<tag>-ingest`, batchId —
+    * log-level idempotence, the one mechanism production has); the
+    * merge policy then runs INSIDE the stream against the LOG's node
+    * set (newest `layout` commit + `segment` commits after it — the
+    * daemon carries no driver state a restart would lose), `merge`s
+    * all current nodes into the next generation when ≥2 segments are
+    * pending, and publishes the result as a `layout` commit with txn
+    * (`<tag>-daemon`, generation). After the drain: a defensive sweep
+    * folds any remainder; every landing commit is then REPLAYED with
+    * its original txn identity — the checkpoint-recovery schedule — and
+    * the log must not move by a single version; finally the head is
+    * resolved with the shared as-of rule and handed to the channel's
+    * serve. Writes `n_merges` meta for the spec pin (the policy must
+    * fire mid-stream, not only at the sweep). Returns the head layout
+    * path. */
+  private[queries] def occPolicyDaemon(spark: SparkSession, dir: String,
+      tag: String)(input: => DataFrame)(
+      land: (DataFrame, String) => Unit)(
+      merge: (SparkSession, Seq[String], String) => Unit): String = {
+    val root = freshRunRoot(spark, dir, s"${tag}m")
+    val logDir = s"$root/log"
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val occ = graft.operators.OccCommitLog
+    // the daemon's node set, derived FROM the log: the newest layout
+    // (absent before the first merge) plus every segment committed
+    // after it — segments at or before the newest layout are already
+    // folded in (exactly resolveAsOf's layout rule, on segments)
+    def nodesOf(log: Seq[graft.operators.OccCommitLog.Commit])
+        : (Seq[String], Int) = {
+      val headV = log.filter(_.kind == "layout").map(_.version)
+        .maxOption.getOrElse(-1)
+      val head = log.find(c => c.kind == "layout" && c.version == headV)
+      val segs = log.filter(c => c.kind == "segment" && c.version > headV)
+      (head.map(_.path).toSeq ++ segs.map(_.path), segs.size)
+    }
+    def policy(sp: SparkSession, minPending: Int): Unit = {
+      val log = occ.read(hfs, logDir)
+      val (nodes, pending) = nodesOf(log)
+      if (pending >= minPending) {
+        val gen = log.count(_.kind == "layout") + 1
+        val out = s"$root/gen$gen"
+        merge(sp, nodes, out)
+        occ.commit(hfs, logDir, "layout", out,
+          txn = Some((s"$tag-daemon", gen.toLong)))
+      }
+    }
+    streamedLandings(spark, dir, tag, "segs")(input) { (batch, id, landed) =>
+      val sp = batch.sparkSession
+      val seg = s"$landed/batch=$id"
+      land(batch, seg)
+      occ.commit(hfs, logDir, "segment", seg,
+        txn = Some((s"$tag-ingest", id)))
+      // the merge policy, evaluated from the LOG after every landing
+      policy(sp, minPending = 2)
+    }
+    policy(spark, minPending = 1) // post-drain sweep (daemon shutdown)
+    // CHECKPOINT REPLAY, exercised in the gated run: re-commit every
+    // landing with its original txn identity — the restarted writer's
+    // schedule — and the log must not move (each replay resolves to
+    // the version it originally won)
+    val settled = occ.read(hfs, logDir)
+    settled.filter(_.kind == "segment").foreach { c =>
+      val replayed = occ.commit(hfs, logDir, c.kind, c.path,
+        txn = c.txnApp.zip(c.txnVersion))
+      require(replayed == c.version,
+        s"a replayed landing moved the log: v${c.version} -> v$replayed")
+    }
+    require(occ.read(hfs, logDir).size == settled.size,
+      "checkpoint replay double-committed a landing")
+    spark.range(1)
+      .select(lit(settled.count(_.kind == "layout")).as("n_merges"))
+      .write.mode("overwrite").parquet(s"$root/meta")
+    val triples = occ.readTriples(hfs, logDir)
+    val (layout, tombs) = PipelineQueries.resolveAsOf(
+      triples, triples.map(_._1).max, logDir)
+    require(tombs.isEmpty, s"$tag daemon committed no tombstones")
+    layout
+  }
+
+  /** s41 — the KEYWORD compaction daemon committing through the OCC
+    * log: s36's policy-triggered re-stat merges with every landing and
+    * merge published as a protocol commit and the node set derived
+    * from the log (see [[occPolicyDaemon]]). Per-segment stats live in
+    * each node's own meta (n — what s36 kept in driver memory), so a
+    * merge reads index bytes + one meta row per node and re-stats
+    * df/idf over the summed doc count exactly as s36 does. Serve is
+    * a19's pruned probe over the head layout resolved FROM THE LOG,
+    * hash-gated with a19's ORACLE: a fresh monolith, a driver-state
+    * daemon (s36), or a log-state daemon with txn-replayed landings —
+    * one answer. LifecycleCycleSpec pins the OCC-committed layout
+    * row-identical to s36's ledger-committed one. */
+  def s41OccKeywordDaemon(spark: SparkSession, dir: String): DataFrame = {
+    val layout = occPolicyDaemon(spark, dir, "s41")(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)) { (batch, seg) =>
+      val sp = batch.sparkSession
+      val tf = batch.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // tokenize once: n-count + layout write
+      val nSeg = tf.select(col("doc_id")).distinct().count()
+      AnalyticsQueries.writeKwLayout(sp, seg, tf, nSeg)
+      sp.range(1).select(lit(nSeg).as("n"))
+        .write.mode("overwrite").parquet(s"$seg/meta")
+    } { (sp, nodes, out) =>
+      val tf = nodes.map(AnalyticsQueries.kwRecoverTf(sp, _))
+        .reduce(_ unionByName _)
+      val n = nodes.map(p =>
+        sp.read.parquet(s"$p/meta").head.getAs[Long]("n")).sum
+      AnalyticsQueries.writeKwLayout(sp, out, tf, n)
+      sp.range(1).select(lit(n).as("n"))
+        .write.mode("overwrite").parquet(s"$out/meta")
+    }
+    AnalyticsQueries.kwPrunedSearch(spark, dir,
+      spark.read.parquet(s"$layout/terms")
+        .select(col("term"), col("term_id"), col("df")),
+      spark.read.parquet(s"$layout/postings"))
+  }
+
+  /** s42 — the TOKEN daemon committing through the OCC log: s39's
+    * pure-layout-rewrite merges (token hashes are per-doc functions —
+    * no stats, no meta, the structural contrast with s41) driven by
+    * the same log-state machinery, proving [[occPolicyDaemon]]
+    * channel-agnostic the way streamedIndexReplica proved the replica
+    * consumer: one daemon body, only `land` and `merge` differ. Serve
+    * is a29's shortlist re-rank over the head layout resolved from the
+    * log, hash-gated with a29's ORACLE — the same hash that pins a29
+    * (monolith), a32 (generational), a33 (one-shot compaction) and s39
+    * (driver-state daemon); this key adds the log-state arrival shape
+    * with txn-replayed landings. */
+  def s42OccTokenDaemon(spark: SparkSession, dir: String): DataFrame = {
+    val layout = occPolicyDaemon(spark, dir, "s42")(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)) { (batch, seg) =>
+      batch.select(col("doc_id"),
+          AnalyticsQueries.tokHashes(col("text")).as("th"))
+        .write.mode("overwrite").parquet(seg)
+    } { (sp, nodes, out) =>
+      nodes.map(p => sp.read.parquet(p)).reduce(_ unionByName _)
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(out)
+    }
+    AnalyticsQueries.maxSimRerankServed(spark, dir,
+      spark.read.parquet(layout))
+  }
+}

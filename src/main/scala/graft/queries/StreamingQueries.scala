@@ -25,9 +25,12 @@ object StreamingQueries
     extends StreamingCoreFamily
     with StreamingIngestFamily
     with StreamingLifecycleFamily
+    with StreamingOccFamily
     with StreamingServeFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s42_occ_token_daemon" -> s42OccTokenDaemon _,
+    "s41_occ_keyword_daemon" -> s41OccKeywordDaemon _,
     "s40_stream_vector_replica" -> s40StreamVectorReplica _,
     "s39_stream_token_policy_compaction" -> s39StreamTokenPolicyCompaction _,
     "s38_stream_index_replica" -> s38StreamIndexReplica _,
@@ -145,6 +148,16 @@ object StreamingQueries
     // pins a32 (generational) and a33 (one-shot compaction); the
     // daemon adds the policy-scheduled arrival shape
     "s39_stream_token_policy_compaction" ->
+      AnalyticsQueries.oracleSql("a29_maxsim_served"),
+    // the OCC-committed daemons: committing every landing and merge
+    // through the concurrency protocol — node set derived from the
+    // LOG, replay safety from the txn action, landings re-committed
+    // after the drain — must leave NO trace in what the daemon
+    // serves: the SAME oracles that gate the driver-state daemons
+    // (s36's a19 monolith, s39's a29 re-rank) gate the log-state ones
+    "s41_occ_keyword_daemon" ->
+      AnalyticsQueries.oracleSql("a19_keyword_search_prebuilt"),
+    "s42_occ_token_daemon" ->
       AnalyticsQueries.oracleSql("a29_maxsim_served"),
     // the replica after consuming the whole feed must be EXACTLY the
     // as-of-3 snapshot's membership, recomputed from the definitions:

@@ -113,12 +113,76 @@ class OccProtocolSpec extends AnyFunSuite {
     assert(OccCommitLog.read(hfs, logDir).size == 31)
     // idempotence
     assert(OccCommitLog.cleanLog(hfs, logDir).isEmpty)
-    // the directory now holds two checkpoint files and zero commit
-    // files — the listing is bounded however long history grows
+    // the directory now holds ONE checkpoint file (the superseded
+    // first checkpoint is itself expired — each re-serializes the full
+    // history, so keeping them all would be O(n²) bytes) and zero
+    // commit files — the listing is bounded however long history grows
     val names = fs(root).listStatus(new Path(logDir))
       .map(_.getPath.getName).toSeq
     assert(names.count(_.endsWith(".commit")) == 0 &&
-      names.count(_.endsWith(".checkpoint")) == 2, s"log dir: $names")
+      names.filter(_.endsWith(".checkpoint")) == Seq(f"${30}%08d.checkpoint"),
+      s"log dir: $names")
+  }
+
+  test("txn identity: a checkpoint-replayed writer lands exactly one commit per batch") {
+    // the exactly-once contract for a streaming sink (Delta's `txn`
+    // action): a foreachBatch writer commits with (appId, batchId);
+    // killed after batch 2 and replayed from its checkpoint, it re-runs
+    // batches 1-2 — the replayed commits must SKIP (returning the
+    // original versions), and only genuinely new batches land
+    val root = freshRoot("occspec8")
+    val logDir = s"$root/log"
+    val hfs = fs(root)
+    val app = Some("ingest-daemon")
+    def land(b: Long) = OccCommitLog.commit(hfs, logDir, "segment",
+      s"$root/art/b$b", txn = app.map((_, b)))
+    // run 1: batches 0-2 committed, then the writer dies
+    assert((0L to 2L).map(land) == Seq(0, 1, 2))
+    // replay from the checkpoint: batches 1-2 re-run, then 3 continues
+    assert(land(1) == 1, "a replayed batch must skip to its original version")
+    assert(land(2) == 2)
+    assert(land(3) == 3, "a genuinely new batch must still land")
+    val log = OccCommitLog.read(hfs, logDir)
+    assert(log.size == 4, s"replay double-committed: $log")
+    assert(OccCommitLog.txnVersion(hfs, logDir, "ingest-daemon") == Some(3L))
+    // a DIFFERENT app is never deduped against this one's txns
+    assert(OccCommitLog.commit(hfs, logDir, "segment", s"$root/art/other",
+      txn = Some(("other-app", 0L))) == 4)
+    // txn identities survive checkpoint compaction: fold the log, expire
+    // the commit files, replay again — still skipped
+    OccCommitLog.checkpoint(hfs, logDir)
+    OccCommitLog.cleanLog(hfs, logDir)
+    assert(land(3) == 3,
+      "replay dedup must survive checkpoint compaction (txn folded in)")
+    assert(OccCommitLog.read(hfs, logDir).size == 5)
+  }
+
+  test("txn identity: two racing replicas of the same writer collapse to one commit") {
+    // the skip check runs INSIDE the retry loop: when two replicas of
+    // one logical writer race the same (app, txnVersion), the loser's
+    // re-read sees the winner's txn and skips — both return the SAME
+    // version and exactly one commit lands per txnVersion
+    val root = freshRoot("occspec9")
+    val logDir = s"$root/log"
+    val hfs = fs(root)
+    val perWriter = 10
+    val won = new java.util.concurrent.ConcurrentHashMap[Long, java.util.Set[Int]]()
+    race(Seq("r1", "r2").map { _ => () =>
+      (0L until perWriter).foreach { b =>
+        val v = OccCommitLog.commit(hfs, logDir, "segment",
+          s"$root/art/b$b", txn = Some(("one-writer", b)))
+        won.computeIfAbsent(b, _ =>
+          java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()).add(v)
+      }
+    })
+    val log = OccCommitLog.read(hfs, logDir)
+    assert(log.size == perWriter,
+      s"duplicate replicas double-committed: ${log.size} commits for $perWriter batches")
+    import scala.jdk.CollectionConverters._
+    (0L until perWriter).foreach { b =>
+      assert(won.get(b).size == 1,
+        s"batch $b resolved to two different versions: ${won.get(b).asScala}")
+    }
   }
 
   test("checkpoint races a writer: reads stay lossless throughout") {
