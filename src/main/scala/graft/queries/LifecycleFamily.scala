@@ -811,7 +811,7 @@ private[queries] trait LifecycleFamily { this: AnalyticsQueries.type =>
     * changed bytes, never the whole index, and a feed read itself
     * plans ZERO index bytes. Unknown commit kinds fail loudly (p29's
     * rule). */
-  private def indexChangesFromLog(spark: SparkSession, logStage: String,
+  private[queries] def indexChangesFromLog(spark: SparkSession, logStage: String,
       from: Int, to: Int): DataFrame = {
     import spark.implicits._
     PipelineQueries.readCommitLog(spark, logStage)

@@ -133,6 +133,53 @@ class LifecycleCycleSpec extends AnyFunSuite {
     assert(serve == AnalyticsQueries.a29MaxSimServed(spark, dir).collect().toSeq)
   }
 
+  test("s41/s42: the OCC-committed daemons land the driver-state daemons' exact layouts") {
+    // committing through the concurrency protocol must be invisible in
+    // the artifacts: s41's head layout (resolved FROM the log) must be
+    // row-identical to s36's ledger-committed final generation, and
+    // s42's to the monolithic token table — one merge discipline,
+    // three bookkeeping shapes (driver state, landing ledger, OCC
+    // log), one answer. Also opens the log itself: exactly 4 segment
+    // commits + 2 mid-stream layout commits (no sweep needed), every
+    // commit carrying its writer's txn identity.
+    val s41Serve = StreamingQueries.s41OccKeywordDaemon(spark, dir).collect().toSeq
+    val occ = graft.operators.OccCommitLog
+    def headLayout(tag: String): String = {
+      val root = PipelineQueries.staging(tag, dir)
+      val hfs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val log = occ.read(hfs, s"$root/log")
+      assert(log.count(_.kind == "segment") == 4 &&
+        log.count(_.kind == "layout") == 2,
+        s"$tag: expected 4 landings + 2 mid-stream merges, got $log")
+      assert(log.forall(c => c.txnApp.isDefined && c.txnVersion.isDefined),
+        s"$tag: every daemon commit must carry its writer txn: $log")
+      val meta = spark.read.parquet(s"$root/meta").head
+      assert(meta.getAs[Int]("n_merges") == 2,
+        s"$tag: the policy must fire twice mid-stream")
+      log.filter(_.kind == "layout").maxBy(_.version).path
+    }
+    val kw = headLayout("s41m")
+    StreamingQueries.s36StreamPolicyCompaction(spark, dir).collect()
+    val s36gen2 = s"${PipelineQueries.staging("s36m", dir)}/gen2"
+    assert(sortedRows(spark.read.parquet(s"$kw/terms")) ==
+      sortedRows(spark.read.parquet(s"$s36gen2/terms")),
+      "the OCC-committed dictionary drifted from the ledger-committed daemon's")
+    assert(sortedRows(spark.read.parquet(s"$kw/postings")) ==
+      sortedRows(spark.read.parquet(s"$s36gen2/postings")),
+      "the OCC-committed postings drifted from the ledger-committed daemon's")
+    assert(s41Serve ==
+      AnalyticsQueries.a19KeywordSearchPrebuilt(spark, dir).collect().toSeq)
+
+    val s42Serve = StreamingQueries.s42OccTokenDaemon(spark, dir).collect().toSeq
+    val tok = headLayout("s42m")
+    val full = AnalyticsQueries.tokenHashStage(spark, dir)
+    assert(sortedRows(spark.read.parquet(tok)) ==
+      sortedRows(spark.read.parquet(s"$full/tokens")),
+      "the OCC-committed token table drifted from the monolithic build")
+    assert(s42Serve == AnalyticsQueries.a29MaxSimServed(spark, dir).collect().toSeq)
+  }
+
   test("a38: twice-merged token table == fresh survivor build; serve == one-shot a34") {
     import spark.implicits._
     val cycle = AnalyticsQueries.a38TokenCycleStage(spark, dir)

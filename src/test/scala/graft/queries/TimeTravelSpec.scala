@@ -306,6 +306,66 @@ class TimeTravelSpec extends AnyFunSuite {
     }
   }
 
+  test("a feed pulled from behind the retention horizon fails LOUDLY at the artifact copy") {
+    // the contract production hits monthly: a consumer that fell
+    // behind vacuum's horizon must get a hard, named error at PULL
+    // time — not whatever the filesystem happens to throw, and never a
+    // silent skip that desynchronizes the replica forever
+    val stage = AnalyticsQueries.p28OwnedLogStageTagged(spark, dir,
+      "p28horiz", force = true)
+    AnalyticsQueries.p28VacuumRun(spark, stage) // horizon = newest layout
+    // the feed READ itself stays metadata-scale and succeeds — events
+    // are (version, kind, path) rows, no artifact bytes planned — even
+    // though the artifacts behind the horizon are physically gone
+    val events = AnalyticsQueries.indexChangesFromLog(spark, stage, -1, 3)
+      .orderBy(org.apache.spark.sql.functions.col("version")).collect()
+    assert(events.length == 4,
+      s"the feed read must still enumerate full history: ${events.toSeq}")
+    // the PULL of a reclaimed artifact (v0's layout) throws the named
+    // horizon error
+    val pullRoot = s"${sys.props("java.io.tmpdir")}/graft_ttspec_horizpull"
+    fs(pullRoot).delete(new Path(pullRoot), true)
+    val ex = intercept[IllegalStateException] {
+      events.foreach { r =>
+        PipelineQueries.copyDir(spark, r.getAs[String]("path"),
+          s"$pullRoot/v${r.getAs[Int]("version")}")
+      }
+    }
+    assert(ex.getMessage.contains("retention horizon"),
+      s"the reclaimed-artifact pull must name the horizon contract: $ex")
+    // pulls at or after the horizon still work: the head layout copies
+    PipelineQueries.copyDir(spark,
+      events.last.getAs[String]("path"), s"$pullRoot/head")
+    assert(fs(pullRoot).exists(new Path(s"$pullRoot/head/postings")),
+      "an in-retention artifact must still be pullable")
+  }
+
+  test("a replica restarted from behind the horizon surfaces the gap, not a silent skip") {
+    // the streaming half of the same contract: an s38-shaped replica
+    // whose checkpoint is older than the source's retention horizon
+    // re-pulls a reclaimed epoch — the drain must FAIL with the named
+    // horizon error (surfacing "re-seed from a current snapshot"),
+    // never skip the epoch and serve a hole
+    val stage = AnalyticsQueries.p28OwnedLogStageTagged(spark, dir,
+      "p28horizrep", force = true)
+    AnalyticsQueries.p28VacuumRun(spark, stage)
+    val ex = intercept[Exception] {
+      StreamingQueries.streamedIndexReplica(spark, dir, "s38horiz") { staged =>
+        (0 to 3).foreach { v =>
+          AnalyticsQueries.indexChangesFromLog(spark, stage, v - 1, v)
+            .coalesce(1).write.mode("overwrite").parquet(s"$staged/v$v")
+        }
+      } { (layout, tombs) =>
+        AnalyticsQueries.kwServeSnapshot(spark, dir, layout, tombs)
+      }
+    }
+    def horizonNamed(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("retention horizon")) ||
+        horizonNamed(t.getCause))
+    assert(horizonNamed(ex),
+      s"the behind-horizon replica must fail with the named contract error: $ex")
+  }
+
   test("p29: a change-feed read plans only the in-range commits' files") {
     val files = PipelineQueries.p29ChangesBetween(spark, dir, 0, 3)
       .inputFiles.toSeq
