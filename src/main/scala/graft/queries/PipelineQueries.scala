@@ -620,20 +620,46 @@ object PipelineQueries {
     * consumer never had is a no-op downstream). Public as the test
     * hook. */
   def p29ChangesBetween(spark: SparkSession, dir: String,
+      from: Int, to: Int): DataFrame =
+    p29ChangesFromRoot(spark, stageVersionedTable(spark, dir), from, to)
+
+  /** The same feed off an EXPLICIT log root (the p33 owned/checkpointed
+    * stage, a spec fixture) — one reader body however many logs carry
+    * the contract. Two commitments beyond the shared-stage reader:
+    * `snapshot` commits are SKIPPED (a checkpoint is derived data — it
+    * introduces no change; Delta's CDF likewise never emits checkpoint
+    * contents as table changes) while truly unknown kinds still fail
+    * loudly, and every in-range data file is existence-checked before
+    * it is planned — a consumer pulling changes from behind the
+    * retention horizon gets the NAMED contract error, not whatever the
+    * scan happens to throw (one stat per in-range commit,
+    * metadata-scale). */
+  def p29ChangesFromRoot(spark: SparkSession, root: String,
       from: Int, to: Int): DataFrame = {
-    val root = stageVersionedTable(spark, dir)
     val log = readCommitLog(spark, root)
       .filter(c => c._1 > from && c._1 <= to).sortBy(_._1)
-    val frames = log.map {
+    val conf = spark.sessionState.newHadoopConf()
+    def pullable(v: Int, p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (!hp.getFileSystem(conf).exists(hp))
+        throw new IllegalStateException(
+          s"change-feed artifact $p (commit $v) no longer exists — it is " +
+            "behind the retention horizon and vacuum already reclaimed it; " +
+            "a consumer this far behind must re-seed from a current " +
+            "snapshot, not skip the epoch")
+      p
+    }
+    val frames = log.flatMap {
       case (v, "insert", p) =>
-        spark.read.parquet(p)
+        Some(spark.read.parquet(pullable(v, p))
           .select(lit(v).as("version"), lit("insert").as("kind"),
-            col("doc_id"), col("lang"), col("n_chars"))
+            col("doc_id"), col("lang"), col("n_chars")))
       case (v, "delete", p) =>
-        spark.read.parquet(p)
+        Some(spark.read.parquet(pullable(v, p))
           .select(lit(v).as("version"), lit("delete").as("kind"),
             col("doc_id"), lit(null).cast("string").as("lang"),
-            lit(null).cast("long").as("n_chars"))
+            lit(null).cast("long").as("n_chars")))
+      case (_, "snapshot", _) => None // a checkpoint is not a change
       case (v, kind, _) =>
         // emitting an unknown commit kind as anything would corrupt a
         // downstream replica silently (a 'layout' file's ids read as
@@ -665,6 +691,148 @@ object PipelineQueries {
     * is pinned row-for-row in TimeTravelSpec. */
   def p29LogChanges(spark: SparkSession, dir: String): DataFrame =
     p29ChangesBetween(spark, dir, 0, 3)
+
+  /** The p33 OWNED versioned-table log: p23's fixture copied into
+    * log-owned storage — p28's ownership model brought to the TABLE
+    * side, so checkpoint and vacuum may physically reclaim data files
+    * without touching the shared p23 stage every other query (p23,
+    * p29, s37) serves from. Same artifact names, same commit triples,
+    * marker last. */
+  private[queries] def stageP33OwnedTableLog(spark: SparkSession, dir: String,
+      tag: String = "p33tt", force: Boolean = false): String = synchronized {
+    import spark.implicits._
+    val fp = contentFingerprint(spark, s"$dir/documents.parquet")
+    val root = staging(tag, s"$dir#$fp")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val hfs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (force || !hfs.exists(new org.apache.hadoop.fs.Path(s"$root/done"))) {
+      hfs.delete(rootPath, true)
+      val src = stageVersionedTable(spark, dir)
+      readCommitLog(spark, src).sortBy(_._1).map { case (v, kind, p) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        (v, kind, copyDir(spark, p, s"$root/$name"))
+      }.toDF("version", "kind", "path")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/commit_log")
+      spark.range(1).write.mode("overwrite").parquet(s"$root/done")
+    }
+    root
+  }
+
+  /** Test hook (TimeTravelSpec): a PRIVATE owned table log under
+    * `tag`; `force` rebuilds wholesale for pre-checkpoint state. */
+  def p33OwnedTableLogTagged(spark: SparkSession, dir: String,
+      tag: String, force: Boolean = false): String =
+    stageP33OwnedTableLog(spark, dir, tag, force)
+
+  /** As-of resolution over a CHECKPOINTED table log: the newest
+    * `snapshot` commit at version ≤ v is the base (the checkpoint
+    * folds every insert AND delete at or before its version), plus
+    * insert deltas in (sv, v], minus delete lists in (sv, v] —
+    * [[resolveAsOf]]'s newest-layout-plus-later-tombstones rule,
+    * restated for a DELTA log where commits are increments rather than
+    * complete layouts. With no checkpoint in range this is exactly
+    * [[p23SnapshotAsOf]]'s resolution. */
+  def tableAsOfLog(spark: SparkSession, root: String, v: Int): DataFrame = {
+    val log = readCommitLog(spark, root).filter(_._1 <= v)
+    val sv = log.filter(_._2 == "snapshot").map(_._1).maxOption.getOrElse(-1)
+    val base = log.filter(t => t._2 == "snapshot" && t._1 == sv).map(_._3)
+    val inserts = log.filter(t => t._2 == "insert" && t._1 > sv).map(_._3)
+    val tombs = log.filter(t => t._2 == "delete" && t._1 > sv).map(_._3)
+    require(base.nonEmpty || inserts.nonEmpty,
+      s"no snapshot exists at or before version $v in $root")
+    val data = spark.read.parquet((base ++ inserts).sorted.toIndexedSeq: _*)
+    if (tombs.isEmpty) data
+    else data.join(broadcast(spark.read.parquet(tombs.sorted.toIndexedSeq: _*)),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** TABLE CHECKPOINT: materialize the as-of-`v` snapshot as ONE
+    * `snapshot` commit SHARING version v — Delta's `N.checkpoint`
+    * pattern applied to DATA files instead of log files (public;
+    * Hudi's compaction of a merge-on-read table is the same move). A
+    * delta log's as-of cost is O(all deltas ≤ v) and its storage can
+    * never shrink — every delta is load-bearing for some snapshot —
+    * until a checkpoint folds the prefix: afterwards as-of reads plan
+    * O(snapshot + deltas since), and everything at or before the
+    * checkpoint becomes reclaimable ([[p33VacuumRun]]). Idempotent: a
+    * log already checkpointed at `v` is returned as-is (the log row is
+    * the marker). Derived data — identical content from any writer at
+    * the same version. */
+  def p33CheckpointRun(spark: SparkSession, root: String, v: Int): String = {
+    import spark.implicits._
+    val existing = readCommitLog(spark, root)
+      .find(t => t._2 == "snapshot" && t._1 == v)
+    existing.map(_._3).getOrElse {
+      val snap = s"$root/snapshot_v$v"
+      tableAsOfLog(spark, root, v)
+        .repartitionByRange(2, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(snap)
+      Seq((v, "snapshot", snap)).toDF("version", "kind", "path")
+        .write.mode("append").parquet(s"$root/commit_log")
+      snap
+    }
+  }
+
+  /** TABLE VACUUM: physically reclaim every insert delta and delete
+    * list already FOLDED into the newest checkpoint (version ≤ its
+    * version) — the table-side twin of [[graft.queries.AnalyticsQueries.p28VacuumRun]],
+    * with the horizon defined by the `snapshot` commit instead of a
+    * retained-layouts window, because on a delta log every delta below
+    * the checkpoint is superseded BY it while everything above it is
+    * still load-bearing for the head. The log rows stay (history
+    * enumerable as metadata; an as-of read into a reclaimed epoch
+    * fails at planning); the snapshot and all later commits are never
+    * touched; a path also named by a retained commit is live (same
+    * set-membership rule as p28/OccCommitLog). Ownership guard
+    * separator-checked. Idempotent. Returns reclaimed paths. */
+  def p33VacuumRun(spark: SparkSession, root: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = readCommitLog(spark, root)
+    val owned = root.stripSuffix("/") + "/"
+    require(log.forall(_._3.startsWith(owned)),
+      s"refusing to vacuum a log with commits it does not own " +
+        s"(log=$root, foreign=${log.filterNot(_._3.startsWith(owned)).map(_._3).toSeq})")
+    log.filter(_._2 == "snapshot").map(_._1).maxOption match {
+      case None => Seq.empty // nothing folded, nothing reclaimable
+      case Some(sv) =>
+        val live = log.filter(t => t._2 == "snapshot" || t._1 > sv)
+          .map(_._3).toSet
+        log.filter(t => t._2 != "snapshot" && t._1 <= sv).map(_._3).toSeq
+          .sorted.distinct.filterNot(live).flatMap { p =>
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val fs = hp.getFileSystem(conf)
+            if (fs.exists(hp)) { fs.delete(hp, true); Some(p) } else None
+          }
+    }
+  }
+
+  /** p33 — TABLE CHECKPOINT + RETENTION VACUUM: the maintenance pair
+    * the DOC-TABLE log was missing (the index logs got theirs in
+    * p28/p30). Build the owned copy of the p23 versioned table,
+    * CHECKPOINT it at version 2 (materialize that snapshot as a
+    * `snapshot` commit — the first run pays one table-scale write,
+    * after which the log row is the marker), VACUUM the folded prefix
+    * (the three insert deltas are physically reclaimed; the v3
+    * tombstone list is newer than the checkpoint and survives), then
+    * serve the HEAD — resolved through the checkpoint with the v3
+    * delete applied merge-on-read. Gated by s37's membership oracle:
+    * however much history was folded and reclaimed, as-of-3 must not
+    * move by a row. At 100 TB this is the knob that bounds a CDC
+    * table's storage at O(live + changes since checkpoint) instead of
+    * O(all deltas ever), and its as-of reads at O(snapshot + tail):
+    * time travel into pre-checkpoint epochs is the explicit price
+    * (TimeTravelSpec pins them failing at planning, the feed behind
+    * the horizon failing with the named error, and the feed above it
+    * unchanged). */
+  def p33TableCheckpointVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val root = stageP33OwnedTableLog(spark, dir)
+    p33CheckpointRun(spark, root, 2)
+    p33VacuumRun(spark, root)
+    tableAsOfLog(spark, root, 3)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
 
   /** p25 — WebDataset-style tar shard export (the tar-of-samples
     * convention ML data loaders stream — Aizman et al. '19, public;
@@ -729,6 +897,7 @@ object PipelineQueries {
     "p25_webdataset_export" -> p25WebdatasetExport _,
     "p23_time_travel"     -> p23TimeTravel _,
     "p29_log_changes"     -> p29LogChanges _,
+    "p33_table_checkpoint_vacuum" -> p33TableCheckpointVacuum _,
     "p15_incremental_ingest" -> p15IncrementalIngest _,
     "p14_zorder_layout"   -> p14ZOrderLayout _,
     "p13_sort_layout"     -> p13SortLayout _,
@@ -771,6 +940,14 @@ object PipelineQueries {
         |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
         |FROM documents WHERE doc_id % 3 = 0
         |ORDER BY version, kind, doc_id""".stripMargin,
+    // the head snapshot's membership from the definitions (s37's
+    // oracle body): inserts v0-v2 are residues 0..2 mod 4, the v3
+    // delete removes doc_id % 3 = 0 — checkpointing at v2 and
+    // reclaiming the folded deltas must leave as-of-3 untouched
+    "p33_table_checkpoint_vacuum" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 4 <= 2 AND doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
     "p23_time_travel" ->
       """WITH vs AS (SELECT unnest(range(0, 4)) AS version),
         |snap AS (SELECT v.version, d.doc_id, d.n_chars

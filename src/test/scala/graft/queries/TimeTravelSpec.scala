@@ -366,6 +366,65 @@ class TimeTravelSpec extends AnyFunSuite {
       s"the behind-horizon replica must fail with the named contract error: $ex")
   }
 
+  test("p33: checkpoint folds the prefix, vacuum reclaims it, head and in-retention feed untouched") {
+    import org.apache.spark.sql.functions.col
+    val root = PipelineQueries.p33OwnedTableLogTagged(spark, dir, "p33spec",
+      force = true)
+    def asOf(v: Int) = PipelineQueries.tableAsOfLog(spark, root, v)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq.sorted
+    val at3 = rows(asOf(3))
+    assert(asOf(1).count() > 0,
+      "pre-checkpoint: every epoch must be readable from the owned log")
+    val feedPre = PipelineQueries.p29ChangesFromRoot(spark, root, 0, 3)
+      .collect().map(_.toString).toSeq
+    // CHECKPOINT at v2: one snapshot commit sharing the version, and
+    // idempotent — the log row is the marker
+    val snap = PipelineQueries.p33CheckpointRun(spark, root, 2)
+    assert(PipelineQueries.p33CheckpointRun(spark, root, 2) == snap,
+      "a second checkpoint at the same version must be a no-op")
+    assert(spark.read.parquet(s"$root/commit_log").count() == 5,
+      "the checkpoint must add exactly one log row")
+    // the feed SKIPS the checkpoint commit (derived data, not a
+    // change): the checkpointed log feeds identically to the raw one
+    assert(PipelineQueries.p29ChangesFromRoot(spark, root, 0, 3)
+      .collect().map(_.toString).toSeq == feedPre,
+      "a checkpoint commit must be invisible in the change feed")
+    // as-of resolves THROUGH the checkpoint: same rows, and the head
+    // plan now reads the snapshot + tombstones — no delta file
+    assert(rows(asOf(3)) == at3, "the checkpoint moved the head by a row")
+    val f3 = asOf(3).inputFiles.toSeq
+    assert(f3.exists(_.contains("snapshot_v2")) &&
+      !f3.exists(_.contains("delta_v")),
+      s"the checkpointed head must plan the snapshot, not the deltas: $f3")
+    // VACUUM: exactly the three folded deltas reclaimed; the v3
+    // tombstone list is newer than the checkpoint and survives
+    val reclaimed = PipelineQueries.p33VacuumRun(spark, root)
+    assert(reclaimed.map(p => p.substring(p.lastIndexOf('/') + 1)) ==
+      Seq("delta_v0", "delta_v1", "delta_v2"),
+      s"vacuum must reclaim exactly the folded deltas: $reclaimed")
+    assert(fs(root).exists(new Path(s"$root/tombstones_v3")),
+      "an above-horizon tombstone list must survive the table vacuum")
+    assert(rows(asOf(3)) == at3, "vacuum perturbed the head snapshot")
+    assert(spark.read.parquet(s"$root/commit_log").count() == 5,
+      "vacuum must not rewrite the log's history rows")
+    // behind the horizon: as-of fails at planning, the feed pull fails
+    // with the NAMED contract error; above it, the feed still serves
+    intercept[Exception] { asOf(1).count() }
+    val ex = intercept[IllegalStateException] {
+      PipelineQueries.p29ChangesFromRoot(spark, root, 0, 3).collect()
+    }
+    assert(ex.getMessage.contains("retention horizon"),
+      s"the behind-horizon feed must name the contract: $ex")
+    val tail = PipelineQueries.p29ChangesFromRoot(spark, root, 2, 3)
+      .select(col("kind")).distinct().collect().map(_.getString(0)).toSeq
+    assert(tail == Seq("delete"),
+      s"the in-retention feed must still serve the v3 delete: $tail")
+    // idempotence
+    assert(PipelineQueries.p33VacuumRun(spark, root).isEmpty,
+      "second table vacuum must be a no-op")
+  }
+
   test("p29: a change-feed read plans only the in-range commits' files") {
     val files = PipelineQueries.p29ChangesBetween(spark, dir, 0, 3)
       .inputFiles.toSeq
