@@ -93,6 +93,28 @@ object OccStress {
           }
         }
       }
+      // the replayed writer: N txn-carrying commits on a maintained
+      // log (checkpoint+cleanup every 50), then the FULL replay —
+      // every commit resolved to a skip through the txn action. The
+      // recovery path's cost is log READS only, so it stays flat for
+      // the same reason the maintained append does: this prices
+      // exactly-once restart, the claim behind s41/s42's post-drain
+      // replays
+      val (fs4, log4) = freshLog(s"txn$n")
+      (0 until n).foreach { i =>
+        OccCommitLog.commit(fs4, log4, "segment", s"p$i",
+          txn = Some(("w", i.toLong)))
+        if ((i + 1) % 50 == 0) {
+          OccCommitLog.checkpoint(fs4, log4)
+          OccCommitLog.cleanLog(fs4, log4)
+        }
+      }
+      val (_, tReplay) = timed {
+        (0 until n).foreach(i =>
+          OccCommitLog.commit(fs4, log4, "segment", s"p$i",
+            txn = Some(("w", i.toLong))))
+      }
+      require(OccCommitLog.read(fs4, log4).size == n, "replay moved the log")
       // read costs: raw vs checkpointed
       val (_, tReadRaw) = timed { OccCommitLog.read(fs1, log1).size }
       OccCommitLog.checkpoint(fs1, log1)
@@ -102,6 +124,7 @@ object OccStress {
         f"seq+ckpt50=${tSeqCk}%.3fs (${n / tSeqCk}%.0f c/s) " +
         f"contended(w=$writers)=${tCon}%.3fs (${committed / tCon}%.0f c/s, " +
         f"attempts=${attempts.get()}%d = ${attempts.get().toDouble / committed}%.2f/commit) " +
+        f"replay=${tReplay}%.3fs (${n / tReplay}%.0f skips/s) " +
         f"read_raw=${tReadRaw * 1000}%.1fms read_ckpt=${tReadCp * 1000}%.1fms")
     }
     spark.stop()

@@ -157,6 +157,46 @@ class OccProtocolSpec extends AnyFunSuite {
     assert(OccCommitLog.read(hfs, logDir).size == 5)
   }
 
+  test("txn identity: a real foreachBatch writer re-run over its input lands each batch once") {
+    // the streaming-level version of the replay schedule: a file-source
+    // stream commits one OCC segment per micro-batch with txn
+    // (app, batchId); the WHOLE pipeline is then re-run over the same
+    // staged input with a fresh checkpoint, so every batch id — and
+    // therefore every txn — replays from zero. The log must be
+    // byte-identical after the second drain: the txn action, not the
+    // driver's memory, is what makes the writer exactly-once.
+    val root = freshRoot("occspec10")
+    val logDir = s"$root/log"
+    val hfs = fs(root)
+    val sp = spark
+    import sp.implicits._
+    (0 until 12).toDF("doc_id").repartition(3)
+      .write.mode("overwrite").parquet(s"$root/in")
+    def drainOnce(): Unit = {
+      val schema = sp.read.parquet(s"$root/in").schema
+      val q = sp.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          // land batch-id-keyed (file idempotence), then publish with
+          // txn identity (log idempotence — the production discipline)
+          batch.write.mode("overwrite").parquet(s"$root/seg/batch=$id")
+          OccCommitLog.commit(hfs, logDir, "segment", s"$root/seg/batch=$id",
+            txn = Some(("occspec10-writer", id)))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start() // fresh temp checkpoint each call: batch ids replay from 0
+      q.awaitTermination()
+    }
+    drainOnce()
+    val first = OccCommitLog.read(hfs, logDir)
+    assert(first.size == 3, s"three files → three commits: $first")
+    drainOnce() // the replayed writer: same input, same batch ids
+    assert(OccCommitLog.read(hfs, logDir) == first,
+      "a fully replayed foreachBatch writer must not move the log")
+  }
+
   test("txn identity: two racing replicas of the same writer collapse to one commit") {
     // the skip check runs INSIDE the retry loop: when two replicas of
     // one logical writer race the same (app, txnVersion), the loser's
