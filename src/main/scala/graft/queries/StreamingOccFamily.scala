@@ -156,6 +156,121 @@ private[queries] trait StreamingOccFamily { this: StreamingQueries.type =>
       spark.read.parquet(s"$layout/postings"))
   }
 
+  /** s43 — the CDC daemon committing through the OCC log: the
+    * delete-applying composition s41/s42 leave open (their corpora
+    * carry no deletes, and p31/p32 commit tombstones only from driver
+    * threads). One stream interleaves EVERY document with the
+    * tombstone ids (ids ≡ 3 mod 7) — [[cdcInterleave]]'s arrival
+    * shape, a tombstone free to precede its own doc's arrival — and
+    * every micro-batch publishes TWO commits: its segment layout and
+    * its tombstone id list (possibly empty — an empty retraction list
+    * is a valid, harmless commit), each under its own writer identity
+    * (`s43-seg`/`s43-del`, txnVersion = batchId). The merge policy
+    * reads the LOG: when ≥2 segments are pending past the newest
+    * layout, a DELETE-APPLYING re-stat merge fires — tf recovered from
+    * the head layout ∪ pending segments, ALL committed tombstone lists
+    * broadcast-anti-joined before the stat pass (re-applying an
+    * already-folded tombstone is a set-level no-op — the rows are
+    * absent), df/idf re-derived over the COUNTED survivor set (no
+    * per-node meta: a delete-applying merge must recount anyway, the
+    * structural contrast with s41). The post-drain sweep fires if ANY
+    * segment OR tombstone is pending past the head layout, so the
+    * served head has everything folded and resolveAsOf hands it zero
+    * pending tombstones. Landings (both kinds) are then replayed with
+    * their original txns — the log must not move. Gated by a37's
+    * fresh-build-over-survivors ORACLE: driver-staged (a37),
+    * stream-landed on ledgers (s32), or stream-landed through the
+    * concurrency protocol — one merge discipline, one answer;
+    * LifecycleCycleSpec pins the head layout row-identical to the a37
+    * batch cycle's. */
+  def s43OccCdcDaemon(spark: SparkSession, dir: String): DataFrame = {
+    val root = freshRunRoot(spark, dir, "s43m")
+    val logDir = s"$root/log"
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val occ = graft.operators.OccCommitLog
+    def state(): (Seq[graft.operators.OccCommitLog.Commit], Int, Seq[String], Int) = {
+      val log = occ.read(hfs, logDir)
+      val headV = log.filter(_.kind == "layout").map(_.version)
+        .maxOption.getOrElse(-1)
+      val head = log.find(c => c.kind == "layout" && c.version == headV)
+      val segs = log.filter(c => c.kind == "segment" && c.version > headV)
+      val pendTombs = log.count(c => c.kind == "tombstones" && c.version > headV)
+      (log, log.count(_.kind == "layout"),
+        head.map(_.path).toSeq ++ segs.map(_.path), segs.size + pendTombs)
+    }
+    def fireMerge(sp: SparkSession, log: Seq[graft.operators.OccCommitLog.Commit],
+        gens: Int, nodes: Seq[String]): Unit = {
+      val out = s"$root/gen${gens + 1}"
+      // ALL committed tombstone lists, re-applied every merge: the
+      // anti-join is set-valued, so folding a tombstone twice is the
+      // same as folding it once — what lets a late-arriving doc still
+      // meet a tombstone committed batches earlier
+      val tombPaths = log.filter(_.kind == "tombstones").map(_.path)
+      val tf0 = nodes.map(AnalyticsQueries.kwRecoverTf(sp, _))
+        .reduce(_ unionByName _)
+      val tf =
+        (if (tombPaths.isEmpty) tf0
+         else tf0.join(
+           broadcast(sp.read.parquet(tombPaths: _*).select(col("doc_id"))),
+           Seq("doc_id"), "left_anti"))
+          .localCheckpoint() // recover+anti-join once: count + write
+      val nLive = tf.select(col("doc_id")).distinct().count()
+      AnalyticsQueries.writeKwLayout(sp, out, tf, nLive)
+      occ.commit(hfs, logDir, "layout", out,
+        txn = Some(("s43-daemon", (gens + 1).toLong)))
+    }
+    streamedLandings(spark, dir, "s43", "segs")(
+      cdcInterleave(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
+    ) { (batch, id, landed) =>
+      val sp = batch.sparkSession
+      val seg = s"$landed/batch=$id"
+      val tf = batch.filter(col("kind") === "doc")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // tokenize once: n-count + layout write
+      AnalyticsQueries.writeKwLayout(sp, seg,
+        tf, tf.select(col("doc_id")).distinct().count())
+      occ.commit(hfs, logDir, "segment", seg, txn = Some(("s43-seg", id)))
+      batch.filter(col("kind") === "del").select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$landed/tomb=$id")
+      occ.commit(hfs, logDir, "tombstones", s"$landed/tomb=$id",
+        txn = Some(("s43-del", id)))
+      val (log, gens, nodes, _) = state()
+      if (nodes.count(_.contains("/batch=")) >= 2) // ≥2 pending segments
+        fireMerge(sp, log, gens, nodes)
+    }
+    // post-drain sweep: anything pending past the head layout —
+    // segment OR tombstone — folds, so the head is delete-applied
+    val (log0, gens0, nodes0, pending0) = state()
+    if (pending0 > 0) fireMerge(spark, log0, gens0, nodes0)
+    // checkpoint replay: every landing commit (both kinds) re-runs
+    // with its original txn; the log must not move
+    val settled = occ.read(hfs, logDir)
+    settled.filter(c => c.kind == "segment" || c.kind == "tombstones")
+      .foreach { c =>
+        val replayed = occ.commit(hfs, logDir, c.kind, c.path,
+          txn = c.txnApp.zip(c.txnVersion))
+        require(replayed == c.version,
+          s"a replayed landing moved the log: v${c.version} -> v$replayed")
+      }
+    require(occ.read(hfs, logDir).size == settled.size,
+      "checkpoint replay double-committed a landing")
+    val triples = occ.readTriples(hfs, logDir)
+    val (layout, tombs) = PipelineQueries.resolveAsOf(
+      triples, triples.map(_._1).max, logDir)
+    require(tombs.isEmpty,
+      "the swept head is delete-applying — no tombstones may be pending")
+    AnalyticsQueries.kwPrunedSearch(spark, dir,
+      spark.read.parquet(s"$layout/terms")
+        .select(col("term"), col("term_id"), col("df")),
+      spark.read.parquet(s"$layout/postings"))
+  }
+
   /** s42 — the TOKEN daemon committing through the OCC log: s39's
     * pure-layout-rewrite merges (token hashes are per-doc functions —
     * no stats, no meta, the structural contrast with s41) driven by

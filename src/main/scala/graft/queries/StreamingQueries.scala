@@ -29,6 +29,7 @@ object StreamingQueries
     with StreamingServeFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s43_occ_cdc_daemon" -> s43OccCdcDaemon _,
     "s42_occ_token_daemon" -> s42OccTokenDaemon _,
     "s41_occ_keyword_daemon" -> s41OccKeywordDaemon _,
     "s40_stream_vector_replica" -> s40StreamVectorReplica _,
@@ -159,6 +160,14 @@ object StreamingQueries
       AnalyticsQueries.oracleSql("a19_keyword_search_prebuilt"),
     "s42_occ_token_daemon" ->
       AnalyticsQueries.oracleSql("a29_maxsim_served"),
+    // the CDC daemon through the OCC log: segments AND tombstone
+    // lists committed through the protocol, delete-applying re-stat
+    // merges resolved from the log — must serve exactly a37's
+    // fresh-build-over-survivors, the same hash that gates the batch
+    // cycle (a37), the ledger-landed stream cycle (s32), and the
+    // thread-raced arbitration (p31)
+    "s43_occ_cdc_daemon" ->
+      AnalyticsQueries.oracleSql("a37_keyword_lifecycle"),
     // the replica after consuming the whole feed must be EXACTLY the
     // as-of-3 snapshot's membership, recomputed from the definitions:
     // v0+v1+v2 inserts (doc_id % 4 <= 2) minus the v3 delete

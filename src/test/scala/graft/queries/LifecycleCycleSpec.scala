@@ -180,6 +180,38 @@ class LifecycleCycleSpec extends AnyFunSuite {
     assert(s42Serve == AnalyticsQueries.a29MaxSimServed(spark, dir).collect().toSeq)
   }
 
+  test("s43: the OCC CDC daemon lands the a37 batch cycle's exact survivor layout") {
+    // segments AND tombstones committed through the protocol, merges
+    // delete-applying and resolved from the log: the head layout must
+    // be row-identical to the driver-staged a37 cycle's final (the
+    // fresh-survivor re-stat), and the log must show both landing
+    // kinds, ≥1 mid-stream merge, a delete-applied head (resolveAsOf
+    // hands it zero pending tombstones — asserted inside the query),
+    // and every commit carrying its writer txn.
+    val serve = StreamingQueries.s43OccCdcDaemon(spark, dir).collect().toSeq
+    val occ = graft.operators.OccCommitLog
+    val root = PipelineQueries.staging("s43m", dir)
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val log = occ.read(hfs, s"$root/log")
+    assert(log.count(_.kind == "segment") == 4 &&
+      log.count(_.kind == "tombstones") == 4 &&
+      log.count(_.kind == "layout") == 2,
+      s"expected 4+4 landings and 2 mid-stream merges, got $log")
+    assert(log.forall(c => c.txnApp.isDefined && c.txnVersion.isDefined),
+      s"every daemon commit must carry its writer txn: $log")
+    val head = log.filter(_.kind == "layout").maxBy(_.version).path
+    val cycle = AnalyticsQueries.a37KwCycleStage(spark, dir)
+    assert(sortedRows(spark.read.parquet(s"$head/terms")) ==
+      sortedRows(spark.read.parquet(s"$cycle/terms")),
+      "the OCC CDC daemon's dictionary drifted from the a37 batch cycle")
+    assert(sortedRows(spark.read.parquet(s"$head/postings")) ==
+      sortedRows(spark.read.parquet(s"$cycle/postings")),
+      "the OCC CDC daemon's postings drifted from the a37 batch cycle")
+    assert(serve ==
+      AnalyticsQueries.a37KeywordLifecycle(spark, dir).collect().toSeq)
+  }
+
   test("a38: twice-merged token table == fresh survivor build; serve == one-shot a34") {
     import spark.implicits._
     val cycle = AnalyticsQueries.a38TokenCycleStage(spark, dir)
