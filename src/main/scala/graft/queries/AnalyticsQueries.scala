@@ -27,7 +27,8 @@ object AnalyticsQueries
     with VectorOracleSql
     with RetrievalOracleSql
     with LifecycleFamily
-    with OccFamily {
+    with OccFamily
+    with PipelineLogFamily {
 
   /** DuckDB-SQL twins of the Scala/Catalyst primitives. Fold order and
     * integer arithmetic must stay in lockstep with TextFunctions /
@@ -183,6 +184,9 @@ object AnalyticsQueries
     "p30_vector_vacuum" -> p30VectorVacuum _,
     "p31_concurrent_commits" -> p31ConcurrentCommits _,
     "p32_occ_maintained_index" -> p32OccMaintainedIndex _,
+    "p34_stats_skipping" -> p34StatsSkipping _,
+    "p35_occ_table_commits" -> p35OccTableCommits _,
+    "p36_schema_evolution_log" -> p36SchemaEvolutionLog _,
     "m13_image_lifecycle" -> m13ImageLifecycle _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
@@ -228,7 +232,8 @@ object AnalyticsQueries
     * disjoint by construction — each family carries its own queries). */
   private val oracleSqlBase: Map[String, String] =
     dedupOracles ++ vectorOracles ++ retrievalOracles ++ lateOracles ++
-      textOracles ++ multimodalOracles ++ pipelineOracles ++ lifecycleOracles
+      textOracles ++ multimodalOracles ++ pipelineOracles ++ lifecycleOracles ++
+      tableLogOracles
 
   /** Aliased oracles: serving twins whose results must be
     * INDISTINGUISHABLE from their inline builders' — same SQL, same
@@ -293,5 +298,12 @@ object AnalyticsQueries
     // one log of real artifacts must leave the head serve exactly the
     // twice-merged survivor index — maintenance is invisible in the
     // present, a37's oracle once more
-    ("p32_occ_maintained_index" -> oracleSqlBase("a37_keyword_lifecycle"))
+    ("p32_occ_maintained_index" -> oracleSqlBase("a37_keyword_lifecycle")) +
+    // the doc table through the OCC protocol: whatever version
+    // assignment the writer race produced, membership (inserts minus
+    // the delete list) is deterministic, and checkpoint + vacuum must
+    // leave the head serve exactly the single-writer parquet log's —
+    // p33's oracle, one answer however the log is written
+    ("p35_occ_table_commits" ->
+      PipelineQueries.oracleSql("p33_table_checkpoint_vacuum"))
 }

@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Table-format log family (p34–p36) — the three Delta-lake table
+  * capabilities the doc-table story still lacked after p23/p29/p33
+  * (versioned snapshots, change feed, checkpoint+vacuum):
+  *
+  *   - p34: per-file column statistics carried IN the commit log and
+  *     used to prune files at planning (Delta's data skipping,
+  *     Armbrust et al. VLDB '20 §4.2 — min/max per add-action). At
+  *     100 TB this is the difference between "prune by opening a
+  *     million parquet footers" and "prune from one metadata read":
+  *     row-group pruning (p13/p26) still pays a footer round trip per
+  *     file; log stats prune BEFORE any file is touched.
+  *   - p35: the doc table committed through the OPTIMISTIC-CONCURRENCY
+  *     protocol ([[graft.operators.OccCommitLog]]) — concurrent
+  *     writers racing insert deltas and a delete list onto one table
+  *     log, then the maintenance pair (log checkpoint + data
+  *     checkpoint + vacuum) run over the settled log, with writer-txn
+  *     replay proving the landings idempotent. p31/p32 proved the
+  *     protocol on the INDEX channels; this is the TABLE side, so the
+  *     repo's one remaining single-writer-by-construction log now has
+  *     its multi-writer twin.
+  *   - p36: SCHEMA tracked in the log (Delta's metaData action):
+  *     `meta` commits carry the column list, writers are
+  *     schema-enforced against the newest meta at their version
+  *     (Delta's schema enforcement — a wider delta must evolve the
+  *     schema first), and readers resolve the schema AS OF their
+  *     version, null-padding older files. The contrast with p12
+  *     (mergeSchema) is the point: p12 derives the union schema from
+  *     file FOOTERS — O(files) footer reads and no authority over
+  *     what a writer may commit; here the log is the single authority
+  *     for both.
+  *
+  * Shared machinery deliberately single-sourced:
+  * [[PipelineQueries.tableAsOfTriples]] resolves snapshots,
+  * [[PipelineQueries.tableVacuumTriples]] reclaims folded history —
+  * one rule for the parquet log (p33) and the OCC log (p35/s44). */
+private[queries] trait PipelineLogFamily { this: AnalyticsQueries.type =>
+
+  // ---------------------------------------------------------------- p34
+
+  /** The stats-carrying table stage: the documents table written as 8
+    * doc_id-range-clustered insert deltas, the commit log carrying
+    * per-file (min_id, max_id, min_chars, max_chars) — stats computed
+    * at WRITE time from the delta the writer already has in hand (the
+    * one moment stats are free; Delta computes add-action stats the
+    * same way). Range clustering is what makes id-predicates skippable
+    * — the same reason p13 sorts before writing. */
+  private[queries] def stageP34StatsTable(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val root = PipelineQueries.staging("p34st", dir)
+    PipelineQueries.stageOnce("p34st", dir, Seq(root)) {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val nFiles = 8
+      val step = maxId / nFiles + 1
+      val rows = (0 until nFiles).map { k =>
+        val p = s"$root/delta_r$k"
+        docs.filter(col("doc_id") >= k * step && col("doc_id") < (k + 1) * step)
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        val st = spark.read.parquet(p).agg(
+          min(col("doc_id")), max(col("doc_id")),
+          min(col("n_chars")), max(col("n_chars"))).head
+        require(!st.isNullAt(0),
+          s"p34 range $k is empty — doc_id is no longer contiguous in $dir")
+        (k, "insert", p, st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      }
+      rows.toDF("version", "kind", "path",
+          "min_id", "max_id", "min_chars", "max_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/commit_log")
+    }
+    root
+  }
+
+  /** The stats-pruned scan: commits whose [min_id, max_id] range
+    * misses the predicate are dropped from the plan HERE, off one
+    * metadata-scale log read — no footer, no listing, no data bytes
+    * for a skipped file. Returns the scan plus (planned, total) file
+    * counts so callers can assert skipping actually happened.
+    * TableLogSpec pins the plan's input files to exactly the
+    * intersecting deltas. */
+  private[queries] def p34PrunedScan(spark: SparkSession, dir: String,
+      lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val root = stageP34StatsTable(spark, dir)
+    val log = spark.read.parquet(s"$root/commit_log").collect()
+      .map(r => (r.getAs[Int]("version"), r.getAs[String]("path"),
+        r.getAs[Long]("min_id"), r.getAs[Long]("max_id")))
+      .toSeq.sortBy(_._1)
+    val hit = log.filter(c => c._4 >= lo && c._3 <= hi)
+    val scan = spark.read.parquet(hit.map(_._2).toIndexedSeq: _*)
+      .filter(col("doc_id").between(lo, hi))
+    (scan, hit.size, log.size)
+  }
+
+  /** p34 — LOG-CARRIED FILE STATISTICS (Delta data skipping): an id
+    * predicate planned from the commit log's per-file min/max — files
+    * whose range misses the predicate never enter the plan — plus one
+    * aggregate answered from the STATS ALONE (`table_max_chars` =
+    * max over the per-file max_chars, zero data files — how Delta
+    * answers bare MIN/MAX queries), so the oracle gates the stats'
+    * exactness, not just their pruning. The body `require`s that
+    * skipping actually pruned files at every scale. */
+  def p34StatsSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val root = stageP34StatsTable(spark, dir)
+    val (scan, nHit, nTotal) = p34PrunedScan(spark, dir, 100L, 299L)
+    require(nHit < nTotal,
+      s"stats must prune files: planned $nHit of $nTotal")
+    val tableMaxChars = spark.read.parquet(s"$root/commit_log")
+      .agg(max(col("max_chars"))).head.getLong(0)
+    scan.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("table_max_chars", lit(tableMaxChars))
+      .orderBy(col("lang"))
+  }
+
+  // ---------------------------------------------------------------- p35
+
+  /** p35 — THE DOC TABLE THROUGH THE OCC PROTOCOL: three writers race
+    * four commits (three insert deltas, one delete list) onto one
+    * fresh [[graft.operators.OccCommitLog]], each commit carrying its
+    * writer-transaction identity. The artifacts are pre-staged
+    * (p31's design — the race is over COMMITS, which are single small
+    * files; that is the production claim, arbitration costs log
+    * writes, not data bytes); version ASSIGNMENT is racy but the
+    * commit SET is deterministic, and table membership — inserts
+    * minus the delete list — is interleaving-invariant because the
+    * residue classes are disjoint. The settled log then gets the full
+    * maintenance pass: log checkpoint + commit-file expiry
+    * (OccCommitLog.checkpoint/cleanLog), a DATA checkpoint resolved
+    * with the SHARED as-of rule and committed as a `snapshot`, and
+    * the SHARED table vacuum reclaiming the four folded artifacts.
+    * Every writer commit is then REPLAYED with its original txn — the
+    * log must not move, and the replay is safe even though vacuum
+    * already reclaimed the landing's data, because the txn check
+    * precedes any artifact access. Head serve resolves THROUGH the
+    * snapshot (TableLogSpec pins the plan holds no reclaimed delta);
+    * gated by p33's membership oracle — single-writer parquet log or
+    * multi-writer OCC log, one answer. */
+  def p35OccTableCommits(spark: SparkSession, dir: String): DataFrame = {
+    val root = PipelineQueries.staging("p35occ", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(rootPath, true) // per-run: the race is the subject
+    val logDir = s"$root/log"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val deltas = (0 to 2).map { k =>
+      val p = s"$root/delta_r$k"
+      docs.filter(col("doc_id") % 4 === k).coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    val tomb = s"$root/tombstones"
+    docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+      .coalesce(1).write.mode("overwrite").parquet(tomb)
+    val occ = graft.operators.OccCommitLog
+    val barrier = new java.util.concurrent.CyclicBarrier(3)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = Seq(
+      Seq(("insert", deltas(0), "p35-w1", 0L), ("insert", deltas(1), "p35-w1", 1L)),
+      Seq(("insert", deltas(2), "p35-w2", 0L)),
+      Seq(("delete", tomb, "p35-w3", 0L)),
+    ).map { commits =>
+      new Thread(() =>
+        try {
+          barrier.await()
+          commits.foreach { case (kind, path, app, txnV) =>
+            occ.commit(fs, logDir, kind, path, txn = Some((app, txnV)))
+          }
+        } catch { case t: Throwable => failures.add(t) })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
+    val log0 = occ.read(fs, logDir)
+    require(log0.map(_.version) == Seq(0, 1, 2, 3),
+      s"commit set damaged by the race: $log0")
+    require(log0.map(c => (c.kind, c.path)).toSet ==
+      (deltas.map(("insert", _)).toSet + (("delete", tomb))),
+      s"commit kinds damaged by the race: $log0")
+    // log maintenance: history enumerable from the checkpoint even
+    // after the folded commit FILES expire
+    occ.checkpoint(fs, logDir)
+    occ.cleanLog(fs, logDir)
+    // data checkpoint through the protocol: the as-of-3 snapshot,
+    // resolved with the SHARED rule, committed as `snapshot`
+    val snap = s"$root/snapshot_v4"
+    PipelineQueries.tableAsOfTriples(spark, occ.readTriples(fs, logDir), 3, logDir)
+      .repartitionByRange(2, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(snap)
+    occ.commit(fs, logDir, "snapshot", snap, txn = Some(("p35-maint", 1L)))
+    // the SHARED table vacuum, over OCC triples this time: all four
+    // folded artifacts reclaimed, the snapshot live
+    val reclaimed = PipelineQueries.tableVacuumTriples(
+      spark, occ.readTriples(fs, logDir), root)
+    require(reclaimed.toSet == (deltas.toSet + tomb),
+      s"vacuum must reclaim exactly the folded artifacts: $reclaimed")
+    // writer replay with original txn identities: the log must not move
+    val settled = occ.read(fs, logDir)
+    settled.foreach { c =>
+      val replayed = occ.commit(fs, logDir, c.kind, c.path,
+        txn = c.txnApp.zip(c.txnVersion))
+      require(replayed == c.version,
+        s"a replayed commit moved the log: v${c.version} -> v$replayed")
+    }
+    require(occ.read(fs, logDir).size == settled.size,
+      "writer replay double-committed")
+    PipelineQueries.tableAsOfTriples(spark, occ.readTriples(fs, logDir), 4, logDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- p36
+
+  /** Schema enforcement on write (Delta's contract): a delta may only
+    * carry columns the table schema — the newest `meta` commit at its
+    * version — already declares. Public so TableLogSpec can pin the
+    * refusal; called by the real staging writer below. */
+  private[queries] def p36EnforceSchema(deltaCols: Seq[String],
+      schemaCols: Seq[String], at: String): Unit =
+    require(deltaCols.toSet.subsetOf(schemaCols.toSet),
+      s"schema enforcement: the delta at $at carries columns " +
+        s"${deltaCols.filterNot(schemaCols.contains).mkString(", ")} the table " +
+        s"schema (${schemaCols.mkString(", ")}) does not declare — commit a " +
+        "schema-evolution `meta` first")
+
+  /** The schema-evolving table stage: v0 meta (3 columns) → v1/v2
+    * insert deltas → v3 meta ADDING `quality` → v4 delta carrying it
+    * → v5 delete list. Every delta goes through [[p36EnforceSchema]]
+    * against the schema at its version — the v4 delta is only legal
+    * BECAUSE v3 evolved the schema first. Meta payloads are one-row
+    * parquet (`name:type` pairs) so a meta commit is as cheap and
+    * atomic as any other. */
+  private[queries] def stageP36EvolvedTable(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val root = PipelineQueries.staging("p36se", dir)
+    PipelineQueries.stageOnce("p36se", dir, Seq(root)) {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val s0 = Seq("doc_id" -> "bigint", "lang" -> "string", "n_chars" -> "bigint")
+      val s3 = s0 :+ ("quality" -> "bigint")
+      var commits = Vector.empty[(Int, String, String)]
+      def writeMeta(v: Int, cols: Seq[(String, String)]): Unit = {
+        val p = s"$root/schema_v$v"
+        Seq(cols.map { case (n, t) => s"$n:$t" }.mkString(","))
+          .toDF("cols").coalesce(1).write.mode("overwrite").parquet(p)
+        commits :+= ((v, "meta", p))
+      }
+      def writeDelta(v: Int, df: DataFrame, schema: Seq[(String, String)]): Unit = {
+        p36EnforceSchema(df.columns.toSeq, schema.map(_._1), s"version $v")
+        val p = s"$root/delta_v$v"
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        commits :+= ((v, "insert", p))
+      }
+      writeMeta(0, s0)
+      writeDelta(1, docs.filter(col("doc_id") % 4 === 0), s0)
+      writeDelta(2, docs.filter(col("doc_id") % 4 === 1), s0)
+      writeMeta(3, s3)
+      writeDelta(4, docs.filter(col("doc_id") % 4 === 2)
+        .withColumn("quality", pmod(col("n_chars"), lit(97)).cast("long")), s3)
+      val tombP = s"$root/tombstones_v5"
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+        .coalesce(1).write.mode("overwrite").parquet(tombP)
+      commits :+= ((5, "delete", tombP))
+      commits.toDF("version", "kind", "path")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/commit_log")
+    }
+    root
+  }
+
+  /** The table schema AS OF `v`: the newest `meta` commit at or before
+    * it, parsed back to (name, type) pairs. */
+  private[queries] def p36SchemaAsOf(spark: SparkSession, root: String,
+      v: Int): Seq[(String, String)] = {
+    val metas = PipelineQueries.readCommitLog(spark, root)
+      .filter(t => t._2 == "meta" && t._1 <= v)
+    require(metas.nonEmpty, s"no schema exists at or before version $v in $root")
+    spark.read.parquet(metas.maxBy(_._1)._3).head.getString(0)
+      .split(",").toSeq.map { s =>
+        val Array(n, t) = s.split(":"); (n, t)
+      }
+  }
+
+  /** Read the evolved table AS OF `v`: resolve the SCHEMA from the log
+    * (not from file footers — the structural contrast with p12's
+    * mergeSchema), then project every in-range delta to it, older
+    * files null-padded on the columns they predate, minus the delete
+    * lists. A reader as of a PRE-evolution version gets the old
+    * schema — the new column simply does not exist there yet. */
+  private[queries] def p36ReadAsOf(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    val root = stageP36EvolvedTable(spark, dir)
+    val schema = p36SchemaAsOf(spark, root, v)
+    val log = PipelineQueries.readCommitLog(spark, root).filter(_._1 <= v)
+    val frames = log.filter(_._2 == "insert").sortBy(_._1).map { case (_, _, p) =>
+      val df = spark.read.parquet(p)
+      df.select(schema.map { case (n, t) =>
+        if (df.columns.contains(n)) col(n).cast(t).as(n)
+        else lit(null).cast(t).as(n)
+      }: _*)
+    }
+    val data = frames.reduce(_ unionByName _)
+    val tombs = log.filter(_._2 == "delete").map(_._3)
+    if (tombs.isEmpty) data
+    else data.join(
+      broadcast(spark.read.parquet(tombs.sorted.toIndexedSeq: _*)),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** p36 — SCHEMA EVOLUTION THROUGH THE LOG (Delta's metaData action +
+    * schema enforcement): the head read over the evolved table — old
+    * rows null-padded on `quality`, the v4 delta carrying it for real,
+    * the v5 delete applied. The oracle recomputes the padded column
+    * from the definitions, so the gate checks WHICH rows carry the
+    * evolved value, not just the shape. TableLogSpec pins the other
+    * half: the pre-evolution as-of read has NO quality column at all,
+    * and committing the wide delta under the old schema throws. */
+  def p36SchemaEvolutionLog(spark: SparkSession, dir: String): DataFrame =
+    p36ReadAsOf(spark, dir, 5).orderBy(col("doc_id"))
+
+  /** This family's oracle fragment (p35 aliases p33's oracle in the
+    * facade — membership must be identical however the log is
+    * written). */
+  private[queries] lazy val tableLogOracles: Map[String, String] = Map(
+    // the predicate slice recomputed layout-neutrally, plus the
+    // whole-table MAX the engine answered from log stats alone — an
+    // off-by-anything in any file's recorded min/max either drops
+    // rows from the slice or breaks the stats column's hash
+    "p34_stats_skipping" ->
+      """WITH mx AS (SELECT MAX(n_chars) AS table_max_chars FROM documents)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  table_max_chars
+        |FROM documents CROSS JOIN mx
+        |WHERE doc_id BETWEEN 100 AND 299
+        |GROUP BY lang, table_max_chars ORDER BY lang""".stripMargin,
+    // the evolved head from the definitions: residues 0..2 inserted,
+    // quality exists ONLY on the post-evolution v4 delta (residue 2),
+    // the v5 delete applied — the CASE pins which rows carry the
+    // evolved value, not just the padded shape
+    "p36_schema_evolution_log" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CASE WHEN doc_id % 4 = 2 THEN CAST(n_chars % 97 AS BIGINT)
+        |       ELSE NULL END AS quality
+        |FROM documents WHERE doc_id % 4 <= 2 AND doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -732,14 +732,22 @@ object PipelineQueries {
     * restated for a DELTA log where commits are increments rather than
     * complete layouts. With no checkpoint in range this is exactly
     * [[p23SnapshotAsOf]]'s resolution. */
-  def tableAsOfLog(spark: SparkSession, root: String, v: Int): DataFrame = {
-    val log = readCommitLog(spark, root).filter(_._1 <= v)
+  def tableAsOfLog(spark: SparkSession, root: String, v: Int): DataFrame =
+    tableAsOfTriples(spark, readCommitLog(spark, root), v, root)
+
+  /** The same rule over in-hand (version, kind, path) triples — ONE
+    * resolution body however the log is stored (the p33 parquet log,
+    * the p35/s44 [[graft.operators.OccCommitLog]] logs), so a rule fix
+    * cannot land on one log format and miss the other. */
+  def tableAsOfTriples(spark: SparkSession, triples: Seq[(Int, String, String)],
+      v: Int, label: String): DataFrame = {
+    val log = triples.filter(_._1 <= v)
     val sv = log.filter(_._2 == "snapshot").map(_._1).maxOption.getOrElse(-1)
     val base = log.filter(t => t._2 == "snapshot" && t._1 == sv).map(_._3)
     val inserts = log.filter(t => t._2 == "insert" && t._1 > sv).map(_._3)
     val tombs = log.filter(t => t._2 == "delete" && t._1 > sv).map(_._3)
     require(base.nonEmpty || inserts.nonEmpty,
-      s"no snapshot exists at or before version $v in $root")
+      s"no snapshot exists at or before version $v in $label")
     val data = spark.read.parquet((base ++ inserts).sorted.toIndexedSeq: _*)
     if (tombs.isEmpty) data
     else data.join(broadcast(spark.read.parquet(tombs.sorted.toIndexedSeq: _*)),
@@ -786,19 +794,36 @@ object PipelineQueries {
     * touched; a path also named by a retained commit is live (same
     * set-membership rule as p28/OccCommitLog). Ownership guard
     * separator-checked. Idempotent. Returns reclaimed paths. */
-  def p33VacuumRun(spark: SparkSession, root: String): Seq[String] = {
+  def p33VacuumRun(spark: SparkSession, root: String): Seq[String] =
+    tableVacuumTriples(spark, readCommitLog(spark, root), root)
+
+  /** The same reclaim over in-hand triples — shared with the OCC table
+    * logs (p35/s44) the way [[tableAsOfTriples]] shares resolution.
+    * Parameterized on the fold semantics: `horizonKind` is the commit
+    * kind that supersedes older increments (the newest such commit is
+    * the horizon), `preserveKinds` are never reclaimed however old —
+    * p33/p35's delete-APPLYING checkpoints fold everything
+    * (`snapshot` / {snapshot}); s44's pure bin-packing OPTIMIZE folds
+    * inserts only, so its delete lists stay load-bearing merge-on-read
+    * debt (`optimize` / {optimize, delete} — Delta's OPTIMIZE +
+    * deletion-vectors composition). A path also named by a retained
+    * commit is live either way. */
+  def tableVacuumTriples(spark: SparkSession, log: Seq[(Int, String, String)],
+      root: String, horizonKind: String = "snapshot",
+      preserveKinds: Set[String] = Set("snapshot")): Seq[String] = {
+    require(preserveKinds.contains(horizonKind),
+      "the horizon commit itself must be preserved")
     val conf = spark.sessionState.newHadoopConf()
-    val log = readCommitLog(spark, root)
     val owned = root.stripSuffix("/") + "/"
     require(log.forall(_._3.startsWith(owned)),
       s"refusing to vacuum a log with commits it does not own " +
         s"(log=$root, foreign=${log.filterNot(_._3.startsWith(owned)).map(_._3).toSeq})")
-    log.filter(_._2 == "snapshot").map(_._1).maxOption match {
+    log.filter(_._2 == horizonKind).map(_._1).maxOption match {
       case None => Seq.empty // nothing folded, nothing reclaimable
       case Some(sv) =>
-        val live = log.filter(t => t._2 == "snapshot" || t._1 > sv)
+        val live = log.filter(t => preserveKinds(t._2) || t._1 > sv)
           .map(_._3).toSet
-        log.filter(t => t._2 != "snapshot" && t._1 <= sv).map(_._3).toSeq
+        log.filter(t => !preserveKinds(t._2) && t._1 <= sv).map(_._3).toSeq
           .sorted.distinct.filterNot(live).flatMap { p =>
             val hp = new org.apache.hadoop.fs.Path(p)
             val fs = hp.getFileSystem(conf)

@@ -271,6 +271,125 @@ private[queries] trait StreamingOccFamily { this: StreamingQueries.type =>
       spark.read.parquet(s"$layout/postings"))
   }
 
+  /** s44 — the DOC-TABLE daemon through the OCC log, with OPTIMIZE as
+    * the policy: the last channel (the table itself) joins the
+    * log-state discipline, and the maintenance op is Delta's OPTIMIZE
+    * + deletion-vectors composition rather than a delete-applying
+    * merge — the structural contrast with s43. One stream interleaves
+    * every document with the tombstone ids (ids ≡ 0 mod 3); each
+    * micro-batch commits its insert delta AND its tombstone list
+    * (possibly empty) under separate writer identities. The policy
+    * reads the LOG: when ≥2 insert deltas are pending past the newest
+    * `optimize`, it bin-packs head-optimize ∪ pending into one
+    * range-clustered rewrite and commits it as `optimize` — a PURE
+    * LAYOUT move that never applies deletes (Delta's OPTIMIZE
+    * contract: compaction must not change table content, and deletion
+    * vectors ride along untouched). Tombstone lists are therefore
+    * merge-on-read debt applied at READ time, ALL of them regardless
+    * of position — set-valued retraction, so a tombstone may precede
+    * its own doc's arrival and re-applying a folded one is a no-op
+    * (the same out-of-order tolerance s43 proved for the index
+    * channel, here bought at read instead of at merge). After each
+    * optimize the folded insert deltas are physically reclaimed
+    * through the SHARED vacuum body
+    * ([[PipelineQueries.tableVacuumTriples]], horizon = the optimize,
+    * delete lists and optimize epochs preserved); landings of both
+    * kinds are replayed post-drain with their original txns — the log
+    * must not move, and the replay is safe even though the landings'
+    * data is vacuumed, because the txn check precedes any artifact
+    * access. Head serve = the newest optimize anti-joined with every
+    * committed tombstone list, gated by the membership oracle
+    * (TableLogSpec pins the plan reading ONLY the head optimize plus
+    * the id lists — no reclaimed delta, no superseded epoch). */
+  def s44OccTableDaemon(spark: SparkSession, dir: String): DataFrame = {
+    val root = StreamingQueries.freshRunRoot(spark, dir, "s44m")
+    val logDir = s"$root/log"
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val occ = graft.operators.OccCommitLog
+    def pendingPastOptimize(log: Seq[graft.operators.OccCommitLog.Commit])
+        : (Option[String], Seq[String]) = {
+      val optV = log.filter(_.kind == "optimize").map(_.version)
+        .maxOption.getOrElse(-1)
+      (log.find(c => c.kind == "optimize" && c.version == optV).map(_.path),
+        log.filter(c => c.kind == "insert" && c.version > optV).map(_.path))
+    }
+    def policy(sp: SparkSession, minPending: Int): Unit = {
+      val log = occ.read(hfs, logDir)
+      val (optHead, pending) = pendingPastOptimize(log)
+      if (pending.size >= minPending) {
+        val gen = log.count(_.kind == "optimize") + 1
+        val out = s"$root/opt$gen"
+        // bin-packing: head ∪ pending rewritten once, range-clustered
+        // on doc_id so the rewrite also restores skippability (p34's
+        // stats story; p13's clustering) — content untouched
+        sp.read.parquet((optHead.toSeq ++ pending).toIndexedSeq: _*)
+          .repartitionByRange(2, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+          .write.mode("overwrite").parquet(out)
+        occ.commit(hfs, logDir, "optimize", out,
+          txn = Some(("s44-opt", gen.toLong)))
+        // reclaim the folded deltas through the SHARED vacuum body:
+        // horizon = the optimize; delete lists (merge-on-read debt)
+        // and optimize epochs (time-travel retention is p28's job,
+        // not this daemon's) are preserved
+        PipelineQueries.tableVacuumTriples(sp, occ.readTriples(hfs, logDir),
+          root, horizonKind = "optimize",
+          preserveKinds = Set("optimize", "delete"))
+      }
+    }
+    StreamingQueries.streamedLandings(spark, dir, "s44", "land")(
+      StreamingQueries.cdcInterleave(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        Tables.documents(spark, dir)
+          .filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    ) { (batch, id, _) =>
+      val sp = batch.sparkSession
+      // landings go STRAIGHT into log-owned storage (p28/p32's
+      // ownership model — vacuum may only ever reclaim owned bytes,
+      // so a commit must name an owned path); batch-id-keyed
+      // overwrite keeps the file-level idempotence the landing
+      // protocol promises
+      val delta = s"$root/delta=$id"
+      batch.filter(col("kind") === "doc")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(delta)
+      occ.commit(hfs, logDir, "insert", delta, txn = Some(("s44-ins", id)))
+      batch.filter(col("kind") === "del").select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/tomb=$id")
+      occ.commit(hfs, logDir, "delete", s"$root/tomb=$id",
+        txn = Some(("s44-del", id)))
+      policy(sp, minPending = 2)
+    }
+    policy(spark, minPending = 1) // post-drain sweep (daemon shutdown)
+    // checkpoint replay: both landing kinds re-run with their original
+    // txns against a log whose folded data is already vacuumed — the
+    // log must not move by a version
+    val settled = occ.read(hfs, logDir)
+    settled.filter(c => c.kind == "insert" || c.kind == "delete").foreach { c =>
+      val replayed = occ.commit(hfs, logDir, c.kind, c.path,
+        txn = c.txnApp.zip(c.txnVersion))
+      require(replayed == c.version,
+        s"a replayed landing moved the log: v${c.version} -> v$replayed")
+    }
+    require(occ.read(hfs, logDir).size == settled.size,
+      "checkpoint replay double-committed a landing")
+    require(settled.count(_.kind == "optimize") >= 2,
+      "the optimize policy must fire mid-stream, not only at the sweep")
+    val (optHead, pending) = pendingPastOptimize(settled)
+    require(pending.isEmpty, "the sweep must fold every pending delta")
+    // head serve: the one optimize layout, minus EVERY committed
+    // tombstone list (merge-on-read, position-independent)
+    val tombPaths = settled.filter(_.kind == "delete").map(_.path)
+    spark.read.parquet(optHead.get)
+      .join(broadcast(
+        spark.read.parquet(tombPaths.toIndexedSeq: _*).select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** s42 — the TOKEN daemon committing through the OCC log: s39's
     * pure-layout-rewrite merges (token hashes are per-doc functions —
     * no stats, no meta, the structural contrast with s41) driven by

@@ -29,6 +29,7 @@ object StreamingQueries
     with StreamingServeFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s44_occ_table_daemon" -> s44OccTableDaemon _,
     "s43_occ_cdc_daemon" -> s43OccCdcDaemon _,
     "s42_occ_token_daemon" -> s42OccTokenDaemon _,
     "s41_occ_keyword_daemon" -> s41OccKeywordDaemon _,
@@ -168,6 +169,15 @@ object StreamingQueries
     // thread-raced arbitration (p31)
     "s43_occ_cdc_daemon" ->
       AnalyticsQueries.oracleSql("a37_keyword_lifecycle"),
+    // the doc-table OPTIMIZE daemon: bin-packing rewrites committed
+    // through the protocol never change content, and the tombstone
+    // lists apply merge-on-read in full — whatever batch a doc or its
+    // retraction landed in, head membership is every inserted doc
+    // minus every tombstoned id, straight from the definitions
+    "s44_occ_table_daemon" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
     // the replica after consuming the whole feed must be EXACTLY the
     // as-of-3 snapshot's membership, recomputed from the definitions:
     // v0+v1+v2 inserts (doc_id % 4 <= 2) minus the v3 delete

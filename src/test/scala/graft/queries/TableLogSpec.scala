@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.Path
+import graft.GraftSession
+
+/** Pins on the table-format log family (p34–p36, s44) that the DuckDB
+  * oracles cannot see: stats-based file skipping actually excluding
+  * files from the PLAN (not just producing the right rows), schema
+  * enforcement refusing a wider delta, pre-evolution reads not carrying
+  * the evolved column, the OCC table log's vacuumed epochs failing at
+  * planning while the head plans only the snapshot, and the OPTIMIZE
+  * daemon's head serve reading nothing but the head optimize plus the
+  * merge-on-read id lists. */
+class TableLogSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(cores = 4, shufflePartitions = 4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("p34: the pruned scan plans ONLY the stats-intersecting deltas") {
+    val root = AnalyticsQueries.stageP34StatsTable(spark, dir)
+    val log = spark.read.parquet(s"$root/commit_log").collect()
+      .map(r => (r.getAs[String]("path"),
+        r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))).toSeq
+    val (lo, hi) = (100L, 299L)
+    val hit = log.filter(c => c._3 >= lo && c._2 <= hi).map(_._1).toSet
+    val miss = log.map(_._1).toSet -- hit
+    assert(hit.nonEmpty && miss.nonEmpty,
+      s"the fixture must make skipping non-trivial: hit=$hit miss=$miss")
+    val (scan, nHit, nTotal) = AnalyticsQueries.p34PrunedScan(spark, dir, lo, hi)
+    assert(nHit == hit.size && nTotal == log.size)
+    val planned = scan.inputFiles.toSeq
+    assert(planned.nonEmpty)
+    assert(planned.forall(f => hit.exists(f.contains)),
+      s"the plan leaked a stats-skipped file: " +
+        s"${planned.filterNot(f => hit.exists(f.contains))}")
+    assert(miss.forall(m => !planned.exists(_.contains(m))),
+      "a skipped delta appeared in the plan")
+  }
+
+  test("p36: schema enforcement refuses a delta wider than the log's schema") {
+    val e = intercept[IllegalArgumentException] {
+      AnalyticsQueries.p36EnforceSchema(
+        Seq("doc_id", "lang", "n_chars", "quality"),
+        Seq("doc_id", "lang", "n_chars"), "version 1")
+    }
+    assert(e.getMessage.contains("schema enforcement") &&
+      e.getMessage.contains("quality"))
+  }
+
+  test("p36: a pre-evolution as-of read has no quality column; the post-evolution read null-pads exactly the old rows") {
+    val pre = AnalyticsQueries.p36ReadAsOf(spark, dir, 2)
+    assert(pre.columns.toSeq == Seq("doc_id", "lang", "n_chars"),
+      s"the evolved column must not exist before its meta commit: ${pre.columns.toSeq}")
+    val post = AnalyticsQueries.p36ReadAsOf(spark, dir, 4)
+    assert(post.columns.toSeq == Seq("doc_id", "lang", "n_chars", "quality"))
+    import org.apache.spark.sql.functions._
+    val byResidue = post
+      .groupBy((col("doc_id") % 4).as("residue"))
+      .agg(count(lit(1)).as("n"), count(col("quality")).as("n_quality"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // residues 0/1 predate the evolution: padded null; residue 2
+    // carries the evolved value on every row
+    assert(byResidue(0L)._2 == 0 && byResidue(1L)._2 == 0,
+      s"pre-evolution rows must be null-padded: $byResidue")
+    assert(byResidue(2L)._1 == byResidue(2L)._2,
+      s"every post-evolution row must carry the value: $byResidue")
+  }
+
+  test("p35: vacuumed epochs fail at planning; the head plans only the snapshot") {
+    AnalyticsQueries.p35OccTableCommits(spark, dir).collect()
+    val root = PipelineQueries.staging("p35occ", dir)
+    val triples = graft.operators.OccCommitLog.readTriples(
+      fs(root), s"$root/log")
+    assert(triples.size == 5 && triples.count(_._2 == "snapshot") == 1)
+    // the folded artifacts are physically gone
+    (0 to 2).foreach(k => assert(!fs(root).exists(new Path(s"$root/delta_r$k"))))
+    assert(!fs(root).exists(new Path(s"$root/tombstones")))
+    // an as-of read into a reclaimed epoch fails loudly at planning
+    intercept[Exception] {
+      PipelineQueries.tableAsOfTriples(spark, triples, 2, root).collect()
+    }
+    // the head plan reads the snapshot and nothing else
+    val head = PipelineQueries.tableAsOfTriples(spark, triples, 4, root)
+    val planned = head.inputFiles.toSeq
+    assert(planned.nonEmpty && planned.forall(_.contains("/snapshot_v4/")),
+      s"the head must resolve THROUGH the snapshot: $planned")
+  }
+
+  test("s44: folded deltas reclaimed, epochs + id lists preserved, head plans only the head optimize plus the merge-on-read lists") {
+    val served = StreamingQueries.s44OccTableDaemon(spark, dir)
+    val planned = served.inputFiles.toSeq
+    val root = PipelineQueries.staging("s44m", dir)
+    val log = graft.operators.OccCommitLog.read(fs(root), s"$root/log")
+    val nOpt = log.count(_.kind == "optimize")
+    assert(nOpt >= 2, s"the policy must have fired mid-stream: $log")
+    // every folded insert delta is physically gone; every tombstone
+    // list and every optimize epoch survives (retention is p28's job,
+    // merge-on-read debt is the read path's)
+    log.filter(_.kind == "insert").foreach(c =>
+      assert(!fs(root).exists(new Path(c.path)),
+        s"a folded delta survived vacuum: ${c.path}"))
+    (log.filter(_.kind == "delete") ++ log.filter(_.kind == "optimize"))
+      .foreach(c => assert(fs(root).exists(new Path(c.path)),
+        s"a preserved commit's artifact is missing: ${c.path}"))
+    // the serve plan: head optimize + id lists, nothing else
+    assert(planned.nonEmpty)
+    assert(planned.forall(f =>
+      f.contains(s"/opt$nOpt/") || f.contains("/tomb=")),
+      s"the head serve leaked a non-head file: " +
+        s"${planned.filterNot(f => f.contains(s"/opt$nOpt/") || f.contains("/tomb="))}")
+    assert(planned.exists(_.contains(s"/opt$nOpt/")) &&
+      planned.exists(_.contains("/tomb=")))
+  }
+}
