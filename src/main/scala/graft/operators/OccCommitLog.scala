@@ -276,6 +276,46 @@ object OccCommitLog {
       s"could not commit to $logDir after $maxAttempts attempts")
   }
 
+  /** One VALIDATED optimistic transaction — the conflict layer
+    * [[commit]]'s blind retry deliberately lacks (Delta's
+    * OptimisticTransaction / ConcurrentModificationException, public):
+    * blind retry-at-tail is correct ONLY for commutative commits
+    * (appends, set-valued tombstone lists). A NON-commutative writer —
+    * a compaction that folds the segments it READ — must not land a
+    * commit derived from a stale log: two racing OPTIMIZE daemons that
+    * both read {d0, d1}, then interleave with a fresh insert d2, would
+    * otherwise publish a fold that silently LOSES d2 from the head
+    * (the lost-update anomaly). Here the transaction re-derives its
+    * commit from a fresh read on every attempt and publishes with
+    * [[tryCommit]] AT THE READ TAIL — so the claim succeeds only if
+    * the log has not moved between read and publish, which makes the
+    * read set trivially valid. On conflict the body runs again on the
+    * new log (re-derivation is the universally correct conflict
+    * resolution; Delta's per-operation rules — AppendOnly commutes
+    * past appends etc. — are optimizations of it, not alternatives).
+    * The body returns None to declare there is nothing left to do
+    * (e.g. the race's winner already folded everything), which ends
+    * the transaction without a commit; a body that stages artifacts
+    * should overwrite or clean its previous attempt's staging — the
+    * log only ever names the attempt that won. */
+  def transact(fs: FileSystem, logDir: String, maxAttempts: Int = 1000)(
+      body: Seq[Commit] => Option[(String, String, Option[(String, Long)])])
+      : Option[Int] = {
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      val log = read(fs, logDir)
+      body(log) match {
+        case None => return None
+        case Some((kind, path, txn)) =>
+          val next = log.lastOption.map(_.version + 1).getOrElse(0)
+          if (tryCommit(fs, logDir, next, kind, path, txn)) return Some(next)
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"could not transact on $logDir after $maxAttempts attempts")
+  }
+
   /** CHECKPOINT the log at its current tail (Delta's `N.checkpoint`
     * compaction, public): one `%08d.checkpoint` file holding every
     * commit ≤ the tail — txn identities included, so replay dedup

@@ -187,6 +187,7 @@ object AnalyticsQueries
     "p34_stats_skipping" -> p34StatsSkipping _,
     "p35_occ_table_commits" -> p35OccTableCommits _,
     "p36_schema_evolution_log" -> p36SchemaEvolutionLog _,
+    "p37_concurrent_optimize" -> p37ConcurrentOptimize _,
     "m13_image_lifecycle" -> m13ImageLifecycle _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,

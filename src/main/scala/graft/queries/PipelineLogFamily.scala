@@ -322,6 +322,119 @@ private[queries] trait PipelineLogFamily { this: AnalyticsQueries.type =>
   def p36SchemaEvolutionLog(spark: SparkSession, dir: String): DataFrame =
     p36ReadAsOf(spark, dir, 5).orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- p37
+
+  /** p37 — CONCURRENT NON-COMMUTATIVE MAINTENANCE, the conflict layer
+    * the blind-retry protocol deliberately lacked (r15 verdict's noted
+    * boundary, now closed): an ingest writer trickles four insert
+    * deltas onto one OCC table log WHILE two OPTIMIZE daemons race
+    * each other — and the writer — to bin-pack the pending set. An
+    * optimize commit is NON-commutative (it folds exactly the segments
+    * its author READ), so blind retry-at-tail would let a stale fold
+    * land after an interloping insert and silently LOSE that insert
+    * from the head — the lost-update anomaly. Each daemon therefore
+    * runs [[graft.operators.OccCommitLog.transact]]: derive the fold
+    * from a fresh log read, publish at the read tail, and on conflict
+    * re-derive from scratch (a lost attempt's staged rewrite is
+    * deleted; the log only ever names winners — Delta's
+    * OptimisticTransaction contract). The gate is the invariant the
+    * validation exists to protect, and it must hold under EVERY
+    * schedule the race can produce: the head optimize carries every
+    * inserted doc exactly once — nothing lost to a stale fold, nothing
+    * doubled by a duplicate one. Folded deltas are reclaimed through
+    * the SHARED vacuum (optimize epochs preserved — retention is
+    * p28's job); OccProtocolSpec drives the DETERMINISTIC stale-fold
+    * schedule this query can only race at. */
+  def p37ConcurrentOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val root = PipelineQueries.staging("p37occ", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(rootPath, true) // per-run: the race is the subject
+    val logDir = s"$root/log"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val deltas = (0 to 3).map { k =>
+      val p = s"$root/delta_r$k"
+      docs.filter(col("doc_id") % 4 === k).coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    val occ = graft.operators.OccCommitLog
+    @volatile var writerDone = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    // one validated fold attempt: None when nothing is pending
+    def foldOnce(tag: String,
+        lastStaged: java.util.concurrent.atomic.AtomicReference[String])
+        : Option[Int] =
+      occ.transact(fs, logDir) { log =>
+        val optV = log.filter(_.kind == "optimize").map(_.version)
+          .maxOption.getOrElse(-1)
+        val optHead = log.find(c => c.kind == "optimize" && c.version == optV)
+          .map(_.path)
+        val pending = log.filter(c => c.kind == "insert" && c.version > optV)
+          .map(_.path)
+        if (pending.isEmpty) None
+        else {
+          // a previous attempt of THIS daemon lost its race: its staged
+          // rewrite is garbage the log never named — reclaim it now
+          Option(lastStaged.get()).foreach(p =>
+            fs.delete(new org.apache.hadoop.fs.Path(p), true))
+          val out = s"$root/$tag-opt${counter.incrementAndGet()}"
+          spark.read.parquet((optHead.toSeq ++ pending).toIndexedSeq: _*)
+            .repartitionByRange(2, col("doc_id"))
+            .sortWithinPartitions(col("doc_id"))
+            .write.mode("overwrite").parquet(out)
+          lastStaged.set(out)
+          Some(("optimize", out, None))
+        }
+      }.map { v => lastStaged.set(null); v } // committed: the log owns it
+    def optimizerThread(tag: String): Thread = new Thread(() => {
+      val lastStaged = new java.util.concurrent.atomic.AtomicReference[String]()
+      try {
+        var idle = false
+        while (!(idle && writerDone)) {
+          idle = foldOnce(tag, lastStaged).isEmpty
+          if (idle && !writerDone) Thread.sleep(5)
+        }
+      } catch { case t: Throwable => failures.add(t) }
+      finally Option(lastStaged.get()).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    })
+    val writer = new Thread(() => try {
+      deltas.zipWithIndex.foreach { case (p, k) =>
+        occ.commit(fs, logDir, "insert", p,
+          txn = Some(("p37-ingest", k.toLong)))
+        Thread.sleep(30)
+      }
+      writerDone = true
+    } catch { case t: Throwable => failures.add(t); writerDone = true })
+    val threads = Seq(writer, optimizerThread("a"), optimizerThread("b"))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
+    // the shutdown sweep: both daemons can exit on the writerDone race
+    // window with the last delta still pending — fold any remainder
+    val sweepRef = new java.util.concurrent.atomic.AtomicReference[String]()
+    while (foldOnce("sweep", sweepRef).isDefined) ()
+    val settled = occ.read(fs, logDir)
+    require(settled.count(_.kind == "insert") == 4 &&
+      settled.count(_.kind == "optimize") >= 1,
+      s"the race damaged the commit set: $settled")
+    // reclaim the folded deltas through the SHARED vacuum body
+    PipelineQueries.tableVacuumTriples(spark, occ.readTriples(fs, logDir),
+      root, horizonKind = "optimize", preserveKinds = Set("optimize"))
+    val optV = settled.filter(_.kind == "optimize").map(_.version).max
+    val head = settled.find(c => c.kind == "optimize" && c.version == optV)
+      .get.path
+    val served = spark.read.parquet(head)
+    // the invariant validation protects, asserted under any schedule:
+    // every inserted doc exactly once — no stale fold lost one, no
+    // duplicate fold doubled one (the oracle then pins full membership)
+    require(served.count() == served.select(col("doc_id")).distinct().count(),
+      "a duplicate fold doubled rows in the head")
+    served.orderBy(col("doc_id"))
+  }
+
   /** This family's oracle fragment (p35 aliases p33's oracle in the
     * facade — membership must be identical however the log is
     * written). */
@@ -346,6 +459,12 @@ private[queries] trait PipelineLogFamily { this: AnalyticsQueries.type =>
         |  CASE WHEN doc_id % 4 = 2 THEN CAST(n_chars % 97 AS BIGINT)
         |       ELSE NULL END AS quality
         |FROM documents WHERE doc_id % 4 <= 2 AND doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
+    // full membership: a stale fold that lost an interloping insert, or
+    // a duplicate fold that doubled one, breaks the hash — the
+    // lost-update invariant gated under whatever schedule the race took
+    "p37_concurrent_optimize" ->
+      """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -271,6 +271,83 @@ private[queries] trait StreamingOccFamily { this: StreamingQueries.type =>
       spark.read.parquet(s"$layout/postings"))
   }
 
+  /** s45 — the VECTOR daemon committing through the OCC log: the PQ
+    * channel joins the log-state discipline via the SAME
+    * [[occPolicyDaemon]] body that runs s41 (keyword) and s42 (token)
+    * — only `land` and `merge` differ, which is the channel-agnosticism
+    * proof repeated one level up. Each micro-batch encodes its
+    * embeddings against the FROZEN a12 codebooks at landing (the FAISS
+    * `add` path — training never appears in any plan; codebooks are
+    * serving state the log never names) and commits the 4 B/vector
+    * code rows as a `segment`; policy merges are pure layout rewrites
+    * (code rows are per-vector functions of frozen codebooks — no
+    * stats, nothing population-dependent to recompute, the same
+    * algebra LayoutMergeConfluence pins for tokens). Because the
+    * stage's stored corpus codes are themselves [[pqEncodeAgainst]]
+    * output against the same frozen codebooks, a full-corpus daemon
+    * build is row-identical to the stored-base ∪ increment layout —
+    * so the serve (a09's ADC + exact re-rank) is gated by a12's
+    * ORACLE: append-only one-shot (a12), streamed ledger ingest
+    * (s14), or the log-state daemon with txn-replayed landings — one
+    * answer. */
+  def s45OccVectorDaemon(spark: SparkSession, dir: String): DataFrame = {
+    val a12 = AnalyticsQueries.a12CorpusIndexStage(spark, dir)
+    val cbAll = spark.read.parquet(s"$a12/codebooks")
+    val layout = occPolicyDaemon(spark, dir, "s45")(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(4)) { (batch, seg) =>
+      AnalyticsQueries.pqEncodeAgainst(
+        AnalyticsQueries.pqSubcodes(batch), cbAll)
+        .write.mode("overwrite").parquet(seg)
+    } { (sp, nodes, out) =>
+      nodes.map(p => sp.read.parquet(p)).reduce(_ unionByName _)
+        .repartitionByRange(2, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").parquet(out)
+    }
+    val n = spark.read.parquet(s"$a12/meta").head.getAs[Long]("n")
+    val qside = AnalyticsQueries.pqSubcodes(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 20))
+      .withColumnRenamed("vec_id", "query_id")
+    AnalyticsQueries.pqAdcTail(spark, dir, spark.read.parquet(layout),
+      AnalyticsQueries.pqLutsFrom(qside, cbAll),
+      math.max(AnalyticsQueries.PqL.toLong, n / 20).toInt)
+  }
+
+  /** s46 — the IMAGE daemon committing through the OCC log: the last
+    * index channel joins the log-state discipline, again through the
+    * SHARED [[occPolicyDaemon]] body. Each micro-batch pays its OWN
+    * ImageIO decode + perceptual hash at landing (the only moment
+    * pixels are touched — m09's decode-at-ingest economics, per
+    * segment) and commits the 24-byte hash rows; policy merges are
+    * pure layout rewrites with ZERO decode. Serve is the exact-cluster
+    * → banded-Hamming near-dup over the head layout resolved from the
+    * log, gated by m07's ORACLE — the same hash pinning m07 (inline
+    * decode), m09 (prebuilt), s24 (streamed ledger landings), and m10
+    * (generational): five arrival shapes, one answer, now including
+    * the concurrency protocol's. */
+  def s46OccImageDaemon(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .repartition(4) // decode distributes over the 4 batch files
+      .mapPartitions(_.map(id =>
+        (id, graft.operators.Multimodal.synthPng(id, 16, 16))))
+      .toDF("media_id", "payload")
+    val layout = occPolicyDaemon(spark, dir, "s46")(payloads) { (batch, seg) =>
+      graft.operators.Multimodal.aHash8(batch).toDF()
+        .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+        .write.mode("overwrite").parquet(seg)
+    } { (sp, nodes, out) =>
+      nodes.map(p => sp.read.parquet(p)).reduce(_ unionByName _)
+        .repartitionByRange(2, col("media_id"))
+        .sortWithinPartitions(col("media_id"))
+        .write.mode("overwrite").parquet(out)
+    }
+    AnalyticsQueries.nearDupFromHashes(spark.read.parquet(layout))
+  }
+
   /** s44 — the DOC-TABLE daemon through the OCC log, with OPTIMIZE as
     * the policy: the last channel (the table itself) joins the
     * log-state discipline, and the maintenance op is Delta's OPTIMIZE

@@ -29,6 +29,8 @@ object StreamingQueries
     with StreamingServeFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s46_occ_image_daemon" -> s46OccImageDaemon _,
+    "s45_occ_vector_daemon" -> s45OccVectorDaemon _,
     "s44_occ_table_daemon" -> s44OccTableDaemon _,
     "s43_occ_cdc_daemon" -> s43OccCdcDaemon _,
     "s42_occ_token_daemon" -> s42OccTokenDaemon _,
@@ -178,6 +180,17 @@ object StreamingQueries
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 3 <> 0
         |ORDER BY doc_id""".stripMargin,
+    // the vector daemon: code rows are per-vector functions of the
+    // FROZEN codebooks, so a full-corpus daemon build is row-identical
+    // to a12's stored-base ∪ increment — a12's oracle, one answer for
+    // the one-shot append, the ledger stream, and the log-state daemon
+    "s45_occ_vector_daemon" ->
+      AnalyticsQueries.oracleSql("a12_pq_index_update"),
+    // the image daemon: perceptual hashes are pure per-media functions,
+    // so m07's oracle pins the fifth arrival shape (inline, prebuilt,
+    // ledger-streamed, generational, and now log-state) to one answer
+    "s46_occ_image_daemon" ->
+      AnalyticsQueries.oracleSql("m07_image_neardup"),
     // the replica after consuming the whole feed must be EXACTLY the
     // as-of-3 snapshot's membership, recomputed from the definitions:
     // v0+v1+v2 inserts (doc_id % 4 <= 2) minus the v3 delete

@@ -333,21 +333,43 @@ class OccProtocolSpec extends AnyFunSuite {
           Thread.sleep(15)
         }
       },
-      // the as-of reader: serve the HEAD snapshot in a loop; a planned
-      // reclaimed file would throw here and fail the race
+      // the as-of reader: serve the HEAD snapshot in a loop. The
+      // retention window is the contract, stated precisely: a serve
+      // whose resolve→scan gap stays INSIDE the window must never see
+      // a reclaimed file; a serve that OUTLIVES the window (a loaded
+      // machine can stall the scan past retain·30 ms) may legally fail
+      // — but only if its epoch has genuinely aged past the horizon by
+      // the time it failed (Delta's vacuum-beyond-retention caveat).
+      // Both halves are asserted.
       () => {
+        def fnfInChain(t: Throwable): Boolean =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+            .exists(_.isInstanceOf[java.io.FileNotFoundException])
         while (!writerDone) {
           val log = OccCommitLog.readTriples(hfs, logDir)
           if (log.nonEmpty) {
             val (layout, tombs) =
               PipelineQueries.resolveAsOf(log, log.map(_._1).max, logDir)
             assert(tombs.isEmpty)
-            val v = sp.read.parquet(layout).head.getLong(0)
-            // the artifact named l<i> was committed at version i (one
-            // ordered writer), so the head serve must read ITS row
-            assert(layout.endsWith(s"/l$v"),
-              s"head serve read the wrong epoch: $layout -> $v")
-            serves.incrementAndGet()
+            try {
+              val v = sp.read.parquet(layout).head.getLong(0)
+              // the artifact named l<i> was committed at version i (one
+              // ordered writer), so the head serve must read ITS row
+              assert(layout.endsWith(s"/l$v"),
+                s"head serve read the wrong epoch: $layout -> $v")
+              serves.incrementAndGet()
+            } catch {
+              case t: Throwable if fnfInChain(t) =>
+                // legal ONLY for a serve that outlived the window:
+                // the epoch it resolved must now be behind the horizon
+                val myV = layout.substring(layout.lastIndexOf('l') + 1).toInt
+                val layoutsNow = OccCommitLog.readTriples(hfs, logDir)
+                  .filter(_._2 == "layout").map(_._1).sorted
+                val horizon = layoutsNow.takeRight(retain).head
+                assert(myV < horizon,
+                  s"a serve INSIDE the retention window planned a " +
+                    s"reclaimed file: epoch $myV, horizon $horizon")
+            }
           }
           Thread.sleep(10)
         }
@@ -372,5 +394,51 @@ class OccProtocolSpec extends AnyFunSuite {
     intercept[Exception] { sp.read.parquet(oldLayout).count() }
     // idempotence: nothing left to reclaim
     assert(OccCommitLog.vacuum(hfs, logDir, root, retainLayouts = 1).isEmpty)
+  }
+
+  test("transact: a stale fold can never land; re-derivation folds the interloper") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    val root = freshRoot("occspec7")
+    val logDir = s"$root/log"
+    val hfs = fs(root)
+    def delta(name: String, ids: Seq[Long]): String = {
+      val p = s"$root/$name"
+      ids.toDF("doc_id").coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    }
+    OccCommitLog.commit(hfs, logDir, "insert", delta("d0", Seq(0L, 1L)))
+    OccCommitLog.commit(hfs, logDir, "insert", delta("d1", Seq(2L, 3L)))
+    // a STALE optimizer: derives its fold from the log as of v1...
+    val staleRead = OccCommitLog.read(hfs, logDir)
+    assert(staleRead.last.version == 1)
+    val staleOut = s"$root/opt-stale"
+    sp.read.parquet(staleRead.map(_.path).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(staleOut)
+    // ...but an interloping insert lands between its read and publish
+    OccCommitLog.commit(hfs, logDir, "insert", delta("d2", Seq(4L, 5L)))
+    // the stale publish AT THE READ TAIL must lose — this is the whole
+    // validation: had it landed (as a blind `commit` retry would), the
+    // head would silently lose d2's rows
+    assert(!OccCommitLog.tryCommit(hfs, logDir, 2, "optimize", staleOut),
+      "a stale fold landed over an interloping commit")
+    // transact re-derives from the fresh log: the fold includes d2
+    val v = OccCommitLog.transact(hfs, logDir) { log =>
+      val pending = log.filter(_.kind == "insert").map(_.path)
+      val out = s"$root/opt-fresh"
+      sp.read.parquet(pending.toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(out)
+      Some(("optimize", out, None))
+    }
+    assert(v.contains(3), s"the validated fold must win the next version: $v")
+    val head = OccCommitLog.read(hfs, logDir)
+      .filter(_.kind == "optimize").maxBy(_.version)
+    assert(sp.read.parquet(head.path).select(col("doc_id"))
+      .as[Long].collect().sorted.toSeq == (0L to 5L),
+      "the validated head must carry every insert including the interloper")
+    // and a transact with nothing to do commits nothing
+    assert(OccCommitLog.transact(hfs, logDir) { _ => None }.isEmpty)
+    assert(OccCommitLog.read(hfs, logDir).size == 4)
   }
 }
