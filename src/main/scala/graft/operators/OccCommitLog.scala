@@ -67,15 +67,25 @@ object OccCommitLog {
   private def commitFile(logDir: String, v: Int): Path =
     new Path(logDir, f"$v%08d.commit")
 
-  /** Commit body serialization: `kind TAB path [TAB app TAB txnVer]`.
-    * One line; tabs are the field separator, so neither kind, path,
-    * nor app may contain them (enforced at publish). */
-  private def body(kind: String, path: String,
+  /** Commit body serialization: one `kind TAB path [TAB app TAB
+    * txnVer]` line PER ACTION — a commit may carry several actions
+    * that become visible ATOMICALLY at its version (Delta's
+    * multi-action commit, the property that makes UPDATE possible: a
+    * delete list and its replacement delta must land together or not
+    * at all — two separate versions would expose the torn
+    * intermediate state to any reader between them). The version file
+    * is published whole via put-if-absent, so readers see all actions
+    * or none. The writer-txn identity rides on the first line. Tabs
+    * are the field separator, so neither kind, path, nor app may
+    * contain them (enforced at publish). */
+  private def body(actions: Seq[(String, String)],
       txn: Option[(String, Long)]): String =
-    txn match {
-      case Some((app, v)) => s"$kind\t$path\t$app\t$v\n"
-      case None           => s"$kind\t$path\n"
-    }
+    actions.zipWithIndex.map { case ((kind, path), i) =>
+      txn.filter(_ => i == 0) match {
+        case Some((app, v)) => s"$kind\t$path\t$app\t$v\n"
+        case None           => s"$kind\t$path\n"
+      }
+    }.mkString
 
   private def parseBody(v: Int, line: String): Commit =
     line.split("\t") match {
@@ -125,9 +135,12 @@ object OccCommitLog {
       val tail = entries
         .filter(st => st.getPath.getName.endsWith(".commit") &&
           st.getPath.getName.stripSuffix(".commit").toInt > cpHead)
-        .map { st =>
+        .flatMap { st =>
           val v = st.getPath.getName.stripSuffix(".commit").toInt
-          parseBody(v, slurp(st.getPath))
+          // one line per ACTION — all of a version's actions parse
+          // from its one atomically-published file
+          slurp(st.getPath).split("\n").toSeq.filter(_.nonEmpty)
+            .map(parseBody(v, _))
         }
       (base ++ tail).sortBy(_.version)
     }
@@ -138,8 +151,11 @@ object OccCommitLog {
     def listTolerant(): Option[Seq[Commit]] =
       try Some(listOnce())
       catch { case _: java.io.FileNotFoundException => None }
-    def dense(cs: Seq[Commit]): Boolean =
-      cs.zipWithIndex.forall { case (c, i) => c.version == i }
+    def dense(cs: Seq[Commit]): Boolean = {
+      // density is over VERSIONS; a version may carry several actions
+      val vs = cs.map(_.version).distinct.sorted
+      vs == (0 until vs.size)
+    }
     var commits = listTolerant()
     var backoffMs = 2L
     while (!commits.exists(dense) && backoffMs <= 512L) {
@@ -226,11 +242,20 @@ object OccCommitLog {
     * published it. */
   def tryCommit(fs: FileSystem, logDir: String, version: Int,
       kind: String, path: String,
+      txn: Option[(String, Long)] = None): Boolean =
+    tryCommitActions(fs, logDir, version, Seq((kind, path)), txn)
+
+  /** The multi-action claim: every action becomes visible atomically
+    * at `version` or not at all — the version file is one
+    * put-if-absent publish. */
+  def tryCommitActions(fs: FileSystem, logDir: String, version: Int,
+      actions: Seq[(String, String)],
       txn: Option[(String, Long)] = None): Boolean = {
-    Seq(Some(kind), Some(path), txn.map(_._1)).flatten.foreach(f =>
+    require(actions.nonEmpty, "a commit carries at least one action")
+    (actions.flatMap(a => Seq(a._1, a._2)) ++ txn.map(_._1)).foreach(f =>
       require(!f.contains("\t") && !f.contains("\n"),
-        s"commit fields are one tab-separated line — '$f' breaks that"))
-    putIfAbsent(fs, logDir, commitFile(logDir, version), body(kind, path, txn))
+        s"commit fields are tab-separated lines — '$f' breaks that"))
+    putIfAbsent(fs, logDir, commitFile(logDir, version), body(actions, txn))
   }
 
   /** Commit `kind`/`path` at the log's tail, retrying on conflict: read
@@ -251,7 +276,14 @@ object OccCommitLog {
     * of the SAME writer collapse to one commit: the loser's re-read
     * sees the winner's txn and skips. */
   def commit(fs: FileSystem, logDir: String, kind: String, path: String,
-      txn: Option[(String, Long)] = None, maxAttempts: Int = 1000): Int = {
+      txn: Option[(String, Long)] = None, maxAttempts: Int = 1000): Int =
+    commitActions(fs, logDir, Seq((kind, path)), txn, maxAttempts)
+
+  /** [[commit]]'s multi-action form — an UPDATE's delete list and
+    * replacement delta commit as ONE version (see [[body]]). */
+  def commitActions(fs: FileSystem, logDir: String,
+      actions: Seq[(String, String)], txn: Option[(String, Long)] = None,
+      maxAttempts: Int = 1000): Int = {
     var attempts = 0
     while (attempts < maxAttempts) {
       val log = read(fs, logDir)
@@ -268,7 +300,7 @@ object OccCommitLog {
         case Some(v) => return v // this writer already applied ≥ txnV
         case None =>
           val next = log.lastOption.map(_.version + 1).getOrElse(0)
-          if (tryCommit(fs, logDir, next, kind, path, txn)) return next
+          if (tryCommitActions(fs, logDir, next, actions, txn)) return next
       }
       attempts += 1
     }
@@ -333,7 +365,7 @@ object OccCommitLog {
     val log = read(fs, logDir)
     log.lastOption.map { tail =>
       val content = log.map(c =>
-        s"${c.version}\t${body(c.kind, c.path,
+        s"${c.version}\t${body(Seq((c.kind, c.path)),
           c.txnApp.zip(c.txnVersion)).stripSuffix("\n")}")
         .mkString("", "\n", "\n")
       putIfAbsent(fs, logDir,

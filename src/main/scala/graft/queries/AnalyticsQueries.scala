@@ -188,6 +188,7 @@ object AnalyticsQueries
     "p35_occ_table_commits" -> p35OccTableCommits _,
     "p36_schema_evolution_log" -> p36SchemaEvolutionLog _,
     "p37_concurrent_optimize" -> p37ConcurrentOptimize _,
+    "p38_atomic_update" -> p38AtomicUpdate _,
     "m13_image_lifecycle" -> m13ImageLifecycle _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,

@@ -435,6 +435,91 @@ private[queries] trait PipelineLogFamily { this: AnalyticsQueries.type =>
     served.orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- p38
+
+  /** VERSION-RANKED merge-on-read resolution — the UPDATE-aware
+    * generalization of [[PipelineQueries.tableAsOfTriples]]'s rule: a
+    * row from an insert at version vi survives iff no delete of its id
+    * exists at a version AFTER vi (a delete in the SAME version
+    * applies before its co-committed insert — the within-commit order
+    * that makes delete+replacement an update). When no id is ever
+    * re-inserted the two rules coincide; when one is, this rule reads
+    * the update correctly where a flat anti-join would kill the
+    * replacement along with the original. Scalable shape: per-id MAX
+    * delete version broadcast-joined once — no per-version fold, plan
+    * depth constant in history length (Hudi's record-level
+    * merge-on-read; Delta reaches the same semantics with file-grained
+    * removes). */
+  private[queries] def tableAsOfOrdered(spark: SparkSession,
+      triples: Seq[(Int, String, String)], v: Int, label: String): DataFrame = {
+    val log = triples.filter(_._1 <= v)
+    val inserts = log.filter(_._2 == "insert")
+    val deletes = log.filter(_._2 == "delete")
+    require(inserts.nonEmpty, s"no data exists at or before version $v in $label")
+    val data = inserts.map { case (vi, _, p) =>
+      spark.read.parquet(p).withColumn("_vi", lit(vi))
+    }.reduce(_ unionByName _)
+    if (deletes.isEmpty) data.drop("_vi")
+    else {
+      val dels = deletes.map { case (vd, _, p) =>
+        spark.read.parquet(p).select(col("doc_id"), lit(vd).as("_vd"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("doc_id")).agg(max(col("_vd")).as("_vd"))
+      data.join(broadcast(dels), Seq("doc_id"), "left")
+        .filter(col("_vd").isNull || col("_vd") <= col("_vi"))
+        .drop("_vi", "_vd")
+    }
+  }
+
+  /** p38 — ATOMIC ROW UPDATE through the log (Delta's multi-action
+    * commit — the defining property of the `_delta_log` format this
+    * protocol previously lacked: a commit carried ONE action, so an
+    * update's delete list and replacement delta would land at two
+    * versions and every reader between them would see the TORN state,
+    * rows vanished and not yet replaced). The update here commits as
+    * one version carrying BOTH actions
+    * ([[graft.operators.OccCommitLog.commitActions]] — the version
+    * file is a single put-if-absent publish, so readers see all
+    * actions or none): delete(ids ≡ 0 mod 5) + insert(the same docs
+    * with n_chars bumped 100). The head read resolves with
+    * [[tableAsOfOrdered]] and the oracle recomputes the updated column
+    * from the definitions — a torn read, a lost replacement, or a
+    * surviving original all break the hash. TableLogSpec pins the
+    * other halves: as-of BEFORE the update serves the originals, a
+    * writer crashing between staging and commit leaves NOTHING
+    * visible, and its txn replay lands exactly one commit. */
+  def p38AtomicUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val root = PipelineQueries.staging("p38occ", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(rootPath, true)
+    val logDir = s"$root/log"
+    val occ = graft.operators.OccCommitLog
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Seq(0, 1).foreach { k =>
+      val p = s"$root/delta_r$k"
+      docs.filter(col("doc_id") % 2 === k).coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      occ.commit(fs, logDir, "insert", p, txn = Some(("p38-ingest", k.toLong)))
+    }
+    // the UPDATE: both artifacts staged FIRST (a commit names fully
+    // landed data), then ONE commit carries delete + replacement
+    docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/upd_del")
+    docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("n_chars", col("n_chars") + 100)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/upd_ins")
+    val uv = occ.commitActions(fs, logDir,
+      Seq(("delete", s"$root/upd_del"), ("insert", s"$root/upd_ins")),
+      txn = Some(("p38-updater", 1L)))
+    val log = occ.read(fs, logDir)
+    require(uv == 2 && log.count(_.version == uv) == 2,
+      s"the update must be ONE version carrying BOTH actions: $log")
+    tableAsOfOrdered(spark, occ.readTriples(fs, logDir), uv, logDir)
+      .orderBy(col("doc_id"))
+  }
+
   /** This family's oracle fragment (p35 aliases p33's oracle in the
     * facade — membership must be identical however the log is
     * written). */
@@ -466,5 +551,12 @@ private[queries] trait PipelineLogFamily { this: AnalyticsQueries.type =>
     "p37_concurrent_optimize" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // the updated column recomputed from the definitions: a torn read
+    // (delete visible without its replacement), a lost replacement, or
+    // a surviving original each break the hash
+    "p38_atomic_update" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 100 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

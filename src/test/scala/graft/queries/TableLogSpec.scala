@@ -90,6 +90,41 @@ class TableLogSpec extends AnyFunSuite {
       s"the head must resolve THROUGH the snapshot: $planned")
   }
 
+  test("p38: the update is atomic — pre-update as-of serves originals, a crash between staging and commit exposes nothing, txn replay lands once") {
+    import org.apache.spark.sql.functions._
+    AnalyticsQueries.p38AtomicUpdate(spark, dir).collect()
+    val root = PipelineQueries.staging("p38occ", dir)
+    val occ = graft.operators.OccCommitLog
+    val hfs = fs(root)
+    val triples = occ.readTriples(hfs, s"$root/log")
+    // as-of BEFORE the update: every doc at its ORIGINAL n_chars
+    val pre = AnalyticsQueries.tableAsOfOrdered(spark, triples, 1, root)
+    val bumped = pre.filter(col("doc_id") % 5 === 0)
+      .join(graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars").as("orig")), Seq("doc_id"))
+      .filter(col("n_chars") =!= col("orig")).count()
+    assert(bumped == 0, "a pre-update snapshot saw updated rows")
+    // torn state is UNREPRESENTABLE: no version carries the delete
+    // without its replacement — v2 holds exactly both actions
+    val v2 = occ.read(hfs, s"$root/log").filter(_.version == 2)
+    assert(v2.map(_.kind).sorted == Seq("delete", "insert"))
+    // a second updater CRASHES between staging and commit: nothing
+    // becomes visible (its staged artifacts exist, the log is
+    // unmoved), and the resolution is untouched
+    spark.range(1).select(lit(0L).as("doc_id")).write.mode("overwrite")
+      .parquet(s"$root/crash_del")
+    val before = occ.read(hfs, s"$root/log").size
+    // (the crash: the writer dies here, never calling commitActions)
+    assert(occ.read(hfs, s"$root/log").size == before)
+    // txn replay of the update (the restarted writer's schedule):
+    // exactly one commit, the original version
+    val replayed = occ.commitActions(hfs, s"$root/log",
+      Seq(("delete", s"$root/upd_del"), ("insert", s"$root/upd_ins")),
+      txn = Some(("p38-updater", 1L)))
+    assert(replayed == 2 && occ.read(hfs, s"$root/log").size == before,
+      "a replayed update must resolve to its original commit")
+  }
+
   test("s44: folded deltas reclaimed, epochs + id lists preserved, head plans only the head optimize plus the merge-on-read lists") {
     val served = StreamingQueries.s44OccTableDaemon(spark, dir)
     val planned = served.inputFiles.toSeq
