@@ -271,6 +271,79 @@ private[queries] trait StreamingOccFamily { this: StreamingQueries.type =>
       spark.read.parquet(s"$layout/postings"))
   }
 
+  /** s47 — the LOG consumED AS A STREAMING SOURCE: `graft-logfeed`
+    * ([[graft.streaming.LogFeedSource]] — Delta's readStream-on-a-table
+    * shape, offsets = commit versions). Every prior streamed replica
+    * consumed change events the producer had staged as FILES; here the
+    * consumer points at the OCC LOG ITSELF: a producer commits p23's
+    * timeline through the protocol (three insert deltas, a delete
+    * list, then a `snapshot` data checkpoint), and the consumer runs
+    * `readStream.format("graft-logfeed")` with one version per
+    * micro-batch, landing each batch id-keyed. The source reads the
+    * log (metadata) per trigger, plans each action's parquet files
+    * executor-side, SKIPS the snapshot (derived data is not a change —
+    * so a checkpointed log streams without double-applying), and its
+    * version-valued offsets live in the stream's checkpoint — the
+    * exactly-once restart contract TableLogSpec pins by appending a
+    * commit and re-running against the same checkpoint. The replica's
+    * membership (insert payloads minus delete ids) is gated by s37's
+    * ORACLE: staged-file feed or log-direct source, one answer. */
+  def s47LogStreamSource(spark: SparkSession, dir: String): DataFrame = {
+    val root = StreamingQueries.freshRunRoot(spark, dir, "s47m")
+    val logDir = s"$root/log"
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val occ = graft.operators.OccCommitLog
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    // the producer: p23's timeline committed through the protocol
+    (0 to 2).foreach { k =>
+      val p = s"$root/delta_r$k"
+      docs.filter(col("doc_id") % 4 === k).coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      occ.commit(hfs, logDir, "insert", p, txn = Some(("s47-prod", k.toLong)))
+    }
+    docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/tombstones")
+    occ.commit(hfs, logDir, "delete", s"$root/tombstones",
+      txn = Some(("s47-prod", 3L)))
+    // a data checkpoint on the log: the source must stream THROUGH it
+    // without double-applying (a snapshot is derived, not a change)
+    val snap = s"$root/snapshot_v4"
+    PipelineQueries.tableAsOfTriples(spark, occ.readTriples(hfs, logDir), 3, logDir)
+      .coalesce(1).write.mode("overwrite").parquet(snap)
+    occ.commit(hfs, logDir, "snapshot", snap, txn = Some(("s47-maint", 1L)))
+    // the consumer: one commit version per micro-batch, batch-id-keyed
+    // idempotent landings (the landing protocol every streamed replica
+    // shares), offsets checkpointed by the engine
+    val landed = s"$root/landed"
+    val q = StreamingQueries.withStreamShuffle(spark, 4) {
+      spark.readStream.format("graft-logfeed")
+        .option("logDir", logDir)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$landed/batch=$id"); ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    val events = spark.read.parquet(landed)
+    // every CHANGE version arrived; the snapshot introduced none
+    val versions = events.select(col("version")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    require(versions == Seq(0, 1, 2, 3),
+      s"the feed must carry exactly the change commits: $versions")
+    events.filter(col("kind") === "insert")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(events.filter(col("kind") === "delete")
+        .select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** s45 — the VECTOR daemon committing through the OCC log: the PQ
     * channel joins the log-state discipline via the SAME
     * [[occPolicyDaemon]] body that runs s41 (keyword) and s42 (token)

@@ -29,6 +29,7 @@ object StreamingQueries
     with StreamingServeFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s47_log_stream_source" -> s47LogStreamSource _,
     "s46_occ_image_daemon" -> s46OccImageDaemon _,
     "s45_occ_vector_daemon" -> s45OccVectorDaemon _,
     "s44_occ_table_daemon" -> s44OccTableDaemon _,
@@ -191,6 +192,13 @@ object StreamingQueries
     // ledger-streamed, generational, and now log-state) to one answer
     "s46_occ_image_daemon" ->
       AnalyticsQueries.oracleSql("m07_image_neardup"),
+    // the log-direct streaming source: the replica it feeds must be
+    // exactly the as-of-3 membership — s37's oracle body, one answer
+    // whether the feed arrives as staged files or straight off the log
+    "s47_log_stream_source" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 4 <= 2 AND doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
     // the replica after consuming the whole feed must be EXACTLY the
     // as-of-3 snapshot's membership, recomputed from the definitions:
     // v0+v1+v2 inserts (doc_id % 4 <= 2) minus the v3 delete

@@ -125,6 +125,66 @@ class TableLogSpec extends AnyFunSuite {
       "a replayed update must resolve to its original commit")
   }
 
+  test("graft-logfeed: version offsets survive the checkpoint, behind-horizon pulls and unknown kinds fail with named errors") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    val sp = spark
+    import sp.implicits._
+    val occ = graft.operators.OccCommitLog
+    val root = PipelineQueries.staging("lfspec", dir)
+    val hfs = fs(root)
+    hfs.delete(new Path(root), true)
+    val logDir = s"$root/log"
+    def delta(name: String, ids: Seq[Long]): String = {
+      val p = s"$root/$name"
+      ids.map(i => (i, s"l$i", i * 10)).toDF("doc_id", "lang", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    }
+    occ.commit(hfs, logDir, "insert", delta("d0", Seq(0L, 1L)))
+    occ.commit(hfs, logDir, "insert", delta("d1", Seq(2L, 3L)))
+    val landed = s"$root/landed"
+    def drain(): Unit = {
+      val q = sp.readStream.format("graft-logfeed")
+        .option("logDir", logDir).option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$landed/batch=$id"); ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val run1 = sp.read.parquet(landed)
+    assert(run1.select(col("version")).distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(0, 1))
+    // append one commit; re-run against the SAME checkpoint: ONLY the
+    // new version streams — the offset is the log's own coordinate
+    occ.commit(hfs, logDir, "insert", delta("d2", Seq(4L, 5L)))
+    drain()
+    val run2 = sp.read.parquet(landed)
+    assert(run2.count() == 6 &&
+      run2.groupBy(col("doc_id")).count().filter(col("count") > 1).count() == 0,
+      "the restarted stream must emit exactly the appended commit, no replays")
+    // unknown commit kind: the stream fails loudly at planning
+    occ.commit(hfs, logDir, "bogus", s"$root/d0")
+    def chainMentions(t: Throwable, needle: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(c => c.getMessage != null && c.getMessage.contains(needle))
+    val eKind = intercept[Exception] { drain() }
+    assert(chainMentions(eKind, "unknown commit kind"),
+      s"unknown kinds must fail with the named error: $eKind")
+    // behind-horizon: reclaim d0's artifact, stream from scratch — the
+    // planning error names the retention contract
+    hfs.delete(new Path(s"$root/d0"), true)
+    hfs.delete(new Path(s"$root/ckpt"), true)
+    hfs.delete(new Path(landed), true)
+    val eHor = intercept[Exception] { drain() }
+    assert(chainMentions(eHor, "retention horizon"),
+      s"a behind-horizon pull must fail with the named contract error: $eHor")
+  }
+
   test("s44: folded deltas reclaimed, epochs + id lists preserved, head plans only the head optimize plus the merge-on-read lists") {
     val served = StreamingQueries.s44OccTableDaemon(spark, dir)
     val planned = served.inputFiles.toSeq
