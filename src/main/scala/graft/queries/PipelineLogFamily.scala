@@ -43,35 +43,48 @@ private[queries] trait PipelineLogFamily { this: AnalyticsQueries.type =>
 
   // ---------------------------------------------------------------- p34
 
+  /** Write `docs` as `nFiles` doc_id-range-clustered files under
+    * `root/<prefix><k>`, returning one stats-carrying log row per file
+    * (version k, `kind`, path, min_id, max_id, min_chars, max_chars) —
+    * the one writer body behind BOTH moments stats are free: p34's
+    * ingest (stats from the delta the writer has in hand; Delta
+    * computes add-action stats the same way) and p39's OPTIMIZE
+    * (stats RE-derived from the rewrite the compactor just produced).
+    * Range clustering is what makes id-predicates skippable — the
+    * same reason p13 sorts before writing. */
+  private def writeStatsDeltas(spark: SparkSession, docs: DataFrame,
+      root: String, nFiles: Int, prefix: String, kind: String)
+      : Seq[(Int, String, String, Long, Long, Long, Long)] = {
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val step = maxId / nFiles + 1
+    (0 until nFiles).map { k =>
+      val p = s"$root/$prefix$k"
+      docs.filter(col("doc_id") >= k * step && col("doc_id") < (k + 1) * step)
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      val st = spark.read.parquet(p).agg(
+        min(col("doc_id")), max(col("doc_id")),
+        min(col("n_chars")), max(col("n_chars"))).head
+      require(!st.isNullAt(0),
+        s"stats range $k is empty — doc_id is no longer contiguous under $root")
+      (k, kind, p, st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    }
+  }
+
+  private val StatsLogCols =
+    Seq("version", "kind", "path", "min_id", "max_id", "min_chars", "max_chars")
+
   /** The stats-carrying table stage: the documents table written as 8
     * doc_id-range-clustered insert deltas, the commit log carrying
-    * per-file (min_id, max_id, min_chars, max_chars) — stats computed
-    * at WRITE time from the delta the writer already has in hand (the
-    * one moment stats are free; Delta computes add-action stats the
-    * same way). Range clustering is what makes id-predicates skippable
-    * — the same reason p13 sorts before writing. */
+    * per-file (min_id, max_id, min_chars, max_chars) computed at WRITE
+    * time by [[writeStatsDeltas]]. */
   private[queries] def stageP34StatsTable(spark: SparkSession, dir: String): String = {
     import spark.implicits._
     val root = PipelineQueries.staging("p34st", dir)
     PipelineQueries.stageOnce("p34st", dir, Seq(root)) {
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
-      val nFiles = 8
-      val step = maxId / nFiles + 1
-      val rows = (0 until nFiles).map { k =>
-        val p = s"$root/delta_r$k"
-        docs.filter(col("doc_id") >= k * step && col("doc_id") < (k + 1) * step)
-          .coalesce(1).write.mode("overwrite").parquet(p)
-        val st = spark.read.parquet(p).agg(
-          min(col("doc_id")), max(col("doc_id")),
-          min(col("n_chars")), max(col("n_chars"))).head
-        require(!st.isNullAt(0),
-          s"p34 range $k is empty — doc_id is no longer contiguous in $dir")
-        (k, "insert", p, st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
-      }
-      rows.toDF("version", "kind", "path",
-          "min_id", "max_id", "min_chars", "max_chars")
+      writeStatsDeltas(spark, docs, root, 8, "delta_r", "insert")
+        .toDF(StatsLogCols: _*)
         .coalesce(1).write.mode("overwrite").parquet(s"$root/commit_log")
     }
     root
@@ -520,21 +533,112 @@ private[queries] trait PipelineLogFamily { this: AnalyticsQueries.type =>
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- p39
+
+  /** The owned stats-table fixture, OPTIMIZED: p34's 8 stats-carrying
+    * insert deltas rebuilt under p39's own root (maintenance may only
+    * touch owned bytes — p34's staged fixture is shared), then
+    * bin-packed into 3 range-clustered rewrites whose per-file stats
+    * are RE-DERIVED at rewrite time and carried on the `optimize` log
+    * rows — Delta's OPTIMIZE writes its add-actions with fresh stats
+    * for exactly this reason: data skipping must survive maintenance,
+    * or every compaction would degrade reads from prune-by-metadata
+    * back to scan-everything. The rewrite reads the COMMITTED deltas
+    * (never the source table — a compactor only has the table), and
+    * the folded inserts are then physically reclaimed through the
+    * SHARED vacuum (optimize-horizon, s44's fold semantics), so the
+    * serve below provably cannot touch pre-maintenance bytes. */
+  private[queries] def stageP39OptimizedStatsTable(spark: SparkSession,
+      dir: String): String = {
+    import spark.implicits._
+    val root = PipelineQueries.staging("p39so", dir)
+    PipelineQueries.stageOnce("p39so", dir, Seq(root)) {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val inserts = writeStatsDeltas(spark, docs, root, 8, "delta_r", "insert")
+      val optimized = writeStatsDeltas(spark,
+          spark.read.parquet(inserts.map(_._3).toIndexedSeq: _*),
+          root, 3, "opt_r", "optimize")
+        .map { case (_, kind, p, a, b, c, d) => (8, kind, p, a, b, c, d) }
+      (inserts ++ optimized).toDF(StatsLogCols: _*)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/commit_log")
+      val reclaimed = PipelineQueries.tableVacuumTriples(spark,
+        (inserts ++ optimized).map(t => (t._1, t._2, t._3)), root,
+        horizonKind = "optimize", preserveKinds = Set("optimize"))
+      require(reclaimed.toSet == inserts.map(_._3).toSet,
+        s"vacuum must reclaim exactly the folded deltas: $reclaimed")
+    }
+    root
+  }
+
+  /** The post-OPTIMIZE pruned serve: plan the id predicate from the
+    * HEAD (`optimize`) rows' re-derived stats — folded insert rows
+    * are history, their files are gone. Returns (scan, planned,
+    * head-file total) so callers can assert skipping still prunes. */
+  private[queries] def p39PrunedServe(spark: SparkSession, dir: String,
+      lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val root = stageP39OptimizedStatsTable(spark, dir)
+    val head = spark.read.parquet(s"$root/commit_log")
+      .filter(col("kind") === "optimize").collect()
+      .map(r => (r.getAs[String]("path"),
+        r.getAs[Long]("min_id"), r.getAs[Long]("max_id")))
+      .toSeq.sortBy(_._1)
+    val hit = head.filter(c => c._3 >= lo && c._2 <= hi)
+    val scan = spark.read.parquet(hit.map(_._1).toIndexedSeq: _*)
+      .filter(col("doc_id").between(lo, hi))
+    (scan, hit.size, head.size)
+  }
+
+  /** p39 — DATA SKIPPING SURVIVES OPTIMIZE (Delta: OPTIMIZE's
+    * add-actions carry freshly computed stats): p34's serve repeated
+    * over the compacted layout — the predicate plans from the
+    * optimize rows' RE-derived min/max, the stats-only aggregate
+    * re-answers from them alone, and the folded deltas are already
+    * vacuumed so the plan physically cannot fall back to
+    * pre-maintenance files. Gated by p34's oracle VERBATIM (the p33/
+    * p35 aliasing move): compaction must be invisible to the reader —
+    * same rows, same stats answer, fewer files. The body `require`s
+    * both halves of the invisibility: pruning still skips files
+    * (nHit < nTotal on the 3-file head) and the pre-optimize deltas
+    * are gone. TableLogSpec pins the plan's input files to the
+    * intersecting optimize rewrites. */
+  def p39StatsAfterOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val root = stageP39OptimizedStatsTable(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/delta_r0")),
+      "the folded deltas must be physically gone before the serve")
+    val (scan, nHit, nTotal) = p39PrunedServe(spark, dir, 100L, 299L)
+    require(nHit < nTotal,
+      s"re-derived stats must still prune files: planned $nHit of $nTotal")
+    val tableMaxChars = spark.read.parquet(s"$root/commit_log")
+      .filter(col("kind") === "optimize")
+      .agg(max(col("max_chars"))).head.getLong(0)
+    scan.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("table_max_chars", lit(tableMaxChars))
+      .orderBy(col("lang"))
+  }
+
+  /** The p34 serve recomputed layout-neutrally: the predicate slice,
+    * plus the whole-table MAX the engine answered from log stats alone
+    * — an off-by-anything in any file's recorded min/max either drops
+    * rows from the slice or breaks the stats column's hash. p39 aliases
+    * it VERBATIM: OPTIMIZE must be invisible to the reader. */
+  private val statsSkippingOracle =
+    """WITH mx AS (SELECT MAX(n_chars) AS table_max_chars FROM documents)
+      |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  table_max_chars
+      |FROM documents CROSS JOIN mx
+      |WHERE doc_id BETWEEN 100 AND 299
+      |GROUP BY lang, table_max_chars ORDER BY lang""".stripMargin
+
   /** This family's oracle fragment (p35 aliases p33's oracle in the
     * facade — membership must be identical however the log is
     * written). */
   private[queries] lazy val tableLogOracles: Map[String, String] = Map(
-    // the predicate slice recomputed layout-neutrally, plus the
-    // whole-table MAX the engine answered from log stats alone — an
-    // off-by-anything in any file's recorded min/max either drops
-    // rows from the slice or breaks the stats column's hash
-    "p34_stats_skipping" ->
-      """WITH mx AS (SELECT MAX(n_chars) AS table_max_chars FROM documents)
-        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |  table_max_chars
-        |FROM documents CROSS JOIN mx
-        |WHERE doc_id BETWEEN 100 AND 299
-        |GROUP BY lang, table_max_chars ORDER BY lang""".stripMargin,
+    "p34_stats_skipping" -> statsSkippingOracle,
+    "p39_stats_after_optimize" -> statsSkippingOracle,
     // the evolved head from the definitions: residues 0..2 inserted,
     // quality exists ONLY on the post-evolution v4 delta (residue 2),
     // the v5 delete applied — the CASE pins which rows carry the

@@ -41,6 +41,32 @@ class TableLogSpec extends AnyFunSuite {
       "a skipped delta appeared in the plan")
   }
 
+  test("p39: the post-OPTIMIZE serve plans ONLY the stats-intersecting rewrites, and no pre-optimize file") {
+    val root = AnalyticsQueries.stageP39OptimizedStatsTable(spark, dir)
+    val log = spark.read.parquet(s"$root/commit_log").collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[String]("path"),
+        r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))).toSeq
+    assert(log.count(_._1 == "insert") == 8 && log.count(_._1 == "optimize") == 3,
+      s"fixture shape moved: $log")
+    // every folded delta is physically reclaimed; every rewrite exists
+    log.foreach { case (kind, p, _, _) =>
+      assert(fs(p).exists(new Path(p)) == (kind == "optimize"),
+        s"$kind $p existence is wrong post-vacuum")
+    }
+    val (lo, hi) = (100L, 299L)
+    val hit = log.filter(c => c._1 == "optimize" && c._4 >= lo && c._3 <= hi)
+      .map(_._2).toSet
+    val (scan, nHit, nTotal) = AnalyticsQueries.p39PrunedServe(spark, dir, lo, hi)
+    assert(nTotal == 3 && nHit == hit.size && nHit < nTotal,
+      s"re-derived stats must prune the 3-file head: $nHit of $nTotal")
+    val planned = scan.inputFiles.toSeq
+    assert(planned.nonEmpty && planned.forall(f => hit.exists(f.contains)),
+      s"the plan leaked a file outside the stats-hit rewrites: " +
+        s"${planned.filterNot(f => hit.exists(f.contains))}")
+    assert(planned.forall(f => !f.contains("delta_r")),
+      "a pre-optimize delta appeared in a post-maintenance plan")
+  }
+
   test("p36: schema enforcement refuses a delta wider than the log's schema") {
     val e = intercept[IllegalArgumentException] {
       AnalyticsQueries.p36EnforceSchema(
