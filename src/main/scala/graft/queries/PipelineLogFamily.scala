@@ -620,6 +620,91 @@ private[queries] trait PipelineLogFamily { this: AnalyticsQueries.type =>
       .orderBy(col("lang"))
   }
 
+  // ---------------------------------------------------------------- p40
+
+  /** The bloom-indexed table stage: the documents table scattered into
+    * 8 files by HASH of doc_id — the layout every id-clustered trick
+    * fails on: each file's [min_id, max_id] spans essentially the
+    * whole table, so p34's range stats prune nothing for a point
+    * lookup. Each log row therefore also carries a per-file BLOOM
+    * filter over the file's ids (8192 bits / 6 hashes — ~10 bits/key
+    * at the largest tested scale), built by the engine's own
+    * partial-aggregable [[graft.expressions.BloomAgg]] in the SAME
+    * aggregate pass that derives min/max — stats and index are one
+    * write-time scan (Delta's bloom-filter index; Parquet writes
+    * footer blooms for the same reason). ~1 KB of index per file: at
+    * 100 TB the whole index rides in the log read. */
+  private[queries] def stageP40BloomTable(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val root = PipelineQueries.staging("p40bl", dir)
+    PipelineQueries.stageOnce("p40bl", dir, Seq(root)) {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      (0 until 8).map { k =>
+        val p = s"$root/scatter_r$k"
+        docs.filter(pmod(hash(col("doc_id")), lit(8)) === k)
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        val st = spark.read.parquet(p).agg(
+          min(col("doc_id")), max(col("doc_id")),
+          graft.expressions.BloomAgg(col("doc_id"), 8192, 6)).head
+        require(!st.isNullAt(0), s"scatter bucket $k is empty in $dir")
+        (k, "insert", p, st.getLong(0), st.getLong(1), st.getAs[Array[Byte]](2))
+      }.toDF("version", "kind", "path", "min_id", "max_id", "bloom")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/commit_log")
+    }
+    root
+  }
+
+  /** The five point-lookup ids every p40 path probes (all present at
+    * every tested scale — doc_id is 0-contiguous and ≥ 500 rows). */
+  private[queries] val P40Probes = Seq(7L, 113L, 211L, 307L, 419L)
+
+  /** The bloom-pruned point lookup: probe each file's log-carried
+    * bloom with the id list, plan only the hit files. Returns the scan
+    * plus (bloom-planned, range-planned, total) so callers can assert
+    * BOTH halves of the contrast: the blooms prune, the ranges do not.
+    * False positives only cost a file scan (the exact isin filter
+    * discards them); false negatives are impossible, so membership is
+    * oracle-exact. */
+  private[queries] def p40PrunedLookup(spark: SparkSession, dir: String)
+      : (DataFrame, Int, Int, Int) = {
+    val root = stageP40BloomTable(spark, dir)
+    val log = spark.read.parquet(s"$root/commit_log").collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("min_id"),
+        r.getAs[Long]("max_id"), r.getAs[Array[Byte]]("bloom")))
+      .toSeq.sortBy(_._1)
+    val rangeHit = log.filter(c => P40Probes.exists(p => p >= c._2 && p <= c._3))
+    val bloomHit = log.filter(c =>
+      P40Probes.exists(p => graft.expressions.Bloom.contains(c._4, p)))
+    val scan = spark.read.parquet(bloomHit.map(_._1).toIndexedSeq: _*)
+      .filter(col("doc_id").isin(P40Probes: _*))
+    (scan, bloomHit.size, rangeHit.size, log.size)
+  }
+
+  /** p40 — LOG-CARRIED BLOOM-FILTER INDEX (Delta's bloom index;
+    * Parquet footer blooms): the point lookup min/max stats are
+    * structurally blind to — on a hash-scattered layout every file's
+    * id range covers every probe, so range planning keeps ALL files
+    * (the body `require`s that contrast exactly: range-planned =
+    * total, bloom-planned < total), while the per-file blooms cut the
+    * plan to essentially the files that really hold the five ids.
+    * This is the second kind of skipping a 100 TB table needs: range
+    * stats serve the clustered dimension, blooms serve point lookups
+    * on every OTHER high-cardinality column — one scan to build both
+    * at write time, both riding the same metadata-scale log read.
+    * Gated by the membership oracle (bloom false negatives are
+    * impossible or rows vanish); TableLogSpec pins the planned files
+    * to the bloom-hit set. */
+  def p40BloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val (scan, nBloom, nRange, nTotal) = p40PrunedLookup(spark, dir)
+    require(nRange == nTotal,
+      s"the scatter layout must defeat range pruning: ranges planned $nRange of $nTotal")
+    require(nBloom < nTotal,
+      s"the blooms must prune what the ranges cannot: planned $nBloom of $nTotal")
+    scan.select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The p34 serve recomputed layout-neutrally: the predicate slice,
     * plus the whole-table MAX the engine answered from log stats alone
     * — an off-by-anything in any file's recorded min/max either drops
@@ -639,6 +724,12 @@ private[queries] trait PipelineLogFamily { this: AnalyticsQueries.type =>
   private[queries] lazy val tableLogOracles: Map[String, String] = Map(
     "p34_stats_skipping" -> statsSkippingOracle,
     "p39_stats_after_optimize" -> statsSkippingOracle,
+    // exact membership of the five probed ids — a bloom false negative
+    // (a file wrongly pruned) drops its rows and breaks the hash
+    "p40_bloom_skipping" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (7, 113, 211, 307, 419)
+        |ORDER BY doc_id""".stripMargin,
     // the evolved head from the definitions: residues 0..2 inserted,
     // quality exists ONLY on the post-evolution v4 delta (residue 2),
     // the v5 delete applied — the CASE pins which rows carry the

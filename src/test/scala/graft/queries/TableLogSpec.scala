@@ -67,6 +67,37 @@ class TableLogSpec extends AnyFunSuite {
       "a pre-optimize delta appeared in a post-maintenance plan")
   }
 
+  test("p40: blooms prune the point lookup the ranges cannot, and the plan holds only bloom-hit files") {
+    val root = AnalyticsQueries.stageP40BloomTable(spark, dir)
+    val log = spark.read.parquet(s"$root/commit_log").collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("min_id"),
+        r.getAs[Long]("max_id"), r.getAs[Array[Byte]]("bloom"))).toSeq
+    assert(log.size == 8)
+    val probes = AnalyticsQueries.P40Probes
+    // the motivating contrast, recomputed independently of the serve:
+    // every file's id range covers some probe (ranges keep all 8)...
+    assert(log.forall(c => probes.exists(p => p >= c._2 && p <= c._3)),
+      "the hash scatter no longer defeats range pruning — fixture moved")
+    // ...while the blooms keep a strict subset, with zero false
+    // negatives: the file that really holds each probe is always hit
+    val bloomHit = log.filter(c =>
+      probes.exists(p => graft.expressions.Bloom.contains(c._4, p))).map(_._1).toSet
+    assert(bloomHit.size < log.size, s"blooms pruned nothing: $bloomHit")
+    probes.foreach { p =>
+      val owner = log.filter { c =>
+        !spark.read.parquet(c._1).filter(s"doc_id = $p").isEmpty
+      }.map(_._1)
+      assert(owner.size == 1 && bloomHit(owner.head),
+        s"probe $p: owning file ${owner.mkString} missing from the bloom plan")
+    }
+    val (scan, nBloom, nRange, nTotal) = AnalyticsQueries.p40PrunedLookup(spark, dir)
+    assert(nBloom == bloomHit.size && nRange == 8 && nTotal == 8)
+    val planned = scan.inputFiles.toSeq
+    assert(planned.nonEmpty && planned.forall(f => bloomHit.exists(f.contains)),
+      s"the plan leaked a bloom-pruned file: " +
+        s"${planned.filterNot(f => bloomHit.exists(f.contains))}")
+  }
+
   test("p36: schema enforcement refuses a delta wider than the log's schema") {
     val e = intercept[IllegalArgumentException] {
       AnalyticsQueries.p36EnforceSchema(
