@@ -62,39 +62,57 @@ object OccCommitLog {
     * the highest txnVersion each appId has applied, and a replayed
     * commit at or below it is skipped. */
   final case class Commit(version: Int, kind: String, path: String,
-      txnApp: Option[String] = None, txnVersion: Option[Long] = None)
+      txnApp: Option[String] = None, txnVersion: Option[Long] = None,
+      meta: Map[String, String] = Map.empty)
 
   private def commitFile(logDir: String, v: Int): Path =
     new Path(logDir, f"$v%08d.commit")
 
   /** Commit body serialization: one `kind TAB path [TAB app TAB
-    * txnVer]` line PER ACTION — a commit may carry several actions
-    * that become visible ATOMICALLY at its version (Delta's
-    * multi-action commit, the property that makes UPDATE possible: a
-    * delete list and its replacement delta must land together or not
-    * at all — two separate versions would expose the torn
-    * intermediate state to any reader between them). The version file
-    * is published whole via put-if-absent, so readers see all actions
-    * or none. The writer-txn identity rides on the first line. Tabs
-    * are the field separator, so neither kind, path, nor app may
-    * contain them (enforced at publish). */
-  private def body(actions: Seq[(String, String)],
+    * txnVer] [TAB key=value]*` line PER ACTION — a commit may carry
+    * several actions that become visible ATOMICALLY at its version
+    * (Delta's multi-action commit, the property that makes UPDATE
+    * possible: a delete list and its replacement delta must land
+    * together or not at all — two separate versions would expose the
+    * torn intermediate state to any reader between them). The version
+    * file is published whole via put-if-absent, so readers see all
+    * actions or none. The writer-txn identity rides on the first
+    * line; an action's trailing `key=value` tokens are its METADATA —
+    * Delta's `add.stats` slot, how per-file statistics ride the
+    * commit itself so data skipping costs one log read and zero
+    * footers. Tabs are the field separator and `=` marks a metadata
+    * token, so kind/path/app may contain neither tab nor `=`
+    * (enforced at publish), and the txn pair always precedes the
+    * metadata — parsing is unambiguous against pre-meta logs. */
+  private def body(actions: Seq[(String, String, Map[String, String])],
       txn: Option[(String, Long)]): String =
-    actions.zipWithIndex.map { case ((kind, path), i) =>
-      txn.filter(_ => i == 0) match {
-        case Some((app, v)) => s"$kind\t$path\t$app\t$v\n"
-        case None           => s"$kind\t$path\n"
-      }
+    actions.zipWithIndex.map { case ((kind, path, meta), i) =>
+      val txnPart = txn.filter(_ => i == 0)
+        .map { case (app, v) => s"\t$app\t$v" }.getOrElse("")
+      val metaPart = meta.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\t$k=$v" }.mkString
+      s"$kind\t$path$txnPart$metaPart\n"
     }.mkString
 
-  private def parseBody(v: Int, line: String): Commit =
-    line.split("\t") match {
-      case Array(kind, path)         => Commit(v, kind, path)
-      case Array(kind, path, app, t) =>
-        Commit(v, kind, path, Some(app), Some(t.toLong))
-      case other => throw new IllegalStateException(
-        s"unparseable commit body at version $v: ${other.mkString("|")}")
-    }
+  private def parseBody(v: Int, line: String): Commit = {
+    val t = line.split("\t")
+    if (t.length < 2) throw new IllegalStateException(
+      s"unparseable commit body at version $v: ${t.mkString("|")}")
+    val rest = t.drop(2).toSeq
+    val (txn, kvs) =
+      if (rest.nonEmpty && !rest.head.contains("=")) {
+        if (rest.length < 2) throw new IllegalStateException(
+          s"dangling txn field at version $v: ${t.mkString("|")}")
+        (Some((rest(0), rest(1).toLong)), rest.drop(2))
+      } else (None, rest)
+    val meta = kvs.map { kv =>
+      val i = kv.indexOf('=')
+      if (i <= 0) throw new IllegalStateException(
+        s"unparseable metadata token '$kv' at version $v")
+      (kv.take(i), kv.drop(i + 1))
+    }.toMap
+    Commit(v, t(0), t(1), txn.map(_._1), txn.map(_._2), meta)
+  }
 
   /** The committed log, parsed from the directory listing: one read
     * per commit FILE (bytes: one line each), no data bytes. Returns
@@ -250,11 +268,27 @@ object OccCommitLog {
     * put-if-absent publish. */
   def tryCommitActions(fs: FileSystem, logDir: String, version: Int,
       actions: Seq[(String, String)],
+      txn: Option[(String, Long)] = None): Boolean =
+    tryCommitActionsMeta(fs, logDir, version,
+      actions.map { case (k, p) => (k, p, Map.empty[String, String]) }, txn)
+
+  /** [[tryCommitActions]] with per-action metadata (see [[body]]). */
+  def tryCommitActionsMeta(fs: FileSystem, logDir: String, version: Int,
+      actions: Seq[(String, String, Map[String, String])],
       txn: Option[(String, Long)] = None): Boolean = {
     require(actions.nonEmpty, "a commit carries at least one action")
     (actions.flatMap(a => Seq(a._1, a._2)) ++ txn.map(_._1)).foreach(f =>
       require(!f.contains("\t") && !f.contains("\n"),
         s"commit fields are tab-separated lines — '$f' breaks that"))
+    // kind and path sit at fixed positions; only the txn app, which
+    // shares the variable tail with metadata tokens, must be =-free
+    txn.map(_._1).foreach(app => require(!app.contains("="),
+      s"txn appId '$app' may not contain '=' — it would parse as metadata"))
+    actions.flatMap(_._3).foreach { case (k, v) =>
+      require(k.nonEmpty && !k.contains("=") &&
+        Seq(k, v).forall(s => !s.contains("\t") && !s.contains("\n")),
+        s"metadata rides as tab-separated key=value tokens — '$k'='$v' breaks that")
+    }
     putIfAbsent(fs, logDir, commitFile(logDir, version), body(actions, txn))
   }
 
@@ -277,12 +311,31 @@ object OccCommitLog {
     * sees the winner's txn and skips. */
   def commit(fs: FileSystem, logDir: String, kind: String, path: String,
       txn: Option[(String, Long)] = None, maxAttempts: Int = 1000): Int =
-    commitActions(fs, logDir, Seq((kind, path)), txn, maxAttempts)
+    commitActionsMeta(fs, logDir, Seq((kind, path, Map.empty[String, String])),
+      txn, maxAttempts)
+
+  /** [[commit]] with action metadata — how a stats-carrying writer
+    * lands its delta: the per-file statistics ride the commit line
+    * itself (Delta's `add.stats`), so a later reader prunes from the
+    * log read alone. */
+  def commitMeta(fs: FileSystem, logDir: String, kind: String, path: String,
+      meta: Map[String, String], txn: Option[(String, Long)] = None,
+      maxAttempts: Int = 1000): Int =
+    commitActionsMeta(fs, logDir, Seq((kind, path, meta)), txn, maxAttempts)
 
   /** [[commit]]'s multi-action form — an UPDATE's delete list and
     * replacement delta commit as ONE version (see [[body]]). */
   def commitActions(fs: FileSystem, logDir: String,
       actions: Seq[(String, String)], txn: Option[(String, Long)] = None,
+      maxAttempts: Int = 1000): Int =
+    commitActionsMeta(fs, logDir,
+      actions.map { case (k, p) => (k, p, Map.empty[String, String]) },
+      txn, maxAttempts)
+
+  /** [[commitActions]] with per-action metadata. */
+  def commitActionsMeta(fs: FileSystem, logDir: String,
+      actions: Seq[(String, String, Map[String, String])],
+      txn: Option[(String, Long)] = None,
       maxAttempts: Int = 1000): Int = {
     var attempts = 0
     while (attempts < maxAttempts) {
@@ -300,7 +353,7 @@ object OccCommitLog {
         case Some(v) => return v // this writer already applied ≥ txnV
         case None =>
           val next = log.lastOption.map(_.version + 1).getOrElse(0)
-          if (tryCommitActions(fs, logDir, next, actions, txn)) return next
+          if (tryCommitActionsMeta(fs, logDir, next, actions, txn)) return next
       }
       attempts += 1
     }
@@ -365,7 +418,7 @@ object OccCommitLog {
     val log = read(fs, logDir)
     log.lastOption.map { tail =>
       val content = log.map(c =>
-        s"${c.version}\t${body(Seq((c.kind, c.path)),
+        s"${c.version}\t${body(Seq((c.kind, c.path, c.meta)),
           c.txnApp.zip(c.txnVersion)).stripSuffix("\n")}")
         .mkString("", "\n", "\n")
       putIfAbsent(fs, logDir,

@@ -568,4 +568,79 @@ private[queries] trait StreamingOccFamily { this: StreamingQueries.type =>
     AnalyticsQueries.maxSimRerankServed(spark, dir,
       spark.read.parquet(layout))
   }
+
+  /** s48 — STATS-CARRYING STREAMED LANDINGS (Delta's production ingest
+    * shape whole: a streaming writer whose every add-action carries
+    * its file statistics): the documents table arrives range-clustered
+    * in four micro-batches; each landing writes its delta batch-id-
+    * keyed, derives (min_id, max_id, max_chars) from the delta it just
+    * wrote — the one moment stats are free, p34's rule, now inside
+    * foreachBatch — and commits through the OCC log with the stats
+    * riding the commit line as action METADATA (`add.stats`) and the
+    * txn identity (`s48-ins`, batchId) making the landing exactly-once
+    * under checkpoint replay. After the drain, the recovery schedule
+    * runs for real: every landing is REPLAYED with its original txn
+    * (the log must not move, stats and all), then the log is
+    * CHECKPOINTED and its folded commit files expired — stats must
+    * survive log compaction, because a year-old table loses its
+    * skipping the day its raw commit files expire otherwise. The
+    * serve is p34's: an id predicate planned from the commit metadata
+    * ALONE (the body `require`s files were pruned and that the plan
+    * holds only stats-hit deltas — zero footer reads, zero listing),
+    * plus the stats-answered whole-table MAX. Gated by p34's oracle
+    * VERBATIM: batch ingest log, compacted OCC log, or streamed
+    * stats-carrying landings — one answer. */
+  def s48OccStatsIngest(spark: SparkSession, dir: String): DataFrame = {
+    val root = freshRunRoot(spark, dir, "s48m")
+    val logDir = s"$root/log"
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val occ = graft.operators.OccCommitLog
+    streamedLandings(spark, dir, "s48", "land")(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(4, col("doc_id"))
+    ) { (batch, id, _) =>
+      val delta = s"$root/delta=$id"
+      batch.write.mode("overwrite").parquet(delta)
+      val st = batch.sparkSession.read.parquet(delta).agg(
+        min(col("doc_id")), max(col("doc_id")), max(col("n_chars"))).head
+      occ.commitMeta(hfs, logDir, "insert", delta,
+        Map("min_id" -> st.getLong(0).toString,
+          "max_id" -> st.getLong(1).toString,
+          "max_chars" -> st.getLong(2).toString),
+        txn = Some(("s48-ins", id)))
+    }
+    // checkpoint-recovery replay: stats-carrying landings are still
+    // exactly-once — the log must not move by a version
+    val settled = occ.read(hfs, logDir)
+    settled.foreach { c =>
+      val replayed = occ.commitMeta(hfs, logDir, c.kind, c.path, c.meta,
+        txn = c.txnApp.zip(c.txnVersion))
+      require(replayed == c.version,
+        s"a replayed stats landing moved the log: v${c.version} -> v$replayed")
+    }
+    // log maintenance: stats must survive compaction — the serve below
+    // plans from the CHECKPOINTED form, the folded commit files gone
+    occ.checkpoint(hfs, logDir)
+    occ.cleanLog(hfs, logDir)
+    val log = occ.read(hfs, logDir)
+    require(log.size == settled.size && log.forall(_.meta.nonEmpty),
+      s"stats lost in log compaction: $log")
+    val (lo, hi) = (100L, 299L)
+    val hit = log.filter(c =>
+      c.meta("max_id").toLong >= lo && c.meta("min_id").toLong <= hi)
+    require(hit.size < log.size,
+      s"streamed stats must prune deltas: planned ${hit.size} of ${log.size}")
+    val scan = spark.read.parquet(hit.map(_.path).toIndexedSeq: _*)
+      .filter(col("doc_id").between(lo, hi))
+    val leaked = scan.inputFiles.toSeq
+      .filterNot(f => hit.exists(c => f.contains(c.path)))
+    require(leaked.isEmpty, s"the plan leaked stats-pruned deltas: $leaked")
+    val tableMaxChars = log.map(_.meta("max_chars").toLong).max
+    scan.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("table_max_chars", lit(tableMaxChars))
+      .orderBy(col("lang"))
+  }
 }

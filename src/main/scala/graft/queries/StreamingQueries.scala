@@ -29,6 +29,7 @@ object StreamingQueries
     with StreamingServeFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s48_occ_stats_ingest" -> s48OccStatsIngest _,
     "s47_log_stream_source" -> s47LogStreamSource _,
     "s46_occ_image_daemon" -> s46OccImageDaemon _,
     "s45_occ_vector_daemon" -> s45OccVectorDaemon _,
@@ -192,6 +193,12 @@ object StreamingQueries
     // ledger-streamed, generational, and now log-state) to one answer
     "s46_occ_image_daemon" ->
       AnalyticsQueries.oracleSql("m07_image_neardup"),
+    // stats-carrying streamed landings: the predicate slice and the
+    // stats-answered table MAX must match the batch ingest log (p34)
+    // exactly — streamed stats, compacted through the OCC checkpoint,
+    // leave no trace in what the reader computes
+    "s48_occ_stats_ingest" ->
+      AnalyticsQueries.oracleSql("p34_stats_skipping"),
     // the log-direct streaming source: the replica it feeds must be
     // exactly the as-of-3 membership — s37's oracle body, one answer
     // whether the feed arrives as staged files or straight off the log

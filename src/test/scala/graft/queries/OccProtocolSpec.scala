@@ -124,6 +124,44 @@ class OccProtocolSpec extends AnyFunSuite {
       s"log dir: $names")
   }
 
+  test("action metadata: stats tokens round-trip raw, through checkpoint compaction, and past pre-meta bodies") {
+    val root = freshRoot("occspec9")
+    val logDir = s"$root/log"
+    val hfs = fs(root)
+    val stats = Map("min_id" -> "0", "max_id" -> "124", "n" -> "125")
+    // metadata alongside a txn identity on one line — the production
+    // stats-carrying streamed landing's exact shape
+    OccCommitLog.commitMeta(hfs, logDir, "insert", s"$root/d0", stats,
+      txn = Some(("meta-w", 0L)))
+    // a path containing '=' (s44's delta=<id> convention) must coexist
+    // with metadata tokens — path sits at a fixed field position
+    OccCommitLog.commitMeta(hfs, logDir, "insert", s"$root/delta=1",
+      Map("min_id" -> "125"))
+    // a pre-meta writer's commit (no metadata) interleaves untouched
+    OccCommitLog.commit(hfs, logDir, "delete", s"$root/t2",
+      txn = Some(("old-w", 7L)))
+    def check(log: Seq[OccCommitLog.Commit]): Unit = {
+      assert(log.map(_.meta) == Seq(stats, Map("min_id" -> "125"), Map.empty))
+      assert(log.map(_.txnApp) == Seq(Some("meta-w"), None, Some("old-w")))
+      assert(log.map(_.path) == Seq(s"$root/d0", s"$root/delta=1", s"$root/t2"))
+    }
+    check(OccCommitLog.read(hfs, logDir))
+    // stats must survive log compaction or a year-old table loses its
+    // skipping the day its raw commit files expire
+    assert(OccCommitLog.checkpoint(hfs, logDir) == Some(2))
+    OccCommitLog.cleanLog(hfs, logDir)
+    check(OccCommitLog.read(hfs, logDir))
+    // a replayed stats landing is still txn-deduped, stats and all
+    assert(OccCommitLog.commitMeta(hfs, logDir, "insert", s"$root/d0", stats,
+      txn = Some(("meta-w", 0L))) == 0)
+    assert(OccCommitLog.read(hfs, logDir).size == 3)
+    // ambiguity guard: an appId carrying '=' would parse as metadata
+    intercept[IllegalArgumentException] {
+      OccCommitLog.commit(hfs, logDir, "insert", s"$root/d9",
+        txn = Some(("bad=app", 0L)))
+    }
+  }
+
   test("txn identity: a checkpoint-replayed writer lands exactly one commit per batch") {
     // the exactly-once contract for a streaming sink (Delta's `txn`
     // action): a foreachBatch writer commits with (appId, batchId);
