@@ -191,6 +191,7 @@ object AnalyticsQueries
     "p38_atomic_update" -> p38AtomicUpdate _,
     "p39_stats_after_optimize" -> p39StatsAfterOptimize _,
     "p40_bloom_skipping" -> p40BloomSkipping _,
+    "p41_change_data_feed" -> p41ChangeDataFeed _,
     "m13_image_lifecycle" -> m13ImageLifecycle _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,

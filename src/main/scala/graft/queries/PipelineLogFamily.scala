@@ -705,6 +705,125 @@ private[queries] trait PipelineLogFamily { this: AnalyticsQueries.type =>
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- p41
+
+  /** The CDF fixture: an OCC table whose history holds all four change
+    * shapes — two plain inserts (v0: ids ≡ 0 mod 2, v1: the rest), the
+    * p38 atomic UPDATE (v2: delete ids ≡ 0 mod 5 + their replacements
+    * with n_chars+100, ONE multi-action commit), and a plain delete
+    * (v3: ids ≡ 0 mod 7). Ids ≡ 0 mod 35 are updated THEN deleted —
+    * the overlap that makes pre-image resolution observable. */
+  private[queries] def stageP41CdfTable(spark: SparkSession, dir: String): String = {
+    val root = PipelineQueries.staging("p41cdf", dir)
+    PipelineQueries.stageOnce("p41cdf", dir, Seq(root)) {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val logDir = s"$root/log"
+      val occ = graft.operators.OccCommitLog
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Seq(0, 1).foreach { k =>
+        val p = s"$root/d$k"
+        docs.filter(col("doc_id") % 2 === k).coalesce(1)
+          .write.mode("overwrite").parquet(p)
+        occ.commit(fs, logDir, "insert", p, txn = Some(("p41-ing", k.toLong)))
+      }
+      docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/u_del")
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 100)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/u_ins")
+      occ.commitActions(fs, logDir,
+        Seq(("delete", s"$root/u_del"), ("insert", s"$root/u_ins")),
+        txn = Some(("p41-upd", 1L)))
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/t3")
+      occ.commit(fs, logDir, "delete", s"$root/t3", txn = Some(("p41-del", 1L)))
+    }
+    root
+  }
+
+  /** The classified change feed over commits in `(from, to]` — Delta
+    * CDF's full `_change_type` vocabulary, which p29's feed
+    * deliberately lacks (it re-emits what the log recorded: inserts
+    * with payload, deletes as ids only):
+    *
+    *   - an insert-only commit → `insert` rows with payload;
+    *   - a delete-only commit → `delete` rows carrying the removed
+    *     rows' PRE-IMAGE values (the Delta CDF / Debezium contract —
+    *     a consumer maintaining an aggregate must know what left);
+    *   - a commit carrying BOTH actions → `update_preimage` +
+    *     `update_postimage` row pairs. Classification is by the
+    *     COMMIT's own shape: the multi-action commit is precisely the
+    *     writer's declaration that delete and replacement are one
+    *     transaction (p38), so the feed needs no row-matching
+    *     heuristics.
+    *
+    * Pre-images are resolved at READ time — each delete-bearing
+    * version joins its id list (broadcast) against the table as of
+    * v−1 via [[tableAsOfOrdered]], so the feed costs O(pre-state) per
+    * delete-bearing version and O(changed bytes) for everything else.
+    * Delta instead pays at WRITE time (`_change_data` files) to make
+    * CDF reads pure scans; read-time resolution is the Hudi/Iceberg
+    * incremental-read trade, honest here because delete-bearing
+    * commits are rare next to inserts on an ingest table. Derived
+    * commits (`snapshot`/`optimize`/`meta`) introduce no change and
+    * are skipped; unknown kinds fail loudly (p29's rule). */
+  private[queries] def p41CdfBetween(spark: SparkSession, root: String,
+      from: Int, to: Int): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val occ = graft.operators.OccCommitLog
+    val log = occ.read(fs, s"$root/log")
+    val triples = log.map(c => (c.version, c.kind, c.path))
+    val cols = Seq("doc_id", "lang", "n_chars")
+    def tagged(df: DataFrame, v: Int, tpe: String): DataFrame =
+      df.select(lit(tpe).as("change_type") +: lit(v).as("version") +:
+        cols.map(col): _*)
+    def preImage(v: Int, idPaths: Seq[String]): DataFrame =
+      tableAsOfOrdered(spark, triples, v - 1, s"$root/log")
+        .join(broadcast(spark.read.parquet(idPaths: _*).select(col("doc_id"))),
+          Seq("doc_id"), "left_semi")
+    val frames = log.filter(c => c.version > from && c.version <= to)
+      .groupBy(_.version).toSeq.sortBy(_._1).flatMap { case (v, actions) =>
+        val known = actions.filter(a => a.kind == "insert" || a.kind == "delete")
+        actions.filterNot(a => known.contains(a) ||
+            Set("snapshot", "optimize", "meta")(a.kind)).foreach { a =>
+          throw new IllegalArgumentException(
+            s"p41: unknown commit kind '${a.kind}' at version $v — " +
+              "the classified feed understands insert/delete actions only")
+        }
+        val ins = known.filter(_.kind == "insert").map(_.path)
+        val del = known.filter(_.kind == "delete").map(_.path)
+        (ins.nonEmpty, del.nonEmpty) match {
+          case (true, false) =>
+            Seq(tagged(spark.read.parquet(ins: _*), v, "insert"))
+          case (false, true) =>
+            Seq(tagged(preImage(v, del), v, "delete"))
+          case (true, true) => Seq(
+            tagged(preImage(v, del), v, "update_preimage"),
+            tagged(spark.read.parquet(ins: _*), v, "update_postimage"))
+          case (false, false) => Seq.empty // derived-only commit
+        }
+      }
+    require(frames.nonEmpty, s"no changes in ($from, $to] on $root/log")
+    frames.reduce(_ unionByName _)
+      .orderBy(col("version"), col("change_type"), col("doc_id"))
+  }
+
+  /** p41 — CLASSIFIED CHANGE DATA FEED (Delta CDF `table_changes`):
+    * the full history of the four-shape fixture read back as typed
+    * change rows — inserts with payload, the atomic update as
+    * pre/post-image pairs, the delete carrying pre-images that
+    * include the EARLIER update's effect (ids ≡ 0 mod 35 leave with
+    * n_chars+100 — the oracle pins exactly that composition). This is
+    * what turns a downstream aggregate's maintenance from O(table) to
+    * O(changes): subtract the pre-images, add the post-images.
+    * TableLogSpec pins the plan economics (an insert-only range reads
+    * only its own delta) and the update classification. */
+  def p41ChangeDataFeed(spark: SparkSession, dir: String): DataFrame =
+    p41CdfBetween(spark, stageP41CdfTable(spark, dir), -1, 3)
+
   /** The p34 serve recomputed layout-neutrally: the predicate slice,
     * plus the whole-table MAX the engine answered from log stats alone
     * — an off-by-anything in any file's recorded min/max either drops
@@ -730,6 +849,28 @@ private[queries] trait PipelineLogFamily { this: AnalyticsQueries.type =>
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (7, 113, 211, 307, 419)
         |ORDER BY doc_id""".stripMargin,
+    // the classified feed from the definitions: inserts carry original
+    // values, the v2 update emits pre (original) and post (+100)
+    // pairs, and the v3 delete's pre-images must reflect the EARLIER
+    // update for ids divisible by both 5 and 7 — a feed that resolved
+    // pre-images against the wrong version breaks the hash there
+    "p41_change_data_feed" ->
+      """SELECT 'insert' AS change_type, 0 AS version, doc_id, lang, n_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'insert', 1, doc_id, lang, n_chars
+        |FROM documents WHERE doc_id % 2 = 1
+        |UNION ALL
+        |SELECT 'update_preimage', 2, doc_id, lang, n_chars
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT 'update_postimage', 2, doc_id, lang, n_chars + 100
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT 'delete', 3, doc_id, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 100 ELSE n_chars END
+        |FROM documents WHERE doc_id % 7 = 0
+        |ORDER BY version, change_type, doc_id""".stripMargin,
     // the evolved head from the definitions: residues 0..2 inserted,
     // quality exists ONLY on the post-evolution v4 delta (residue 2),
     // the v5 delete applied — the CASE pins which rows carry the

@@ -98,6 +98,36 @@ class TableLogSpec extends AnyFunSuite {
         s"${planned.filterNot(f => bloomHit.exists(f.contains))}")
   }
 
+  test("p41: an insert-only change range plans only its own delta; the update classifies as a matched pre/post pair") {
+    val root = AnalyticsQueries.stageP41CdfTable(spark, dir)
+    // insert-only range (0,1]: the consumer's cost is the changed
+    // bytes — the plan must hold d1 alone, no other delta, no history
+    val insOnly = AnalyticsQueries.p41CdfBetween(spark, root, 0, 1)
+    val planned = insOnly.inputFiles.toSeq
+    assert(planned.nonEmpty && planned.forall(_.contains("/d1")),
+      s"an insert-only change range leaked history into the plan: $planned")
+    assert(insOnly.select("change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+    // the update version classifies as pre/post pairs over the same ids
+    val upd = AnalyticsQueries.p41CdfBetween(spark, root, 1, 2)
+    val byType = upd.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.keySet == Set("update_preimage", "update_postimage") &&
+      byType.values.toSet.size == 1,
+      s"the atomic update must emit matched pre/post images: $byType")
+    val pairs = upd.groupBy("doc_id").count().collect().map(_.getLong(1)).toSet
+    assert(pairs == Set(2L), "every updated id must appear exactly twice")
+    // an unknown action kind corrupts no replica silently
+    val eKind = intercept[IllegalArgumentException] {
+      val hfs = fs(root)
+      graft.operators.OccCommitLog.commit(hfs, s"$root/log", "layout",
+        s"$root/d0", txn = Some(("p41-spec", 1L)))
+      try AnalyticsQueries.p41CdfBetween(spark, root, -1, 4).collect()
+      finally hfs.delete(new Path(s"$root/log/00000004.commit"), false)
+    }
+    assert(eKind.getMessage.contains("unknown commit kind"), eKind.getMessage)
+  }
+
   test("p36: schema enforcement refuses a delta wider than the log's schema") {
     val e = intercept[IllegalArgumentException] {
       AnalyticsQueries.p36EnforceSchema(
