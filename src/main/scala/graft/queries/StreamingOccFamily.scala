@@ -643,4 +643,45 @@ private[queries] trait StreamingOccFamily { this: StreamingQueries.type =>
       .withColumn("table_max_chars", lit(tableMaxChars))
       .orderBy(col("lang"))
   }
+
+  /** s49 — INCREMENTAL AGGREGATE MAINTENANCE OFF THE CLASSIFIED FEED:
+    * the consumer p41's pre-images exist FOR. A downstream per-lang
+    * (count, sum_chars) aggregate is kept current from change rows
+    * ALONE — each micro-batch of the classified feed contributes
+    * signed partials (+1 for `insert`/`update_postimage`, −1 for
+    * `delete`/`update_preimage`), landed batch-id-keyed and folded at
+    * serve. Pre-images are what make the consumer STATELESS and
+    * COMMUTATIVE: it never resolves what left (the feed already says),
+    * so it holds no per-id state — O(distinct lang) per batch, not
+    * O(rows) — and batch arrival order is irrelevant because signed
+    * partial aggregates commute (the retraction algebra every
+    * streaming-SQL engine's changelog mode is built on — Flink's
+    * retract streams). The consumer never reads the table: its total
+    * cost is O(changes), the maintenance economics p29/p41 promise,
+    * demonstrated end to end. Gated by the head-state oracle from the
+    * definitions — maintaining through four change shapes must equal
+    * recomputing over the final table. */
+  def s49StreamCdfMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val landed = streamedLandings(spark, dir, "s49", "land")(
+      AnalyticsQueries.p41ChangeDataFeed(spark, dir).repartition(4)
+    ) { (batch, id, landedRoot) =>
+      val sign = when(
+        col("change_type").isin("insert", "update_postimage"), lit(1L))
+        .when(col("change_type").isin("delete", "update_preimage"), lit(-1L))
+        .otherwise(lit(null).cast("long"))
+      val partial = batch.withColumn("sign", sign)
+      // an unknown change type must not fold into the ledger silently
+      require(partial.filter(col("sign").isNull).isEmpty,
+        "s49: unknown change_type in the feed")
+      partial.groupBy(col("lang"))
+        .agg(sum(col("sign")).as("n"),
+          sum(col("sign") * col("n_chars")).as("sum_chars"))
+        .write.mode("overwrite").parquet(s"$landedRoot/part=$id")
+    }
+    spark.read.parquet(landed)
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_chars")).as("sum_chars"))
+      .filter(col("n") > 0)
+      .orderBy(col("lang"))
+  }
 }

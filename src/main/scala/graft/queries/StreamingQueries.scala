@@ -29,6 +29,7 @@ object StreamingQueries
     with StreamingServeFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s49_stream_cdf_maintenance" -> s49StreamCdfMaintenance _,
     "s48_occ_stats_ingest" -> s48OccStatsIngest _,
     "s47_log_stream_source" -> s47LogStreamSource _,
     "s46_occ_image_daemon" -> s46OccImageDaemon _,
@@ -193,6 +194,18 @@ object StreamingQueries
     // ledger-streamed, generational, and now log-state) to one answer
     "s46_occ_image_daemon" ->
       AnalyticsQueries.oracleSql("m07_image_neardup"),
+    // the maintained aggregate from change rows alone must equal
+    // recomputing over the final table state: all docs inserted, ids
+    // divisible by 5 re-priced +100 by the update, ids divisible by 7
+    // retracted with their pre-images — a consumer that subtracted a
+    // stale pre-image (or missed the 5-and-7 composition) lands on a
+    // different sum and breaks the hash
+    "s49_stream_cdf_maintenance" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN n_chars + 100
+        |                ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 7 <> 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // stats-carrying streamed landings: the predicate slice and the
     // stats-answered table MAX must match the batch ingest log (p34)
     // exactly — streamed stats, compacted through the OCC checkpoint,
