@@ -192,6 +192,8 @@ object AnalyticsQueries
     "p39_stats_after_optimize" -> p39StatsAfterOptimize _,
     "p40_bloom_skipping" -> p40BloomSkipping _,
     "p41_change_data_feed" -> p41ChangeDataFeed _,
+    "p42_zorder_stats" -> p42ZorderStats _,
+    "p43_timestamp_travel" -> p43TimestampTravel _,
     "m13_image_lifecycle" -> m13ImageLifecycle _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
@@ -310,5 +312,8 @@ object AnalyticsQueries
     // leave the head serve exactly the single-writer parquet log's —
     // p33's oracle, one answer however the log is written
     ("p35_occ_table_commits" ->
-      PipelineQueries.oracleSql("p33_table_checkpoint_vacuum"))
+      PipelineQueries.oracleSql("p33_table_checkpoint_vacuum")) +
+    // asking by instant and asking by version must be indistinguishable:
+    // instant 3500 resolves to the update's version, p38's answer
+    ("p43_timestamp_travel" -> oracleSqlBase("p38_atomic_update"))
 }

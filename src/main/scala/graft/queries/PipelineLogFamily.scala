@@ -824,6 +824,207 @@ private[queries] trait PipelineLogFamily { this: AnalyticsQueries.type =>
   def p41ChangeDataFeed(spark: SparkSession, dir: String): DataFrame =
     p41CdfBetween(spark, stageP41CdfTable(spark, dir), -1, 3)
 
+  // ---------------------------------------------------------------- p42
+
+  /** The two-dimensional stats table: the documents table z-ordered on
+    * (doc_id, n_chars) — the 32-bit Morton interleave of 16-bit
+    * buckets, p26's machinery — split into 8 curve-range files, the
+    * commit log carrying EACH file's min/max on BOTH dimensions. This
+    * is the composition Delta ships as `OPTIMIZE ZORDER BY`: the curve
+    * is only half the story — it makes every clustered dimension's
+    * per-file range TIGHT, and log-carried stats are what turn tight
+    * ranges into planning-time file pruning (p26 prunes ROW GROUPS
+    * from parquet footers at scan time; this prunes FILES from one
+    * metadata read before any file is touched — at 100 TB, before a
+    * million footer round trips). Stats here are derived by one
+    * post-write pass per file; a production writer folds the same
+    * min/max into its write pass (p34's rule — writeStatsDeltas shows
+    * the shape). */
+  private[queries] def stageP42ZStatsTable(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val root = PipelineQueries.staging("p42zs", dir)
+    PipelineQueries.stageOnce("p42zs", dir, Seq(root)) {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val b = docs.agg(min(col("doc_id")), max(col("doc_id")),
+        min(col("n_chars")), max(col("n_chars"))).head
+      val (dl, dh, cl, ch) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val zv = graft.operators.ZOrder.zvalue16(
+        graft.operators.ZOrder.bucket16(col("doc_id"), dl, dh),
+        graft.operators.ZOrder.bucket16(col("n_chars"), cl, ch))
+      docs.withColumn("zv", zv)
+        .repartitionByRange(8, col("zv"))
+        .sortWithinPartitions(col("zv"))
+        .drop("zv")
+        .write.mode("overwrite").parquet(s"$root/z")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/z"))
+        .toSeq.map(_.getPath).filter(_.getName.startsWith("part-"))
+        .map(_.toString).sorted
+      require(parts.size > 1, s"the curve layout degenerated: $parts")
+      parts.zipWithIndex.map { case (p, k) =>
+        val st = spark.read.parquet(p).agg(
+          min(col("doc_id")), max(col("doc_id")),
+          min(col("n_chars")), max(col("n_chars"))).head
+        require(!st.isNullAt(0), s"curve file $k is empty")
+        (k, "insert", p, st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      }.toDF("version", "kind", "path", "min_id", "max_id", "min_chars", "max_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/commit_log")
+    }
+    root
+  }
+
+  /** The 2-D box planned from the log: global bounds recovered from
+    * the stats themselves (max of max is exact — p34's stats-only
+    * aggregate), the 30–60% box of each dimension derived with the
+    * same integer arithmetic as the oracle, files kept only when
+    * their rectangle intersects the box on BOTH axes. Returns the
+    * scan plus (both-axes hit, id-axis-only hit, total) so callers
+    * can assert the second dimension genuinely pruned — on a
+    * single-column clustering, n_chars ranges span every file and
+    * contribute nothing. */
+  private[queries] def p42PrunedBox(spark: SparkSession, dir: String)
+      : (DataFrame, Int, Int, Int) = {
+    val root = stageP42ZStatsTable(spark, dir)
+    val log = spark.read.parquet(s"$root/commit_log").collect()
+      .map(r => (r.getAs[String]("path"),
+        r.getAs[Long]("min_id"), r.getAs[Long]("max_id"),
+        r.getAs[Long]("min_chars"), r.getAs[Long]("max_chars")))
+      .toSeq.sortBy(_._1)
+    val (dl, dh) = (log.map(_._2).min, log.map(_._3).max)
+    val (cl, ch) = (log.map(_._4).min, log.map(_._5).max)
+    val (d0, d1) = (dl + (dh - dl) * 3 / 10, dl + (dh - dl) * 6 / 10)
+    // the chars slice sits at 60–90% — strictly inside the dimension's
+    // upper half, so it cannot straddle the curve's top-bit midpoint
+    // (a box crossing a dimension's top bucket bit intersects every
+    // curve cell on that axis and stats prune nothing — the classic
+    // Z-curve boundary-jump caveat, worth encoding rather than hiding)
+    val (c0, c1) = (cl + (ch - cl) * 6 / 10, cl + (ch - cl) * 9 / 10)
+    val idHit = log.filter(f => f._3 >= d0 && f._2 < d1)
+    val hit = idHit.filter(f => f._5 >= c0 && f._4 < c1)
+    val scan = spark.read.parquet(hit.map(_._1).toIndexedSeq: _*)
+      .filter(col("doc_id") >= d0 && col("doc_id") < d1 &&
+        col("n_chars") >= c0 && col("n_chars") < c1)
+    (scan, hit.size, idHit.size, log.size)
+  }
+
+  /** p42 — Z-ORDER × LOG STATS (Delta's `OPTIMIZE ZORDER BY`): the 2-D
+    * box query planned entirely from log-carried per-file rectangles
+    * over the curve-clustered layout. The body `require`s the claim's
+    * two halves: the box pruned files at all, and the SECOND dimension
+    * pruned beyond what doc_id alone could — the property the curve
+    * buys, since one-dimensional clustering leaves every file's
+    * n_chars range spanning the table. Gated by p26's oracle
+    * discipline: the box recomputed from the RAW table with identical
+    * integer arithmetic — the clustered copy changed bytes and
+    * nothing else. */
+  def p42ZorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val (scan, nHit, nIdHit, nTotal) = p42PrunedBox(spark, dir)
+    require(nHit < nTotal,
+      s"the 2-D stats must prune files: planned $nHit of $nTotal")
+    require(nHit < nIdHit,
+      s"the second dimension must prune beyond doc_id alone: " +
+        s"both-axes $nHit vs id-only $nIdHit")
+    scan.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  // ---------------------------------------------------------------- p43
+
+  /** The timestamp-stamped table: p41's four-shape history (two
+    * inserts, the atomic update, a delete) rebuilt under its own root
+    * with every commit carrying a `ts` metadata token — Delta's
+    * per-commit timestamp, the thing `TIMESTAMP AS OF` resolves
+    * against. Timestamps here are LOGICAL ((v+1)·1000) because a
+    * gated query must be deterministic; production stamps wall-clock
+    * at publish and enforces monotonicity the same way Delta adjusts
+    * for clock skew (a commit's ts is max(now, prior ts + 1)). The
+    * resolution rule is identical either way. */
+  private[queries] def stageP43TsTable(spark: SparkSession, dir: String): String = {
+    val root = PipelineQueries.staging("p43tt", dir)
+    PipelineQueries.stageOnce("p43tt", dir, Seq(root)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val logDir = s"$root/log"
+      val occ = graft.operators.OccCommitLog
+      def ts(v: Int) = Map("ts" -> ((v + 1) * 1000L).toString)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Seq(0, 1).foreach { k =>
+        val p = s"$root/d$k"
+        docs.filter(col("doc_id") % 2 === k).coalesce(1)
+          .write.mode("overwrite").parquet(p)
+        occ.commitMeta(fs, logDir, "insert", p, ts(k),
+          txn = Some(("p43-ing", k.toLong)))
+      }
+      docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/u_del")
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 100)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/u_ins")
+      occ.commitActionsMeta(fs, logDir,
+        Seq(("delete", s"$root/u_del", ts(2)), ("insert", s"$root/u_ins", ts(2))),
+        txn = Some(("p43-upd", 1L)))
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/t3")
+      occ.commitMeta(fs, logDir, "delete", s"$root/t3", ts(3),
+        txn = Some(("p43-del", 1L)))
+    }
+    root
+  }
+
+  /** `TIMESTAMP AS OF` resolution (Delta's rule): the greatest
+    * committed version whose timestamp is ≤ the asked instant; an
+    * instant before the first commit is an ERROR (there was no table
+    * then — resolving it to an empty table would silently serve
+    * nothing where the caller asked for history), an instant after
+    * the head resolves to the head. Unstamped commits are a contract
+    * violation on a timestamp-traveled table and fail loudly. */
+  private[queries] def p43ResolveTimestamp(
+      log: Seq[graft.operators.OccCommitLog.Commit], t: Long,
+      label: String): Int = {
+    val stamped = log.map { c =>
+      c.version -> c.meta.getOrElse("ts",
+        throw new IllegalStateException(
+          s"commit v${c.version} in $label carries no ts — this log " +
+            "does not support timestamp travel")).toLong
+    }
+    val hit = stamped.filter(_._2 <= t).map(_._1)
+    if (hit.isEmpty) throw new IllegalArgumentException(
+      s"timestamp $t precedes the first commit " +
+        s"(${stamped.map(_._2).min}) of $label — the table did not " +
+        "exist yet; ask for a version or a later instant")
+    hit.max
+  }
+
+  /** p43 — TIMESTAMP TIME TRAVEL (Delta `TIMESTAMP AS OF`): the table
+    * as of instant 3500 — between the update's commit (ts 3000) and
+    * the delete's (ts 4000) — resolved through the log's `ts`
+    * metadata to version 2 and served with the version machinery
+    * ([[tableAsOfOrdered]]): timestamp resolution is a thin total
+    * order over version resolution, never a second read path. Gated
+    * by p38's oracle VERBATIM — asking by instant and asking by
+    * version must be indistinguishable. TableLogSpec pins the
+    * boundaries: before-first errors with the named contract message,
+    * an exact commit ts resolves to that commit, after-head resolves
+    * to the head, and every commit's own ts round-trips to its
+    * version. */
+  def p43TimestampTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = stageP43TsTable(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val occ = graft.operators.OccCommitLog
+    val log = occ.read(fs, s"$root/log")
+    val v = p43ResolveTimestamp(log, 3500L, s"$root/log")
+    require(v == 2, s"instant 3500 must resolve between update and delete: got v$v")
+    tableAsOfOrdered(spark, log.map(c => (c.version, c.kind, c.path)), v,
+      s"$root/log")
+      .orderBy(col("doc_id"))
+  }
+
   /** The p34 serve recomputed layout-neutrally: the predicate slice,
     * plus the whole-table MAX the engine answered from log stats alone
     * — an off-by-anything in any file's recorded min/max either drops
@@ -849,6 +1050,20 @@ private[queries] trait PipelineLogFamily { this: AnalyticsQueries.type =>
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (7, 113, 211, 307, 419)
         |ORDER BY doc_id""".stripMargin,
+    // the 2-D box recomputed from the RAW table with the same integer
+    // arithmetic (Scala Long division and DuckDB's // both floor for
+    // positives) — the curve-clustered copy and its log stats must
+    // have changed bytes and nothing else
+    "p42_zorder_stats" ->
+      """WITH b AS (SELECT MIN(doc_id) AS dl, MAX(doc_id) AS dh,
+        |    MIN(n_chars) AS cl, MAX(n_chars) AS ch FROM documents)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents, b
+        |WHERE doc_id >= b.dl + ((b.dh - b.dl) * 3) // 10
+        |  AND doc_id <  b.dl + ((b.dh - b.dl) * 6) // 10
+        |  AND n_chars >= b.cl + ((b.ch - b.cl) * 6) // 10
+        |  AND n_chars <  b.cl + ((b.ch - b.cl) * 9) // 10
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // the classified feed from the definitions: inserts carry original
     // values, the v2 update emits pre (original) and post (+100)
     // pairs, and the v3 delete's pre-images must reflect the EARLIER

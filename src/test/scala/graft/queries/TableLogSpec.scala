@@ -128,6 +128,32 @@ class TableLogSpec extends AnyFunSuite {
     assert(eKind.getMessage.contains("unknown commit kind"), eKind.getMessage)
   }
 
+  test("p43: timestamp resolution — before-first errors, exact ts hits its commit, after-head serves the head") {
+    val root = AnalyticsQueries.stageP43TsTable(spark, dir)
+    val log = graft.operators.OccCommitLog.read(fs(root), s"$root/log")
+    // every commit's own ts round-trips to its version (the update's
+    // two actions share one version and one ts)
+    log.foreach { c =>
+      assert(AnalyticsQueries.p43ResolveTimestamp(
+        log, c.meta("ts").toLong, "spec") == c.version)
+    }
+    // between two commits → the earlier one; after the head → the head
+    assert(AnalyticsQueries.p43ResolveTimestamp(log, 2999L, "spec") == 1)
+    assert(AnalyticsQueries.p43ResolveTimestamp(log, 999999L, "spec") == 3)
+    // before the first commit: the named contract error, not an empty
+    // table served as if history began at zero
+    val e = intercept[IllegalArgumentException] {
+      AnalyticsQueries.p43ResolveTimestamp(log, 999L, "spec")
+    }
+    assert(e.getMessage.contains("precedes the first commit"), e.getMessage)
+    // an unstamped commit on a timestamp-traveled table fails loudly
+    val e2 = intercept[IllegalStateException] {
+      AnalyticsQueries.p43ResolveTimestamp(
+        log.map(c => c.copy(meta = Map.empty)), 2000L, "spec")
+    }
+    assert(e2.getMessage.contains("carries no ts"), e2.getMessage)
+  }
+
   test("p36: schema enforcement refuses a delta wider than the log's schema") {
     val e = intercept[IllegalArgumentException] {
       AnalyticsQueries.p36EnforceSchema(
