@@ -194,6 +194,7 @@ object AnalyticsQueries
     "p41_change_data_feed" -> p41ChangeDataFeed _,
     "p42_zorder_stats" -> p42ZorderStats _,
     "p43_timestamp_travel" -> p43TimestampTravel _,
+    "p44_check_constraints" -> p44CheckConstraints _,
     "m13_image_lifecycle" -> m13ImageLifecycle _,
     "d12_semdedup"      -> d12SemDedup _,
     "d13_incremental_neardup" -> d13IncrementalNearDup _,
@@ -315,5 +316,12 @@ object AnalyticsQueries
       PipelineQueries.oracleSql("p33_table_checkpoint_vacuum")) +
     // asking by instant and asking by version must be indistinguishable:
     // instant 3500 resolves to the update's version, p38's answer
-    ("p43_timestamp_travel" -> oracleSqlBase("p38_atomic_update"))
+    ("p43_timestamp_travel" -> oracleSqlBase("p38_atomic_update")) +
+    // policing writes must leave no trace in what a valid history
+    // serves: every doc inserted (validated), ids ≡ 0 mod 3 deleted —
+    // s44's membership body, the same answer the OPTIMIZE daemon gates
+    ("p44_check_constraints" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin)
 }

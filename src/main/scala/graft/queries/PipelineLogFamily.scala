@@ -1025,6 +1025,102 @@ private[queries] trait PipelineLogFamily { this: AnalyticsQueries.type =>
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- p44
+
+  /** CHECK-constraint enforcement on write (Delta's table constraints
+    * / invariants, `InvariantViolationException`): every active check
+    * is evaluated over the candidate delta as ONE aggregate — a row
+    * violates only when the predicate is FALSE (SQL CHECK semantics:
+    * NULL passes), and any violation refuses the whole commit with
+    * the named error. O(delta) per landing, never O(table). Public so
+    * TableLogSpec can pin the refusal and the NULL rule. */
+  private[queries] def p44EnforceChecks(df: DataFrame, checks: Seq[String],
+      at: String): Unit =
+    checks.foreach { c =>
+      val bad = df.filter(!coalesce(expr(c), lit(true))).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"CHECK constraint violation at $at: $bad row(s) fail '$c' — a " +
+          "commit may not put the table in violation of its declared " +
+          "constraints")
+    }
+
+  /** The constraint-policed table: v0 declares the check as a `meta`
+    * commit whose predicate rides the commit's METADATA (planning
+    * reads zero payload bytes; the payload parquet is the audit copy,
+    * p36's convention), v1/v2 land validated insert deltas, v3 ADDS a
+    * second constraint — which first validates the WHOLE table as of
+    * the writer's read version, Delta's `ADD CONSTRAINT` table scan:
+    * a constraint the existing data violates must never enter the log
+    * (TableLogSpec pins that refusal) — and v4 lands a delete list.
+    * Constraints accumulate; every delta validates against ALL checks
+    * active at its version. */
+  private[queries] def stageP44CheckedTable(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val root = PipelineQueries.staging("p44ck", dir)
+    PipelineQueries.stageOnce("p44ck", dir, Seq(root)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val logDir = s"$root/log"
+      val occ = graft.operators.OccCommitLog
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      def activeChecks(): Seq[String] =
+        occ.read(fs, logDir).filter(_.kind == "meta").flatMap(_.meta.get("check"))
+      def commitCheck(tag: String, check: String, txnV: Long): Unit = {
+        val p = s"$root/$tag"
+        Seq(check).toDF("check_expr").coalesce(1)
+          .write.mode("overwrite").parquet(p)
+        occ.commitMeta(fs, logDir, "meta", p, Map("check" -> check),
+          txn = Some(("p44-ddl", txnV)))
+      }
+      commitCheck("check_v0", "n_chars >= 0 AND lang IS NOT NULL", 0L)
+      Seq(0, 1).foreach { k =>
+        val delta = docs.filter(col("doc_id") % 2 === k)
+        p44EnforceChecks(delta, activeChecks(), s"delta $k")
+        val p = s"$root/d$k"
+        delta.coalesce(1).write.mode("overwrite").parquet(p)
+        occ.commit(fs, logDir, "insert", p, txn = Some(("p44-ing", k.toLong)))
+      }
+      // ADD CONSTRAINT: the whole table as of the read version must
+      // already satisfy the new predicate before it may be declared
+      val newCheck = "n_chars <= 100000000"
+      p44EnforceChecks(
+        tableAsOfOrdered(spark, occ.readTriples(fs, logDir),
+          occ.read(fs, logDir).map(_.version).max, logDir),
+        Seq(newCheck), "ADD CONSTRAINT")
+      commitCheck("check_v3", newCheck, 1L)
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/t4")
+      occ.commit(fs, logDir, "delete", s"$root/t4", txn = Some(("p44-del", 1L)))
+    }
+    root
+  }
+
+  /** p44 — CHECK CONSTRAINTS THROUGH THE LOG (Delta table
+    * constraints): the head of the constraint-policed table — every
+    * landed delta was validated against the checks active at its
+    * version, the late-added constraint validated existing history
+    * before entering the log, and both predicates ride commit
+    * metadata so enforcement needs one log read and one O(delta)
+    * aggregate per landing. Gated by p33's membership oracle (the
+    * p35 aliasing move, third log discipline, same answer): policing
+    * writes must leave no trace in what a valid history serves.
+    * TableLogSpec pins the refusals — a violating delta, a violating
+    * ADD CONSTRAINT — and SQL CHECK's NULL-passes rule. */
+  def p44CheckConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val root = stageP44CheckedTable(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val occ = graft.operators.OccCommitLog
+    val log = occ.read(fs, s"$root/log")
+    require(log.filter(_.kind == "meta").flatMap(_.meta.get("check")).size == 2,
+      s"the staged log must carry both declared checks: $log")
+    tableAsOfOrdered(spark, log.map(c => (c.version, c.kind, c.path)),
+      log.map(_.version).max, s"$root/log")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The p34 serve recomputed layout-neutrally: the predicate slice,
     * plus the whole-table MAX the engine answered from log stats alone
     * — an off-by-anything in any file's recorded min/max either drops

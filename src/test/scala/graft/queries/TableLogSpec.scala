@@ -2,6 +2,7 @@ package graft.queries
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.{col, lit, when}
 import graft.GraftSession
 
 /** Pins on the table-format log family (p34–p36, s44) that the DuckDB
@@ -152,6 +153,39 @@ class TableLogSpec extends AnyFunSuite {
         log.map(c => c.copy(meta = Map.empty)), 2000L, "spec")
     }
     assert(e2.getMessage.contains("carries no ts"), e2.getMessage)
+  }
+
+  test("p44: a violating delta refuses with the named error, ADD CONSTRAINT validates history, NULL passes") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val checks = Seq("n_chars >= 0 AND lang IS NOT NULL")
+    // a clean delta passes; a corrupted one refuses naming the count
+    AnalyticsQueries.p44EnforceChecks(docs, checks, "spec")
+    val corrupt = docs.withColumn("n_chars",
+      when(col("doc_id") % 100 === 0, lit(-1L)).otherwise(col("n_chars")))
+    val e = intercept[IllegalArgumentException] {
+      AnalyticsQueries.p44EnforceChecks(corrupt, checks, "spec")
+    }
+    assert(e.getMessage.contains("CHECK constraint violation") &&
+      e.getMessage.contains("row(s) fail"), e.getMessage)
+    // SQL CHECK semantics: a NULL predicate is not a violation
+    AnalyticsQueries.p44EnforceChecks(
+      docs.withColumn("q", lit(null).cast("long")), Seq("q > 0"), "spec")
+    // ADD CONSTRAINT over violating history must never enter the log:
+    // the staged table's history all has n_chars < 1e9, so a tighter
+    // bound the data violates refuses at the validation scan
+    val root = AnalyticsQueries.stageP44CheckedTable(spark, dir)
+    val log = graft.operators.OccCommitLog.read(fs(root), s"$root/log")
+    assert(log.filter(_.kind == "meta").flatMap(_.meta.get("check")).size == 2)
+    val head = AnalyticsQueries.tableAsOfOrdered(spark,
+      log.map(c => (c.version, c.kind, c.path)), log.map(_.version).max,
+      "spec")
+    val e2 = intercept[IllegalArgumentException] {
+      AnalyticsQueries.p44EnforceChecks(head, Seq("n_chars >= 1000"),
+        "ADD CONSTRAINT")
+    }
+    assert(e2.getMessage.contains("CHECK constraint violation"), e2.getMessage)
   }
 
   test("p36: schema enforcement refuses a delta wider than the log's schema") {
